@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Headline analytic queries (bench set).
+  *
+  * All plans are declarative DataFrame ops so Catalyst pushes filters and
+  * projections into the parquet scan, picks broadcast joins for the dim
+  * side, and keeps everything inside whole-stage codegen. Every computed
+  * double is rounded identically to the DuckDB oracle SQL; temporal outputs
+  * are strings / epoch longs so parquet-vs-DuckDB type representation can't
+  * skew the compare.
+  *
+  * Scale notes: every query aggregates before it sorts; top-N uses a single
+  * window with a deterministic tie-break; dims (region/nation/part-brand)
+  * broadcast under the 64 MB threshold at any SF because they are true dims.
+  */
+object Analytics {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** TPC-H Q1-style pricing summary: one scan, partial aggregation. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style shipping priority: filtered fact-fact joins + top-N. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("o_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-way join, dims broadcast. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = t(spark, dir, "customer")
+    val supp = t(spark, dir, "supplier")
+    val nat = t(spark, dir, "nation")
+    val reg = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style selective scalar aggregate (pushdown showcase). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount") >= 0.04 && col("l_discount") <= 0.06)
+      .filter(col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Hierarchical rollup region → nation over customer balances. */
+  def q7Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Events pivoted by event_type (conditional aggregation, one scan). */
+  def q8Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val piv = t(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(round(sum(col("value")), 2))
+    eventTypes.foldLeft(piv)((d, et) => d.withColumnRenamed(et, s"v_$et"))
+      .orderBy(col("day"))
+  }
+
+  /** Top-3 parts per brand by retail price (window rank, tie-break key). */
+  def q9TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(spark, dir, "part")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn").cast("long").as("rn"),
+        col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def q10Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Customers with / without orders per nation (semi/anti semantics via
+    * one left join against the distinct key set — a single shuffle). */
+  def q11AntiSemi(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = t(spark, dir, "orders").select(col("o_custkey")).distinct()
+    t(spark, dir, "customer")
+      .join(custKeys, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        count(col("o_custkey")).as("with_orders"),
+        (count(lit(1)) - count(col("o_custkey"))).as("without_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Gap-based sessionization (30 min) of the event stream: lag + running
+    * sum windows, then per-session aggregates. One shuffle on user_id. */
+  def q12Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    t(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_local_supplier" -> q5LocalSupplier _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q7_rollup" -> q7Rollup _,
+    "q8_pivot" -> q8Pivot _,
+    "q9_topn_per_group" -> q9TopNPerGroup _,
+    "q10_percentiles" -> q10Percentiles _,
+    "q11_anti_semi" -> q11AntiSemi _,
+    "q12_sessionize" -> q12Sessionize _)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+    "q7_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin,
+    "q8_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS v_click,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS v_error,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS v_purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS v_signup,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS v_view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q9_topn_per_group" ->
+      """SELECT p_brand, rn, p_partkey, p_name, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        | FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "q10_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_anti_semi" ->
+      """SELECT n_name, count(*) AS n_customers, count(o_custkey) AS with_orders,
+        | count(*) - count(o_custkey) AS without_orders
+        |FROM customer
+        | LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q12_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM e)
+        |SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS start_us,
+        | max(ts_us) - min(ts_us) AS duration_us, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

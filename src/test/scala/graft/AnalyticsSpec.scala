@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.local(cores = 8, shufflePartitions = 8)
+}
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs non-empty on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("q1 aggregates are internally consistent") {
+    val r = operators.Analytics.q1PricingSummary(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("count_order")).sum > 0)
+    r.foreach { row =>
+      assert(row.getAs[Double]("sum_disc_price") <= row.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("q9 emits at most 3 rows per brand with rn in 1..3") {
+    val r = operators.Analytics.q9TopNPerGroup(spark, sf).collect()
+    r.groupBy(_.getAs[String]("p_brand")).foreach { case (b, rows) =>
+      assert(rows.length <= 3, s"brand $b has ${rows.length} rows")
+      assert(rows.map(_.getAs[Long]("rn")).forall(n => n >= 1 && n <= 3))
+    }
+  }
+
+  test("q12 sessions split on >30min gaps") {
+    val r = operators.Analytics.q12Sessionize(spark, sf)
+    // session durations only span events <=30min apart pairwise, so a
+    // 1-event session has duration 0
+    val single = r.filter("n_events = 1 AND duration_us <> 0").count()
+    assert(single == 0)
+  }
+}
