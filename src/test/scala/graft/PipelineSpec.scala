@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("ingest: CSV with schema, header, and DROPMALFORMED") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val csv = dir.resolve("emp.csv")
+    Files.writeString(csv,
+      "id,name,salary\n1,alice,100.5\n2,bob,200.0\nbad,row,NOTANUMBER\n4,dana,50\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("salary", DoubleType)))
+    val ok = Ingest.readCsv(spark, csv.toString, schema, header = true, mode = "DROPMALFORMED")
+    // collect (not count) so every column is parsed — CSV column pruning
+    // would otherwise skip parsing and never see the malformed row
+    assert(ok.collect().length == 3) // bad row dropped
+    val permissive = Ingest.readCsv(spark, csv.toString, schema)
+    assert(permissive.count() == 4) // bad row kept with nulls
+    assert(permissive.filter("id IS NULL").count() == 1)
+  }
+
+  test("ingest: audit hash is deterministic and distinct per row") {
+    val df = Ingest.p1IngestRaw(spark, sf)
+    val n = df.count()
+    assert(df.select("_row_hash").distinct().count() == n)
+    assert(df.filter("_src = 'customer'").count() == n)
+  }
+
+  test("staging: dedupKeepFirst keeps exactly one row per key") {
+    import spark.implicits._
+    val df = Seq((1, "b"), (1, "a"), (2, "z")).toDF("k", "v")
+    val out = Staging.dedupKeepFirst(df, Seq("k"),
+      Seq(org.apache.spark.sql.functions.col("v"))).collect()
+    assert(out.length == 2)
+    assert(out.find(_.getInt(0) == 1).get.getString(1) == "a")
+  }
+
+  test("quality: gate passes on clean tables, catches real + planted dups") {
+    import spark.implicits._
+    val clean = Quality.tableMetrics(Tables.load(spark, sf, "customer"), "customer", Seq("c_custkey"))
+      .unionAll(Quality.tableMetrics(Tables.load(spark, sf, "orders"), "orders", Seq("o_orderkey")))
+    assert(Quality.gatePasses(clean))
+    // the synthetic lineitem table has duplicate (l_orderkey, l_linenumber)
+    // pairs — the full report must catch them
+    assert(!Quality.gatePasses(Quality.p4QualityChecks(spark, sf)))
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("pk", "v")
+    assert(!Quality.gatePasses(Quality.tableMetrics(dup, "dup_table", Seq("pk"))))
+  }
+
+  test("scd2: versions chain and exactly one current per key") {
+    val scd = Scd2.p5Scd2User(spark, sf).cache()
+    val users = scd.select("user_id").distinct().count()
+    assert(scd.filter("is_current = 1").count() == users)
+    // non-current versions must close exactly when the next one opens
+    assert(scd.filter("is_current = 0 AND effective_to_us IS NULL").count() == 0)
+    assert(scd.filter("effective_to_us IS NOT NULL AND effective_to_us < effective_from_us").count() == 0)
+    scd.unpersist()
+  }
+
+  test("merge: upsert is last-writer-wins and keeps unmatched rows") {
+    import spark.implicits._
+    val current = Seq((1L, "old", 1L, 1L), (2L, "keep", 1L, 2L)).toDF("k", "v", "ver", "tie")
+    val updates = Seq((1L, "new", 2L, 3L), (3L, "ins", 1L, 4L)).toDF("k", "v", "ver", "tie")
+    val out = Merge.upsert(current, updates, Seq("k"), "ver", "tie")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
+  }
+
+  test("archive: moves files with date suffix") {
+    val landing = Files.createTempDirectory("graft_landing")
+    val archived = landing.resolveSibling(landing.getFileName.toString + "_arch")
+    Files.writeString(landing.resolve("Employee.csv"), "a,b\n")
+    Files.writeString(landing.resolve("noext"), "x")
+    val moved = Archive.archive(landing.toString, archived.toString, "20260812")
+    assert(moved.map(_._2).map(p => Paths.get(p).getFileName.toString).toSet ==
+      Set("Employee_20260812.csv", "noext_20260812"))
+    assert(Files.list(landing).count() == 0)
+    // idempotent on empty landing
+    assert(Archive.archive(landing.toString, archived.toString, "20260812").isEmpty)
+  }
+
+  test("sensor: arrives within timeout, times out when absent") {
+    val dir = Files.createTempDirectory("graft_sense")
+    val target = dir.resolve("Department.csv")
+    val writer = new Thread(() => { Thread.sleep(200); Files.writeString(target, "x") })
+    writer.start()
+    assert(Sensor.await(Seq(target.toString), timeoutMs = 5000, pollMs = 20))
+    writer.join()
+    assert(!Sensor.await(Seq(dir.resolve("never.csv").toString), timeoutMs = 200, pollMs = 20))
+  }
+
+  test("runner: topological order, fail-fast skips dependents only") {
+    import Runner._
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stages = Seq(
+      Stage("sense")(() => ran += "sense"),
+      Stage("ingest", Seq("sense"))(() => { ran += "ingest"; throw new RuntimeException("boom") }),
+      Stage("stage", Seq("ingest"))(() => ran += "stage"),
+      Stage("quality", Seq("stage"))(() => ran += "quality"),
+      Stage("archive", Seq("sense"))(() => ran += "archive"))
+    val res = Runner.run(stages).map(r => r.name -> r.status).toMap
+    assert(res("sense") == Succeeded)
+    assert(res("ingest").isInstanceOf[Failed])
+    assert(res("stage").isInstanceOf[Skipped])
+    assert(res("quality").isInstanceOf[Skipped])
+    assert(res("archive") == Succeeded)
+    assert(!ran.contains("stage") && !ran.contains("quality"))
+  }
+
+  test("runner: rejects cycles and unknown deps") {
+    import Runner._
+    assertThrows[IllegalArgumentException] {
+      Runner.run(Seq(Stage("a", Seq("b"))(() => ()), Stage("b", Seq("a"))(() => ())))
+    }
+    assertThrows[IllegalArgumentException] {
+      Runner.run(Seq(Stage("a", Seq("ghost"))(() => ())))
+    }
+  }
+
+  test("full DAG: sense → ingest → stage → quality → curate → archive") {
+    import Runner._
+    val landing = Files.createTempDirectory("graft_e2e")
+    Files.writeString(landing.resolve("Employee.csv"), "x\n")
+    var gate = false
+    val res = Runner.run(Seq(
+      Stage("sense")(() => assert(Sensor.await(
+        Seq(landing.resolve("Employee.csv").toString), 1000))),
+      Stage("ingest", Seq("sense"))(() => assert(Ingest.p1IngestRaw(spark, sf).count() > 0)),
+      Stage("staging", Seq("ingest"))(() =>
+        assert(Staging.p2StagingCustomer(spark, sf).count() > 0)),
+      Stage("quality", Seq("staging"))(() => {
+        gate = Quality.gatePasses(Quality.tableMetrics(
+          Tables.load(spark, sf, "customer"), "customer", Seq("c_custkey")))
+        assert(gate) }),
+      Stage("curate", Seq("quality"))(() =>
+        assert(Curated.p6CuratedJoin(spark, sf).count() > 0)),
+      Stage("archive", Seq("curate"))(() =>
+        Archive.archive(landing.toString, landing.toString + "_arch", "d"))))
+    assert(res.forall(_.status == Succeeded))
+    assert(gate)
+  }
+}
