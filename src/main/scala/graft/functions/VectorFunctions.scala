@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns.
+  *
+  * Built on Spark's higher-order array functions (`zip_with` + `aggregate`),
+  * which are codegen'd Catalyst expressions — no UDF, no serialization, and
+  * the accumulation is a sequential double fold so the result is
+  * bit-identical to the DuckDB oracle's list_transform+list_sum rendering.
+  */
+object VectorFunctions {
+
+  /** Dot product with double accumulation (floats are widened per element
+    * before multiply, matching CAST(x AS DOUBLE)*CAST(y AS DOUBLE)). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Sign bucket of 'embedding · plane' hyperplane tests: bit p is set iff
+    * the dot with plane p is positive. Planes are injected as literal
+    * arrays so the plan is one narrow projection. */
+  def hyperplaneBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(emb, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication family over `documents` (SURVEY.md §2 d1-d5): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design (the whole point of these operators at 100 TB):
+  *  - exact dedup: one hash-shuffle on the content hash, no pairwise work;
+  *  - n-gram: the shingle equi-join IS the blocking — pair generation is
+  *    bounded per shingle posting list, never a global cross join, and AQE
+  *    splits skewed shingles;
+  *  - MinHash+LSH: linear scan to signatures (one shuffle), candidate pairs
+  *    only within equal LSH band buckets, exact confirm only on candidates;
+  *  - SimHash: closed-form bit sums (64 aggregates, no row explosion),
+  *    candidate pairs via 4 chunk equi-joins (pigeonhole guarantees recall
+  *    for hamming<=3), hamming check only on candidates;
+  *  - embedding: the all-pairs form here is the correctness oracle; the
+  *    scale path is the LSH-bucketed `s2_ann_lsh` in [[Similarity]].
+  */
+object Dedup {
+
+  val JaccardTau = 0.8
+  val CosineTau = 0.4
+  val MinhashSeeds = 8
+  val BandsOf = 2 // seeds per band -> 4 bands
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // ---------------------------------------------------------------- d1
+
+  /** `d1_dedup_exact`: exact dedup on normalized text. Emits one row per
+    * document with its content-hash group size and the keeper (min doc_id)
+    * so the result is total (works when there are zero duplicates). */
+  def d1DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("norm_hash"))
+    docs(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("norm_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep_doc_id", min(col("doc_id")).over(w))
+      .withColumn("is_keeper", when(col("doc_id") === col("keep_doc_id"), 1L).otherwise(0L))
+  }
+
+  // ---------------------------------------------------------------- d2
+
+  /** doc_id → exploded distinct 3-shingles. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+
+  /** Jaccard >= tau pairs from a (doc_id, s) shingle table: equi-join on
+    * the shingle (the blocking key), count common, ratio against the
+    * per-doc shingle counts. */
+  private def jaccardPairs(sh: DataFrame, restrictTo: Option[DataFrame]): DataFrame = {
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val b = sh.select(col("doc_id").as("d2"), col("s"))
+    val common0 = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+    val common1 = restrictTo match {
+      case Some(cand) => common0.join(cand, Seq("d1", "d2"), "leftsemi")
+      case None => common0
+    }
+    val common = common1.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    common
+      .join(n.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(n.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")) >= JaccardTau)
+      .select(
+        col("d1").as("doc_id_1"),
+        col("d2").as("doc_id_2"),
+        col("c").as("n_common"),
+        floor(col("c") * lit(1000000.0) / (col("n1") + col("n2") - col("c")))
+          .cast("long").as("jaccard_e6"))
+  }
+
+  /** `d2_dedup_ngram`: word-3-shingle Jaccard near-dup pairs. */
+  def d2DedupNgram(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingleRows(spark, dir), None)
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+
+  // ---------------------------------------------------------------- d3
+
+  /** `d3_dedup_minhash`: MinHash signatures + LSH banding for candidate
+    * generation, exact-Jaccard confirmation on candidates only. */
+  def d3DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir)
+    // minhash_i = min over shingles of md5(i ':' shingle), i in 0..k-1
+    val mh = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed"), col("s"))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("h"))
+    // band signature = md5 of the band's minhashes in seed order
+    val sig = mh
+      .withColumn("band", expr(s"seed div $BandsOf"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("seed"), col("h")))),
+          x => x.getField("h")))).as("bsig"))
+    val cand = sig.select(col("doc_id").as("d1"), col("band"), col("bsig"))
+      .join(sig.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    jaccardPairs(sh, Some(cand)).orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  // ---------------------------------------------------------------- d4
+
+  /** Per-document 64-bit SimHash as 4 x 16-bit chunks, computed in closed
+    * form: per chunk bit b, weight = 2*sum(bit_b) - n_words; bit set iff
+    * weight > 0. 64 sum aggregates, zero row explosion. */
+  def simhashChunks(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+    val withVals = (0 until 4).foldLeft(words) { (df, j) =>
+      df.withColumn(s"v$j", conv(substring(md5(col("word")), 1 + 4 * j, 4), 16, 10).cast("long"))
+    }
+    val sums = for { j <- 0 until 4; b <- 0 until 16 }
+      yield sum(shiftright(col(s"v$j"), b).bitwiseAND(1)).as(s"s${j}_$b")
+    val agg = withVals.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sums: _*)
+    val chunks = (0 until 4).map { j =>
+      (0 until 16).map { b =>
+        when(lit(2) * col(s"s${j}_$b") - col("nw") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$j")
+    }
+    agg.select(col("doc_id") +: chunks: _*)
+  }
+
+  val HammingTau = 3
+
+  /** `d4_dedup_simhash`: per-doc simhash chunks + count of hamming<=3
+    * near-dup partners. Candidates come from 4 chunk equi-joins —
+    * pigeonhole: <=3 differing bits over 4 chunks forces >=1 equal chunk. */
+  def d4DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhashChunks(spark, dir).cache()
+    val left = sim.select(col("doc_id").as("d1"),
+      col("c0").as("a0"), col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"))
+    val right = sim.select(col("doc_id").as("d2"),
+      col("c0").as("b0"), col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+    val cand = (0 until 4).map { j =>
+        left.join(right, col(s"a$j") === col(s"b$j") && col("d1") < col("d2"))
+      }.reduce(_ unionByName _).distinct()
+    val hamming = (0 until 4).map(j =>
+      bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
+    val near = cand.filter(hamming <= HammingTau).select(col("d1"), col("d2"))
+    val perDoc = near.select(col("d1").as("doc_id"))
+      .unionAll(near.select(col("d2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n3"))
+    sim.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        coalesce(col("n3"), lit(0L)).as("n_near3"))
+  }
+
+  // ---------------------------------------------------------------- d5
+
+  /** `d5_dedup_embed`: embedding-cosine near-dup pairs >= tau. All-pairs
+    * (correctness form; bounded data) — the 100 TB path is the LSH-bucketed
+    * variant in [[Similarity.s2AnnLsh]]. */
+  def d5DedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"))
+    val cos = VectorFunctions.cosine(col("ea"), col("eb"))
+    a.join(b, col("vec_id_1") < col("vec_id_2"))
+      .filter(cos >= CosineTau)
+      .select(col("vec_id_1"), col("vec_id_2"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"))
+      .orderBy(col("vec_id_1"), col("vec_id_2"))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      | ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
+
+  private val shinglesCte =
+    s"""docsh AS (
+       | SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS s
+       | FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |shn AS (SELECT doc_id, count(*) AS n FROM docsh GROUP BY doc_id)""".stripMargin
+
+  private def jaccardSelectSql(candJoin: String): String =
+    s"""SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2, p.c AS n_common,
+       | CAST(floor(p.c * 1000000.0 / (n1.n + n2.n - p.c)) AS BIGINT) AS jaccard_e6
+       |FROM (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+       |      FROM docsh a JOIN docsh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      $candJoin
+       |      GROUP BY 1, 2) p
+       | JOIN shn n1 ON p.d1 = n1.doc_id JOIN shn n2 ON p.d2 = n2.doc_id
+       |WHERE p.c * 1.0 / (n1.n + n2.n - p.c) >= $JaccardTau
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+        | count(*) OVER w AS group_size,
+        | min(doc_id) OVER w AS keep_doc_id,
+        | CASE WHEN doc_id = min(doc_id) OVER w THEN 1 ELSE 0 END AS is_keeper
+        |FROM documents
+        |WINDOW w AS (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
+    "d2_dedup_ngram" ->
+      s"WITH $shinglesCte\n${jaccardSelectSql("")}",
+    "d3_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |mh AS (
+         | SELECT doc_id, r.seed, min(md5(CAST(r.seed AS VARCHAR) || ':' || s)) AS h
+         | FROM docsh, range($MinhashSeeds) r(seed) GROUP BY doc_id, r.seed),
+         |sig AS (
+         | SELECT doc_id, seed // $BandsOf AS band, md5(string_agg(h, '|' ORDER BY seed)) AS bsig
+         | FROM mh GROUP BY doc_id, seed // $BandsOf),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS cd1, b.doc_id AS cd2
+         | FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |${jaccardSelectSql("JOIN cand ON cd1 = a.doc_id AND cd2 = b.doc_id")}""".stripMargin,
+    "d4_dedup_simhash" -> d4OracleSql,
+    "d5_dedup_embed" ->
+      s"""SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         | CAST(floor(
+         |  list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+         |  * 1000000.0) AS BIGINT) AS cos_e6
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+         |  >= $CosineTau
+         |ORDER BY vec_id_1, vec_id_2""".stripMargin)
+
+  private lazy val d4OracleSql: String = {
+    val sums = (for { j <- 0 until 4; b <- 0 until 16 }
+      yield s"sum((v$j >> $b) & 1) AS s${j}_$b").mkString(",\n  ")
+    val chunks = (0 until 4).map { j =>
+      (0 until 16).map(b =>
+        s"(CASE WHEN 2 * s${j}_$b - nw > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("(", " + ", s") AS c$j")
+    }.mkString(",\n  ")
+    s"""WITH w AS (
+       | SELECT doc_id, unnest(toks) AS word
+       | FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |h AS (
+       | SELECT doc_id,
+       |  CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) AS v0,
+       |  CAST(('0x' || substr(md5(word), 5, 4)) AS BIGINT) AS v1,
+       |  CAST(('0x' || substr(md5(word), 9, 4)) AS BIGINT) AS v2,
+       |  CAST(('0x' || substr(md5(word), 13, 4)) AS BIGINT) AS v3
+       | FROM w),
+       |agg AS (
+       | SELECT doc_id, count(*) AS nw,
+       |  $sums
+       | FROM h GROUP BY doc_id),
+       |sim AS (
+       | SELECT doc_id,
+       |  $chunks
+       | FROM agg),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id d1, b.doc_id d2,
+       |  bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+       |  + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
+       | FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)),
+       |near AS (
+       | SELECT doc_id, count(*) AS n3 FROM (
+       |  SELECT d1 AS doc_id FROM cand WHERE hamming <= $HammingTau
+       |  UNION ALL SELECT d2 FROM cand WHERE hamming <= $HammingTau)
+       | GROUP BY doc_id)
+       |SELECT s.doc_id, c0, c1, c2, c3, coalesce(n3, 0) AS n_near3
+       |FROM sim s LEFT JOIN near ON s.doc_id = near.doc_id""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_dedup_ngram" -> (d2DedupNgram _),
+    "d3_dedup_minhash" -> (d3DedupMinhash _),
+    "d4_dedup_simhash" -> (d4DedupSimhash _),
+    "d5_dedup_embed" -> (d5DedupEmbed _))
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2 s1-s2).
+  *
+  * s1 is the brute-force baseline: the probe set (tiny) is broadcast, the
+  * big side is scanned exactly once, and top-k is a per-probe window —
+  * at cluster scale this is the "scan once, rank locally" shape, with no
+  * global sort.
+  *
+  * s2 is the scale path: deterministic random-hyperplane LSH. Every vector
+  * gets a sign-pattern bucket from 8 md5-derived hyperplanes (a narrow
+  * projection over one scan), and search only compares vectors within the
+  * probe's bucket — at 100 TB the bucket column is the partition/cluster
+  * key, so a probe touches 1/2^8 of the data instead of all of it.
+  */
+object Similarity {
+
+  val NumProbes = 10 // probes = vec_id < NumProbes
+  val TopK = 5
+  val LshPlanes = 8
+  val LshTopK = 5
+  val Dim = 64
+
+  /** Deterministic hyperplanes: component d of plane p is an md5-derived
+    * uniform value in [-1, 1] — reproducible in any engine, no RNG state.
+    * Injected as literals into both the Spark plan and the oracle SQL. */
+  lazy val planes: Seq[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def u(p: Int, d: Int): Double = {
+      val hex = mdig.digest(s"p$p:d$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 1001L).toDouble / 500.0 - 1.0
+    }
+    (0 until LshPlanes).map(p => Array.tabulate(Dim)(d => u(p, d)))
+  }
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** `s1_ann_brute`: exact cosine top-k per probe. */
+  def s1AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cos = cosine(col("pe"), col("embedding"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** `s2_ann_lsh`: hyperplane-LSH bucketed top-k — compares only vectors
+    * sharing the probe's sign-pattern bucket. */
+  def s2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), planes))
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
+    val cos = cosine(col("pe"), col("embedding"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= LshTopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private def planeSql(p: Int): String =
+    planes(p).map(_.toString).mkString("[", ", ", "]")
+
+  private def dotSql(embExpr: String, p: Int): String =
+    s"list_sum(list_transform(list_zip($embExpr, ${planeSql(p)}), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+
+  private val bucketSql: String =
+    (0 until LshPlanes).map(p =>
+      s"(CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s1_ann_brute" ->
+      s"""SELECT probe_id, neighbor_id, cos_e6, rank FROM (
+         | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+         |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+         |  row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+         | FROM embeddings p JOIN embeddings x ON x.vec_id != p.vec_id
+         | WHERE p.vec_id < $NumProbes)
+         |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH bkt AS (
+         | SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         |SELECT probe_id, neighbor_id, bucket, cos_e6, rank FROM (
+         | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id, p.bucket AS bucket,
+         |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+         |  row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+         | FROM bkt p JOIN bkt x ON x.bucket = p.bucket AND x.vec_id != p.vec_id
+         | WHERE p.vec_id < $NumProbes)
+         |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_brute" -> (s1AnnBrute _),
+    "s2_ann_lsh" -> (s2AnnLsh _))
+}

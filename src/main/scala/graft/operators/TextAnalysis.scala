@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2 t1-t4):
+  * token statistics, quality scoring, language ID, fingerprinting — the
+  * per-document scoring pass of a training-data pipeline.
+  *
+  * Scale: every operator is a single narrow projection over the documents
+  * scan — no shuffle, no UDF, all codegen'd regexp/array expressions — so
+  * throughput is scan-bound and embarrassingly parallel at any SF.
+  */
+object TextAnalysis {
+
+  /** `t1_text_stats`: token counts (whitespace + BPE-ish), char-class
+    * counts, average token length. */
+  def t1TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))).cast("long").as("n_bpe_tokens"),
+        strippedLength(col("text"), "[^A-Za-z]").cast("long").as("n_alpha"),
+        strippedLength(col("text"), "[^0-9]").cast("long").as("n_digit"),
+        strippedLength(col("text"), "[^ ]").cast("long").as("n_space"),
+        round((length(col("text")) - strippedLength(col("text"), "[^ ]")).cast("double") /
+          greatest(size(wsTokens(col("text"))), lit(1)), 4).as("avg_token_len"))
+
+  /** Stopword lists per language profile (tiny, broadcast as literals into
+    * the codegen'd plan — no join needed). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que", "en"),
+    "fr" -> Seq("le", "la", "de", "les", "et", "que", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "in"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** `t2_text_quality`: composite quality score from stopword ratio,
+    * unique-token ratio, punctuation/digit ratios and a length norm — the
+    * standard cheap pre-filter of a web-scale corpus. */
+  def t2TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val nChars = greatest(length(col("text")), lit(1)).cast("double")
+    val stopRatio = stopCount(toks, stopwords("en")).cast("double") / nToks
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nToks
+    val punctRatio = strippedLength(col("text"), "[A-Za-z0-9\\s]").cast("double") / nChars
+    val digitRatio = strippedLength(col("text"), "[^0-9]").cast("double") / nChars
+    val lenNorm = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+    // floor-truncated micros (x1e6) integers: IEEE arithmetic is identical
+    // in Spark and DuckDB so floor(x*1e6) is bit-stable, whereas decimal
+    // round() of a double differs between engines at .5 boundaries.
+    def e6(c: Column): Column = floor(c * 1000000d).cast("long")
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        e6(stopRatio).as("stop_ratio_e6"),
+        e6(uniqRatio).as("uniq_ratio_e6"),
+        e6(punctRatio).as("punct_ratio_e6"),
+        e6(digitRatio).as("digit_ratio_e6"),
+        e6(lenNorm).as("len_norm_e6"),
+        e6(lit(0.25) * (lit(1.0) - stopRatio) + lit(0.25) * uniqRatio
+          + lit(0.3) * lenNorm + lit(0.2) * (lit(1.0) - punctRatio)).as("quality_score_e6"))
+  }
+
+  /** `t3_lang_id`: stopword-profile language ID with a CJK char override.
+    * Deterministic argmax with fixed preference order on ties. */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val scores = Seq("de", "en", "es", "fr").map(l => l -> stopCount(toks, stopwords(l)))
+    val cjk = strippedLength(col("text"), "[^\\x{4e00}-\\x{9fff}]")
+    val maxScore = greatest(scores.map(_._2): _*)
+    // preference order breaks ties deterministically: de < en < es < fr
+    val predicted = when(cjk > 0, lit("zh"))
+      .otherwise(scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+        when(s === maxScore && s > 0 && acc === "und", lit(l)).otherwise(acc)
+      })
+    val sel = col("doc_id") +: col("lang").as("labeled_lang") +:
+      scores.map { case (l, s) => s.cast("long").as(s"score_$l") } :+
+      cjk.cast("long").as("score_zh_chars") :+ predicted.as("predicted_lang")
+    Tables.load(spark, dir, "documents").select(sel: _*)
+  }
+
+  /** `t4_fingerprint`: md5-based 60-bit content fingerprint of the
+    * normalized text plus an order-insensitive shingle-set fingerprint. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normText(col("text"))
+    val shingleKey = concat_ws("\u0001", array_sort(shingles3(col("text"))))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_hex"),
+        md5Long60(norm).as("fp60"),
+        md5Long60(shingleKey).as("shingle_fp60"),
+        size(shingles3(col("text"))).cast("long").as("n_shingles"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_stats" -> (t1TextStats _),
+    "t2_text_quality" -> (t2TextQuality _),
+    "t3_lang_id" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _))
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val tokSql = "string_split_regex(trim(text), '\\s+')"
+  private def stopCountSql(words: Seq[String]): String =
+    s"len(list_filter($tokSql, t -> list_contains(${sqlList(words)}, t)))"
+
+  val oracle: Map[String, String] = Map(
+    "t1_text_stats" ->
+      s"""SELECT doc_id, lang, n_chars,
+         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         | length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         | length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         | length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+         | round(CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+         |   / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokSql) END, 1), 4) AS avg_token_len
+         |FROM documents""".stripMargin,
+    "t2_text_quality" ->
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  ${stopCountSql(stopwords("en"))} AS n_stop,
+         |  CAST(greatest(len($tokSql), 1) AS DOUBLE) AS n_toks,
+         |  CAST(len(list_distinct($tokSql)) AS DOUBLE) AS n_uniq,
+         |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_d,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_norm
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(floor(n_stop / n_toks * 1000000) AS BIGINT) AS stop_ratio_e6,
+         | CAST(floor(n_uniq / n_toks * 1000000) AS BIGINT) AS uniq_ratio_e6,
+         | CAST(floor(n_punct / n_chars_d * 1000000) AS BIGINT) AS punct_ratio_e6,
+         | CAST(floor(n_digit / n_chars_d * 1000000) AS BIGINT) AS digit_ratio_e6,
+         | CAST(floor(len_norm * 1000000) AS BIGINT) AS len_norm_e6,
+         | CAST(floor((0.25 * (1.0 - n_stop / n_toks) + 0.25 * (n_uniq / n_toks)
+         |   + 0.3 * len_norm + 0.2 * (1.0 - n_punct / n_chars_d)) * 1000000) AS BIGINT) AS quality_score_e6
+         |FROM base""".stripMargin,
+    "t3_lang_id" ->
+      s"""WITH s AS (
+         | SELECT doc_id, lang AS labeled_lang,
+         |  ${stopCountSql(stopwords("de"))} AS score_de,
+         |  ${stopCountSql(stopwords("en"))} AS score_en,
+         |  ${stopCountSql(stopwords("es"))} AS score_es,
+         |  ${stopCountSql(stopwords("fr"))} AS score_fr,
+         |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS score_zh_chars
+         | FROM documents)
+         |SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr, score_zh_chars,
+         | CASE WHEN score_zh_chars > 0 THEN 'zh'
+         |  WHEN score_de >= greatest(score_en, score_es, score_fr) AND score_de > 0 THEN 'de'
+         |  WHEN score_en >= greatest(score_es, score_fr) AND score_en > 0 THEN 'en'
+         |  WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+         |  WHEN score_fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS predicted_lang
+         |FROM s""".stripMargin,
+    "t4_fingerprint" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, norm,
+        |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS shingles
+        | FROM n)
+        |SELECT doc_id, md5(norm) AS fp_hex,
+        | CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fp60,
+        | CAST(('0x' || substr(md5(array_to_string(list_sort(shingles), chr(1))), 1, 15)) AS BIGINT) AS shingle_fp60,
+        | len(shingles) AS n_shingles
+        |FROM sh""".stripMargin)
+}

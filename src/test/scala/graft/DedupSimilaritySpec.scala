@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("d1: groups are total and keepers are the min doc_id") {
+    val r = Dedup.d1DedupExact(spark, sf).cache()
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(r.count() == docs) // total: one row per doc
+    assert(r.filter("is_keeper = 1 AND doc_id != keep_doc_id").count() == 0)
+    // keepers per group = number of distinct hashes
+    assert(r.filter("is_keeper = 1").count() ==
+      r.select("norm_hash").distinct().count())
+    r.unpersist()
+  }
+
+  test("d2: near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Dedup.d2DedupNgram(spark, sf).collect()
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("doc_id_1") < p.getAs[Long]("doc_id_2"))
+      assert(p.getAs[Long]("jaccard_e6") >= (Dedup.JaccardTau * 1e6).toLong)
+    }
+  }
+
+  test("d3: minhash+LSH finds the same high-jaccard pairs as d2") {
+    val exact = Dedup.d2DedupNgram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d3DedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates then exact-confirm: subset of exact, high recall
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("d4: simhash chunks are 16-bit and near counts consistent") {
+    val r = Dedup.d4DedupSimhash(spark, sf).cache()
+    assert(r.filter("c0 < 0 OR c0 > 65535 OR c1 < 0 OR c1 > 65535 OR " +
+      "c2 < 0 OR c2 > 65535 OR c3 < 0 OR c3 > 65535").count() == 0)
+    // near-dup relation is symmetric: total partner count is even
+    val total = r.selectExpr("sum(n_near3)").collect()(0).getLong(0)
+    assert(total % 2 == 0)
+    r.unpersist()
+  }
+
+  test("d5: cosine pairs above threshold, no self pairs") {
+    val r = Dedup.d5DedupEmbed(spark, sf).collect()
+    r.foreach { p =>
+      assert(p.getAs[Long]("vec_id_1") < p.getAs[Long]("vec_id_2"))
+      assert(p.getAs[Long]("cos_e6") >= (Dedup.CosineTau * 1e6).toLong)
+    }
+  }
+
+  test("s1: exactly top-k per probe, ranks contiguous, cosine descending") {
+    val r = Similarity.s1AnnBrute(spark, sf).collect()
+    r.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Long]("cos_e6"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s2: bucketed results are a subset of the probe's bucket and " +
+    "recall@k vs s1 is sane") {
+    val brute = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.s2AnnLsh(spark, sf).collect()
+    // every probe appearing in s2 output found some neighbors in-bucket;
+    // recall against brute force is data-dependent but must be nonzero
+    // overall for 256-bucket LSH on clustered embeddings
+    val hits = lsh.count(r =>
+      brute.contains((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))))
+    assert(lsh.isEmpty || hits > 0)
+  }
+}
