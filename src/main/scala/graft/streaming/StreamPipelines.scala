@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.pipeline.Merge
+
+/** Structured Streaming pipelines (SURVEY.md §2 streaming block).
+  *
+  * The continuous analog of the reference's sensor→ingest→staging chain
+  * (/root/reference/dags/pipeline_orchestration_dag.py:79-143): instead of
+  * polling for a file then batch-loading it, a file-source stream picks up
+  * arrivals incrementally; windowed aggregation with a watermark replaces
+  * the batch DQ count; `flatMapGroupsWithState` sessionization is the
+  * streaming twin of the batch `q12_sessionize` window; and a foreachBatch
+  * upsert sink gives the curated zone incremental SCD-ish merge semantics.
+  *
+  * Scale: state is per-key and watermark-bounded (dropped once sessions
+  * close), the windowed agg is partial-aggregated before shuffle like any
+  * batch agg, and the upsert sink reuses the batch [[Merge.upsert]] path.
+  */
+object StreamPipelines {
+
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class SessionOut(
+    user_id: Long, session_id: Long, n_events: Long,
+    start_us: Long, duration_us: Long, sum_value: Double)
+
+  /** Sessionization state: buffered (ts_us, event_id, value) + count of
+    * sessions already emitted (public: Spark's state Encoder instantiates
+    * it in generated code). */
+  final case class SessState(buffered: List[(Long, Long, Double)], emitted: Long)
+
+  /** File-source ingest: continuously pick up parquet drops in `dir`
+    * (the streaming sensor+ingest). Schema must be declared up front —
+    * streaming reads never infer. */
+  def fileEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+
+  /** Windowed per-type aggregate with a watermark: late events beyond
+    * `lateness` are dropped, state for closed windows is reclaimed. */
+  def windowedTypeCounts(events: DataFrame, lateness: String = "30 minutes",
+                         win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based streaming sessionization: buffers events per user, closes a
+    * session when the event-time watermark passes its last event + gap.
+    * Semantics match the batch `q12_sessionize` (30 min gap) exactly once
+    * the watermark passes everything. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def toSessions(userId: Long, evs: List[(Long, Long, Double)], baseSessionId: Long): List[SessionOut] = {
+      // evs sorted by (ts, event_id); split on gaps
+      val groups = evs.foldLeft(List.empty[List[(Long, Long, Double)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._1 - cur.head._1 <= gapUs => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse).reverse
+      groups.zipWithIndex.map { case (g, i) =>
+        SessionOut(userId, baseSessionId + i + 1, g.length,
+          g.head._1, g.last._1 - g.head._1,
+          math.round(g.map(_._3).sum * 100.0) / 100.0)
+      }
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val old = state.getOption.getOrElse(SessState(Nil, 0L))
+          val incoming = it.map(e => (e.ts.getTime * 1000L, e.event_id, e.value)).toList
+          val all = (old.buffered ++ incoming).sortBy(t => (t._1, t._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (all.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // sessions whose last event is older than watermark - gap are closed
+            val sessions = toSessions(userId, all, old.emitted)
+            val (closed, open) = sessions.partition(s => s.start_us + s.duration_us + gapUs < wmUs)
+            val keep = all.filter(e => open.exists(s => e._1 >= s.start_us))
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(SessState(keep, old.emitted + closed.length))
+              state.setTimeoutTimestamp((all.map(_._1).max / 1000L) + gapMinutes * 60L * 1000L + 1L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** foreachBatch incremental upsert sink: every micro-batch merges into a
+    * versioned parquet state dir via the batch last-writer-wins merge. */
+  def upsertSink(spark: SparkSession, stream: DataFrame, stateDir: String,
+                 keys: Seq[String], orderCol: String, tieCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fs = new java.io.File(stateDir)
+    fs.mkdirs()
+    stream.writeStream.outputMode(OutputMode.Append()).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val versions = fs.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong)
+        val current = if (versions.isEmpty) None
+          else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
+        val merged = current match {
+          case Some(cur) => Merge.upsert(cur, batch.toDF(), keys, orderCol, tieCol)
+          case None => Merge.upsert(batch.toDF().limit(0), batch.toDF(), keys, orderCol, tieCol)
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+        ()
+    }
+  }
+
+  /** Latest state of an upsert sink dir. */
+  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val fs = new java.io.File(stateDir)
+    val versions = Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong)
+    if (versions.isEmpty) None else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming.StreamPipelines
+import graft.streaming.StreamPipelines.{Ev, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60L * 1000L)
+
+  test("file-source stream ingests incremental parquet drops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_in")
+    val out = s"mem_file_${System.nanoTime()}"
+    // drops must be flat files in the watched dir — write to a staging dir
+    // and move the part file in (the same land-then-rename pattern a real
+    // file-drop producer uses)
+    def drop(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().next // deterministic single part
+      val parts = java.nio.file.Files.walk(tmp).filter(_.toString.endsWith(".parquet")).iterator()
+      Files.copy(parts.next, dir.resolve(name))
+    }
+    drop("drop1.parquet", Seq((1L, ts(10), 7L, "click", 1.0), (2L, ts(20), 7L, "view", 2.0)))
+    val q = StreamPipelines.fileEventsStream(spark, dir.toString)
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(out).count() == 2)
+      // second drop picked up without restart — the streaming "sensor"
+      drop("drop2.parquet", Seq((3L, ts(30), 8L, "click", 3.0)))
+      q.processAllAvailable()
+      assert(spark.table(out).count() == 3)
+    } finally q.stop()
+  }
+
+  test("windowed agg with watermark groups by hour and type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val out = s"mem_win_${System.nanoTime()}"
+    val q = StreamPipelines.windowedTypeCounts(events)
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      mem.addData((1L, ts(10), "click", 1.0), (2L, ts(20), "click", 2.0),
+        (3L, ts(70), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      mem.addData((9L, ts(600), "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(out).collect()
+        .map(r => (r.getAs[Timestamp]("win_start").getTime / 60000, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+      assert(rows.contains((60L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches batch gap semantics") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = s"mem_sess_${System.nanoTime()}"
+    val q = StreamPipelines.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      // base offset keeps the first event strictly above the initial
+      // watermark (epoch 0), which would otherwise drop it as late
+      val b = 1000L
+      // user 1: events at +0,+10,+20 (one session), then +60,+65 (second)
+      // user 2: single event at +5
+      mem.addData(
+        Ev(1L, 1L, ts(b + 0), 1.0), Ev(1L, 2L, ts(b + 10), 2.0), Ev(1L, 3L, ts(b + 20), 3.0),
+        Ev(1L, 4L, ts(b + 60), 4.0), Ev(1L, 5L, ts(b + 65), 5.0),
+        Ev(2L, 6L, ts(b + 5), 7.5))
+      q.processAllAvailable()
+      // sentinel far in the future advances the global watermark → closes all
+      mem.addData(Ev(99L, 999L, ts(b + 10000), 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table(out).as[SessionOut].collect()
+        .filter(_.user_id != 99L).sortBy(s => (s.user_id, s.session_id))
+      assert(sessions.map(s => (s.user_id, s.session_id, s.n_events, s.start_us / 60000000L - b,
+        s.duration_us / 60000000L, s.sum_value)).toSeq == Seq(
+        (1L, 1L, 3L, 0L, 20L, 6.0),
+        (1L, 2L, 2L, 60L, 5L, 9.0),
+        (2L, 1L, 1L, 5L, 0L, 7.5)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink is last-writer-wins across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft_upsert").toString
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val stream = mem.toDF().toDF("k", "v", "ver", "tie")
+    val q = StreamPipelines.upsertSink(spark, stream, stateDir, Seq("k"), "ver", "tie").start()
+    try {
+      mem.addData((1L, "a1", 1L, 1L), (2L, "b1", 1L, 2L))
+      q.processAllAvailable()
+      mem.addData((1L, "a2", 2L, 3L), (3L, "c1", 1L, 4L))
+      q.processAllAvailable()
+      val state = StreamPipelines.currentState(spark, stateDir).get.collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      assert(state == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+    } finally q.stop()
+  }
+}
