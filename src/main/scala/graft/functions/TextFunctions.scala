@@ -28,15 +28,23 @@ object TextFunctions {
   def normText(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Word 3-shingles (distinct), the unit of n-gram dedup. Docs with fewer
-    * than 3 tokens yield an empty array. */
-  def shingles3(text: Column): Column = {
-    val toks = wsTokens(text)
+  /** Word 3-shingles (distinct) from an ALREADY-MATERIALIZED token array
+    * column. Docs with fewer than 3 tokens yield an empty array.
+    *
+    * Callers iterating many shingles per row must bind the token array to
+    * a real column first (`withColumn("toks", wsTokens(text))`): lambda
+    * bodies are not subexpression-eliminated, so passing `wsTokens(text)`
+    * directly re-runs the regex split once per element_at — O(shingles x
+    * tokens) instead of O(tokens) per document. */
+  def shingles3FromToks(toks: Column): Column =
     when(size(toks) < 3, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
-  }
+
+  /** Word 3-shingles straight from text — fine for single-expression use;
+    * see [[shingles3FromToks]] for the hot-path form. */
+  def shingles3(text: Column): Column = shingles3FromToks(wsTokens(text))
 
   /** First 15 hex chars of md5 as a non-negative 60-bit long — the largest
     * md5 prefix that fits a signed 64-bit int in every engine

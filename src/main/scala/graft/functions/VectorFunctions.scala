@@ -22,8 +22,16 @@ object VectorFunctions {
   /** L2 norm. */
   def l2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity (declarative higher-order-function form). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Cosine similarity via the native codegen'd [[CosineSimExpr]] —
+    * bit-identical to [[cosine]] (same IEEE accumulation order) but one
+    * fused loop with zero per-row allocations. Use in pairwise hot paths. */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Sign bucket of 'embedding · plane' hyperplane tests: bit p is set iff
     * the dot with plane p is positive. Planes are injected as literal

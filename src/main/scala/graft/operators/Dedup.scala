@@ -49,26 +49,60 @@ object Dedup {
 
   // ---------------------------------------------------------------- d2
 
-  /** doc_id → exploded distinct 3-shingles. */
+  /** doc_id → exploded distinct 3-shingles. Tokens are materialized into a
+    * column before the shingle transform so the split runs once per doc. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles3FromToks(col("toks"))).as("s"))
 
-  /** Jaccard >= tau pairs from a (doc_id, s) shingle table: equi-join on
-    * the shingle (the blocking key), count common, ratio against the
-    * per-doc shingle counts. */
-  private def jaccardPairs(sh: DataFrame, restrictTo: Option[DataFrame]): DataFrame = {
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("d1"), col("s"))
-    val b = sh.select(col("doc_id").as("d2"), col("s"))
-    val common0 = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
-    val common1 = restrictTo match {
-      case Some(cand) => common0.join(cand, Seq("d1", "d2"), "leftsemi")
-      case None => common0
+  /** JaccardTau as an exact rational (4/5) so prefix lengths are computed
+    * in integer arithmetic — floating 0.8*n rounds the wrong way for some
+    * n and a one-short prefix silently loses recall. */
+  val TauNum = 4
+  val TauDen = 5
+
+  /** doc_id → its distinct shingles in a single global canonical order
+    * (ascending document frequency, then shingle), plus the count. The df
+    * ordering makes prefixes maximally selective. */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir)
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("s")))),
+          x => x.getField("s")).as("shingles"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Exact prefix-filtered Jaccard (PPJoin-style): a pair with
+    * jac >= tau shares >= ceil(tau*n) shingles, so each side must expose
+    * one of its first n - ceil(tau*n) + 1 canonical shingles — join only
+    * on those prefixes, then confirm with a real intersection. At 100 TB
+    * this turns the quadratic shingle join into a join on rare-shingle
+    * posting lists. */
+  private def jaccardPairs(arrays0: DataFrame, cand: Option[DataFrame]): DataFrame = {
+    // the per-doc array table feeds the prefix explode AND both sides of
+    // the confirm join — persist it instead of re-running the aggregation
+    // (tiny relative to the corpus: one row per doc)
+    val arrays = arrays0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = cand.getOrElse {
+      // prefix length in exact integer arithmetic: n - ceil(tau*n) + 1,
+      // with ceil(4n/5) = (4n+4) div 5 (Column./ is double division)
+      val prefixLen = expr(s"cast(n - (($TauNum * n + ${TauDen - 1}) div $TauDen) + 1 as int)")
+      val prefixed = arrays.select(col("doc_id"),
+        explode(slice(col("shingles"), lit(1), prefixLen)).as("ps"))
+      prefixed.select(col("doc_id").as("d1"), col("ps"))
+        .join(prefixed.select(col("doc_id").as("d2"), col("ps")), Seq("ps"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
     }
-    val common = common1.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    common
-      .join(n.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(n.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+    val jac = candidates
+      .join(arrays.select(col("doc_id").as("d1"), col("shingles").as("sa"), col("n").as("n1")), Seq("d1"))
+      .join(arrays.select(col("doc_id").as("d2"), col("shingles").as("sb"), col("n").as("n2")), Seq("d2"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    jac
       .filter(col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")) >= JaccardTau)
       .select(
         col("d1").as("doc_id_1"),
@@ -78,9 +112,10 @@ object Dedup {
           .cast("long").as("jaccard_e6"))
   }
 
-  /** `d2_dedup_ngram`: word-3-shingle Jaccard near-dup pairs. */
+  /** `d2_dedup_ngram`: word-3-shingle Jaccard near-dup pairs (exact, via
+    * prefix filtering). */
   def d2DedupNgram(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingleRows(spark, dir), None)
+    jaccardPairs(shingleArrays(spark, dir), None)
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
   // ---------------------------------------------------------------- d3
@@ -89,6 +124,7 @@ object Dedup {
     * generation, exact-Jaccard confirmation on candidates only. */
   def d3DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir)
+    val arrays = shingleArrays(spark, dir)
     // minhash_i = min over shingles of md5(i ':' shingle), i in 0..k-1
     val mh = sh
       .select(col("doc_id"), explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed"), col("s"))
@@ -106,7 +142,7 @@ object Dedup {
       .join(sig.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    jaccardPairs(sh, Some(cand)).orderBy(col("doc_id_1"), col("doc_id_2"))
+    jaccardPairs(arrays, Some(cand)).orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
   // ---------------------------------------------------------------- d4
@@ -163,14 +199,19 @@ object Dedup {
     * (correctness form; bounded data) — the 100 TB path is the LSH-bucketed
     * variant in [[Similarity.s2AnnLsh]]. */
   def d5DedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    // norms are computed once per vector BELOW the pair join, and the
+    // threshold is applied to the floor-e6 integer (floor(x*1e6) >= 400000
+    // <=> x >= 0.4, exactly) so the cosine is evaluated once per pair
+    // instead of re-derived in both a filter and a projection.
     val e = Tables.load(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"))
-    val cos = VectorFunctions.cosine(col("ea"), col("eb"))
+      .select(col("vec_id"), col("embedding"), VectorFunctions.l2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val cosE6 = floor(VectorFunctions.cosineFast(col("ea"), col("eb"))
+      * lit(1000000.0)).cast("long")
     a.join(b, col("vec_id_1") < col("vec_id_2"))
-      .filter(cos >= CosineTau)
-      .select(col("vec_id_1"), col("vec_id_2"),
-        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"))
+      .select(col("vec_id_1"), col("vec_id_2"), cosE6.as("cos_e6"))
+      .filter(col("cos_e6") >= (CosineTau * 1e6).toLong)
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
 

@@ -49,7 +49,7 @@ object Similarity {
     val e = emb(spark, dir)
     val probes = e.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val cos = cosine(col("pe"), col("embedding"))
+    val cos = cosineFast(col("pe"), col("embedding"))
     val w = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
     e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -66,7 +66,7 @@ object Similarity {
       .withColumn("bucket", hyperplaneBucket(col("embedding"), planes))
     val probes = e.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
-    val cos = cosine(col("pe"), col("embedding"))
+    val cos = cosineFast(col("pe"), col("embedding"))
     val w = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
     e.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))

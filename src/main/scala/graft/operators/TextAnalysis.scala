@@ -92,14 +92,16 @@ object TextAnalysis {
     * normalized text plus an order-insensitive shingle-set fingerprint. */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val norm = normText(col("text"))
-    val shingleKey = concat_ws("\u0001", array_sort(shingles3(col("text"))))
+    val sh = shingles3FromToks(col("toks"))
+    val shingleKey = concat_ws("\u0001", array_sort(sh))
     Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
       .select(
         col("doc_id"),
         md5(norm).as("fp_hex"),
         md5Long60(norm).as("fp60"),
         md5Long60(shingleKey).as("shingle_fp60"),
-        size(shingles3(col("text"))).cast("long").as("n_shingles"))
+        size(sh).cast("long").as("n_shingles"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
