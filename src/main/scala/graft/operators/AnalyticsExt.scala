@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Extended analytics: operators Spark lacks as built-ins, composed from
+  * existing ops the scalable way (SURVEY.md §2 brief: "compose existing ops
+  * if semantics allow" before reaching for custom plans).
+  *
+  *  - as-of join: the union+last_value algorithm — tag both sides, one
+  *    shuffle on the key, a single ordered window pass carries the latest
+  *    left-side attributes forward to each right-side row. At 100 TB this
+  *    is shuffle-optimal (no range explosion, no per-row probe).
+  *  - JSON extraction: schema-on-read over a JSON string column, fully
+  *    codegen'd via get_json_object.
+  *  - rolling windows: ROWS-frame running/moving aggregates with a total
+  *    deterministic order.
+  */
+object AnalyticsExt {
+
+  /** `q13_asof_join`: for every event, the customer's latest order at or
+    * before the event time (backward as-of). Ties in (custkey, orderdate)
+    * are collapsed to max orderkey first so the match is deterministic. */
+  def q13AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("event_type"))
+    val orders0 = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    // collapse same-timestamp orders per customer: keep max o_orderkey
+    val wTie = Window.partitionBy(col("user_id"), col("t_us"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = orders0.withColumn("_rn", row_number().over(wTie))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    val tagged = orders
+      .select(col("user_id"), col("t_us"), lit(0).as("src"),
+        col("o_orderkey"), col("o_totalprice"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type"))
+      .unionByName(events.select(col("user_id"), col("t_us"), lit(1).as("src"),
+        lit(null).cast("long").as("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+        col("event_id"), col("event_type")))
+    // orders sort before events at the same instant => "<=" asof semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("src"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("user_id"), col("t_us").as("ts_us"),
+        col("event_type"), col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** `q14_json_extract`: schema-on-read over the events.props JSON column,
+    * aggregated per day and type. */
+  def q14JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** `q15_rolling`: per-customer running total and 3-order moving average
+    * over the order history (ROWS frames, deterministic total order). */
+  def q15Rolling(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("orderdate_us"), col("o_orderkey"))
+    // moving average via explicit lags, not a ROWS frame aggregate: sliding
+    // frames are computed incrementally (segment trees in some engines), so
+    // their float accumulation order is engine-specific; (x + l1 + l2) / n
+    // is the same IEEE sequence everywhere.
+    val l1 = lag(col("o_totalprice"), 1).over(ord)
+    val l2 = lag(col("o_totalprice"), 2).over(ord)
+    val mov3 = (col("o_totalprice") + coalesce(l1, lit(0.0)) + coalesce(l2, lit(0.0))) /
+      (lit(1) + when(l1.isNotNull, 1).otherwise(0) + when(l2.isNotNull, 1).otherwise(0))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+        col("o_totalprice"))
+      .withColumn("running_total",
+        round(sum(col("o_totalprice")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      // floor-e2 integer: (a+b)/2 of cent values lands on exact .xx5
+      // thousandths, where cross-engine decimal rounding of doubles diverges
+      .withColumn("moving3_avg_e2", floor(mov3 * 100).cast("long"))
+      .withColumn("order_idx", row_number().over(ord).cast("long"))
+      .select(col("o_custkey"), col("order_idx"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        col("running_total"), col("moving3_avg_e2"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_asof_join" -> (q13AsofJoin _),
+    "q14_json_extract" -> (q14JsonExtract _),
+    "q15_rolling" -> (q15Rolling _))
+
+  val oracle: Map[String, String] = Map(
+    "q13_asof_join" ->
+      """WITH o AS (
+        | SELECT user_id, t_us, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t_us, o_orderkey,
+        |   round(o_totalprice, 2) AS o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+        |     ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events)
+        |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        | o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND o.t_us <= e.ts_us
+        |ORDER BY event_id""".stripMargin,
+    "q14_json_extract" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q15_rolling" ->
+      """SELECT o_custkey,
+        | CAST(row_number() OVER w AS BIGINT) AS order_idx, o_orderkey,
+        | round(o_totalprice, 2) AS totalprice,
+        | round(sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        | CAST(floor((o_totalprice + coalesce(lag(o_totalprice, 1) OVER w, 0.0)
+        |        + coalesce(lag(o_totalprice, 2) OVER w, 0.0))
+        |   / (1 + (CASE WHEN lag(o_totalprice, 1) OVER w IS NOT NULL THEN 1 ELSE 0 END)
+        |        + (CASE WHEN lag(o_totalprice, 2) OVER w IS NOT NULL THEN 1 ELSE 0 END)) * 100) AS BIGINT) AS moving3_avg_e2
+        |FROM (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        |       o_totalprice FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY orderdate_us, o_orderkey)""".stripMargin)
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-side of the lakehouse: layout-aware sinks.
+  *
+  * The reference lands curated tables as date-partitioned datasets
+  * (BigQuery partitioned tables via its dbt model); here that is parquet
+  * with hive-style partitioning plus optional bucketing:
+  *
+  *  - partitionBy(year, month): partition PRUNING makes time-ranged scans
+  *    touch only the matching directories — the #1 lever at 100 TB;
+  *  - bucketBy(key): co-locates both sides of a recurring keyed join so it
+  *    runs shuffle-free (bucketed SortMergeJoin);
+  *  - maxRecordsPerFile bounds file sizes so a 1000-executor write neither
+  *    produces 1e6 tiny files nor 100 GB monoliths.
+  */
+object Sinks {
+
+  /** Date-partitioned parquet: `dir/part_year=YYYY/part_month=M/...`. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String,
+                           maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("part_year", year(col(tsCol)))
+      .withColumn("part_month", month(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("part_year", "part_month")
+      .parquet(dir)
+
+  /** Bucketed managed table: subsequent equi-joins on `bucketCol` between
+    * tables bucketed the same way skip the shuffle entirely. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read back a partitioned dataset; filters on the partition columns
+    * prune directories before any IO (assert via explain: PartitionFilters). */
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

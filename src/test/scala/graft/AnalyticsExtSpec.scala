@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.AnalyticsExt
+
+class AnalyticsExtSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q13: every matched as-of order precedes (or equals) the event time") {
+    val r = AnalyticsExt.q13AsofJoin(spark, sf)
+    val events = Tables.load(spark, sf, "events").count()
+    assert(r.count() == events) // left as-of keeps all events
+    // re-derive the order timestamps and check the asof invariant
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("asof_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    val bad = r.join(orders, Seq("asof_orderkey")).filter(col("o_us") > col("ts_us"))
+    assert(bad.count() == 0, "asof matched an order after the event")
+    // and it is the LATEST such order
+    val better = r.join(
+      Tables.load(spark, sf, "orders").select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us2")), Seq("user_id"))
+      .filter(col("o_us2") <= col("ts_us"))
+      .groupBy(col("event_id"), col("asof_orderkey")).agg(max(col("o_us2")).as("best_us"))
+      .join(orders, Seq("asof_orderkey"))
+      .filter(col("o_us") < col("best_us"))
+    assert(better.count() == 0, "a later eligible order exists")
+  }
+
+  test("q14: per-group counts sum to the events total") {
+    val r = AnalyticsExt.q14JsonExtract(spark, sf)
+    val total = r.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.load(spark, sf, "events").count())
+    assert(r.filter("min_k > max_k").count() == 0)
+  }
+
+  test("q15: running totals are monotone per customer") {
+    val r = AnalyticsExt.q15Rolling(spark, sf).collect()
+    r.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("order_idx"))
+      val rt = sorted.map(_.getAs[Double]("running_total"))
+      assert(rt.zip(rt.tail).forall { case (a, b) => b >= a - 0.01 })
+      assert(sorted.map(_.getAs[Long]("order_idx")).toSeq == (1L to sorted.length))
+    }
+  }
+}

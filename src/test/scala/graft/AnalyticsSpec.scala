@@ -4,7 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 
 object SparkTestSession {
-  lazy val spark: SparkSession = GraftSession.local(cores = 8, shufflePartitions = 8)
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[8]")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString),
+    shufflePartitions = 8).getOrCreate()
 }
 
 class AnalyticsSpec extends AnyFunSuite {

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.sources.Sinks
+import graft.operators.SkewJoin
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("date-partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/orders"
+    Sinks.writeDatePartitioned(Tables.load(spark, sf, "orders"), "o_orderdate", dir)
+    val back = Sinks.readPartitioned(spark, dir)
+    assert(back.count() == Tables.load(spark, sf, "orders").count())
+    val pruned = back.filter(col("part_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("part_year"),
+      s"no partition pruning in:\n$plan")
+    // pruned row count matches a predicate on the source timestamp
+    val expect = Tables.load(spark, sf, "orders").filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() == expect)
+  }
+
+  test("bucketed table joins without a shuffle on the bucket key") {
+    val cust = Tables.load(spark, sf, "customer")
+    Sinks.writeBucketed(cust, "cust_bucketed", "c_custkey", nBuckets = 4)
+    val ords = Tables.load(spark, sf, "orders")
+    Sinks.writeBucketed(ords.withColumnRenamed("o_custkey", "c_custkey"),
+      "ord_bucketed", "c_custkey", nBuckets = 4)
+    val j = spark.table("cust_bucketed").join(spark.table("ord_bucketed"), "c_custkey")
+    val plan = j.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key: no Exchange above the scans
+    assert(!plan.contains("Exchange hashpartitioning"), s"shuffle in bucketed join:\n$plan")
+    assert(j.count() > 0)
+  }
+
+  test("salted join equals plain join and spreads keys over salts") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "rowid") // key 1 is hot
+    val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).select("rowid", "v").collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedJoin(big, small, "k", col("rowid"), salts = 4)
+      .select("rowid", "v").collect().map(_.toString).sorted
+    assert(plain.sameElements(salted))
+    // the hot key's rows actually land in multiple salt buckets
+    val spread = big.filter("k = 1")
+      .withColumn("_salt", SkewJoin.saltCol(col("rowid"), 4))
+      .select("_salt").distinct().count()
+    assert(spread > 1)
+  }
+}
