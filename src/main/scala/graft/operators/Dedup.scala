@@ -125,19 +125,20 @@ object Dedup {
   def d3DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir)
     val arrays = shingleArrays(spark, dir)
-    // minhash_i = min over shingles of md5(i ':' shingle), i in 0..k-1
-    val mh = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed"), col("s"))
-      .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
-      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("h"))
-    // band signature = md5 of the band's minhashes in seed order
-    val sig = mh
-      .withColumn("band", expr(s"seed div $BandsOf"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws("|",
-        transform(array_sort(collect_list(struct(col("seed"), col("h")))),
-          x => x.getField("h")))).as("bsig"))
+    // all k minhashes in ONE pass: k hash columns per shingle row, k min()
+    // aggregates per doc — no seed explosion, partial (map-side) mins, a
+    // single shuffle on doc_id. minhash_i = min over shingles of
+    // md5(i ':' shingle).
+    val mins = (0 until MinhashSeeds).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"h$i"))
+    val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // band b's signature = md5 of its minhashes in seed order
+    val bandCols = (0 until MinhashSeeds / BandsOf).map { b =>
+      val parts = (0 until BandsOf).map(r => col(s"h${b * BandsOf + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bsig")).as(s"b$b")
+    }
+    val sig = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     val cand = sig.select(col("doc_id").as("d1"), col("band"), col("bsig"))
       .join(sig.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
       .filter(col("d1") < col("d2"))
