@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AnalyticsExt, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AnalyticsExt, Dedup, Multimodal, Similarity, TextAnalysis, TopK}
 import graft.pipeline.PipelineQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -13,12 +13,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.all ++ AnalyticsExt.all ++ PipelineQueries.all ++ TextAnalysis.all ++
-      Dedup.all ++ Similarity.all ++ Multimodal.all
+      Dedup.all ++ Similarity.all ++ Multimodal.all ++ TopK.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ AnalyticsExt.oracle ++ PipelineQueries.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++
       Map("m1_multimodal_meta" -> Multimodal.oracle)
 }

@@ -102,6 +102,15 @@ object StreamPipelines {
       }
   }
 
+  /** Streaming exact dedup: drops re-deliveries of the same id, keeping
+    * state only within the watermark horizon — the continuous analog of the
+    * batch `d1_dedup_exact` keep-first semantics for an at-least-once
+    * ingest (re-delivered file drops, replayed partitions). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** foreachBatch incremental upsert sink: every micro-batch merges into a
     * versioned parquet state dir via the batch last-writer-wins merge. */
   def upsertSink(spark: SparkSession, stream: DataFrame, stateDir: String,

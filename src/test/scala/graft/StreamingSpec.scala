@@ -97,6 +97,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "v")
+    val out = s"mem_dedup_${System.nanoTime()}"
+    val q = StreamPipelines.dedupStream(events, Seq("event_id"))
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1000), "a"), (2L, ts(1001), "b"), (1L, ts(1000), "a-dup"))
+      q.processAllAvailable()
+      // re-delivery in a later micro-batch, still within the watermark
+      mem.addData((2L, ts(1002), "b-dup"), (3L, ts(1003), "c"))
+      q.processAllAvailable()
+      val ids = spark.table(out).collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is last-writer-wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
