@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimExpr(args.head, args(1))
       }))
+    // declarative aggregate(zip_with(...)) cosine -> fused native expression
+    ext.injectOptimizerRule(_ => graft.plans.CosineRewrite())
   }
 }

@@ -16,6 +16,7 @@ object GraftSession {
 
   /** Apply engine defaults to any builder (cluster or local). */
   def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -78,6 +78,18 @@ class PlanSpec extends AnyFunSuite {
     } else assert(math.abs(ok - 1.0) < 1e-12)
   }
 
+  test("CosineRewrite rule fuses declarative cosine into cosine_sim") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val e = Tables.load(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("i1"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("i2"), col("embedding").as("eb"))
+    val q = a.join(b, col("i1") < col("i2"))
+      .select(VectorFunctions.cosine(col("ea"), col("eb")).as("c"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+      "declarative cosine was not rewritten to CosineSimExpr")
+  }
+
   test("cosineFast is bit-identical to the declarative cosine") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
