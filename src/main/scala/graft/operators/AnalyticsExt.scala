@@ -98,12 +98,36 @@ object AnalyticsExt {
         col("running_total"), col("moving3_avg_e2"))
   }
 
+  /** `q17_grouping_sets`: multi-grain aggregate in one pass — per-region,
+    * per-nation and grand-total rows from a single scan (Spark 4's
+    * groupingSets API; the dims stay broadcast). */
+  def q17GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name")), Seq.empty),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_json_extract" -> (q14JsonExtract _),
-    "q15_rolling" -> (q15Rolling _))
+    "q15_rolling" -> (q15Rolling _),
+    "q17_grouping_sets" -> (q17GroupingSets _))
 
   val oracle: Map[String, String] = Map(
+    "q17_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY region, nation""".stripMargin,
     "q13_asof_join" ->
       """WITH o AS (
         | SELECT user_id, t_us, o_orderkey, o_totalprice FROM (

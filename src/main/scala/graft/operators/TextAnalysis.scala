@@ -104,11 +104,37 @@ object TextAnalysis {
         size(sh).cast("long").as("n_shingles"))
   }
 
+  /** `t5_hash_split`: deterministic train/val/test assignment by content
+    * hash (md5 of doc_id mod 100 → 80/10/10) with per-source counts — the
+    * reproducible dataset-split primitive of a training pipeline: stable
+    * under reruns, shard-order independent, no RNG state to coordinate
+    * across 1000 executors. */
+  def t5HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), split.as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
     "t3_lang_id" -> (t3LangId _),
-    "t4_fingerprint" -> (t4Fingerprint _))
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_hash_split" -> (t5HashSplit _))
+
+  private val t5OracleSql: String =
+    """SELECT source, split, count(*) AS n_docs FROM (
+      | SELECT source,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      | FROM documents)
+      |GROUP BY source, split ORDER BY source, split""".stripMargin
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -118,6 +144,7 @@ object TextAnalysis {
     s"len(list_filter($tokSql, t -> list_contains(${sqlList(words)}, t)))"
 
   val oracle: Map[String, String] = Map(
+    "t5_hash_split" -> t5OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
          | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,

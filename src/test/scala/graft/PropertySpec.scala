@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.TopK.TopKAggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Property-based checks of the pure algorithmic cores (raw ScalaCheck
+  * driven from ScalaTest — the plus-bridge artifact isn't vendored). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private def mkAgg(k: Int): TopKAggregator[Int] = {
+    val enc = Encoders.product[Tuple1[Seq[Int]]].asInstanceOf[Encoder[Seq[Int]]]
+    new TopKAggregator[Int](k, (x: Int, y: Int) => x > y)(enc, enc)
+  }
+
+  test("top-k aggregator: any fold/merge split equals global sort-take") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-1000, 1000)), Gen.chooseNum(1, 8)) {
+      (xs: List[Int], k: Int) =>
+        val agg = mkAgg(k)
+        val expected = xs.sorted(Ordering[Int].reverse).take(k)
+        val (l, r) = xs.splitAt(xs.length / 2)
+        val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce))
+        xs.foldLeft(agg.zero)(agg.reduce) == expected && merged == expected
+    })
+  }
+
+  test("prefix filter: pairs with jaccard >= tau always share a prefix element") {
+    // replicate the d2 prefix-length arithmetic: n - ceil(4n/5) + 1
+    def prefix(s: Set[String]): Set[String] = {
+      val sorted = s.toSeq.sorted // any global total order works
+      val n = sorted.length
+      val pl = n - ((4 * n + 4) / 5) + 1
+      sorted.take(pl).toSet
+    }
+    val genSet = Gen.chooseNum(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)).map(_.toSet))
+    check(Prop.forAll(genSet, genSet) { (a: Set[String], b: Set[String]) =>
+      val jac =
+        if (a.isEmpty || b.isEmpty) 0.0
+        else a.intersect(b).size.toDouble / a.union(b).size
+      jac < 0.8 || prefix(a).intersect(prefix(b)).nonEmpty
+    })
+  }
+
+  test("hash-split buckets partition the id space deterministically") {
+    check(Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id: Long =>
+      def split(x: Long): String = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.toString.getBytes).map("%02x".format(_)).mkString.take(15)
+        val b = java.lang.Long.parseLong(hex, 16) % 100
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }
+      split(id) == split(id) && Set("train", "val", "test").contains(split(id))
+    })
+  }
+}
