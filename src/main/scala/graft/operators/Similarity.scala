@@ -23,6 +23,7 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   val NumProbes = 10 // probes = vec_id < NumProbes
+  val NumCells = 16 // IVF centroid count (must precede `oracle` init)
   val TopK = 5
   val LshPlanes = 8
   val LshTopK = 5
@@ -96,6 +97,22 @@ object Similarity {
        |  * sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s3_ann_ivf" ->
+      s"""WITH asg AS (
+         | SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cosSql("e.embedding", "c.embedding")} DESC, c.vec_id) AS arn
+         |  FROM embeddings e JOIN embeddings c ON c.vec_id < $NumCells)
+         | WHERE arn = 1)
+         |SELECT probe_id, neighbor_id, cell, cos_e6, rank FROM (
+         | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id, CAST(p.cell AS BIGINT) AS cell,
+         |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+         |  row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+         | FROM asg p JOIN asg x ON x.cell = p.cell AND x.vec_id != p.vec_id
+         | WHERE p.vec_id < $NumProbes)
+         |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin,
     "s1_ann_brute" ->
       s"""SELECT probe_id, neighbor_id, cos_e6, rank FROM (
          | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
@@ -117,7 +134,37 @@ object Similarity {
          | WHERE p.vec_id < $NumProbes)
          |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin)
 
+  /** `s3_ann_ivf`: inverted-file ANN — every vector is assigned to the
+    * nearest of a deterministic centroid set (here: the first NumCells
+    * vectors; a production pipeline would plug k-means|| centroids into
+    * the same plumbing), and search compares only vectors in the probe's
+    * cell (nprobe=1). At scale the cell id is the partition key: one
+    * narrow assignment scan, then probes touch a single cell each. */
+  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cosToCentroid = cosineFast(col("embedding"), col("ce"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(cosToCentroid.desc, col("cid"))
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val probes = assigned.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
+    val cos = cosineFast(col("pe"), col("embedding"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= LshTopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1AnnBrute _),
-    "s2_ann_lsh" -> (s2AnnLsh _))
+    "s2_ann_lsh" -> (s2AnnLsh _),
+    "s3_ann_ivf" -> (s3AnnIvf _))
 }
