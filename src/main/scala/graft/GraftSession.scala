@@ -21,6 +21,9 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // runtime bloom-filter semi-join reduction: a selective filter on one
+    // join side prunes the other side's scan before the shuffle
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")

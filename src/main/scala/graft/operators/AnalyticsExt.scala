@@ -114,11 +114,29 @@ object AnalyticsExt {
         col("n_customers"), col("sum_acctbal"))
       .orderBy(col("region"), col("nation"))
 
+  /** `q18_approx_stats`: sketch-based aggregates — HyperLogLog++ distinct
+    * counts and t-digest-style quantiles per group. At 100 TB these replace
+    * exact distinct/percentile (whose state is unbounded) with fixed-size
+    * mergeable sketches; map-side partials stay tiny. No DuckDB oracle
+    * (sketch algorithms differ across engines) — the driver records a
+    * rows-only check and `AnalyticsExtSpec` bounds the error vs the exact
+    * q10/q11 answers. */
+  def q18ApproxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("approx_p50_price"),
+        round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 2).as("approx_p95_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_json_extract" -> (q14JsonExtract _),
     "q15_rolling" -> (q15Rolling _),
-    "q17_grouping_sets" -> (q17GroupingSets _))
+    "q17_grouping_sets" -> (q17GroupingSets _),
+    "q18_approx_stats" -> (q18ApproxStats _))
 
   val oracle: Map[String, String] = Map(
     "q17_grouping_sets" ->

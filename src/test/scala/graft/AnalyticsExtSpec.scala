@@ -37,6 +37,26 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(r.filter("min_k > max_k").count() == 0)
   }
 
+  test("q18: sketches land within tolerance of the exact answers") {
+    import org.apache.spark.sql.Row
+    val approx = AnalyticsExt.q18ApproxStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      val dErr = math.abs(a.getAs[Long]("approx_orders") - e.getAs[Long]("d")).toDouble /
+        e.getAs[Long]("d")
+      assert(dErr < 0.05, s"$flag approx distinct off by ${dErr * 100}%")
+      val pErr = math.abs(a.getAs[Double]("approx_p50_price") - e.getAs[Double]("p50")) /
+        e.getAs[Double]("p50")
+      assert(pErr < 0.05, s"$flag approx p50 off by ${pErr * 100}%")
+    }
+  }
+
   test("q15: running totals are monotone per customer") {
     val r = AnalyticsExt.q15Rolling(spark, sf).collect()
     r.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rows) =>
