@@ -216,6 +216,42 @@ object Dedup {
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
 
+  // ---------------------------------------------------------------- d6
+
+  val CcRounds = 10
+
+  /** `d6_dedup_clusters`: consolidate near-dup PAIRS (d2) into CLUSTERS via
+    * min-label propagation (connected components), elect the min doc_id as
+    * each cluster's keeper. Rounds are plan-built (no data collected to the
+    * driver); `CcRounds` bounds the propagation diameter — near-dup
+    * clusters are shallow, and the large-star/small-star variant converges
+    * in O(log n) rounds at scale with the same join shape. */
+  def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(shingleArrays(spark, dir), None)
+      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("l", col("v"))
+    for (_ <- 1 to CcRounds) {
+      val propagated = edges
+        .join(labels.select(col("v").as("b"), col("l")), Seq("b"))
+        .select(col("a").as("v"), col("l"))
+      // materialize each round: iterative plans must truncate lineage or
+      // the optimizer re-expands all prior rounds into one exponential tree
+      // (on a cluster: reliable checkpoint / table round-trip instead)
+      labels = labels.unionByName(propagated).groupBy(col("v")).agg(min(col("l")).as("l"))
+        .localCheckpoint(true)
+    }
+    labels
+      .select(col("v").as("doc_id"), col("l").as("cluster_id"))
+      .withColumn("is_keeper", when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private val toksSql =
@@ -265,6 +301,21 @@ object Dedup {
          | FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
          |${jaccardSelectSql("JOIN cand ON cd1 = a.doc_id AND cd2 = b.doc_id")}""".stripMargin,
     "d4_dedup_simhash" -> d4OracleSql,
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |p AS (${jaccardSelectSql("")}),
+         |edges AS (
+         | SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+         | UNION ALL SELECT doc_id_2, doc_id_1 FROM p),
+         |reach(v, l) AS (
+         | SELECT DISTINCT a, a FROM edges
+         | UNION
+         | SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v),
+         |cc AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_keeper,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc ORDER BY doc_id""".stripMargin,
     "d5_dedup_embed" ->
       s"""SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          | CAST(floor(
@@ -325,5 +376,6 @@ object Dedup {
     "d2_dedup_ngram" -> (d2DedupNgram _),
     "d3_dedup_minhash" -> (d3DedupMinhash _),
     "d4_dedup_simhash" -> (d4DedupSimhash _),
-    "d5_dedup_embed" -> (d5DedupEmbed _))
+    "d5_dedup_embed" -> (d5DedupEmbed _),
+    "d6_dedup_clusters" -> (d6DedupClusters _))
 }

@@ -48,6 +48,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("d6: clusters cover exactly the paired docs, one keeper per cluster") {
+    val pairs = Dedup.d2DedupNgram(spark, sf).collect()
+    val pairedDocs = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clusters = Dedup.d6DedupClusters(spark, sf).collect()
+    assert(clusters.map(_.getAs[Long]("doc_id")).toSet == pairedDocs)
+    clusters.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.count(_.getAs[Long]("is_keeper") == 1L) == 1)
+      assert(rows.map(_.getAs[Long]("doc_id")).min == cid) // keeper = min id
+      assert(rows.forall(_.getAs[Long]("cluster_size") == rows.length))
+    }
+    // every pair's two docs are in the same cluster (transitive closure)
+    val byDoc = clusters.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach(p => assert(byDoc(p.getLong(0)) == byDoc(p.getLong(1))))
+  }
+
   test("d5: cosine pairs above threshold, no self pairs") {
     val r = Dedup.d5DedupEmbed(spark, sf).collect()
     r.foreach { p =>
