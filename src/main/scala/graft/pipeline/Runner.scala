@@ -55,4 +55,55 @@ object Runner {
     }
     order.map(s => StageResult(s.name, status(s.name))).toSeq
   }
+
+  /** Like [[run]] but independent stages execute CONCURRENTLY (Airflow's
+    * parallel branches): each stage starts as soon as all its deps succeed,
+    * failures skip transitive dependents. `parallelism` bounds concurrent
+    * stages. Results are in declaration order. */
+  def runParallel(stages: Seq[Stage], parallelism: Int = 4): Seq[StageResult] = {
+    import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+    import scala.concurrent.{Await, ExecutionContext, Future, Promise}
+    import scala.concurrent.duration.Duration
+
+    val byName = stages.map(s => s.name -> s).toMap
+    stages.foreach(s => s.deps.foreach(d =>
+      require(byName.contains(d), s"stage ${s.name}: unknown dep $d")))
+    // reuse the sequential validator for cycle detection
+    require({
+      val indeg = mutable.Map(stages.map(s => s.name -> s.deps.size): _*)
+      val seen = mutable.ArrayBuffer.empty[String]
+      val ready = mutable.Queue(stages.filter(_.deps.isEmpty): _*)
+      while (ready.nonEmpty) {
+        val s = ready.dequeue(); seen += s.name
+        stages.filter(_.deps.contains(s.name)).foreach { dep =>
+          indeg(dep.name) -= 1
+          if (indeg(dep.name) == 0) ready.enqueue(dep)
+        }
+      }
+      seen.size == stages.size
+    }, s"cycle among stages")
+
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val done = new ConcurrentHashMap[String, Promise[Status]]()
+    stages.foreach(s => done.put(s.name, Promise[Status]()))
+    try {
+      stages.foreach { s =>
+        val depFutures = Future.sequence(s.deps.map(d => done.get(d).future))
+        depFutures.map { depStatuses =>
+          s.deps.zip(depStatuses).find(_._2 != Succeeded) match {
+            case Some((d, _)) => done.get(s.name).success(Skipped(s"dep $d did not succeed"))
+            case None => Future {
+              done.get(s.name).success(Try(s.run()).fold(Failed(_), _ => Succeeded))
+            }
+          }
+        }
+      }
+      stages.map(s => StageResult(s.name,
+        Await.result(done.get(s.name).future, Duration.Inf)))
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, TimeUnit.SECONDS)
+    }
+  }
 }

@@ -42,4 +42,29 @@ object Sinks {
     * prune directories before any IO (assert via explain: PartitionFilters). */
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Schema-evolution read: union the schemas of all files (new columns
+    * null-filled for old files) — how the raw zone absorbs upstream schema
+    * drift without a migration. */
+  def readMergedSchema(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Small-files compactor: rewrite a dataset into ~`targetBytes` files.
+    * A streaming sink or a 1000-task write leaves thousands of small files
+    * whose per-file open/footer cost dominates later scans; periodic
+    * compaction is standard lakehouse hygiene. Returns the new file count. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val totalBytes = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val tmp = dir.stripSuffix("/") + "_compacting"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    nFiles
+  }
 }

@@ -125,6 +125,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("runParallel: independent branches overlap, failure skips dependents") {
+    import Runner._
+    val t0 = System.nanoTime()
+    val spans = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    def timed(name: String, ms: Long, fail: Boolean = false): Stage =
+      Stage(name, Seq.empty)(() => {
+        val s = System.nanoTime(); Thread.sleep(ms); spans.put(name, (s, System.nanoTime()))
+        if (fail) throw new RuntimeException("boom")
+      })
+    val res = Runner.runParallel(Seq(
+      timed("a", 300), timed("b", 300),
+      Stage("bad")(() => throw new RuntimeException("boom")),
+      Stage("child", Seq("bad"))(() => ()),
+      Stage("joint", Seq("a", "b"))(() => ())), parallelism = 4)
+    val byName = res.map(r => r.name -> r.status).toMap
+    assert(byName("a") == Succeeded && byName("b") == Succeeded)
+    assert(byName("bad").isInstanceOf[Failed])
+    assert(byName("child").isInstanceOf[Skipped])
+    assert(byName("joint") == Succeeded)
+    // a and b actually overlapped in time
+    val (as, ae) = spans.get("a"); val (bs, be) = spans.get("b")
+    assert(as < be && bs < ae, "independent stages did not run concurrently")
+  }
+
   test("full DAG: sense → ingest → stage → quality → curate → archive") {
     import Runner._
     val landing = Files.createTempDirectory("graft_e2e")

@@ -38,6 +38,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("mergeSchema read absorbs schema drift across files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // two appends with drifting schemas -> files with different footers
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_new").write.mode("append").parquet(dir)
+    val merged = Sinks.readMergedSchema(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2_new"))
+    assert(merged.filter("id = 1").select("v2_new").collect()(0).isNullAt(0))
+    assert(merged.count() == 2)
+  }
+
+  test("compact rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    (1 to 500).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before >= 32)
+    val n = Sinks.compact(spark, dir, targetBytes = 1024L * 1024 * 1024)
+    val after = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(n == 1 && after == 1, s"expected 1 file, got $after")
+    assert(spark.read.parquet(dir).count() == 500)
+  }
+
   test("salted join equals plain join and spreads keys over salts") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i.toLong))
