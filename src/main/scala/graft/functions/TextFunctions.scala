@@ -18,10 +18,15 @@ object TextFunctions {
     * symbols — the shape of a byte-pair pre-tokenizer's word split. */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Whitespace word split of trimmed text (empty text → empty array). */
-  def wsTokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  /** Whitespace word split (empty/whitespace-only text → empty array).
+    * Ends are stripped with a regex, not trim(): both Spark's and DuckDB's
+    * trim() remove only ASCII spaces, so a leading tab would otherwise
+    * produce a phantom empty first token. */
+  def wsTokens(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Normalized text: lowercase, trimmed, runs of whitespace collapsed —
     * the canonical form hashed by dedup/fingerprint ops. */

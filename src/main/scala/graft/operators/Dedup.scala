@@ -255,8 +255,8 @@ object Dedup {
   // ------------------------------------------------------------- oracles
 
   private val toksSql =
-    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      | ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
+    """CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+      | ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END""".stripMargin
 
   private val shinglesCte =
     s"""docsh AS (

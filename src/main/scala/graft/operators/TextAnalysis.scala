@@ -139,7 +139,8 @@ object TextAnalysis {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val tokSql = "string_split_regex(trim(text), '\\s+')"
+  private val trimSql = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+  private val tokSql = s"string_split_regex($trimSql, '\\s+')"
   private def stopCountSql(words: Seq[String]): String =
     s"len(list_filter($tokSql, t -> list_contains(${sqlList(words)}, t)))"
 
@@ -147,13 +148,13 @@ object TextAnalysis {
     "t5_hash_split" -> t5OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
-         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,
+         | CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,
          | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
          | length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          | length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
          | length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
          | round(CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-         |   / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokSql) END, 1), 4) AS avg_token_len
+         |   / greatest(CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END, 1), 4) AS avg_token_len
          |FROM documents""".stripMargin,
     "t2_text_quality" ->
       s"""WITH base AS (
@@ -196,8 +197,8 @@ object TextAnalysis {
       """WITH n AS (
         | SELECT doc_id,
         |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
         | FROM documents),
         |sh AS (
         | SELECT doc_id, norm,

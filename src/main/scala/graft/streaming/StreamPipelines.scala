@@ -44,8 +44,13 @@ object StreamPipelines {
     * `lateness` are dropped, state for closed windows is reclaimed. */
   def windowedTypeCounts(events: DataFrame, lateness: String = "30 minutes",
                          win: String = "1 hour"): DataFrame =
+    windowedTypeCountsPreWatermarked(events.withWatermark("ts", lateness), win)
+
+  /** Same aggregate for an input that ALREADY carries a watermark (e.g.
+    * downstream of [[dedupStream]] — redefining a watermark in one chain of
+    * stateful operators is disallowed). */
+  def windowedTypeCountsPreWatermarked(events: DataFrame, win: String = "1 hour"): DataFrame =
     events
-      .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), win), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
