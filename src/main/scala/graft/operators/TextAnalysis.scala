@@ -120,12 +120,43 @@ object TextAnalysis {
       .orderBy(col("source"), col("split"))
   }
 
+  private def splitCol(idCol: Column): Column = {
+    val bucket = conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  /** `t6_decontaminate`: train/test contamination report — for every
+    * eval-split document, how many train documents share at least one
+    * 3-shingle with it and how many distinct shingles leak. The shingle
+    * equi-join IS the blocking (posting lists), restricted to the
+    * train x test split pair, so no cross join ever forms — the same shape
+    * at 100 TB with 13-gram shingles. */
+  def t6Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("split"),
+        explode(shingles3FromToks(col("toks"))).as("s"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("s"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("s"))
+    test.join(train, Seq("s"))
+      .groupBy(col("test_doc_id"))
+      .agg(
+        countDistinct(col("train_doc_id")).as("n_train_docs"),
+        countDistinct(col("s")).as("n_shared_shingles"))
+      .orderBy(col("test_doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
     "t3_lang_id" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "t5_hash_split" -> (t5HashSplit _))
+    "t5_hash_split" -> (t5HashSplit _),
+    "t6_decontaminate" -> (t6Decontaminate _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -144,7 +175,27 @@ object TextAnalysis {
   private def stopCountSql(words: Seq[String]): String =
     s"len(list_filter($tokSql, t -> list_contains(${sqlList(words)}, t)))"
 
+  private val t6OracleSql: String =
+    """WITH sh AS (
+      | SELECT doc_id,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+      |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS s
+      | FROM (SELECT doc_id,
+      |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+      |    ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+      |  FROM documents))
+      |SELECT t.doc_id AS test_doc_id,
+      | count(DISTINCT r.doc_id) AS n_train_docs,
+      | count(DISTINCT t.s) AS n_shared_shingles
+      |FROM sh t JOIN sh r ON t.s = r.s AND t.split = 'test' AND r.split = 'train'
+      |GROUP BY t.doc_id ORDER BY test_doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t6_decontaminate" -> t6OracleSql,
     "t5_hash_split" -> t5OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
