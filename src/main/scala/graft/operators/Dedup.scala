@@ -218,14 +218,15 @@ object Dedup {
 
   // ---------------------------------------------------------------- d6
 
-  val CcRounds = 10
+  val CcRounds = 5
 
   /** `d6_dedup_clusters`: consolidate near-dup PAIRS (d2) into CLUSTERS via
-    * min-label propagation (connected components), elect the min doc_id as
-    * each cluster's keeper. Rounds are plan-built (no data collected to the
-    * driver); `CcRounds` bounds the propagation diameter — near-dup
-    * clusters are shallow, and the large-star/small-star variant converges
-    * in O(log n) rounds at scale with the same join shape. */
+    * min-label propagation with POINTER JUMPING (connected components),
+    * elect the min doc_id as each cluster's keeper. Each round propagates
+    * one hop along edges AND jumps through the current label pointer, so
+    * covered chain length grows ~2x per round: `CcRounds` rounds close
+    * components of diameter 2^CcRounds - 1. Rounds are plan-built (no data
+    * collected to the driver). */
   def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(shingleArrays(spark, dir), None)
       .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
@@ -238,10 +239,15 @@ object Dedup {
       val propagated = edges
         .join(labels.select(col("v").as("b"), col("l")), Seq("b"))
         .select(col("a").as("v"), col("l"))
+      // pointer jump: v -> label(label(v)) doubles the covered distance
+      val jumped = labels.select(col("v"), col("l").as("mid"))
+        .join(labels.select(col("v").as("mid"), col("l")), Seq("mid"))
+        .select(col("v"), col("l"))
       // materialize each round: iterative plans must truncate lineage or
       // the optimizer re-expands all prior rounds into one exponential tree
       // (on a cluster: reliable checkpoint / table round-trip instead)
-      labels = labels.unionByName(propagated).groupBy(col("v")).agg(min(col("l")).as("l"))
+      labels = labels.unionByName(propagated).unionByName(jumped)
+        .groupBy(col("v")).agg(min(col("l")).as("l"))
         .localCheckpoint(true)
     }
     labels
