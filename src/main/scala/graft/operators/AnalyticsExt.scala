@@ -131,7 +131,31 @@ object AnalyticsExt {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** `q19_ratio_report`: ratio-to-report windows — each nation's revenue as
+    * a share of its region and of the total, in one pass (two window sums
+    * over the aggregated rows; the aggregate happens BEFORE the windows so
+    * the windowed data is groups-sized, not fact-sized). */
+  def q19RatioReport(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("c_acctbal")).as("bal"))
+    val wRegion = Window.partitionBy(col("r_name"))
+    val wAll = Window.partitionBy()
+    byNation
+      .withColumn("region_share_e6",
+        floor(col("bal") / sum(col("bal")).over(wRegion) * 1000000.0).cast("long"))
+      .withColumn("total_share_e6",
+        floor(col("bal") / sum(col("bal")).over(wAll) * 1000000.0).cast("long"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        round(col("bal"), 2).as("sum_acctbal"),
+        col("region_share_e6"), col("total_share_e6"))
+      .orderBy(col("region"), col("nation"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_ratio_report" -> (q19RatioReport _),
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_json_extract" -> (q14JsonExtract _),
     "q15_rolling" -> (q15Rolling _),
@@ -139,6 +163,16 @@ object AnalyticsExt {
     "q18_approx_stats" -> (q18ApproxStats _))
 
   val oracle: Map[String, String] = Map(
+    "q19_ratio_report" ->
+      """WITH b AS (
+        | SELECT r_name, n_name, sum(c_acctbal) AS bal
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name)
+        |SELECT r_name AS region, n_name AS nation, round(bal, 2) AS sum_acctbal,
+        | CAST(floor(bal / sum(bal) OVER (PARTITION BY r_name) * 1000000.0) AS BIGINT) AS region_share_e6,
+        | CAST(floor(bal / sum(bal) OVER () * 1000000.0) AS BIGINT) AS total_share_e6
+        |FROM b ORDER BY region, nation""".stripMargin,
     "q17_grouping_sets" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         | count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal

@@ -107,6 +107,25 @@ object StreamPipelines {
       }
   }
 
+  /** Stream-stream interval join: match each `right` event to `left`
+    * events of the same key within `[rightTs - windowMinutes, rightTs]` —
+    * e.g. purchases joined to the clicks that preceded them. Watermarks on
+    * BOTH sides bound the buffered state (Spark drops a side's rows once
+    * the other side's watermark passes the join window). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowMinutes: Int, lateness: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   /** Streaming exact dedup: drops re-deliveries of the same id, keeping
     * state only within the watermark horizon — the continuous analog of the
     * batch `d1_dedup_exact` keep-first semantics for an at-least-once

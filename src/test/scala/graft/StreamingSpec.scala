@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches preceding events per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Long, Double)]
+    def named(m: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      m.toDF().toDF("user_id", "ts", "event_id", "value")
+    val out = s"mem_ssj_${System.nanoTime()}"
+    val q = StreamPipelines.intervalJoin(named(clicks), named(buys), "user_id", windowMinutes = 60)
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      val b = 1000L
+      clicks.addData((7L, ts(b + 0), 1L, 1.0), (7L, ts(b + 30), 2L, 2.0),
+        (7L, ts(b + 200), 3L, 3.0), (8L, ts(b + 10), 4L, 4.0))
+      buys.addData((7L, ts(b + 45), 100L, 9.9))
+      q.processAllAvailable()
+      val rows = spark.table(out).collect()
+        .map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id"))).sorted
+      // purchase at +45 matches clicks at +0 and +30 (within 60m, same user);
+      // the +200 click and user 8's click do not match
+      assert(rows.toSeq == Seq((1L, 100L), (2L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
