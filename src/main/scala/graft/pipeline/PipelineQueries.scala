@@ -1,10 +1,42 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Registry of the pipeline-core driver queries (SURVEY.md §2, p1-p7). */
 object PipelineQueries {
+
+  /** `p9_date_dim`: generated calendar dimension (1995-1998) — year,
+    * quarter, month, ISO day-of-week, weekend flag. Generated entirely in
+    * the engine (sequence + explode, no source scan); the curated zone's
+    * standard conformed dimension. */
+  def p9DateDim(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1998-12-31")),
+        expr("INTERVAL 1 DAY"))).as("d"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("date_str"),
+        year(col("d")).cast("long").as("yr"),
+        quarter(col("d")).cast("long").as("qtr"),
+        month(col("d")).cast("long").as("mo"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        // ISO day-of-week (Mon=1..Sun=7) — Spark's dayofweek is Sun=1
+        ((dayofweek(col("d")) + lit(5)) % 7 + lit(1)).cast("long").as("iso_dow"))
+      .withColumn("is_weekend", (col("iso_dow") >= 6).cast("long"))
+      .orderBy(col("date_str"))
+
+  val p9Oracle: String =
+    """SELECT strftime(d, '%Y-%m-%d') AS date_str,
+      | year(d) AS yr, quarter(d) AS qtr, month(d) AS mo, day(d) AS dom,
+      | isodow(d) AS iso_dow,
+      | CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS is_weekend
+      |FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1998-12-31', INTERVAL 1 DAY))::DATE AS d)
+      |ORDER BY date_str""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_date_dim" -> (p9DateDim _),
     "p1_ingest_raw" -> (Ingest.p1IngestRaw _),
     "p2_staging_customer" -> (Staging.p2StagingCustomer _),
     "p3_staging_orders" -> (Staging.p3StagingOrders _),
@@ -14,6 +46,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p9_date_dim" -> p9Oracle,
     "p1_ingest_raw" -> Ingest.oracle,
     "p2_staging_customer" -> Staging.oracleCustomer,
     "p3_staging_orders" -> Staging.oracleOrders,
