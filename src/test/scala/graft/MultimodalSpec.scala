@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.functions.VectorFunctions
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("m1: decode output is invariant to batch size and partitioning") {
+    val a = Multimodal.m1MultimodalMeta(spark, sf, batchSize = 1).collect().map(_.toString).sorted
+    val b = Multimodal.m1MultimodalMeta(spark, sf, batchSize = 256).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("m1: stub decode agrees with the oracle formulas on a known payload") {
+    val item = Multimodal.MediaItem(7L, "audio", Array.tabulate(64)(i => (i % 251).toByte))
+    val f = Multimodal.decodeStub(item)
+    assert(f.n_bytes == 64)
+    assert(f.byte_sum == (0 until 64).map(i => i % 251).sum)
+    assert(f.first_byte == 0)
+    assert(f.channels == 1) // audio
+    assert(f.width >= 64 && f.width < 64 + 1856)
+    assert(f.height >= 64 && f.height < 64 + 1056)
+  }
+
+  test("vector functions: dot/l2/bucket deterministic and consistent") {
+    import spark.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.l2(col("a")).as("na"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c"),
+      VectorFunctions.cosineFast(col("a"), col("b")).as("cf")).collect()(0)
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == r.getDouble(3)) // declarative == fused
+    assert(math.abs(r.getDouble(2) - 24.0 / 25.0) < 1e-12)
+    // hyperplane bucket: deterministic across evaluations
+    val e = Tables.load(spark, sf, "embeddings").limit(20)
+    val b1 = e.select(col("vec_id"), graft.functions.VectorFunctions
+      .hyperplaneBucket(col("embedding"), graft.operators.Similarity.planes).as("bk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b2 = e.select(col("vec_id"), graft.functions.VectorFunctions
+      .hyperplaneBucket(col("embedding"), graft.operators.Similarity.planes).as("bk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(b1.sameElements(b2))
+    assert(b1.forall { case (_, bk) => bk >= 0 && bk < 256 })
+  }
+}
