@@ -264,8 +264,8 @@ object Analytics {
         |       ELSE 0 END AS new_session
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         | FROM e)
         |SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS start_us,
         | max(ts_us) - min(ts_us) AS duration_us, round(sum(value), 2) AS sum_value

@@ -196,7 +196,7 @@ object AnalyticsExt {
     "q14_json_extract" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         | count(*) AS n,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,

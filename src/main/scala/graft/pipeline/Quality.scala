@@ -62,7 +62,7 @@ object Quality {
     def one(table: String, pkNullExpr: String, pkDistinctExpr: String) =
       s"""SELECT '$table' AS table_name, m.metric, m.value FROM (
          | SELECT count(*) AS rc,
-         |  sum(CASE WHEN $pkNullExpr THEN 1 ELSE 0 END) AS pn,
+         |  CAST(sum(CASE WHEN $pkNullExpr THEN 1 ELSE 0 END) AS BIGINT) AS pn,
          |  $pkDistinctExpr AS pd
          | FROM $table) t,
          | LATERAL (VALUES ('row_count', t.rc), ('pk_nulls', t.pn),

@@ -46,6 +46,12 @@ def compare(name, sql):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     try:
+        # Driver hashes typed values: DuckDB HUGEINT (int128, from sum() over
+        # ints) never hash-matches Spark BIGINT even when values agree. Flag it.
+        hug = [c for c, t, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+               if "HUGE" in t]
+        if hug:
+            return f"HUGEINT-IN-ORACLE {hug} (cast to BIGINT)"
         oracle = con.execute(sql).fetch_df()
     except Exception as e:
         return f"ORACLE-ERR {e}"
