@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query seconds.
+  *
+  * Each query is executed with a `noop`-format write so the FULL physical
+  * plan runs — every projection, window and orderBy — instead of the
+  * `count()`-pruned plan Catalyst would otherwise collapse to (a count lets
+  * the optimizer drop the very projections being measured). A failing query
+  * aborts the bench with the query name rather than folding a near-zero
+  * time into the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,10 +21,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/scan paths so the first measured query isn't
     // charged for session bring-up
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          throw new RuntimeException(s"bench query $name failed", e)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

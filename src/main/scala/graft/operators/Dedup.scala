@@ -18,8 +18,10 @@ import graft.functions.VectorFunctions
   *  - MinHash+LSH: linear scan to signatures (one shuffle), candidate pairs
   *    only within equal LSH band buckets, exact confirm only on candidates;
   *  - SimHash: closed-form bit sums (64 aggregates, no row explosion),
-  *    candidate pairs via 4 chunk equi-joins (pigeonhole guarantees recall
-  *    for hamming<=3), hamming check only on candidates;
+  *    candidate pairs via C(6,3)=20 three-block combination keys over six
+  *    10-11 bit blocks (pigeonhole: hamming<=3 leaves >=3 blocks equal, so
+  *    recall is exact; ~2^32 bucket space keeps fan-out near-linear),
+  *    hamming check only on candidates;
   *  - embedding: the all-pairs form here is the correctness oracle; the
   *    scale path is the LSH-bucketed `s2_ann_lsh` in [[Similarity]].
   */
@@ -171,21 +173,52 @@ object Dedup {
 
   val HammingTau = 3
 
+  /** Candidate-generation blocking for d4: the 64-bit simhash split into 6
+    * blocks (4 x 11 bits + 2 x 10). Hamming <= 3 flips bits in at most 3
+    * blocks, so >= 3 of the 6 blocks are equal (pigeonhole) — joining on
+    * every C(6,3) = 20 three-block combination key has EXACT recall. Each
+    * key spans ~2^32 values (vs 2^16 for a single 16-bit chunk), so
+    * candidate fan-out stays near-linear in corpus size instead of the
+    * n^2/65536 a 16-bit-chunk equi-join degrades to. */
+  private val BlockBits = Seq(11, 11, 11, 11, 10, 10)
+  private val BlockOffsets = BlockBits.scanLeft(0)(_ + _).init
+  private val BlockCombos = (0 until BlockBits.length).combinations(3).toSeq
+
   /** `d4_dedup_simhash`: per-doc simhash chunks + count of hamming<=3
-    * near-dup partners. Candidates come from 4 chunk equi-joins —
-    * pigeonhole: <=3 differing bits over 4 chunks forces >=1 equal chunk. */
+    * near-dup partners. Candidates via the 6-block/3-equal LSH scheme
+    * above; hamming is verified on the full 64 bits for every candidate. */
   def d4DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sim = simhashChunks(spark, dir).cache()
-    val left = sim.select(col("doc_id").as("d1"),
+    // signatures feed both the candidate explode and the final join;
+    // localCheckpoint (not cache) so the blocks are reference-counted away
+    // with the plan instead of pinning the session cache across queries
+    // (on a real cluster: reliable checkpoint / table round-trip)
+    val sim = simhashChunks(spark, dir).localCheckpoint(true)
+    val full = (0 until 4).map(j => shiftleft(col(s"c$j"), 16 * j))
+      .reduce(_ bitwiseOR _)
+    // mask AFTER the shift: shiftright is arithmetic and c3 can set bit 63
+    val blockCols = BlockOffsets.zip(BlockBits).zipWithIndex.map {
+      case ((off, bits), i) =>
+        shiftright(col("h64"), off).bitwiseAND(lit((1L << bits) - 1)).as(s"blk$i")
+    }
+    val sigs = sim.withColumn("h64", full)
+      .select(Seq(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3")) ++ blockCols: _*)
+    val keyStructs = BlockCombos.zipWithIndex.map { case (combo, ci) =>
+      struct(lit(ci).as("combo"), col(s"blk${combo(0)}").as("k1"),
+        col(s"blk${combo(1)}").as("k2"), col(s"blk${combo(2)}").as("k3"))
+    }
+    val keyed = sigs.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
+      col("c3"), explode(array(keyStructs: _*)).as("key"))
+    val left = keyed.select(col("key"), col("doc_id").as("d1"),
       col("c0").as("a0"), col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"))
-    val right = sim.select(col("doc_id").as("d2"),
+    val right = keyed.select(col("key"), col("doc_id").as("d2"),
       col("c0").as("b0"), col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
-    val cand = (0 until 4).map { j =>
-        left.join(right, col(s"a$j") === col(s"b$j") && col("d1") < col("d2"))
-      }.reduce(_ unionByName _).distinct()
     val hamming = (0 until 4).map(j =>
       bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
-    val near = cand.filter(hamming <= HammingTau).select(col("d1"), col("d2"))
+    // hamming-filter BEFORE distinct: a true pair matches up to 20 combo
+    // keys, so dedup the (cheap, already-confirmed) pairs, not the wide rows
+    val near = left.join(right, Seq("key"))
+      .filter(col("d1") < col("d2") && hamming <= HammingTau)
+      .select(col("d1"), col("d2")).distinct()
     val perDoc = near.select(col("d1").as("doc_id"))
       .unionAll(near.select(col("d2").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n3"))
