@@ -31,16 +31,24 @@ object Similarity {
 
   /** Deterministic hyperplanes: component d of plane p is an md5-derived
     * uniform value in [-1, 1] — reproducible in any engine, no RNG state.
-    * Injected as literals into both the Spark plan and the oracle SQL. */
-  lazy val planes: Seq[Array[Double]] = {
+    * Injected as literals into both the Spark plan and the oracle SQL.
+    * One family shared by every hyperplane consumer (s2's buckets, d5's
+    * bands) — `planesFor(n)` returns its first n members. */
+  def planesFor(n: Int): Seq[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     def u(p: Int, d: Int): Double = {
       val hex = mdig.digest(s"p$p:d$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 15)
       (java.lang.Long.parseLong(hex, 16) % 1001L).toDouble / 500.0 - 1.0
     }
-    (0 until LshPlanes).map(p => Array.tabulate(Dim)(d => u(p, d)))
+    (0 until n).map(p => Array.tabulate(Dim)(d => u(p, d)))
   }
+
+  lazy val planes: Seq[Array[Double]] = planesFor(LshPlanes)
+
+  /** DuckDB literal rendering of plane p (for oracle SQL generation). */
+  def planeSqlFor(plane: Array[Double]): String =
+    plane.map(_.toString).mkString("[", ", ", "]")
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -80,8 +88,7 @@ object Similarity {
 
   // ------------------------------------------------------------- oracles
 
-  private def planeSql(p: Int): String =
-    planes(p).map(_.toString).mkString("[", ", ", "]")
+  private def planeSql(p: Int): String = planeSqlFor(planes(p))
 
   private def dotSql(embExpr: String, p: Int): String =
     s"list_sum(list_transform(list_zip($embExpr, ${planeSql(p)}), x -> CAST(x[1] AS DOUBLE) * x[2]))"

@@ -71,6 +71,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("d5: banded pairs are a high-recall subset of the all-pairs form, " +
+    "and the plan has no cartesian join") {
+    val exact = Dedup.d5AllPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.d5DedupEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(banded.size.toDouble / exact.size >= 0.8,
+        s"recall ${banded.size}/${exact.size}")
+    val plan = Dedup.d5DedupEmbed(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "d5 must not be all-pairs")
+  }
+
   test("s1: exactly top-k per probe, ranks contiguous, cosine descending") {
     val r = Similarity.s1AnnBrute(spark, sf).collect()
     r.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
