@@ -88,9 +88,12 @@ object Dedup {
     * posting lists. */
   private def jaccardPairs(arrays0: DataFrame, cand: Option[DataFrame]): DataFrame = {
     // the per-doc array table feeds the prefix explode AND both sides of
-    // the confirm join — persist it instead of re-running the aggregation
-    // (tiny relative to the corpus: one row per doc)
-    val arrays = arrays0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the confirm join — materialize it once (one row per doc, tiny
+    // relative to the corpus). Eager localCheckpoint instead of persist():
+    // blocks are reference-counted away with the plan instead of pinning
+    // the session cache across a 40-query Verify/Bench run (on a real
+    // cluster: reliable checkpoint).
+    val arrays = arrays0.localCheckpoint(true)
     val candidates = cand.getOrElse {
       // prefix length in exact integer arithmetic: n - ceil(tau*n) + 1,
       // with ceil(4n/5) = (4n+4) div 5 (Column./ is double division)
@@ -288,24 +291,34 @@ object Dedup {
 
   // ---------------------------------------------------------------- d6
 
-  val CcRounds = 5
+  /** Hard ceiling on label-propagation rounds: pointer jumping covers
+    * diameter 2^r - 1 in r rounds, so 40 rounds handle any component a
+    * trillion-edge graph could hold; hitting it means non-convergence and
+    * fails loudly rather than emitting partially-merged clusters. */
+  val CcMaxRounds = 40
 
   /** `d6_dedup_clusters`: consolidate near-dup PAIRS (d2) into CLUSTERS via
     * min-label propagation with POINTER JUMPING (connected components),
     * elect the min doc_id as each cluster's keeper. Each round propagates
     * one hop along edges AND jumps through the current label pointer, so
-    * covered chain length grows ~2x per round: `CcRounds` rounds close
-    * components of diameter 2^CcRounds - 1. Rounds are plan-built (no data
-    * collected to the driver). */
+    * covered chain length grows ~2x per round. Rounds run TO FIXPOINT —
+    * a per-round changed-label count on the (tiny, checkpointed) label
+    * table decides termination, so long chains converge exactly and the
+    * loop usually stops after 2-3 rounds on near-dup-sized clusters. */
   def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(shingleArrays(spark, dir), None)
       .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("l", col("v"))
-    for (_ <- 1 to CcRounds) {
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      require(round <= CcMaxRounds, s"d6 did not converge in $CcMaxRounds rounds")
       val propagated = edges
         .join(labels.select(col("v").as("b"), col("l")), Seq("b"))
         .select(col("a").as("v"), col("l"))
@@ -316,9 +329,15 @@ object Dedup {
       // materialize each round: iterative plans must truncate lineage or
       // the optimizer re-expands all prior rounds into one exponential tree
       // (on a cluster: reliable checkpoint / table round-trip instead)
-      labels = labels.unionByName(propagated).unionByName(jumped)
+      val next = labels.unionByName(propagated).unionByName(jumped)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
         .localCheckpoint(true)
+      // min-label is monotone decreasing, so "no label changed" is the
+      // exact fixpoint test; both sides are checkpointed so this is a
+      // cheap join on the label table, not a plan re-execution
+      changed = next.join(labels.withColumnRenamed("l", "prev"), Seq("v"))
+        .filter(col("l") =!= col("prev")).count()
+      labels = next
     }
     labels
       .select(col("v").as("doc_id"), col("l").as("cluster_id"))

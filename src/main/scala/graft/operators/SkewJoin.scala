@@ -22,10 +22,19 @@ object SkewJoin {
 
   /** Equi-join `big` (skewed) with `small` on `key`, spreading each hot key
     * over `salts` partitions. `bigFingerprint` must be unique-ish per big
-    * row (e.g. its primary key) so rows distribute evenly. */
+    * row (e.g. its primary key) so rows distribute evenly.
+    *
+    * `joinType` is restricted to inner/left (left = preserve `big`): the
+    * small side is replicated once per salt value, so any join type that
+    * emits unmatched SMALL-side rows (right/full) would duplicate each of
+    * them `salts` times. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  bigFingerprint: Column, salts: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "leftouter", "left_outer")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(the replicated small side would emit unmatched rows once per salt)")
     val saltedBig = big.withColumn("_salt", saltCol(bigFingerprint, salts))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -135,22 +135,42 @@ object StreamPipelines {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** How many superseded upsert-state versions to retain for recovery;
+    * older version dirs are deleted after each successful batch write. */
+  val UpsertKeepVersions = 2
+
   /** foreachBatch incremental upsert sink: every micro-batch merges into a
-    * versioned parquet state dir via the batch last-writer-wins merge. */
+    * versioned parquet state dir via the batch last-writer-wins merge.
+    *
+    * Cost note: each batch REWRITES the full merged state (read latest
+    * version + merge + write next version), so per-batch cost grows with
+    * total state size — the simple-and-correct shape for dimension-sized
+    * state; for fact-sized state use a partitioned/merge-on-read layout.
+    * Superseded version dirs beyond the last [[UpsertKeepVersions]] are
+    * deleted after a successful write so disk stays bounded on a
+    * long-running stream. */
   def upsertSink(spark: SparkSession, stream: DataFrame, stateDir: String,
                  keys: Seq[String], orderCol: String, tieCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val fs = new java.io.File(stateDir)
     fs.mkdirs()
     stream.writeStream.outputMode(OutputMode.Append()).foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val versions = fs.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong)
-        val current = if (versions.isEmpty) None
-          else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
+        def versions() = fs.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong)
+        val cur = versions()
+        val current = if (cur.isEmpty) None
+          else Some(spark.read.parquet(s"$stateDir/v${cur.max}"))
         val merged = current match {
-          case Some(cur) => Merge.upsert(cur, batch.toDF(), keys, orderCol, tieCol)
+          case Some(c) => Merge.upsert(c, batch.toDF(), keys, orderCol, tieCol)
           case None => Merge.upsert(batch.toDF().limit(0), batch.toDF(), keys, orderCol, tieCol)
         }
         merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+        // GC superseded versions only AFTER the new one landed, keeping a
+        // couple for recovery from a torn write of the latest
+        versions().sorted.dropRight(UpsertKeepVersions + 1).foreach { v =>
+          val dir = new java.io.File(s"$stateDir/v$v")
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
         ()
     }
   }

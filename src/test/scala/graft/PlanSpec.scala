@@ -104,4 +104,19 @@ class PlanSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
       s"${r.getDouble(0)} != ${r.getDouble(1)} (not bit-identical)"))
   }
+
+  test("cosineFast returns null on mismatched array lengths, like the " +
+    "declarative form (zip_with null-pads and the fold poisons to null)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val short = array(lit(1.0f), lit(2.0f))
+    val long3 = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    val rows = spark.range(1).select(
+      VectorFunctions.cosine(short, long3).as("slow"),
+      VectorFunctions.cosineFast(short, long3).as("fast"),
+      VectorFunctions.cosineFast(long3, long3).as("same")).collect()(0)
+    assert(rows.isNullAt(0), "declarative cosine on mismatched lengths")
+    assert(rows.isNullAt(1), "fused cosine must match (null)")
+    assert(math.abs(rows.getDouble(2) - 1.0) < 1e-12)
+  }
 }

@@ -77,5 +77,13 @@ class SourcesSpec extends AnyFunSuite {
       .withColumn("_salt", SkewJoin.saltCol(col("rowid"), 4))
       .select("_salt").distinct().count()
     assert(spread > 1)
+    // right/full joins would emit each unmatched small row once per salt —
+    // rejected up front
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", col("rowid"), salts = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", col("rowid"), salts = 4, joinType = "full_outer")
+    }
   }
 }

@@ -155,6 +155,19 @@ class StreamingSpec extends AnyFunSuite {
       val state = StreamPipelines.currentState(spark, stateDir).get.collect()
         .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
       assert(state == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+      // superseded versions are GC'd after each batch: never more than
+      // current + UpsertKeepVersions dirs on disk
+      for (i <- 3L to 6L) {
+        mem.addData((1L, s"a$i", i, i * 10))
+        q.processAllAvailable()
+      }
+      val dirs = new java.io.File(stateDir).listFiles()
+        .filter(_.getName.startsWith("v")).map(_.getName)
+      assert(dirs.length <= StreamPipelines.UpsertKeepVersions + 1,
+        s"stale versions not GC'd: ${dirs.mkString(",")}")
+      val fin = StreamPipelines.currentState(spark, stateDir).get.collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      assert(fin == Map(1L -> "a6", 2L -> "b1", 3L -> "c1"))
     } finally q.stop()
   }
 }
