@@ -30,6 +30,64 @@ object Ingest {
       .schema(schema)
       .csv(path)
 
+  /** Quarantining CSV read — the dead-letter analog of the reference's
+    * Dataflow jobs: malformed rows are ROUTED to a rejects frame (with the
+    * raw line preserved in `_raw_record`), never silently dropped. Returns
+    * (good, rejects). The parse is materialized once (localCheckpoint)
+    * because Spark computes `_corrupt_record` during parsing — filtering
+    * on it without materializing is unsupported, and this also avoids
+    * parsing the file twice. */
+  def readCsvWithRejects(spark: SparkSession, path: String, schema: StructType,
+                         header: Boolean = true): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_raw_record"),
+      "schema must not predeclare _raw_record")
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_raw_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val parsed = spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_raw_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .localCheckpoint(true)
+    val good = parsed.filter(col("_raw_record").isNull).drop("_raw_record")
+    val rejects = parsed.filter(col("_raw_record").isNotNull)
+    (good, rejects)
+  }
+
+  /** Cross-engine-deterministic string rendering for audit hashing, keyed
+    * by the config render hint: `money` = decimal(18,2), `ts` =
+    * second-resolution timestamp, `plain` = bare cast. */
+  private def renderCol(name: String, hint: String): org.apache.spark.sql.Column =
+    hint match {
+      case "money" => round(col(name), 2).cast("decimal(18,2)").cast("string")
+      case "ts" => date_format(col(name), "yyyy-MM-dd HH:mm:ss")
+      case _ => col(name).cast("string")
+    }
+
+  private def renderSql(name: String, hint: String): String = hint match {
+    case "money" => s"cast(cast(round($name, 2) AS decimal(18,2)) AS varchar)"
+    case "ts" => s"strftime($name, '%Y-%m-%d %H:%M:%S')"
+    case _ => s"cast($name AS varchar)"
+  }
+
+  /** Parameterized raw ingest: any configured entity through the same
+    * audited path (the reference runs Employee and Department through one
+    * parameterized job pair — pipeline_orchestration_dag.py:101-119). */
+  def ingestRawEntity(spark: SparkSession, dir: String, e: EntityConfig): DataFrame =
+    withAudit(Tables.load(spark, dir, e.table), e.name,
+      e.hashCols.map { case (c, hint) => renderCol(c, hint) })
+
+  /** DuckDB oracle for [[ingestRawEntity]], generated from the same config. */
+  def entityOracle(e: EntityConfig): String = {
+    val hashExpr = e.hashCols.map { case (c, hint) => renderSql(c, hint) }
+      .mkString(", ")
+    s"""SELECT *, '${e.name}' AS _src,
+       | md5(concat_ws('|', $hashExpr)) AS _row_hash
+       |FROM ${e.table}""".stripMargin
+  }
+
   /** Tag rows with their source and a deterministic md5 content hash over
     * the given columns (pre-rendered to strings by the caller for
     * engine-portable formatting). */

@@ -35,8 +35,15 @@ object PipelineQueries {
       |FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1998-12-31', INTERVAL 1 DAY))::DATE AS d)
       |ORDER BY date_str""".stripMargin
 
+  /** `p8_ingest_orders`: the SECOND entity through the identical
+    * parameterized audited ingest, driven entirely by the shipped config
+    * (reference ingests Employee and Department through one job pair). */
+  def p8IngestOrders(spark: SparkSession, dir: String): DataFrame =
+    Ingest.ingestRawEntity(spark, dir, PipelineConfig.default.entity("orders"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p9_date_dim" -> (p9DateDim _),
+    "p8_ingest_orders" -> (p8IngestOrders _),
     "p1_ingest_raw" -> (Ingest.p1IngestRaw _),
     "p2_staging_customer" -> (Staging.p2StagingCustomer _),
     "p3_staging_orders" -> (Staging.p3StagingOrders _),
@@ -47,6 +54,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "p9_date_dim" -> p9Oracle,
+    "p8_ingest_orders" -> Ingest.entityOracle(PipelineConfig.default.entity("orders")),
     "p1_ingest_raw" -> Ingest.oracle,
     "p2_staging_customer" -> Staging.oracleCustomer,
     "p3_staging_orders" -> Staging.oracleOrders,

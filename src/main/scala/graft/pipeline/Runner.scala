@@ -9,11 +9,17 @@ import scala.util.Try
   * (/root/reference/dags/pipeline_orchestration_dag.py:212): stages declare
   * dependencies, run in topological order, and a failure skips every
   * transitive dependent while unrelated stages still run — the same
-  * fail-fast semantics an Airflow DAG gives the reference.
+  * fail-fast semantics an Airflow DAG gives the reference. Per-stage
+  * `retries`/`retryDelayMs` and the `onFailure` callback mirror the
+  * reference's default_args (`retries`, `retry_delay`,
+  * `email_on_failure` — pipeline_orchestration_dag.py:31-35).
   */
 object Runner {
 
-  final case class Stage(name: String, deps: Seq[String] = Seq.empty)(val run: () => Unit)
+  /** A pipeline stage. `retries` = additional attempts after the first
+    * failure (Airflow semantics); `retryDelayMs` sleeps between attempts. */
+  final case class Stage(name: String, deps: Seq[String] = Seq.empty,
+                         retries: Int = 0, retryDelayMs: Long = 0L)(val run: () => Unit)
 
   sealed trait Status
   case object Succeeded extends Status
@@ -22,10 +28,35 @@ object Runner {
 
   final case class StageResult(name: String, status: Status)
 
+  /** No-op failure hook (the default). */
+  val noFailureHook: (String, Throwable) => Unit = (_, _) => ()
+
+  /** Run one stage with its retry budget; `onFailure` fires once, after
+    * the last attempt fails (the analog of email_on_failure, not a
+    * per-retry notification). */
+  private def attempt(s: Stage, onFailure: (String, Throwable) => Unit): Status = {
+    var tries = 0
+    while (true) {
+      Try(s.run()) match {
+        case scala.util.Success(_) => return Succeeded
+        case scala.util.Failure(e) =>
+          tries += 1
+          if (tries > s.retries) {
+            Try(onFailure(s.name, e)) // a broken hook must not mask the failure
+            return Failed(e)
+          }
+          if (s.retryDelayMs > 0) Thread.sleep(s.retryDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Run stages respecting deps. Throws IllegalArgumentException on an
     * unknown dep or a cycle (a mis-declared DAG is a bug, not a runtime
-    * failure). */
-  def run(stages: Seq[Stage]): Seq[StageResult] = {
+    * failure). `onFailure(stage, error)` fires once per stage whose retry
+    * budget is exhausted. */
+  def run(stages: Seq[Stage],
+          onFailure: (String, Throwable) => Unit = noFailureHook): Seq[StageResult] = {
     val byName = stages.map(s => s.name -> s).toMap
     stages.foreach(s => s.deps.foreach(d =>
       require(byName.contains(d), s"stage ${s.name}: unknown dep $d")))
@@ -50,7 +81,7 @@ object Runner {
       val badDep = s.deps.find(d => status(d) != Succeeded)
       status(s.name) = badDep match {
         case Some(d) => Skipped(s"dep $d did not succeed")
-        case None => Try(s.run()).fold(Failed(_), _ => Succeeded)
+        case None => attempt(s, onFailure)
       }
     }
     order.map(s => StageResult(s.name, status(s.name))).toSeq
@@ -60,7 +91,8 @@ object Runner {
     * parallel branches): each stage starts as soon as all its deps succeed,
     * failures skip transitive dependents. `parallelism` bounds concurrent
     * stages. Results are in declaration order. */
-  def runParallel(stages: Seq[Stage], parallelism: Int = 4): Seq[StageResult] = {
+  def runParallel(stages: Seq[Stage], parallelism: Int = 4,
+                  onFailure: (String, Throwable) => Unit = noFailureHook): Seq[StageResult] = {
     import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
     import scala.concurrent.{Await, ExecutionContext, Future, Promise}
     import scala.concurrent.duration.Duration
@@ -94,7 +126,7 @@ object Runner {
           s.deps.zip(depStatuses).find(_._2 != Succeeded) match {
             case Some((d, _)) => done.get(s.name).success(Skipped(s"dep $d did not succeed"))
             case None => Future {
-              done.get(s.name).success(Try(s.run()).fold(Failed(_), _ => Succeeded))
+              done.get(s.name).success(attempt(s, onFailure))
             }
           }
         }

@@ -27,6 +27,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(permissive.filter("id IS NULL").count() == 1)
   }
 
+  test("ingest: malformed rows are quarantined to rejects, not dropped") {
+    val dir = Files.createTempDirectory("graft_csvq")
+    val csv = dir.resolve("emp.csv")
+    Files.writeString(csv,
+      "id,name,salary\n1,alice,100.5\nbad,row,NOTANUMBER\n3,cara,75.0\n7,short\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("salary", DoubleType)))
+    val (good, rejects) = Ingest.readCsvWithRejects(spark, csv.toString, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val rej = rejects.collect()
+    assert(rej.length == 2, "both planted bad rows must land in rejects")
+    val raws = rej.map(_.getAs[String]("_raw_record")).toSet
+    assert(raws == Set("bad,row,NOTANUMBER", "7,short"),
+      s"rejects must preserve the raw line, got $raws")
+  }
+
+  test("config: defaults parse, drive entities, and reject typos") {
+    val c = PipelineConfig.default
+    assert(c.entities.map(_.name) == Seq("customer", "orders"))
+    assert(c.retries == 1 && c.retryDelayMs == 200L)
+    val orders = c.entity("orders")
+    assert(orders.table == "orders" && orders.pattern == "Department.csv")
+    assert(orders.pk == Seq("o_orderkey"))
+    assert(orders.hashCols.contains("o_totalprice" -> "money"))
+    assert(orders.hashCols.contains("o_orderdate" -> "ts"))
+    intercept[IllegalArgumentException](c.entity("ghost"))
+
+    // file round-trip: a user config overrides the default
+    val f = Files.createTempDirectory("graft_cfg").resolve("p.properties")
+    Files.writeString(f,
+      "pipeline.entities=nation\nentity.nation.pattern=Nation.csv\n" +
+        "entity.nation.pk=n_nationkey\nentity.nation.hashCols=n_nationkey,n_name\n")
+    val c2 = PipelineConfig.load(f.toString)
+    assert(c2.entities.map(_.name) == Seq("nation"))
+    assert(c2.entity("nation").table == "nation") // table defaults to name
+    assert(c2.retries == 0)
+
+    // unknown keys (config typos) fail loudly
+    val bad = Files.createTempDirectory("graft_cfg2").resolve("p.properties")
+    Files.writeString(bad,
+      "pipeline.entities=nation\nentity.nation.pattern=N.csv\n" +
+        "entity.nation.pk=n_nationkey\nentity.nation.hashCols=n_nationkey\n" +
+        "entity.nation.sensorTimeout=oops\n")
+    intercept[IllegalArgumentException](PipelineConfig.load(bad.toString))
+    // bad render hint fails loudly
+    val bad2 = Files.createTempDirectory("graft_cfg3").resolve("p.properties")
+    Files.writeString(bad2,
+      "pipeline.entities=n\nentity.n.pattern=N.csv\nentity.n.pk=k\n" +
+        "entity.n.hashCols=k:florps\n")
+    intercept[IllegalArgumentException](PipelineConfig.load(bad2.toString))
+  }
+
+  test("ingest: second configured entity flows through the same audited path") {
+    val df = PipelineQueries.p8IngestOrders(spark, sf)
+    val n = df.count()
+    assert(n > 0)
+    assert(df.select("_row_hash").distinct().count() == n)
+    assert(df.filter("_src = 'orders'").count() == n)
+  }
+
   test("ingest: audit hash is deterministic and distinct per row") {
     val df = Ingest.p1IngestRaw(spark, sf)
     val n = df.count()
@@ -113,6 +174,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(res("quality").isInstanceOf[Skipped])
     assert(res("archive") == Succeeded)
     assert(!ran.contains("stage") && !ran.contains("quality"))
+  }
+
+  test("runner: retries recover transient failures; exhaustion skips " +
+    "dependents and fires the failure hook once") {
+    import Runner._
+    // transient: fails twice, succeeds on the 3rd attempt within budget
+    val flakyCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val hook = (n: String, e: Throwable) => { failures += (n -> e.getMessage); () }
+    val ok = Runner.run(Seq(
+      Stage("flaky", retries = 2)(() =>
+        if (flakyCalls.incrementAndGet() < 3) throw new RuntimeException("transient")),
+      Stage("after", Seq("flaky"))(() => ())), onFailure = hook)
+    assert(ok.map(r => r.name -> r.status).toMap ==
+      Map("flaky" -> Succeeded, "after" -> Succeeded))
+    assert(flakyCalls.get() == 3)
+    assert(failures.isEmpty, "hook must not fire on recovered stages")
+
+    // exhausted: 1 + retries attempts, then Failed + Skipped dependents +
+    // exactly one hook invocation
+    val doomedCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bad = Runner.run(Seq(
+      Stage("doomed", retries = 2, retryDelayMs = 5)(() => {
+        doomedCalls.incrementAndGet(); throw new RuntimeException("permanent")
+      }),
+      Stage("child", Seq("doomed"))(() => ())), onFailure = hook)
+    val byName = bad.map(r => r.name -> r.status).toMap
+    assert(byName("doomed").isInstanceOf[Failed])
+    assert(byName("child").isInstanceOf[Skipped])
+    assert(doomedCalls.get() == 3, "1 initial + 2 retries")
+    assert(failures.toList == List("doomed" -> "permanent"), "hook fires once, after exhaustion")
+
+    // runParallel honors the same retry/hook contract
+    val pFailures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pres = Runner.runParallel(Seq(
+      Stage("pflaky", retries = 1)(() =>
+        if (pCalls.incrementAndGet() < 2) throw new RuntimeException("transient")),
+      Stage("pbad", retries = 1)(() => throw new RuntimeException("boom")),
+      Stage("pchild", Seq("pbad"))(() => ())),
+      parallelism = 2, onFailure = (n, _) => { pFailures.add(n); () })
+    val pByName = pres.map(r => r.name -> r.status).toMap
+    assert(pByName("pflaky") == Succeeded)
+    assert(pByName("pbad").isInstanceOf[Failed])
+    assert(pByName("pchild").isInstanceOf[Skipped])
+    assert(pFailures.toArray.toList == List("pbad"))
   }
 
   test("runner: rejects cycles and unknown deps") {
