@@ -86,7 +86,12 @@ object Dedup {
     * on those prefixes, then confirm with a real intersection. At 100 TB
     * this turns the quadratic shingle join into a join on rare-shingle
     * posting lists. */
-  private def jaccardPairs(arrays0: DataFrame, cand: Option[DataFrame]): DataFrame = {
+  /** Default posting-list block size for the prefix-join skew guard: caps
+    * any single task at ~blockSize^2 generated pairs. */
+  val PrefixBlockSize = 1024
+
+  private def jaccardPairs(arrays0: DataFrame, cand: Option[DataFrame],
+                           blockSize: Int = PrefixBlockSize): DataFrame = {
     // the per-doc array table feeds the prefix explode AND both sides of
     // the confirm join — materialize it once (one row per doc, tiny
     // relative to the corpus). Eager localCheckpoint instead of persist():
@@ -100,8 +105,28 @@ object Dedup {
       val prefixLen = expr(s"cast(n - (($TauNum * n + ${TauDen - 1}) div $TauDen) + 1 as int)")
       val prefixed = arrays.select(col("doc_id"),
         explode(slice(col("shingles"), lit(1), prefixLen)).as("ps"))
-      prefixed.select(col("doc_id").as("d1"), col("ps"))
-        .join(prefixed.select(col("doc_id").as("d2"), col("ps")), Seq("ps"))
+      // HOT-SHINGLE SKEW GUARD — exact triangle split. A shingle whose
+      // prefix posting list has m rows generates m^2 pairs in ONE task of a
+      // plain self-join. Split each posting list into blocks of
+      // `blockSize` (ordered by doc_id) and enumerate block pairs (i <= j)
+      // as extra equi-join key components: every task now generates at most
+      // blockSize^2 pairs, and because block order follows doc_id order,
+      // cross-block pairs (i < j) always have d1 < d2 — no pair is lost or
+      // duplicated. Replication cost is ceil(m/blockSize) per row, paid
+      // only by hot shingles. (AQE's skew split can't do this: it cannot
+      // subdivide a single join key.)
+      val w = Window.partitionBy(col("ps"))
+      val blocked = prefixed
+        .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("blk", ((col("rn") - 1) / lit(blockSize)).cast("int"))
+        .withColumn("nblk",
+          ((col("cnt") + lit(blockSize - 1)) / lit(blockSize)).cast("int"))
+      val left = blocked.select(col("doc_id").as("d1"), col("ps"),
+        col("blk").as("bi"), explode(sequence(col("blk"), col("nblk") - 1)).as("bj"))
+      val right = blocked.select(col("doc_id").as("d2"), col("ps"),
+        explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+      left.join(right, Seq("ps", "bi", "bj"))
         .filter(col("d1") < col("d2"))
         .select(col("d1"), col("d2")).distinct()
     }
@@ -120,9 +145,12 @@ object Dedup {
   }
 
   /** `d2_dedup_ngram`: word-3-shingle Jaccard near-dup pairs (exact, via
-    * prefix filtering). */
-  def d2DedupNgram(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingleArrays(spark, dir), None)
+    * prefix filtering). `prefixBlockSize` tunes the hot-shingle skew guard
+    * (exposed for the planted-skew spec; results are identical for any
+    * value). */
+  def d2DedupNgram(spark: SparkSession, dir: String,
+                   prefixBlockSize: Int = PrefixBlockSize): DataFrame =
+    jaccardPairs(shingleArrays(spark, dir), None, prefixBlockSize)
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
   // ---------------------------------------------------------------- d3
@@ -486,7 +514,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
-    "d2_dedup_ngram" -> (d2DedupNgram _),
+    "d2_dedup_ngram" -> ((s: SparkSession, d: String) => d2DedupNgram(s, d)),
     "d3_dedup_minhash" -> (d3DedupMinhash _),
     "d4_dedup_simhash" -> (d4DedupSimhash _),
     "d5_dedup_embed" -> (d5DedupEmbed _),

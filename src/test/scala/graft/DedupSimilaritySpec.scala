@@ -27,6 +27,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("d2: hot-shingle triangle split is exact (tiny blocks == default)") {
+    import spark.implicits._
+    // planted skew: 120 identical docs -> one shingle whose prefix posting
+    // list holds all 120 docs; with blockSize 16 that is an 8-block
+    // triangle (36 join cells) which must reproduce the plain result
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val docs = (0L until 120L).map(i => (i, "hot shingle words exactly")) ++
+      Seq((1000L, "a completely different document body here"),
+          (1001L, "a completely different document body here"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val tiny = Dedup.d2DedupNgram(spark, dir, prefixBlockSize = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val plain = Dedup.d2DedupNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(tiny == plain, "block size must not change results")
+    // 120 identical docs: all C(120,2) pairs at jaccard 1, plus the planted
+    // distinct near-dup pair
+    assert(tiny.count(_._3 == 1000000L) == 120 * 119 / 2 + 1)
+  }
+
   test("d3: minhash+LSH finds the same high-jaccard pairs as d2") {
     val exact = Dedup.d2DedupNgram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
