@@ -141,31 +141,96 @@ object Similarity {
          | WHERE p.vec_id < $NumProbes)
          |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin)
 
-  /** `s3_ann_ivf`: inverted-file ANN — every vector is assigned to the
-    * nearest of a deterministic centroid set (here: the first NumCells
-    * vectors; a production pipeline would plug k-means|| centroids into
-    * the same plumbing), and search compares only vectors in the probe's
-    * cell (nprobe=1). At scale the cell id is the partition key: one
-    * narrow assignment scan, then probes touch a single cell each. */
+  // ------------------------------------------------- s3: k-means IVF
+
+  /** Lloyd iterations for the IVF centroids. */
+  val KmIters = 3
+
+  /** Fixed-point scale for centroid arithmetic: per-vector components are
+    * floored to e6 integers BEFORE summing, so the mean is computed in
+    * exact integer arithmetic — integer sums are order-independent, which
+    * makes the centroids bit-identical between Spark's partial aggregation
+    * and DuckDB's sequential sum (a raw double sum would differ in the low
+    * bits and could flip boundary assignments). */
+  val KmScale = 1000000L
+
+  /** Cells a probe searches (multi-probe IVF). Data vectors live in
+    * exactly one cell; probing the top-NProbe cells recovers neighbors
+    * that fell just across a cell boundary. */
+  val NProbe = 2
+
+  /** Per-row scored cells: array of (cos, -cid, cid) structs, one per
+    * centroid — struct ordering gives "max cosine, then min cid", the
+    * exact tie-break the oracle's `ORDER BY cos DESC, cid` uses. Uses the
+    * declarative cosine (centroids are double literals; CosineRewrite
+    * correctly leaves mixed float/double arrays alone). */
+  private def scoredCells(cents: Seq[(Long, Array[Long])], e: Column): Column =
+    array(cents.map { case (cid, cs) =>
+      val c = array(cs.map(s => lit(s.toDouble / KmScale)): _*)
+      struct(cosine(e, c).as("cos"), lit(-cid).as("neg"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Deterministic k-means (Lloyd's) over the embeddings, entirely in
+    * fixed-point: init = the first NumCells vectors (floored to e6), each
+    * iteration assigns by max-cosine and recomputes centroids as
+    * floorDiv(sum of e6-floored components, count). The k x Dim model is
+    * collected to the driver each round — that is a MODEL, not data
+    * (16x64 longs), the same shape MLlib broadcasts; the data itself
+    * never leaves the executors. */
+  def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    var cents: Seq[(Long, Array[Long])] = e.filter(col("vec_id") < NumCells)
+      .orderBy(col("vec_id")).collect().toSeq.map { r =>
+        (r.getLong(0),
+          r.getSeq[Float](1).map(f => math.floor(f.toDouble * KmScale).toLong).toArray)
+      }
+    val sums = (0 until Dim).map(i =>
+      sum(floor(element_at(col("embedding"), i + 1).cast("double") * KmScale)
+        .cast("long")).as(s"s$i"))
+    for (_ <- 1 to KmIters) {
+      val cell = greatest(scoredCells(cents, col("embedding")): _*).getField("cid")
+      val agg = e.groupBy(cell.as("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      cents = agg.map { r =>
+        val n = r.getAs[Long]("n")
+        (r.getAs[Long]("cell"),
+          (0 until Dim).map(i => Math.floorDiv(r.getAs[Long](s"s$i"), n)).toArray)
+      }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  // greatest() needs varargs; expose the scored array both ways
+  private def greatest(arr: Column): Seq[Column] =
+    (0 until NumCells).map(i => element_at(arr, i + 1))
+
+  /** `s3_ann_ivf`: inverted-file ANN with data-derived k-means centroids.
+    * Every vector is assigned to its max-cosine cell (one narrow scan over
+    * broadcast centroid literals — at scale the cell id is the partition
+    * key); probes search their top-NProbe cells. The oracle replays the
+    * identical fixed-point Lloyd's in SQL, so results hash-match. */
   def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val cosToCentroid = cosineFast(col("embedding"), col("ce"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(cosToCentroid.desc, col("cid"))
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-    val probes = assigned.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
+    val cents = kmeansCentroids(spark, dir)
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val scored = scoredCells(cents, col("embedding"))
+    // data: top-1 cell; probes: top-NProbe cells (sorted desc = reverse of
+    // the ascending struct sort), primary cell kept for the output column
+    val topCells = slice(reverse(array_sort(scored)), 1, NProbe)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      element_at(topCells, 1).getField("cid").as("cell"))
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        element_at(topCells, 1).getField("cid").as("main_cell"),
+        explode(transform(topCells, c => c.getField("cid"))).as("cell"))
     val cos = cosineFast(col("pe"), col("embedding"))
     val w = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= LshTopK)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"),
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("main_cell").cast("long").as("cell"),
         floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
       .orderBy(col("probe_id"), col("rank"))
   }
