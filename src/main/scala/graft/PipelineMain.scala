@@ -34,6 +34,12 @@ object PipelineMain {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val workDir = if (args.length > 1) args(1) else Files.createTempDirectory("graft_run").toString
     val config = if (args.length > 3) PipelineConfig.load(args(3)) else PipelineConfig.default
+    // validate before building stages: a config entity without a registered
+    // staging transform must fail with a clear message, not a
+    // NoSuchElementException halfway through DAG construction
+    config.entities.foreach(e => require(stagingTransforms.contains(e.name),
+      s"no staging transform registered for entity '${e.name}' " +
+        s"(known: ${stagingTransforms.keys.toSeq.sorted.mkString(", ")})"))
     val landing = if (args.length > 2) args(2) else {
       // default landing dir with marker files so every entity's sensor passes
       val l = Files.createTempDirectory("graft_landing")

@@ -103,23 +103,44 @@ object Similarity {
        | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))))""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "s3_ann_ivf" ->
-      s"""WITH asg AS (
-         | SELECT vec_id, embedding, cid AS cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.vec_id AS cid,
-         |   row_number() OVER (PARTITION BY e.vec_id
-         |     ORDER BY ${cosSql("e.embedding", "c.embedding")} DESC, c.vec_id) AS arn
-         |  FROM embeddings e JOIN embeddings c ON c.vec_id < $NumCells)
-         | WHERE arn = 1)
-         |SELECT probe_id, neighbor_id, cell, cos_e6, rank FROM (
-         | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id, CAST(p.cell AS BIGINT) AS cell,
-         |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
-         |  row_number() OVER (PARTITION BY p.vec_id
-         |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
-         | FROM asg p JOIN asg x ON x.cell = p.cell AND x.vec_id != p.vec_id
-         | WHERE p.vec_id < $NumProbes)
-         |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin,
+  /** s3 oracle from a k-means model: the final centroids go in as a VALUES
+    * literal (exact double round-trip via Double.toString), assignment and
+    * probing mirror the Spark plan's argmax / top-NProbe / rank semantics
+    * including tie-breaks (min cid on equal cosine, min vec_id on equal
+    * rank cosine). */
+  private def s3OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    val centRows = cents.map { case (cid, c) =>
+      "(" + cid + ", " + c.map(s => (s.toDouble / KmScale).toString)
+        .mkString("[", ", ", "]") + ")"
+    }.mkString(",\n  ")
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  $centRows),
+       |scored AS (
+       | SELECT e.vec_id, e.embedding, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS probe_id, embedding AS pe, cid AS cell,
+       |  max(CASE WHEN rn = 1 THEN cid END) OVER (PARTITION BY vec_id) AS main_cell
+       | FROM scored WHERE vec_id < $NumProbes AND rn <= $NProbe)
+       |SELECT probe_id, neighbor_id, cell, cos_e6, rank FROM (
+       | SELECT p.probe_id, x.vec_id AS neighbor_id, CAST(p.main_cell AS BIGINT) AS cell,
+       |  CAST(floor(${cosSql("p.pe", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+       |  row_number() OVER (PARTITION BY p.probe_id
+       |    ORDER BY ${cosSql("p.pe", "x.embedding")} DESC, x.vec_id) AS rank
+       | FROM probes p JOIN asg x ON x.cell = p.cell AND x.vec_id != p.probe_id)
+       |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** s3's entry appears once a plan has run (Verify's query pass precedes
+    * its oracle dump); if it somehow hasn't, s3 degrades to the driver's
+    * rows-only check rather than shipping a wrong oracle. */
+  def oracle: Map[String, String] =
+    staticOracle ++ lastCentroids.map(cs => "s3_ann_ivf" -> s3OracleSql(cs))
+
+  private val staticOracle: Map[String, String] = Map(
     "s1_ann_brute" ->
       s"""SELECT probe_id, neighbor_id, cos_e6, rank FROM (
          | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
@@ -176,7 +197,9 @@ object Similarity {
     * floorDiv(sum of e6-floored components, count). The k x Dim model is
     * collected to the driver each round — that is a MODEL, not data
     * (16x64 longs), the same shape MLlib broadcasts; the data itself
-    * never leaves the executors. */
+    * never leaves the executors. A cell an iteration empties keeps its
+    * previous centroid (deterministic; the cell count never silently
+    * shrinks, and only the FINAL model reaches the oracle). */
   def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     var cents: Seq[(Long, Array[Long])] = e.filter(col("vec_id") < NumCells)
@@ -188,28 +211,33 @@ object Similarity {
       sum(floor(element_at(col("embedding"), i + 1).cast("double") * KmScale)
         .cast("long")).as(s"s$i"))
     for (_ <- 1 to KmIters) {
-      val cell = greatest(scoredCells(cents, col("embedding")): _*).getField("cid")
+      // struct ordering = (cos, -cid): array_max is argmax cosine, min cid
+      val cell = array_max(scoredCells(cents, col("embedding"))).getField("cid")
       val agg = e.groupBy(cell.as("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-      cents = agg.map { r =>
+      val updated = agg.map { r =>
         val n = r.getAs[Long]("n")
         (r.getAs[Long]("cell"),
           (0 until Dim).map(i => Math.floorDiv(r.getAs[Long](s"s$i"), n)).toArray)
-      }.toSeq.sortBy(_._1)
+      }.toMap
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
+    lastCentroids = Some(cents)
     cents
   }
 
-  // greatest() needs varargs; expose the scored array both ways
-  private def greatest(arr: Column): Seq[Column] =
-    (0 until NumCells).map(i => element_at(arr, i + 1))
+  /** Most recent k-means model. Verify dumps `oracle_sql.json` AFTER the
+    * queries run, so by oracle-build time this holds exactly the centroids
+    * the s3 plan used — they are injected into the oracle SQL as literals,
+    * the same way d5's oracle injects its hyperplanes. */
+  @volatile private var lastCentroids: Option[Seq[(Long, Array[Long])]] = None
 
   /** `s3_ann_ivf`: inverted-file ANN with data-derived k-means centroids.
     * Every vector is assigned to its max-cosine cell (one narrow scan over
     * broadcast centroid literals — at scale the cell id is the partition
-    * key); probes search their top-NProbe cells. The oracle replays the
-    * identical fixed-point Lloyd's in SQL, so results hash-match. */
+    * key); probes search their top-NProbe cells. The oracle receives the
+    * identical final centroids as injected literals, so results hash-match. */
   def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
