@@ -10,8 +10,21 @@ import org.apache.spark.sql.SparkSession
   * the optimizer drop the very projections being measured). A failing query
   * aborts the bench with the query name rather than folding a near-zero
   * time into the total.
+  *
+  * The sandbox VM is noisy (single-shot numbers have moved ±30% round to
+  * round on unchanged queries), so each query runs `Reps` times
+  * interleaved per query and the reported number is the MEDIAN; the raw
+  * per-rep times ship in a `"spread"` object so a reader can judge the
+  * variance directly. Compare against BASELINE.md medians.
   */
 object Bench {
+  val Reps = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2) // odd Reps: the true median
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,19 +37,25 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          throw new RuntimeException(s"bench query $name failed", e)
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            throw new RuntimeException(s"bench query $name failed", e)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$Reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

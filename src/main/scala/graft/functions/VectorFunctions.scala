@@ -34,11 +34,28 @@ object VectorFunctions {
   }
 
   /** Sign bucket of 'embedding · plane' hyperplane tests: bit p is set iff
-    * the dot with plane p is positive. Planes are injected as literal
-    * arrays so the plan is one narrow projection. */
-  def hyperplaneBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    * the dot with plane p is positive. One fused codegen loop over the
+    * whole plane matrix ([[HyperplaneBucketExpr]]) — bit-identical to the
+    * declarative per-plane `when(dot > 0, 1L << p)` sum
+    * ([[hyperplaneBucketSlow]]), minus its per-plane zip/fold allocations. */
+  def hyperplaneBucket(emb: Column, planes: Seq[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(emb), planes.toArray))
+  }
+
+  /** Declarative HOF form of [[hyperplaneBucket]] — kept as the spec's
+    * bit-parity baseline only. */
+  def hyperplaneBucketSlow(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
       when(dot(emb, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Cosine of `emb` against every row of a literal matrix, fused into one
+    * codegen pass with the embedding norm hoisted ([[CosineMatrixExpr]]) —
+    * element c is bit-identical to `cosine(emb, lit-array of matrix(c))`. */
+  def cosineMatrix(emb: Column, matrix: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CosineMatrixExpr(ColumnBridge.expression(emb), matrix))
+  }
 }

@@ -131,6 +131,50 @@ object AnalyticsExt {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Driver-verifiable form of q18: runs the SAME sketches side by side
+    * with the exact aggregates and asserts the error bound IN the result
+    * (`*_within_5pct` booleans — the spec's 5% tolerance), so the DuckDB
+    * oracle can check exact columns plus literal TRUE flags and the
+    * correctness gate gets a real hash pass instead of rows-only. The
+    * sketch-only [[q18ApproxStats]] stays the production shape (at 100 TB
+    * the whole point is NOT paying for countDistinct/percentile state);
+    * this one exists so the sketches are verified, not just trusted.
+    *
+    * The exact distinct count is a separate pre-aggregated branch joined
+    * back on the (3-row) group keys, NOT a `countDistinct` in the same
+    * agg: mixing a distinct aggregate with `approx_percentile` forces the
+    * whole aggregate onto the sort-based path where the quantile sketch's
+    * state is (de)serialized per input row — measured 16x slower. Split,
+    * both halves stay hash-aggregated, and distinct-via-groupBy is the
+    * shape that scales anyway. */
+  def q18ApproxStatsChecked(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sketches = li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        expr("percentile(l_extendedprice, 0.95)").as("ep95"),
+        count(lit(1)).as("n"))
+    val exactDistinct = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_orders"))
+    sketches.join(broadcast(exactDistinct), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        round(col("ep50"), 4).as("p50_price"),
+        round(col("ep95"), 4).as("p95_price"),
+        col("n"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * lit(0.05)).as("orders_within_5pct"),
+        (abs(col("ap50") - col("ep50")) <= col("ep50") * lit(0.05)).as("p50_within_5pct"),
+        (abs(col("ap95") - col("ep95")) <= col("ep95") * lit(0.05)).as("p95_within_5pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** `q19_ratio_report`: ratio-to-report windows — each nation's revenue as
     * a share of its region and of the total, in one pass (two window sums
     * over the aggregated rows; the aggregate happens BEFORE the windows so
@@ -160,9 +204,17 @@ object AnalyticsExt {
     "q14_json_extract" -> (q14JsonExtract _),
     "q15_rolling" -> (q15Rolling _),
     "q17_grouping_sets" -> (q17GroupingSets _),
-    "q18_approx_stats" -> (q18ApproxStats _))
+    "q18_approx_stats" -> (q18ApproxStatsChecked _))
 
   val oracle: Map[String, String] = Map(
+    "q18_approx_stats" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        | count(*) AS n,
+        | TRUE AS orders_within_5pct, TRUE AS p50_within_5pct, TRUE AS p95_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q19_ratio_report" ->
       """WITH b AS (
         | SELECT r_name, n_name, sum(c_acctbal) AS bal

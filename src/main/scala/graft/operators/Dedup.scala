@@ -279,13 +279,19 @@ object Dedup {
   def d5DedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val pl = Similarity.planesFor(EmbedBands * EmbedPlanesPerBand)
     val e = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    // all 64 hyperplane dots in one narrow projection, then one row per band
+    // all 64 hyperplane dots in ONE fused expression evaluation (bit 4b+p of
+    // _bkt = plane p of band b), then per-band sigs are pure bit arithmetic;
+    // _bkt is referenced 16x so CollapseProject keeps its projection — one
+    // matrix pass per row, not 16
+    val bandMask = (1L << EmbedPlanesPerBand) - 1
     val bandCols = (0 until EmbedBands).map { b =>
-      val sig = VectorFunctions.hyperplaneBucket(col("embedding"),
-        pl.slice(b * EmbedPlanesPerBand, (b + 1) * EmbedPlanesPerBand))
+      val sig = shiftrightunsigned(col("_bkt"), b * EmbedPlanesPerBand)
+        .bitwiseAND(lit(bandMask))
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    val sigs = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+    val sigs = e
+      .withColumn("_bkt", VectorFunctions.hyperplaneBucket(col("embedding"), pl))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = sigs.select(col("vec_id").as("vec_id_1"), col("band"), col("sig"))
       .join(sigs.select(col("vec_id").as("vec_id_2"), col("band"), col("sig")), Seq("band", "sig"))

@@ -180,15 +180,21 @@ object Similarity {
     * that fell just across a cell boundary. */
   val NProbe = 2
 
-  /** Per-row scored cells: array of (cos, -cid, cid) structs, one per
-    * centroid — struct ordering gives "max cosine, then min cid", the
-    * exact tie-break the oracle's `ORDER BY cos DESC, cid` uses. Uses the
-    * declarative cosine (centroids are double literals; CosineRewrite
-    * correctly leaves mixed float/double arrays alone). */
-  private def scoredCells(cents: Seq[(Long, Array[Long])], e: Column): Column =
-    array(cents.map { case (cid, cs) =>
-      val c = array(cs.map(s => lit(s.toDouble / KmScale)): _*)
-      struct(cosine(e, c).as("cos"), lit(-cid).as("neg"), lit(cid).as("cid"))
+  /** The centroid model as a double matrix, in `cents` order. */
+  private def centroidMatrix(cents: Seq[(Long, Array[Long])]): Array[Array[Double]] =
+    cents.map(_._2.map(_.toDouble / KmScale)).toArray
+
+  /** Per-row scored cells over a MATERIALIZED cosine-array column (one
+    * fused [[graft.functions.CosineMatrixExpr]] pass per row — the
+    * embedding norm is computed once, not once per centroid): array of
+    * (cos, -cid, cid) structs whose ordering gives "max cosine, then min
+    * cid", the exact tie-break the oracle's `ORDER BY cos DESC, cid` uses.
+    * `cosArr` must be a real column (not the expression inline): it is
+    * referenced once per centroid, and a multi-referenced non-trivial alias
+    * is exactly what CollapseProject declines to inline. */
+  private def scoredCells(cents: Seq[(Long, Array[Long])], cosArr: Column): Column =
+    array(cents.zipWithIndex.map { case ((cid, _), i) =>
+      struct(element_at(cosArr, i + 1).as("cos"), lit(-cid).as("neg"), lit(cid).as("cid"))
     }: _*)
 
   /** Deterministic k-means (Lloyd's) over the embeddings, entirely in
@@ -212,8 +218,10 @@ object Similarity {
         .cast("long")).as(s"s$i"))
     for (_ <- 1 to KmIters) {
       // struct ordering = (cos, -cid): array_max is argmax cosine, min cid
-      val cell = array_max(scoredCells(cents, col("embedding"))).getField("cid")
-      val agg = e.groupBy(cell.as("cell"))
+      val withCos = e.withColumn("_cos",
+        cosineMatrix(col("embedding"), centroidMatrix(cents)))
+      val cell = array_max(scoredCells(cents, col("_cos"))).getField("cid")
+      val agg = withCos.groupBy(cell.as("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       val updated = agg.map { r =>
@@ -241,7 +249,8 @@ object Similarity {
   def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val scored = scoredCells(cents, col("embedding"))
+      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
+    val scored = scoredCells(cents, col("_cos"))
     // data: top-1 cell; probes: top-NProbe cells (sorted desc = reverse of
     // the ascending struct sort), primary cell kept for the output column
     val topCells = slice(reverse(array_sort(scored)), 1, NProbe)

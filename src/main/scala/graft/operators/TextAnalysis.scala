@@ -77,11 +77,15 @@ object TextAnalysis {
     val scores = Seq("de", "en", "es", "fr").map(l => l -> stopCount(toks, stopwords(l)))
     val cjk = strippedLength(col("text"), "[^\\x{4e00}-\\x{9fff}]")
     val maxScore = greatest(scores.map(_._2): _*)
-    // preference order breaks ties deterministically: de < en < es < fr
+    // preference order breaks ties deterministically: de < en < es < fr.
+    // coalesce takes the FIRST language hitting the max — same semantics as
+    // a first-match fold, without building fold-round predicates (the old
+    // `acc === "und"` form emitted a trivially-true `'und' == 'und'` Spark
+    // warned about on every run)
     val predicted = when(cjk > 0, lit("zh"))
-      .otherwise(scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
-        when(s === maxScore && s > 0 && acc === "und", lit(l)).otherwise(acc)
-      })
+      .otherwise(coalesce(
+        scores.map { case (l, s) => when(s === maxScore && s > 0, lit(l)) }
+          :+ lit("und"): _*))
     val sel = col("doc_id") +: col("lang").as("labeled_lang") +:
       scores.map { case (l, s) => s.cast("long").as(s"score_$l") } :+
       cjk.cast("long").as("score_zh_chars") :+ predicted.as("predicted_lang")

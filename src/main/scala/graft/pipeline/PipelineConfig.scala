@@ -30,6 +30,7 @@ final case class PipelineConfig(
     entities: Seq[EntityConfig],
     retries: Int,
     retryDelayMs: Long,
+    stageTimeoutMs: Long,
     notifyEmail: Option[String]) {
   def entity(name: String): EntityConfig =
     entities.find(_.name == name)
@@ -51,6 +52,9 @@ object PipelineConfig {
       |pipeline.entities=customer,orders
       |pipeline.retries=1
       |pipeline.retryDelayMs=200
+      |# per-attempt wall-clock bound, the reference's execution_timeout
+      |# (default_args, pipeline_orchestration_dag.py:36 — 2 hours)
+      |pipeline.stageTimeoutMs=7200000
       |notifications.email=pipeline-alerts@example.invalid
       |
       |# "employee-like" entity: the customer fact-dim
@@ -118,13 +122,14 @@ object PipelineConfig {
     val known = names.flatMap(n => Seq("table", "pattern", "sensorTimeoutMs",
       "pokeIntervalMs", "pk", "hashCols").map(s => s"entity.$n.$s")).toSet ++
       Set("pipeline.entities", "pipeline.retries", "pipeline.retryDelayMs",
-        "notifications.email")
+        "pipeline.stageTimeoutMs", "notifications.email")
     val unknown = props.stringPropertyNames().asScala.filterNot(known.contains)
     require(unknown.isEmpty, s"pipeline config: unknown keys ${unknown.mkString(", ")}")
     PipelineConfig(
       entities = entities,
       retries = opt("pipeline.retries").map(_.toInt).getOrElse(0),
       retryDelayMs = opt("pipeline.retryDelayMs").map(_.toLong).getOrElse(0L),
+      stageTimeoutMs = opt("pipeline.stageTimeoutMs").map(_.toLong).getOrElse(0L),
       notifyEmail = opt("notifications.email"))
   }
 }

@@ -17,9 +17,15 @@ import scala.util.Try
 object Runner {
 
   /** A pipeline stage. `retries` = additional attempts after the first
-    * failure (Airflow semantics); `retryDelayMs` sleeps between attempts. */
+    * failure (Airflow semantics); `retryDelayMs` sleeps between attempts;
+    * `timeoutMs` > 0 bounds EACH attempt's wall-clock (the analog of the
+    * reference's per-task `execution_timeout`,
+    * /root/reference/dags/pipeline_orchestration_dag.py:36) — a hung
+    * attempt is interrupted and counts as a failure, so it retries like
+    * any other error and exhausts into Failed(TimeoutException). */
   final case class Stage(name: String, deps: Seq[String] = Seq.empty,
-                         retries: Int = 0, retryDelayMs: Long = 0L)(val run: () => Unit)
+                         retries: Int = 0, retryDelayMs: Long = 0L,
+                         timeoutMs: Long = 0L)(val run: () => Unit)
 
   sealed trait Status
   case object Succeeded extends Status
@@ -31,13 +37,32 @@ object Runner {
   /** No-op failure hook (the default). */
   val noFailureHook: (String, Throwable) => Unit = (_, _) => ()
 
+  /** One attempt of the stage body, honoring `timeoutMs`. The body runs on
+    * a daemon thread that is interrupted AND abandoned on timeout — join
+    * semantics, not cancellation: a truly wedged body (ignoring interrupts)
+    * can't block the DAG, which is the point of an execution timeout. */
+  private def runBounded(s: Stage): Try[Unit] =
+    if (s.timeoutMs <= 0) Try(s.run())
+    else {
+      val result = new java.util.concurrent.atomic.AtomicReference[Try[Unit]]()
+      val t = new Thread(() => result.set(Try(s.run())), s"stage-${s.name}")
+      t.setDaemon(true)
+      t.start()
+      t.join(s.timeoutMs)
+      if (result.get() == null) {
+        t.interrupt()
+        scala.util.Failure(new java.util.concurrent.TimeoutException(
+          s"stage ${s.name} exceeded ${s.timeoutMs}ms"))
+      } else result.get()
+    }
+
   /** Run one stage with its retry budget; `onFailure` fires once, after
     * the last attempt fails (the analog of email_on_failure, not a
     * per-retry notification). */
   private def attempt(s: Stage, onFailure: (String, Throwable) => Unit): Status = {
     var tries = 0
     while (true) {
-      Try(s.run()) match {
+      runBounded(s) match {
         case scala.util.Success(_) => return Succeeded
         case scala.util.Failure(e) =>
           tries += 1

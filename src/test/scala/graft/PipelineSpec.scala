@@ -256,6 +256,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(as < be && bs < ae, "independent stages did not run concurrently")
   }
 
+  test("runner: a hung stage times out, fires the hook, and skips " +
+    "dependents — sequential and parallel") {
+    import Runner._
+    val notified = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def dag = Seq(
+      Stage("hung", timeoutMs = 200)(() => Thread.sleep(60000)),
+      Stage("after", Seq("hung"))(() => ()),
+      Stage("free")(() => ()))
+    for (runner <- Seq(
+        (s: Seq[Stage]) => Runner.run(s, (n, _) => { notified.add(n); () }),
+        (s: Seq[Stage]) => Runner.runParallel(s, 2, (n, _) => { notified.add(n); () }))) {
+      notified.clear()
+      val t0 = System.nanoTime()
+      val byName = runner(dag).map(r => r.name -> r.status).toMap
+      val tookMs = (System.nanoTime() - t0) / 1000000
+      byName("hung") match {
+        case Failed(e) => assert(e.isInstanceOf[java.util.concurrent.TimeoutException],
+          s"expected TimeoutException, got $e")
+        case other => fail(s"hung stage: $other")
+      }
+      assert(byName("after").isInstanceOf[Skipped])
+      assert(byName("free") == Succeeded)
+      assert(tookMs < 30000, s"timeout did not bound the run (${tookMs}ms)")
+      assert(notified.contains("hung"), "failure hook did not fire on timeout")
+    }
+  }
+
+  test("runner: a timed-out attempt retries like any failure") {
+    import Runner._
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val res = Runner.run(Seq(
+      Stage("flaky_hang", retries = 1, timeoutMs = 300)(() => {
+        if (attempts.incrementAndGet() == 1) Thread.sleep(60000) // first attempt hangs
+      })))
+    assert(res.head.status == Succeeded, s"retry after timeout: ${res.head.status}")
+    assert(attempts.get() == 2)
+  }
+
+  test("single-stage groups: curation runs in isolation against a " +
+    "pre-populated workDir; staging drops its cross-group deps") {
+    val work = Files.createTempDirectory("graft_stage").toString
+    val landing = Files.createTempDirectory("graft_stage_landing")
+    val config = PipelineConfig.default
+    config.entities.foreach(e => Files.writeString(landing.resolve(e.pattern), "x\n"))
+    val all = PipelineMain.stageGroups(spark, sf, work, landing.toString, config)
+
+    // staging standalone: only staging_* stages, ingest deps pruned
+    val staging = PipelineMain.stagesFor(all, Some("staging"))
+    assert(staging.map(_.name).toSet == config.entities.map(e => s"staging_${e.name}").toSet)
+    assert(staging.forall(_.deps.isEmpty), "cross-group deps must be pruned")
+
+    // pre-populate the zones an isolated curation run reads/overwrites,
+    // then run ONLY the curation group — the operational "re-run one zone
+    // after a partial failure" path
+    val stagingRes = Runner.run(staging)
+    assert(stagingRes.forall(_.status == Runner.Succeeded))
+    val curation = PipelineMain.stagesFor(all, Some("curation"))
+    assert(curation.map(_.name).toSet == Set("quality", "curate_scd2", "curate_join", "merge"))
+    // intra-group deps survive the pruning
+    assert(curation.find(_.name == "merge").get.deps == Seq("curate_join"))
+    val curationRes = Runner.run(curation)
+    assert(curationRes.forall(_.status == Runner.Succeeded),
+      s"curation standalone: $curationRes")
+    assert(Files.exists(Paths.get(work, "curated_customer")))
+    assert(Files.exists(Paths.get(work, "merged_orders")))
+
+    // unknown group fails loudly
+    assertThrows[IllegalArgumentException] {
+      PipelineMain.stagesFor(all, Some("nonsense"))
+    }
+    // the full selection keeps every stage and every dep
+    assert(PipelineMain.stagesFor(all, None).size == all.size)
+  }
+
   test("full DAG: sense → ingest → stage → quality → curate → archive") {
     import Runner._
     val landing = Files.createTempDirectory("graft_e2e")

@@ -105,6 +105,56 @@ class PlanSpec extends AnyFunSuite {
       s"${r.getDouble(0)} != ${r.getDouble(1)} (not bit-identical)"))
   }
 
+  test("fused hyperplaneBucket is bit-identical to the declarative HOF form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val pl = Similarity.planesFor(64)
+    val rows = Tables.load(spark, sf, "embeddings").limit(100)
+      .select(
+        VectorFunctions.hyperplaneBucket(col("embedding"), pl).as("fast"),
+        VectorFunctions.hyperplaneBucketSlow(col("embedding"), pl).as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"${r.getLong(0)} != ${r.getLong(1)} (bucket mismatch)"))
+  }
+
+  test("cosineMatrix is bit-identical per element to the declarative cosine") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // deterministic "centroids": the first 4 embeddings, e6-floored like the
+    // k-means fixed-point model
+    val cents = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 4).orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6) / 1e6).toArray)
+    val slowCols = cents.zipWithIndex.map { case (c, i) =>
+      VectorFunctions.cosine(col("embedding"), array(c.map(lit): _*)).as(s"slow$i")
+    }
+    val rows = Tables.load(spark, sf, "embeddings").limit(100)
+      .select(VectorFunctions.cosineMatrix(col("embedding"), cents).as("fast") +: slowCols: _*)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fast = r.getSeq[Double](0)
+      cents.indices.foreach(i => assert(fast(i) == r.getDouble(i + 1),
+        s"centroid $i: ${fast(i)} != ${r.getDouble(i + 1)} (not bit-identical)"))
+    }
+  }
+
+  test("d5/s2/s3 vector scans run the fused expressions, not per-plane HOF folds") {
+    val d5 = plan(Dedup.d5DedupEmbed(spark, sf))
+    assert(d5.contains("hyperplane_bucket"), s"d5 not fused:\n$d5")
+    // the candidate self-join scans `sigs` twice -> one fused bucket expr
+    // per scan subtree; anything more means the per-band fan-out is back
+    assert("hyperplane_bucket".r.findAllIn(d5).size <= 2, "d5 must evaluate one bucket expr per scan")
+    assert(!d5.contains("zip_with"), "HOF fold left in the d5 scan")
+    val s2 = plan(Similarity.s2AnnLsh(spark, sf))
+    assert(s2.contains("hyperplane_bucket") && !s2.contains("zip_with"), s"s2 not fused:\n$s2")
+    val s3 = plan(Similarity.s3AnnIvf(spark, sf))
+    assert(s3.contains("cosine_matrix"), s"s3 not fused:\n$s3")
+    assert(!s3.contains("zip_with"), "HOF cosine left in the s3 scan")
+  }
+
   test("cosineFast returns null on mismatched array lengths, like the " +
     "declarative form (zip_with null-pads and the fold poisons to null)") {
     import org.apache.spark.sql.functions._
