@@ -16,20 +16,24 @@ import graft.functions.TextFunctions._
 object TextAnalysis {
 
   /** `t1_text_stats`: token counts (whitespace + BPE-ish), char-class
-    * counts, average token length. */
+    * counts, average token length. The ws-token and space counts are
+    * materialized once (each has two consumers; inline they'd re-run the
+    * split/regex per consumer — lambdas aren't subexpression-eliminated). */
   def t1TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
+      .withColumn("n_ws_tokens", size(wsTokens(col("text"))).cast("long"))
+      .withColumn("n_space", strippedLength(col("text"), "[^ ]").cast("long"))
       .select(
         col("doc_id"),
         col("lang"),
         col("n_chars"),
-        size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+        col("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))).cast("long").as("n_bpe_tokens"),
         strippedLength(col("text"), "[^A-Za-z]").cast("long").as("n_alpha"),
         strippedLength(col("text"), "[^0-9]").cast("long").as("n_digit"),
-        strippedLength(col("text"), "[^ ]").cast("long").as("n_space"),
-        round((length(col("text")) - strippedLength(col("text"), "[^ ]")).cast("double") /
-          greatest(size(wsTokens(col("text"))), lit(1)), 4).as("avg_token_len"))
+        col("n_space"),
+        round((length(col("text")) - col("n_space")).cast("double") /
+          greatest(col("n_ws_tokens"), lit(1L)), 4).as("avg_token_len"))
 
   /** Stopword lists per language profile (tiny, broadcast as literals into
     * the codegen'd plan — no join needed). */
@@ -46,19 +50,28 @@ object TextAnalysis {
     * unique-token ratio, punctuation/digit ratios and a length norm — the
     * standard cheap pre-filter of a web-scale corpus. */
   def t2TextQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(col("text"))
-    val nToks = greatest(size(toks), lit(1)).cast("double")
+    // materialize the token array and the counts with >1 consumer — the
+    // ratio expressions below are each referenced twice (their own e6
+    // column + the composite score), and lambdas aren't
+    // subexpression-eliminated, so the inline form re-ran split/filter/
+    // distinct/regex once per consumer
+    val base = Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("_stop_cnt", stopCount(col("toks"), stopwords("en")))
+      .withColumn("_uniq_cnt", size(array_distinct(col("toks"))))
+      .withColumn("_punct_cnt", strippedLength(col("text"), "[A-Za-z0-9\\s]"))
+    val nToks = greatest(size(col("toks")), lit(1)).cast("double")
     val nChars = greatest(length(col("text")), lit(1)).cast("double")
-    val stopRatio = stopCount(toks, stopwords("en")).cast("double") / nToks
-    val uniqRatio = size(array_distinct(toks)).cast("double") / nToks
-    val punctRatio = strippedLength(col("text"), "[A-Za-z0-9\\s]").cast("double") / nChars
+    val stopRatio = col("_stop_cnt").cast("double") / nToks
+    val uniqRatio = col("_uniq_cnt").cast("double") / nToks
+    val punctRatio = col("_punct_cnt").cast("double") / nChars
     val digitRatio = strippedLength(col("text"), "[^0-9]").cast("double") / nChars
     val lenNorm = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
     // floor-truncated micros (x1e6) integers: IEEE arithmetic is identical
     // in Spark and DuckDB so floor(x*1e6) is bit-stable, whereas decimal
     // round() of a double differs between engines at .5 boundaries.
     def e6(c: Column): Column = floor(c * 1000000d).cast("long")
-    Tables.load(spark, dir, "documents")
+    base
       .select(
         col("doc_id"),
         e6(stopRatio).as("stop_ratio_e6"),
@@ -71,42 +84,55 @@ object TextAnalysis {
   }
 
   /** `t3_lang_id`: stopword-profile language ID with a CJK char override.
-    * Deterministic argmax with fixed preference order on ties. */
+    * Deterministic argmax with fixed preference order on ties.
+    *
+    * The token array and each language's count are MATERIALIZED columns:
+    * HOF lambda bodies are not subexpression-eliminated, so the previous
+    * inline form re-ran the whitespace split once per language and every
+    * stopword filter once per consumer (score column, max, tie-break) —
+    * roughly a 10x multiplier on the dominant scan cost. As attributes,
+    * each is computed once per row (multi-referenced non-trivial aliases
+    * are exactly what CollapseProject declines to inline). */
   def t3LangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(col("text"))
-    val scores = Seq("de", "en", "es", "fr").map(l => l -> stopCount(toks, stopwords(l)))
-    val cjk = strippedLength(col("text"), "[^\\x{4e00}-\\x{9fff}]")
-    val maxScore = greatest(scores.map(_._2): _*)
+    val langs = Seq("de", "en", "es", "fr")
+    val withScores = Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumns(langs.map(l =>
+        s"score_$l" -> stopCount(col("toks"), stopwords(l)).cast("long")).toMap)
+      .withColumn("score_zh_chars",
+        strippedLength(col("text"), "[^\\x{4e00}-\\x{9fff}]").cast("long"))
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
     // preference order breaks ties deterministically: de < en < es < fr.
     // coalesce takes the FIRST language hitting the max — same semantics as
     // a first-match fold, without building fold-round predicates (the old
     // `acc === "und"` form emitted a trivially-true `'und' == 'und'` Spark
     // warned about on every run)
-    val predicted = when(cjk > 0, lit("zh"))
+    val predicted = when(col("score_zh_chars") > 0, lit("zh"))
       .otherwise(coalesce(
-        scores.map { case (l, s) => when(s === maxScore && s > 0, lit(l)) }
+        langs.map(l =>
+          when(col(s"score_$l") === maxScore && col(s"score_$l") > 0, lit(l)))
           :+ lit("und"): _*))
     val sel = col("doc_id") +: col("lang").as("labeled_lang") +:
-      scores.map { case (l, s) => s.cast("long").as(s"score_$l") } :+
-      cjk.cast("long").as("score_zh_chars") :+ predicted.as("predicted_lang")
-    Tables.load(spark, dir, "documents").select(sel: _*)
+      langs.map(l => col(s"score_$l")) :+
+      col("score_zh_chars") :+ predicted.as("predicted_lang")
+    withScores.select(sel: _*)
   }
 
   /** `t4_fingerprint`: md5-based 60-bit content fingerprint of the
     * normalized text plus an order-insensitive shingle-set fingerprint. */
-  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = normText(col("text"))
-    val sh = shingles3FromToks(col("toks"))
-    val shingleKey = concat_ws("\u0001", array_sort(sh))
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    // norm and the shingle array both have two consumers — materialized so
+    // the normalize-regex and the shingle transform run once per row
     Tables.load(spark, dir, "documents")
       .withColumn("toks", wsTokens(col("text")))
+      .withColumn("_norm", normText(col("text")))
+      .withColumn("_sh", shingles3FromToks(col("toks")))
       .select(
         col("doc_id"),
-        md5(norm).as("fp_hex"),
-        md5Long60(norm).as("fp60"),
-        md5Long60(shingleKey).as("shingle_fp60"),
-        size(sh).cast("long").as("n_shingles"))
-  }
+        md5(col("_norm")).as("fp_hex"),
+        md5Long60(col("_norm")).as("fp60"),
+        md5Long60(concat_ws("\u0001", array_sort(col("_sh")))).as("shingle_fp60"),
+        size(col("_sh")).cast("long").as("n_shingles"))
 
   /** `t5_hash_split`: deterministic train/val/test assignment by content
     * hash (md5 of doc_id mod 100 → 80/10/10) with per-source counts — the
