@@ -68,17 +68,22 @@ object Dedup {
 
   /** doc_id → its distinct shingles in a single global canonical order
     * (ascending document frequency, then shingle), plus the count. The df
-    * ordering makes prefixes maximally selective. */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("s"))
+    * ordering makes prefixes maximally selective.
+    *
+    * Document frequency comes from a count-over-window on the shingle key,
+    * not a groupBy+self-join: the join form evaluated the exploded shingle
+    * scan TWICE (once per join input) and shuffled it twice on `s`; the
+    * window computes df in one scan and one shuffle, and its spill-aware
+    * buffering handles hot shingles the same way the skew guard below
+    * assumes. Values are identical (count per key either way). */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .groupBy(col("doc_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("df"), col("s")))),
           x => x.getField("s")).as("shingles"),
         count(lit(1)).as("n"))
-  }
 
   /** Exact prefix-filtered Jaccard (PPJoin-style): a pair with
     * jac >= tau shares >= ceil(tau*n) shingles, so each side must expose
