@@ -33,6 +33,14 @@ object Dedup {
   val CosineTau = 0.4
   val MinhashSeeds = 8
   val BandsOf = 2 // seeds per band -> 4 bands
+  /** Minhash value = a 6-hex-char (24-bit) chunk of a base md5; 5 chunks
+    * per digest, so 8 minhashes cost 2 digests per shingle row instead of
+    * 8. String min over fixed-width lowercase hex == numeric min, and both
+    * engines compare VARCHAR bytewise, so the chunks are oracle-safe. 24
+    * bits keeps per-seed collision noise at ~n_shingles/2^24 — negligible
+    * — where 16-bit chunks would visibly inflate band collisions. */
+  val MinhashChunkHex = 6
+  val MinhashChunksPerDigest = 5
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -96,14 +104,16 @@ object Dedup {
   val PrefixBlockSize = 1024
 
   private def jaccardPairs(arrays0: DataFrame, cand: Option[DataFrame],
-                           blockSize: Int = PrefixBlockSize): DataFrame = {
+                           blockSize: Int = PrefixBlockSize,
+                           alreadyCheckpointed: Boolean = false): DataFrame = {
     // the per-doc array table feeds the prefix explode AND both sides of
     // the confirm join — materialize it once (one row per doc, tiny
     // relative to the corpus). Eager localCheckpoint instead of persist():
     // blocks are reference-counted away with the plan instead of pinning
     // the session cache across a 40-query Verify/Bench run (on a real
-    // cluster: reliable checkpoint).
-    val arrays = arrays0.localCheckpoint(true)
+    // cluster: reliable checkpoint). Callers that already materialized the
+    // table (d3 shares it with its signature pass) skip the second copy.
+    val arrays = if (alreadyCheckpointed) arrays0 else arrays0.localCheckpoint(true)
     val candidates = cand.getOrElse {
       // prefix length in exact integer arithmetic: n - ceil(tau*n) + 1,
       // with ceil(4n/5) = (4n+4) div 5 (Column./ is double division)
@@ -163,15 +173,22 @@ object Dedup {
   /** `d3_dedup_minhash`: MinHash signatures + LSH banding for candidate
     * generation, exact-Jaccard confirmation on candidates only. */
   def d3DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
-    val arrays = shingleArrays(spark, dir)
-    // all k minhashes in ONE pass: k hash columns per shingle row, k min()
-    // aggregates per doc — no seed explosion, partial (map-side) mins, a
-    // single shuffle on doc_id. minhash_i = min over shingles of
-    // md5(i ':' shingle).
+    // ONE checkpointed per-doc array table feeds both the signature pass
+    // (explode of the already-distinct shingles — not a second
+    // tokenize+shingle scan of the corpus) and jaccardPairs' confirm joins
+    val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // all k minhashes in ONE pass: base digests materialized per shingle
+    // row, k chunk-min() aggregates per doc — no seed explosion, partial
+    // (map-side) mins, a single shuffle on doc_id. minhash_i = min over
+    // shingles of chunk i%5 of md5((i/5) ':' shingle).
+    val nDigests = (MinhashSeeds + MinhashChunksPerDigest - 1) / MinhashChunksPerDigest
+    val withM = (0 until nDigests).foldLeft(sh)((df, k) =>
+      df.withColumn(s"m$k", md5(concat(lit(k.toString), lit(":"), col("s")))))
     val mins = (0 until MinhashSeeds).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"h$i"))
-    val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min(substring(col(s"m${i / MinhashChunksPerDigest}"),
+        1 + MinhashChunkHex * (i % MinhashChunksPerDigest), MinhashChunkHex)).as(s"h$i"))
+    val mh = withM.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     // band b's signature = md5 of its minhashes in seed order
     val bandCols = (0 until MinhashSeeds / BandsOf).map { b =>
       val parts = (0 until BandsOf).map(r => col(s"h${b * BandsOf + r}"))
@@ -183,7 +200,8 @@ object Dedup {
       .join(sig.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    jaccardPairs(arrays, Some(cand)).orderBy(col("doc_id_1"), col("doc_id_2"))
+    jaccardPairs(arrays, Some(cand), alreadyCheckpointed = true)
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
   // ---------------------------------------------------------------- d4
@@ -425,7 +443,9 @@ object Dedup {
     "d3_dedup_minhash" ->
       s"""WITH $shinglesCte,
          |mh AS (
-         | SELECT doc_id, r.seed, min(md5(CAST(r.seed AS VARCHAR) || ':' || s)) AS h
+         | SELECT doc_id, r.seed,
+         |  min(substr(md5(CAST(r.seed // $MinhashChunksPerDigest AS VARCHAR) || ':' || s),
+         |      1 + $MinhashChunkHex * (r.seed % $MinhashChunksPerDigest), $MinhashChunkHex)) AS h
          | FROM docsh, range($MinhashSeeds) r(seed) GROUP BY doc_id, r.seed),
          |sig AS (
          | SELECT doc_id, seed // $BandsOf AS band, md5(string_agg(h, '|' ORDER BY seed)) AS bsig
