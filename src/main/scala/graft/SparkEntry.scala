@@ -19,6 +19,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ AnalyticsExt.oracle ++ PipelineQueries.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++
-      Map("m1_multimodal_meta" -> Multimodal.oracle)
+      Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++ Multimodal.oracle
 }

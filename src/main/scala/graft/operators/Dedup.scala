@@ -131,12 +131,16 @@ object Dedup {
       // only by hot shingles. (AQE's skew split can't do this: it cannot
       // subdivide a single join key.)
       val w = Window.partitionBy(col("ps"))
+      // materialized: both join sides below derive from this — without the
+      // checkpoint the prefix explode + rank/count window execute once PER
+      // SIDE (exchange reuse only shares the shuffle, not the sort+window)
       val blocked = prefixed
         .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
         .withColumn("cnt", count(lit(1)).over(w))
         .withColumn("blk", ((col("rn") - 1) / lit(blockSize)).cast("int"))
         .withColumn("nblk",
           ((col("cnt") + lit(blockSize - 1)) / lit(blockSize)).cast("int"))
+        .localCheckpoint(true)
       val left = blocked.select(col("doc_id").as("d1"), col("ps"),
         col("blk").as("bi"), explode(sequence(col("blk"), col("nblk") - 1)).as("bj"))
       val right = blocked.select(col("doc_id").as("d2"), col("ps"),

@@ -83,7 +83,43 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val oracle: String =
+  /** Frame geometry of the synthetic payloads: 64 bytes = 4 "frames" of
+    * 16; sampling takes every 2nd frame. At a real deployment the frame
+    * size comes from the container metadata and the payload is a real
+    * video — the plumbing (binary slicing per sampled index, one pass,
+    * only frame features survive the scan) is what this operator is. */
+  val FrameBytes = 16
+  val FrameStride = 2
+
+  /** `m2_frame_sample`: fixed-stride frame sampling over the video
+    * payloads — the Spark-side shape of "sample every Nth frame": explode
+    * a frame-index sequence per row, slice the binary payload per sampled
+    * index (`substring` on BinaryType), and emit a fingerprint + byte
+    * stats per frame. The payload is scanned once and never shuffled;
+    * only the tiny per-frame feature rows leave the scan. The fingerprint
+    * hashes the frame's lowercase-hex rendering (identical byte sequence
+    * in both engines; DuckDB's md5 only accepts VARCHAR). */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = (length(col("content")) / lit(FrameBytes)).cast("int")
+    val frames = mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), nFrames - 1, lit(FrameStride))).as("frame_idx"))
+      .withColumn("frame_hex", lower(hex(expr(
+        s"substring(content, 1 + frame_idx * $FrameBytes, $FrameBytes)"))))
+    frames.select(
+      col("doc_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      md5(col("frame_hex")).as("frame_fp"),
+      aggregate(
+        transform(sequence(lit(0), lit(FrameBytes - 1)),
+          i => conv(col("frame_hex").substr(lit(1) + i * 2, lit(2)), 16, 10).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("byte_sum"),
+      conv(substring(col("frame_hex"), 1, 2), 16, 10).cast("long").as("first_byte"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val m1Oracle: String =
     """WITH m AS (
       | SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -99,6 +135,29 @@ object Multimodal {
       | CASE WHEN CAST(doc_id % 3 AS INTEGER) = 1 THEN 1 ELSE 3 END AS channels
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** m2 oracle works in the hex domain throughout (the payload IS
+    * repeat(md5(text), 4) rendered as hex): frame f = 32 hex chars at
+    * offset 32f. DuckDB range() has an exclusive stop, so range(0, 4, 2)
+    * ≡ Spark sequence(0, 3, 2) = [0, 2]. */
+  private val m2Oracle: String =
+    s"""WITH v AS (
+       | SELECT doc_id, repeat(md5(text), 4) AS hex FROM documents
+       | WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+       |f AS (
+       | SELECT doc_id, r.fi AS frame_idx,
+       |  substr(hex, 1 + CAST(r.fi AS INTEGER) * ${2 * FrameBytes}, ${2 * FrameBytes}) AS fh
+       | FROM v, range(0, 4, $FrameStride) r(fi))
+       |SELECT doc_id, frame_idx, md5(fh) AS frame_fp,
+       | CAST(list_sum(list_transform(range(0, $FrameBytes),
+       |   i -> CAST(('0x' || substr(fh, 1 + 2 * CAST(i AS INTEGER), 2)) AS BIGINT))) AS BIGINT) AS byte_sum,
+       | CAST(('0x' || substr(fh, 1, 2)) AS BIGINT) AS first_byte
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "m1_multimodal_meta" -> m1Oracle,
+    "m2_frame_sample" -> m2Oracle)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)))
+    "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
+    "m2_frame_sample" -> (m2FrameSample _))
 }

@@ -27,6 +27,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.height >= 64 && f.height < 64 + 1056)
   }
 
+  test("m2: stride-2 sampling yields frames 0 and 2 per video doc, and " +
+    "frame 0 starts at the payload's first byte") {
+    val m2 = Multimodal.m2FrameSample(spark, sf).collect()
+    val videoDocs = Multimodal.mediaTable(spark, sf)
+      .filter(col("media_type") === "video").count()
+    assert(m2.length == 2 * videoDocs, s"${m2.length} rows for $videoDocs videos")
+    val byDoc = m2.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("frame_idx")).sorted.sameElements(Array(0L, 2L)))
+      rows.foreach { r =>
+        assert(r.getAs[String]("frame_fp").matches("[0-9a-f]{32}"))
+        assert(r.getAs[Long]("byte_sum") >= 0 && r.getAs[Long]("byte_sum") <= 16 * 255)
+      }
+    }
+    // frame 0 of each doc starts where m1 read the payload's first byte
+    val m1First = Multimodal.m1MultimodalMeta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("first_byte")).toMap
+    m2.filter(_.getAs[Long]("frame_idx") == 0L).foreach(r =>
+      assert(r.getAs[Long]("first_byte") == m1First(r.getAs[Long]("doc_id"))))
+  }
+
   test("vector functions: dot/l2/bucket deterministic and consistent") {
     import spark.implicits._
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
