@@ -74,23 +74,36 @@ object Dedup {
   val TauNum = 4
   val TauDen = 5
 
-  /** doc_id → its distinct shingles in a single global canonical order
-    * (ascending document frequency, then shingle), plus the count. The df
-    * ordering makes prefixes maximally selective.
+  /** doc_id → its distinct shingles — as 60-bit md5 HASHES — in a single
+    * global canonical order (ascending document frequency, then hash),
+    * plus the count. The df ordering makes prefixes maximally selective.
     *
-    * Document frequency comes from a count-over-window on the shingle key,
-    * not a groupBy+self-join: the join form evaluated the exploded shingle
-    * scan TWICE (once per join input) and shuffled it twice on `s`; the
-    * window computes df in one scan and one shuffle, and its spill-aware
-    * buffering handles hot shingles the same way the skew guard below
-    * assumes. Values are identical (count per key either way). */
+    * Two deliberate choices, both mirrored exactly in the oracle CTE:
+    *
+    *  - Shingles are hashed to longs IMMEDIATELY after the explode
+    *    (md5Long60): everything downstream — the df window, the per-doc
+    *    array sort, the checkpoint, the prefix equi-join, and above all
+    *    the confirm-phase `array_intersect` over ~10^5 candidate pairs —
+    *    operates on 8-byte longs instead of ~25-char strings. PPJoin only
+    *    needs SOME global canonical order, and (df, hash) is one. A
+    *    within-doc 60-bit collision (~n²/2^61) would merely leave a
+    *    duplicate in the list; the intersect is distinct-semantics and
+    *    the oracle counts DISTINCT matched hashes, so even then the two
+    *    engines agree bit-for-bit.
+    *  - Document frequency comes from a count-over-window on the hash,
+    *    not a groupBy+self-join: the join form evaluated the exploded
+    *    shingle scan TWICE (once per join input) and shuffled it twice;
+    *    the window computes df in one scan and one shuffle, and its
+    *    spill-aware buffering handles hot shingles the same way the skew
+    *    guard below assumes. */
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .select(col("doc_id"), md5Long60(col("s")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(
-        transform(array_sort(collect_list(struct(col("df"), col("s")))),
-          x => x.getField("s")).as("shingles"),
+        transform(array_sort(collect_list(struct(col("df"), col("h")))),
+          x => x.getField("h")).as("shingles"),
         count(lit(1)).as("n"))
 
   /** Exact prefix-filtered Jaccard (PPJoin-style): a pair with
@@ -181,14 +194,15 @@ object Dedup {
     // (explode of the already-distinct shingles — not a second
     // tokenize+shingle scan of the corpus) and jaccardPairs' confirm joins
     val arrays = shingleArrays(spark, dir).localCheckpoint(true)
-    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("h"))
     // all k minhashes in ONE pass: base digests materialized per shingle
     // row, k chunk-min() aggregates per doc — no seed explosion, partial
     // (map-side) mins, a single shuffle on doc_id. minhash_i = min over
-    // shingles of chunk i%5 of md5((i/5) ':' shingle).
+    // shingles of chunk i%5 of md5((i/5) ':' shingle-hash) — the 60-bit
+    // shingle hash rendered as decimal digits, identically in both engines.
     val nDigests = (MinhashSeeds + MinhashChunksPerDigest - 1) / MinhashChunksPerDigest
     val withM = (0 until nDigests).foldLeft(sh)((df, k) =>
-      df.withColumn(s"m$k", md5(concat(lit(k.toString), lit(":"), col("s")))))
+      df.withColumn(s"m$k", md5(concat(lit(k.toString), lit(":"), col("h").cast("string")))))
     val mins = (0 until MinhashSeeds).map(i =>
       min(substring(col(s"m${i / MinhashChunksPerDigest}"),
         1 + MinhashChunkHex * (i % MinhashChunksPerDigest), MinhashChunkHex)).as(s"h$i"))
@@ -414,19 +428,26 @@ object Dedup {
     """CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
       | ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END""".stripMargin
 
+  /** docsh carries the 60-bit md5 hash of each distinct shingle — the
+    * exact value Spark's md5Long60 computes — so every downstream compare
+    * (prefix join, intersect count, minhash input) matches the hashed
+    * Spark pipeline. */
   private val shinglesCte =
     s"""docsh AS (
-       | SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-       |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS s
-       | FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       | SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS s
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
        |shn AS (SELECT doc_id, count(*) AS n FROM docsh GROUP BY doc_id)""".stripMargin
 
+  // count(DISTINCT a.h) == size(array_intersect(...)) in all cases,
+  // including a within-doc hash collision (both are distinct-semantics)
   private def jaccardSelectSql(candJoin: String): String =
     s"""SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2, p.c AS n_common,
        | CAST(floor(p.c * 1000000.0 / (n1.n + n2.n - p.c)) AS BIGINT) AS jaccard_e6
-       |FROM (SELECT a.doc_id d1, b.doc_id d2, count(*) c
-       |      FROM docsh a JOIN docsh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |FROM (SELECT a.doc_id d1, b.doc_id d2, count(DISTINCT a.h) c
+       |      FROM docsh a JOIN docsh b ON a.h = b.h AND a.doc_id < b.doc_id
        |      $candJoin
        |      GROUP BY 1, 2) p
        | JOIN shn n1 ON p.d1 = n1.doc_id JOIN shn n2 ON p.d2 = n2.doc_id
@@ -448,11 +469,11 @@ object Dedup {
       s"""WITH $shinglesCte,
          |mh AS (
          | SELECT doc_id, r.seed,
-         |  min(substr(md5(CAST(r.seed // $MinhashChunksPerDigest AS VARCHAR) || ':' || s),
-         |      1 + $MinhashChunkHex * (r.seed % $MinhashChunksPerDigest), $MinhashChunkHex)) AS h
+         |  min(substr(md5(CAST(r.seed // $MinhashChunksPerDigest AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
+         |      1 + $MinhashChunkHex * (r.seed % $MinhashChunksPerDigest), $MinhashChunkHex)) AS mh
          | FROM docsh, range($MinhashSeeds) r(seed) GROUP BY doc_id, r.seed),
          |sig AS (
-         | SELECT doc_id, seed // $BandsOf AS band, md5(string_agg(h, '|' ORDER BY seed)) AS bsig
+         | SELECT doc_id, seed // $BandsOf AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bsig
          | FROM mh GROUP BY doc_id, seed // $BandsOf),
          |cand AS (
          | SELECT DISTINCT a.doc_id AS cd1, b.doc_id AS cd2
