@@ -124,16 +124,58 @@ object Analytics {
       .orderBy(col("p_brand"), col("rn"))
   }
 
-  /** Exact interpolated percentiles per group. */
-  def q10Percentiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        count(lit(1)).as("n"))
+  /** Exact interpolated percentiles of `valueCol` per `grp`, computed the
+    * SCALABLE way: rank within a sorted window and interpolate between the
+    * two rows straddling `p * (n-1)` — the built-in `percentile()`
+    * aggregate keeps a value→count map per group in its buffer (unbounded
+    * state that also serializes whole on every partial merge), which dies
+    * at data scale; a sort+rank is a shuffle Spark already knows how to
+    * spill. The interpolation reproduces the builtin's exact IEEE sequence
+    * — `(higher - pos) * lowerValue + (pos - lower) * higherValue` with
+    * `pos = p * (n-1)`, returning the row value directly when pos is
+    * integral — so results are bit-identical to the previous
+    * `percentile()` formulation and the DuckDB `quantile_cont` oracle.
+    * Output: one row per group with `n` and a double column per requested
+    * (p, alias). */
+  private[operators] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
+                                          ps: Seq[(Double, String)]): DataFrame = {
+    val ranked = df.select(col(grp), col(valueCol).as("_v"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(grp)).orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(grp))))
+    def pos(p: Double): Column = lit(p) * (col("_n") - lit(1L))
+    val pick = ps.flatMap { case (p, alias) =>
+      Seq(
+        min(when(col("_rn") === floor(pos(p)) + 1, col("_v"))).as(s"_lo_$alias"),
+        min(when(col("_rn") === ceil(pos(p)) + 1, col("_v"))).as(s"_hi_$alias"))
+    } :+ max(col("_n")).as("n")
+    val out = ps.map { case (p, alias) =>
+      val posC = lit(p) * (col("n") - lit(1L))
+      when(floor(posC) === ceil(posC), col(s"_lo_$alias"))
+        .otherwise((ceil(posC) - posC) * col(s"_lo_$alias")
+          + (posC - floor(posC)) * col(s"_hi_$alias")).as(alias)
+    }
+    ranked.groupBy(col(grp)).agg(pick.head, pick.tail: _*)
+      .select(col(grp) +: col("n") +: out: _*)
+  }
+
+  /** Exact interpolated percentiles per group (sort-based — see
+    * [[exactPercentiles]] for why not the `percentile()` aggregate). */
+  def q10Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val price = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_price_raw", 0.95 -> "p95_price_raw"))
+    val qty = exactPercentiles(li, "l_returnflag", "l_quantity",
+      Seq(0.5 -> "p50_qty_raw")).drop("n")
+    price.join(qty, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        round(col("p50_price_raw"), 4).as("p50_price"),
+        round(col("p95_price_raw"), 4).as("p95_price"),
+        round(col("p50_qty_raw"), 4).as("p50_qty"),
+        col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Customers with / without orders per nation (semi/anti semantics via
     * one left join against the distinct key set — a single shuffle). */

@@ -140,13 +140,15 @@ object AnalyticsExt {
     * the whole point is NOT paying for countDistinct/percentile state);
     * this one exists so the sketches are verified, not just trusted.
     *
-    * The exact distinct count is a separate pre-aggregated branch joined
-    * back on the (3-row) group keys, NOT a `countDistinct` in the same
-    * agg: mixing a distinct aggregate with `approx_percentile` forces the
-    * whole aggregate onto the sort-based path where the quantile sketch's
-    * state is (de)serialized per input row — measured 16x slower. Split,
-    * both halves stay hash-aggregated, and distinct-via-groupBy is the
-    * shape that scales anyway. */
+    * The exact sides are separate branches joined back on the (3-row)
+    * group keys, NOT aggregates in the sketch agg: mixing a distinct
+    * aggregate with `approx_percentile` forces the whole aggregate onto
+    * the sort-based path where the quantile sketch's state is
+    * (de)serialized per input row — measured 16x slower — and the exact
+    * percentiles use [[Analytics.exactPercentiles]]'s sort+rank plan
+    * (bounded state) rather than `percentile()`'s per-group value map.
+    * Distinct-via-groupBy and sort-based percentiles are also the shapes
+    * that scale. */
   def q18ApproxStatsChecked(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val sketches = li
@@ -155,13 +157,14 @@ object AnalyticsExt {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
-        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
-        expr("percentile(l_extendedprice, 0.95)").as("ep95"),
         count(lit(1)).as("n"))
+    val exactPct = Analytics.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "ep50", 0.95 -> "ep95")).drop("n")
     val exactDistinct = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("exact_orders"))
-    sketches.join(broadcast(exactDistinct), Seq("l_returnflag"))
+    sketches.join(broadcast(exactPct), Seq("l_returnflag"))
+      .join(broadcast(exactDistinct), Seq("l_returnflag"))
       .select(
         col("l_returnflag"),
         col("exact_orders"),
