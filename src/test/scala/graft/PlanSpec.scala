@@ -105,6 +105,13 @@ class PlanSpec extends AnyFunSuite {
       s"${r.getDouble(0)} != ${r.getDouble(1)} (not bit-identical)"))
   }
 
+  test("q10: exact percentiles run sort-based (window rank), not the " +
+    "map-state percentile() aggregate") {
+    val p = plan(Analytics.q10Percentiles(spark, sf))
+    assert(p.contains("Window"), s"no window rank in:\n$p")
+    assert(!p.contains("percentile("), s"map-state percentile aggregate in:\n$p")
+  }
+
   test("fused hyperplaneBucket is bit-identical to the declarative HOF form") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
