@@ -137,8 +137,8 @@ object Analytics {
     * `percentile()` formulation and the DuckDB `quantile_cont` oracle.
     * Output: one row per group with `n` and a double column per requested
     * (p, alias). */
-  private[operators] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
-                                          ps: Seq[(Double, String)]): DataFrame = {
+  private[graft] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
+                                      ps: Seq[(Double, String)]): DataFrame = {
     val ranked = df.select(col(grp), col(valueCol).as("_v"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(grp)).orderBy(col("_v"))))

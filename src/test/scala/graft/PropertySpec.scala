@@ -49,6 +49,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("exactPercentiles is bit-identical to the builtin percentile() " +
+    "on random groups") {
+    // not a pure-core property: drives real plans on generated data to
+    // pin the IEEE interpolation sequence to the builtin's
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { i =>
+      (s"g${i % 7}", math.floor(rnd.nextDouble() * 100000) / 100.0)
+    } ++ Seq(("g_single", 42.17)) // 1-row group: pos integral, no interpolation
+    val df = rows.toDF("g", "v")
+    val mine = graft.operators.Analytics
+      .exactPercentiles(df, "g", "v", Seq(0.5 -> "p50", 0.95 -> "p95", 0.25 -> "p25"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val builtin = df.groupBy(col("g")).agg(
+      expr("percentile(v, 0.5)").as("p50"),
+      expr("percentile(v, 0.95)").as("p95"),
+      expr("percentile(v, 0.25)").as("p25"),
+      count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(mine.keySet == builtin.keySet)
+    builtin.foreach { case (g, b) =>
+      val m = mine(g)
+      for (c <- Seq("p50", "p95", "p25"))
+        assert(m.getAs[Double](c) == b.getAs[Double](c),
+          s"$g.$c: ${m.getAs[Double](c)} != ${b.getAs[Double](c)} (not bit-identical)")
+      assert(m.getAs[Long]("n") == b.getAs[Long]("n"))
+    }
+  }
+
   test("hash-split buckets partition the id space deterministically") {
     check(Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id: Long =>
       def split(x: Long): String = {
