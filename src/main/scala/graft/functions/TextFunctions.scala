@@ -51,6 +51,16 @@ object TextFunctions {
     * see [[shingles3FromToks]] for the hot-path form. */
   def shingles3(text: Column): Column = shingles3FromToks(wsTokens(text))
 
+  /** Distinct 3-shingles hashed to 60-bit md5 longs in one fused pass —
+    * bit-identical to `md5Long60` over each element of
+    * [[shingles3FromToks]] (string-level dedupe, same digest bytes); see
+    * [[HashedShingles3Expr]]. The form the Jaccard dedup family scans
+    * with. */
+  def hashedShingles3FromToks(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HashedShingles3Expr(ColumnBridge.expression(toks)))
+  }
+
   /** First 15 hex chars of md5 as a non-negative 60-bit long — the largest
     * md5 prefix that fits a signed 64-bit int in every engine
     * (DuckDB: CAST('0x' || substr(md5(x),1,15) AS BIGINT)). */

@@ -61,12 +61,14 @@ object Dedup {
 
   // ---------------------------------------------------------------- d2
 
-  /** doc_id → exploded distinct 3-shingles. Tokens are materialized into a
-    * column before the shingle transform so the split runs once per doc. */
+  /** doc_id → exploded distinct 3-shingles as 60-bit md5 longs (fused
+    * [[graft.functions.HashedShingles3Expr]] — tokenize, shingle, dedupe
+    * and hash in one pass, no intermediate string array). Tokens are
+    * materialized into a column first so the split runs once per doc. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles3FromToks(col("toks"))).as("s"))
+      .select(col("doc_id"), explode(hashedShingles3FromToks(col("toks"))).as("h"))
 
   /** JaccardTau as an exact rational (4/5) so prefix lengths are computed
     * in integer arithmetic — floating 0.8*n rounds the wrong way for some
@@ -80,8 +82,8 @@ object Dedup {
     *
     * Two deliberate choices, both mirrored exactly in the oracle CTE:
     *
-    *  - Shingles are hashed to longs IMMEDIATELY after the explode
-    *    (md5Long60): everything downstream — the df window, the per-doc
+    *  - Shingles are hashed to longs AT the scan (fused
+    *    HashedShingles3Expr): everything downstream — the df window, the per-doc
     *    array sort, the checkpoint, the prefix equi-join, and above all
     *    the confirm-phase `array_intersect` over ~10^5 candidate pairs —
     *    operates on 8-byte longs instead of ~25-char strings. PPJoin only
@@ -98,7 +100,6 @@ object Dedup {
     *    guard below assumes. */
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir)
-      .select(col("doc_id"), md5Long60(col("s")).as("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(

@@ -112,6 +112,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("percentile("), s"map-state percentile aggregate in:\n$p")
   }
 
+  test("fused hashedShingles3 is bit-identical to array_distinct + md5Long60") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+    val rows = toks.select(
+      col("doc_id"),
+      TextFunctions.hashedShingles3FromToks(col("toks")).as("fused"),
+      transform(TextFunctions.shingles3FromToks(col("toks")),
+        s => TextFunctions.md5Long60(s)).as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: fused shingle hashes differ (order or content)")
+    }
+  }
+
   test("fused hyperplaneBucket is bit-identical to the declarative HOF form") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
