@@ -163,20 +163,27 @@ object TextAnalysis {
     * train x test split pair, so no cross join ever forms — the same shape
     * at 100 TB with 13-gram shingles. */
   def t6Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // hashed shingles (fused scan) as the join key — 8-byte longs through
+    // the shuffle instead of ~25-char strings — and checkpointed, since
+    // both join sides derive from the same scan (otherwise the
+    // tokenize+shingle pass runs once per side). The oracle hashes its
+    // shingles identically, so distinct counts agree bit-for-bit.
     val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
         wsTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("split"),
-        explode(shingles3FromToks(col("toks"))).as("s"))
+        explode(hashedShingles3FromToks(col("toks"))).as("h"))
+      .filter(col("split").isin("train", "test"))
+      .localCheckpoint(true)
     val train = sh.filter(col("split") === "train")
-      .select(col("doc_id").as("train_doc_id"), col("s"))
+      .select(col("doc_id").as("train_doc_id"), col("h"))
     val test = sh.filter(col("split") === "test")
-      .select(col("doc_id").as("test_doc_id"), col("s"))
-    test.join(train, Seq("s"))
+      .select(col("doc_id").as("test_doc_id"), col("h"))
+    test.join(train, Seq("h"))
       .groupBy(col("test_doc_id"))
       .agg(
         countDistinct(col("train_doc_id")).as("n_train_docs"),
-        countDistinct(col("s")).as("n_shared_shingles"))
+        countDistinct(col("h")).as("n_shared_shingles"))
       .orderBy(col("test_doc_id"))
   }
 
@@ -205,23 +212,25 @@ object TextAnalysis {
   private def stopCountSql(words: Seq[String]): String =
     s"len(list_filter($tokSql, t -> list_contains(${sqlList(words)}, t)))"
 
+  // shingles hashed to the same 60-bit md5 longs the Spark plan joins on
   private val t6OracleSql: String =
     """WITH sh AS (
-      | SELECT doc_id,
-      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
-      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
-      |       ELSE 'test' END AS split,
-      |  unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-      |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-      |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS s
-      | FROM (SELECT doc_id,
-      |   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
-      |    ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
-      |  FROM documents))
+      | SELECT doc_id, split, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM (
+      |  SELECT doc_id,
+      |   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+      |        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+      |        ELSE 'test' END AS split,
+      |   unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+      |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS s
+      |  FROM (SELECT doc_id,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+      |     ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+      |   FROM documents)))
       |SELECT t.doc_id AS test_doc_id,
       | count(DISTINCT r.doc_id) AS n_train_docs,
-      | count(DISTINCT t.s) AS n_shared_shingles
-      |FROM sh t JOIN sh r ON t.s = r.s AND t.split = 'test' AND r.split = 'train'
+      | count(DISTINCT t.h) AS n_shared_shingles
+      |FROM sh t JOIN sh r ON t.h = r.h AND t.split = 'test' AND r.split = 'train'
       |GROUP BY t.doc_id ORDER BY test_doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
