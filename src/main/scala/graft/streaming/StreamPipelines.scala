@@ -34,10 +34,15 @@ object StreamPipelines {
 
   /** File-source ingest: continuously pick up parquet drops in `dir`
     * (the streaming sensor+ingest). Schema must be declared up front —
-    * streaming reads never infer. */
+    * streaming reads never infer — and only `*.parquet` paths are picked
+    * up: landing zones accumulate manifests, _SUCCESS markers and
+    * half-written temp files, and ONE unreadable file would otherwise
+    * kill the continuous query (the streaming analog of the batch side's
+    * quarantine ingest). */
   def fileEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("pathGlobFilter", "*.parquet")
       .parquet(dir)
 
   /** Windowed per-type aggregate with a watermark: late events beyond

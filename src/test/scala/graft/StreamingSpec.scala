@@ -39,6 +39,14 @@ class StreamingSpec extends AnyFunSuite {
       drop("drop2.parquet", Seq((3L, ts(30), 8L, "click", 3.0)))
       q.processAllAvailable()
       assert(spark.table(out).count() == 3)
+      // landing-zone noise (manifests, markers, temp files) must be
+      // ignored, not kill the continuous query
+      Files.writeString(dir.resolve("_SUCCESS"), "")
+      Files.writeString(dir.resolve("manifest.json"), "{}")
+      drop("drop3.parquet", Seq((4L, ts(40), 9L, "view", 4.0)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died on landing noise: ${q.exception}")
+      assert(spark.table(out).count() == 4)
     } finally q.stop()
   }
 
