@@ -52,7 +52,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+      // comma-decimal locale would emit malformed JSON
+      "\"" + k + "\":" + v.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$Reps,"sf":"$sfDir"}""")

@@ -115,6 +115,8 @@ object PipelineMain {
   def main(args: Array[String]): Unit = {
     // --stage <group> may appear anywhere; remaining args stay positional
     val stageIdx = args.indexOf("--stage")
+    require(stageIdx < 0 || stageIdx + 1 < args.length,
+      s"--stage requires a group name (${StageGroups.mkString("|")})")
     val group = if (stageIdx >= 0) Some(args(stageIdx + 1)) else None
     val pos = if (stageIdx >= 0) args.patch(stageIdx, Nil, 2) else args
 

@@ -22,6 +22,22 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // getFloat on any other element type silently reads garbage slots —
+  // reject at analysis time (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the check is implemented directly)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    Seq(left.dataType, right.dataType).find {
+      case ArrayType(FloatType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> inputs, got ${bad.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   // mismatched lengths yield null (see below), independent of child nullability
   override def nullable: Boolean = true
 

@@ -1,9 +1,21 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+private[functions] object VectorTypeCheck {
+  /** Both expressions read elements with getFloat — any other element
+    * type would silently read garbage 4-byte slots from UnsafeArrayData,
+    * so reject it at analysis time. */
+  def requireFloatArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float>, got ${other.catalogString}")
+  }
+}
 
 /** Fused "vector vs. literal matrix" expressions for the full-corpus scans
   * (LSH bucketing, IVF cell assignment) where the per-row work used to be N
@@ -30,6 +42,9 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.requireFloatArray(prettyName, child.dataType)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -92,6 +107,9 @@ case class CosineMatrixExpr(child: Expression, matrix: Array[Array[Double]])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cosine_matrix"
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.requireFloatArray(prettyName, child.dataType)
 
   /** sqrt(sum of squares) per centroid, same IEEE fold order as l2(). */
   private lazy val norms: Array[Double] = matrix.map { c =>

@@ -124,34 +124,55 @@ object Analytics {
       .orderBy(col("p_brand"), col("rn"))
   }
 
-  /** Exact interpolated percentiles of `valueCol` per `grp`, computed the
-    * SCALABLE way: rank within a sorted window and interpolate between the
-    * two rows straddling `p * (n-1)` — the built-in `percentile()`
-    * aggregate keeps a value→count map per group in its buffer (unbounded
-    * state that also serializes whole on every partial merge), which dies
-    * at data scale; a sort+rank is a shuffle Spark already knows how to
-    * spill. The interpolation reproduces the builtin's exact IEEE sequence
-    * — `(higher - pos) * lowerValue + (pos - lower) * higherValue` with
-    * `pos = p * (n-1)`, returning the row value directly when pos is
-    * integral — so results are bit-identical to the previous
-    * `percentile()` formulation and the DuckDB `quantile_cont` oracle.
-    * Output: one row per group with `n` and a double column per requested
-    * (p, alias). */
-  private[graft] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
-                                      ps: Seq[(Double, String)]): DataFrame = {
-    val ranked = df.select(col(grp), col(valueCol).as("_v"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(grp)).orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(grp))))
-    def pos(p: Double): Column = lit(p) * (col("_n") - lit(1L))
-    val pick = ps.flatMap { case (p, alias) =>
+  /** Exact interpolated percentiles per `grp`, computed the SCALABLE way:
+    * rank within a sorted window and interpolate between the two rows
+    * straddling `p * (n-1)` — the built-in `percentile()` aggregate keeps
+    * a value→count map per group in its buffer (unbounded state that also
+    * serializes whole on every partial merge), which dies at data scale; a
+    * sort+rank is a shuffle Spark already knows how to spill.
+    *
+    * `specs` are (valueColumn, p, alias) — any number of columns and
+    * percentiles in ONE scan and one groupBy (a rank window per distinct
+    * value column). Null values sort first under the rank window and are
+    * excluded from the percentile domain by offsetting ranks with the
+    * per-group null count — the builtin ignores nulls, and this does too
+    * (an all-null group yields null, like the builtin). The interpolation
+    * reproduces the builtin's exact IEEE sequence —
+    * `(higher - pos) * lowerValue + (pos - lower) * higherValue` with
+    * `pos = p * (nonNullCount - 1)`, returning the row value directly
+    * when pos is integral — so results are bit-identical to a
+    * `percentile()` formulation and the DuckDB `quantile_cont` oracle
+    * (asserted bitwise, nulls included, in `PropertySpec`).
+    * Output: one row per group with `n` (ALL group rows, the oracle's
+    * `count(*)`) and a double column per spec. */
+  private[graft] def exactPercentiles(df: DataFrame, grp: String,
+                                      specs: Seq[(String, Double, String)]): DataFrame = {
+    val valueCols = specs.map(_._1).distinct
+    val wAll = Window.partitionBy(col(grp))
+    // rank DESCENDING with nulls last: the ascending non-null position k
+    // is then desc-rank nEff - k + 1 and null rows sit beyond nEff where
+    // no pick target reaches — null handling costs NO extra window. The
+    // `count(v)` windows ignore nulls and share one unsorted WindowExec,
+    // so the total is one sorted window per distinct value column — the
+    // minimum a rank-based percentile can do.
+    val ranked = valueCols.foldLeft(
+      df.select(col(grp) +: valueCols.map(col): _*)) { (d, v) =>
+      d.withColumn(s"_rnd_$v", row_number().over(wAll.orderBy(col(v).desc_nulls_last)))
+        .withColumn(s"_ne_$v", count(col(v)).over(wAll))
+    }
+    val pick = specs.flatMap { case (v, p, alias) =>
+      val nEff = col(s"_ne_$v")
+      val pos = lit(p) * (nEff - lit(1L))
       Seq(
-        min(when(col("_rn") === floor(pos(p)) + 1, col("_v"))).as(s"_lo_$alias"),
-        min(when(col("_rn") === ceil(pos(p)) + 1, col("_v"))).as(s"_hi_$alias"))
-    } :+ max(col("_n")).as("n")
-    val out = ps.map { case (p, alias) =>
-      val posC = lit(p) * (col("n") - lit(1L))
-      when(floor(posC) === ceil(posC), col(s"_lo_$alias"))
+        // ascending lower index floor(pos) (0-based) = desc rank nEff - floor(pos)
+        min(when(col(s"_rnd_$v") === nEff - floor(pos), col(v))).as(s"_lo_$alias"),
+        min(when(col(s"_rnd_$v") === nEff - ceil(pos), col(v))).as(s"_hi_$alias"))
+    } ++ valueCols.map(v => max(col(s"_ne_$v")).as(s"_ne_$v")) :+ count(lit(1)).as("n")
+    val out = specs.map { case (v, p, alias) =>
+      val nEff = col(s"_ne_$v")
+      val posC = lit(p) * (nEff - lit(1L))
+      when(nEff === 0, lit(null).cast("double"))
+        .when(floor(posC) === ceil(posC), col(s"_lo_$alias"))
         .otherwise((ceil(posC) - posC) * col(s"_lo_$alias")
           + (posC - floor(posC)) * col(s"_hi_$alias")).as(alias)
     }
@@ -161,13 +182,11 @@ object Analytics {
 
   /** Exact interpolated percentiles per group (sort-based — see
     * [[exactPercentiles]] for why not the `percentile()` aggregate). */
-  def q10Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-    val price = exactPercentiles(li, "l_returnflag", "l_extendedprice",
-      Seq(0.5 -> "p50_price_raw", 0.95 -> "p95_price_raw"))
-    val qty = exactPercentiles(li, "l_returnflag", "l_quantity",
-      Seq(0.5 -> "p50_qty_raw")).drop("n")
-    price.join(qty, Seq("l_returnflag"))
+  def q10Percentiles(spark: SparkSession, dir: String): DataFrame =
+    exactPercentiles(t(spark, dir, "lineitem"), "l_returnflag", Seq(
+      ("l_extendedprice", 0.5, "p50_price_raw"),
+      ("l_extendedprice", 0.95, "p95_price_raw"),
+      ("l_quantity", 0.5, "p50_qty_raw")))
       .select(
         col("l_returnflag"),
         round(col("p50_price_raw"), 4).as("p50_price"),
@@ -175,7 +194,6 @@ object Analytics {
         round(col("p50_qty_raw"), 4).as("p50_qty"),
         col("n"))
       .orderBy(col("l_returnflag"))
-  }
 
   /** Customers with / without orders per nation (semi/anti semantics via
     * one left join against the distinct key set — a single shuffle). */

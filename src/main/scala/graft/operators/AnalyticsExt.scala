@@ -158,8 +158,8 @@ object AnalyticsExt {
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
         count(lit(1)).as("n"))
-    val exactPct = Analytics.exactPercentiles(li, "l_returnflag", "l_extendedprice",
-      Seq(0.5 -> "ep50", 0.95 -> "ep95")).drop("n")
+    val exactPct = Analytics.exactPercentiles(li, "l_returnflag", Seq(
+      ("l_extendedprice", 0.5, "ep50"), ("l_extendedprice", 0.95, "ep95"))).drop("n")
     val exactDistinct = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("exact_orders"))

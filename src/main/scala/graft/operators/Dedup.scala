@@ -92,20 +92,25 @@ object Dedup {
     *    duplicate in the list; the intersect is distinct-semantics and
     *    the oracle counts DISTINCT matched hashes, so even then the two
     *    engines agree bit-for-bit.
-    *  - Document frequency comes from a count-over-window on the hash,
-    *    not a groupBy+self-join: the join form evaluated the exploded
-    *    shingle scan TWICE (once per join input) and shuffled it twice;
-    *    the window computes df in one scan and one shuffle, and its
-    *    spill-aware buffering handles hot shingles the same way the skew
-    *    guard below assumes. */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
-    shingleRows(spark, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+    *  - Document frequency is a PARTIAL-AGGREGATED groupBy joined back to
+    *    the (checkpointed, so computed-once) shingle rows — deliberately
+    *    NOT a count-over-window on the hash: a window buffers each hash's
+    *    whole partition, so one boilerplate trigram present in most
+    *    documents becomes a single straggler task buffering ~n_docs rows
+    *    — exactly the hot-key skew the prefix-join guard below exists to
+    *    prevent. The groupBy ships one row per mapper per hot hash, the
+    *    join streams (broadcast while dfreq fits, AQE-skew-split
+    *    sort-merge beyond), and the checkpoint keeps it one scan. */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir).localCheckpoint(true)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("df"), col("h")))),
           x => x.getField("h")).as("shingles"),
         count(lit(1)).as("n"))
+  }
 
   /** Exact prefix-filtered Jaccard (PPJoin-style): a pair with
     * jac >= tau shares >= ceil(tau*n) shingles, so each side must expose

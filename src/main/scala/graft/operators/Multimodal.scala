@@ -103,6 +103,10 @@ object Multimodal {
     val nFrames = (length(col("content")) / lit(FrameBytes)).cast("int")
     val frames = mediaTable(spark, dir)
       .filter(col("media_type") === "video")
+      // a payload shorter than one frame yields zero rows, not a crash:
+      // sequence(0, -1, 2) throws on start > stop, and real deployments
+      // see truncated blobs
+      .filter(length(col("content")) >= FrameBytes)
       .select(col("doc_id"), col("content"),
         explode(sequence(lit(0), nFrames - 1, lit(FrameStride))).as("frame_idx"))
       .withColumn("frame_hex", lower(hex(expr(
@@ -137,16 +141,25 @@ object Multimodal {
 
   /** m2 oracle works in the hex domain throughout (the payload IS
     * repeat(md5(text), 4) rendered as hex): frame f = 32 hex chars at
-    * offset 32f. DuckDB range() has an exclusive stop, so range(0, 4, 2)
-    * ≡ Spark sequence(0, 3, 2) = [0, 2]. */
+    * offset 32f. The frame count is DERIVED from the payload length
+    * (len(hex) / 2 bytes / FrameBytes), exactly like the Spark side's
+    * `length(content) / FrameBytes` — the two can't drift if the frame
+    * geometry changes. DuckDB range() has an exclusive stop, so
+    * range(0, nFrames, stride) ≡ Spark sequence(0, nFrames-1, stride),
+    * and an empty range drops the row like the Spark side's short-payload
+    * filter. */
   private val m2Oracle: String =
     s"""WITH v AS (
        | SELECT doc_id, repeat(md5(text), 4) AS hex FROM documents
        | WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+       |fi AS (
+       | SELECT doc_id, hex,
+       |  unnest(range(0, len(hex) // ${2 * FrameBytes}, $FrameStride)) AS frame_idx
+       | FROM v),
        |f AS (
-       | SELECT doc_id, r.fi AS frame_idx,
-       |  substr(hex, 1 + CAST(r.fi AS INTEGER) * ${2 * FrameBytes}, ${2 * FrameBytes}) AS fh
-       | FROM v, range(0, 4, $FrameStride) r(fi))
+       | SELECT doc_id, frame_idx,
+       |  substr(hex, 1 + CAST(frame_idx AS INTEGER) * ${2 * FrameBytes}, ${2 * FrameBytes}) AS fh
+       | FROM fi)
        |SELECT doc_id, frame_idx, md5(fh) AS frame_fp,
        | CAST(list_sum(list_transform(range(0, $FrameBytes),
        |   i -> CAST(('0x' || substr(fh, 1 + 2 * CAST(i AS INTEGER), 2)) AS BIGINT))) AS BIGINT) AS byte_sum,

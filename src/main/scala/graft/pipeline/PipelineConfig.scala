@@ -129,7 +129,10 @@ object PipelineConfig {
       entities = entities,
       retries = opt("pipeline.retries").map(_.toInt).getOrElse(0),
       retryDelayMs = opt("pipeline.retryDelayMs").map(_.toLong).getOrElse(0L),
-      stageTimeoutMs = opt("pipeline.stageTimeoutMs").map(_.toLong).getOrElse(0L),
+      // missing key => the reference's 2h execution_timeout default, NOT
+      // "no timeout": config files written before this key existed must
+      // still get hang protection (set 0 explicitly to disable)
+      stageTimeoutMs = opt("pipeline.stageTimeoutMs").map(_.toLong).getOrElse(7200000L),
       notifyEmail = opt("notifications.email"))
   }
 }

@@ -37,22 +37,41 @@ object Runner {
   /** No-op failure hook (the default). */
   val noFailureHook: (String, Throwable) => Unit = (_, _) => ()
 
-  /** One attempt of the stage body, honoring `timeoutMs`. The body runs on
-    * a daemon thread that is interrupted AND abandoned on timeout — join
-    * semantics, not cancellation: a truly wedged body (ignoring interrupts)
-    * can't block the DAG, which is the point of an execution timeout. */
+  /** Thrown when a timed-out stage body refuses to die: retrying would
+    * run two attempts CONCURRENTLY against the same outputs, so this
+    * failure is never retried. */
+  final class StageWedgedException(msg: String) extends RuntimeException(msg)
+
+  /** One attempt of the stage body, honoring `timeoutMs`. On timeout the
+    * body's daemon thread is interrupted and then given a bounded grace
+    * period to actually terminate — a retry MUST NOT start while the old
+    * attempt is still running (two writers racing on the same output
+    * paths), so a body that survives interrupt (rare: most Spark actions
+    * abort on it) surfaces as the non-retryable [[StageWedgedException]]
+    * rather than a concurrent duplicate execution. The body catches ALL
+    * Throwables itself: `Try`'s NonFatal filter would let the
+    * InterruptedException of a cancelled attempt escape as stderr noise
+    * on the daemon thread. */
   private def runBounded(s: Stage): Try[Unit] =
     if (s.timeoutMs <= 0) Try(s.run())
     else {
       val result = new java.util.concurrent.atomic.AtomicReference[Try[Unit]]()
-      val t = new Thread(() => result.set(Try(s.run())), s"stage-${s.name}")
+      val t = new Thread(() => {
+        result.set(try { s.run(); scala.util.Success(()) }
+                   catch { case e: Throwable => scala.util.Failure(e) })
+      }, s"stage-${s.name}")
       t.setDaemon(true)
       t.start()
       t.join(s.timeoutMs)
       if (result.get() == null) {
         t.interrupt()
-        scala.util.Failure(new java.util.concurrent.TimeoutException(
-          s"stage ${s.name} exceeded ${s.timeoutMs}ms"))
+        t.join(math.max(1000L, s.timeoutMs)) // grace: let the interrupt land
+        if (t.isAlive)
+          scala.util.Failure(new StageWedgedException(
+            s"stage ${s.name} exceeded ${s.timeoutMs}ms and ignored interrupt; not retrying"))
+        else
+          scala.util.Failure(new java.util.concurrent.TimeoutException(
+            s"stage ${s.name} exceeded ${s.timeoutMs}ms"))
       } else result.get()
     }
 
@@ -66,7 +85,9 @@ object Runner {
         case scala.util.Success(_) => return Succeeded
         case scala.util.Failure(e) =>
           tries += 1
-          if (tries > s.retries) {
+          // a wedged body is still RUNNING — a retry would execute
+          // concurrently with it, so the retry budget does not apply
+          if (tries > s.retries || e.isInstanceOf[StageWedgedException]) {
             Try(onFailure(s.name, e)) // a broken hook must not mask the failure
             return Failed(e)
           }

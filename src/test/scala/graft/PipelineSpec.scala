@@ -294,6 +294,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(attempts.get() == 2)
   }
 
+  test("runner: a body that ignores interrupts fails WITHOUT retrying — " +
+    "a retry would run concurrently with the still-live attempt") {
+    import Runner._
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val res = Runner.run(Seq(
+      Stage("wedged", retries = 3, timeoutMs = 200)(() => {
+        attempts.incrementAndGet()
+        val until = System.nanoTime() + 5000000000L // outlive timeout + grace
+        while (System.nanoTime() < until)
+          try Thread.sleep(100) catch { case _: InterruptedException => () }
+      })))
+    res.head.status match {
+      case Failed(e) => assert(e.isInstanceOf[Runner.StageWedgedException],
+        s"expected StageWedgedException, got $e")
+      case other => fail(s"wedged stage: $other")
+    }
+    assert(attempts.get() == 1, s"retried a live attempt ${attempts.get() - 1} times")
+  }
+
   test("single-stage groups: curation runs in isolation against a " +
     "pre-populated workDir; staging drops its cross-group deps") {
     val work = Files.createTempDirectory("graft_stage").toString

@@ -57,25 +57,42 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
-    val rows = (1 to 2000).map { i =>
-      (s"g${i % 7}", math.floor(rnd.nextDouble() * 100000) / 100.0)
-    } ++ Seq(("g_single", 42.17)) // 1-row group: pos integral, no interpolation
-    val df = rows.toDF("g", "v")
+    // ~5% nulls in v (the builtin ignores them), a second value column
+    // with a different null pattern, a 1-row group (integral pos, no
+    // interpolation) and an all-null group (builtin yields null)
+    val rows: Seq[(String, java.lang.Double, java.lang.Double)] =
+      (1 to 2000).map { i =>
+        val v: java.lang.Double =
+          if (rnd.nextInt(20) == 0) null
+          else Double.box(math.floor(rnd.nextDouble() * 100000) / 100.0)
+        val w: java.lang.Double =
+          if (rnd.nextInt(10) == 0) null else Double.box(rnd.nextDouble() * 10)
+        (s"g${i % 7}", v, w)
+      } ++ Seq(("g_single", Double.box(42.17), Double.box(1.0)),
+        ("g_allnull", null, null))
+    val df = rows.toDF("g", "v", "w")
     val mine = graft.operators.Analytics
-      .exactPercentiles(df, "g", "v", Seq(0.5 -> "p50", 0.95 -> "p95", 0.25 -> "p25"))
+      .exactPercentiles(df, "g", Seq(
+        ("v", 0.5, "p50"), ("v", 0.95, "p95"), ("v", 0.25, "p25"),
+        ("w", 0.5, "w50")))
       .collect().map(r => r.getString(0) -> r).toMap
     val builtin = df.groupBy(col("g")).agg(
       expr("percentile(v, 0.5)").as("p50"),
       expr("percentile(v, 0.95)").as("p95"),
       expr("percentile(v, 0.25)").as("p25"),
+      expr("percentile(w, 0.5)").as("w50"),
       count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r).toMap
     assert(mine.keySet == builtin.keySet)
     builtin.foreach { case (g, b) =>
       val m = mine(g)
-      for (c <- Seq("p50", "p95", "p25"))
-        assert(m.getAs[Double](c) == b.getAs[Double](c),
-          s"$g.$c: ${m.getAs[Double](c)} != ${b.getAs[Double](c)} (not bit-identical)")
+      for (c <- Seq("p50", "p95", "p25", "w50")) {
+        assert(m.isNullAt(m.fieldIndex(c)) == b.isNullAt(b.fieldIndex(c)),
+          s"$g.$c: null-ness differs from builtin")
+        if (!b.isNullAt(b.fieldIndex(c)))
+          assert(m.getAs[Double](c) == b.getAs[Double](c),
+            s"$g.$c: ${m.getAs[Double](c)} != ${b.getAs[Double](c)} (not bit-identical)")
+      }
       assert(m.getAs[Long]("n") == b.getAs[Long]("n"))
     }
   }
