@@ -187,13 +187,97 @@ object TextAnalysis {
       .orderBy(col("test_doc_id"))
   }
 
+  /** PII patterns — valid and equivalent in both Java regex (Spark) and
+    * RE2 (DuckDB): no backrefs, no lookaround. Replacement order is part
+    * of the contract (emails first — an address may embed a digit run). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val LongIdRe = "\\b\\d{9,}\\b"
+
+  /** `t7_pii_redact`: PII scrub — count and redact emails, phone numbers
+    * and long digit runs (account/SSN-shaped) per document. The standard
+    * pre-training privacy pass: a narrow codegen'd projection, no UDFs,
+    * no shuffle; the redacted text itself never leaves the scan (only its
+    * md5 does, which also lets the oracle verify the exact redaction
+    * byte-for-byte). The synthetic corpus contains no PII — counts are
+    * verified as exact zeros and the redaction md5s as identity — while
+    * `TextAnalysisSpec` plants real PII and checks the rewriting. */
+  def t7PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      LongIdRe, "<ID>")
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(LongIdRe), lit(0))).cast("long").as("n_long_ids"),
+        md5(redacted).as("redacted_md5"))
+  }
+
+  /** `t8_repetition`: repetition metrics per document — the Gopher-style
+    * repetition filters of a training pipeline: fraction of 3-grams that
+    * are duplicates, and the most frequent token's share. Token arrays
+    * are bounded per document, so the per-row distinct×n occurrence count
+    * is a bounded constant — no shuffle, stays in the scan. */
+  def t8Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    val n3 = greatest(n - 2, lit(0))
+    val distinct3 = size(shingles3FromToks(col("toks")))
+    val topN = array_max(transform(array_distinct(col("toks")),
+      w => size(filter(col("toks"), t => t === w))))
+    def e6(c: Column): Column = floor(c * 1000000d).cast("long")
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("_n3", n3)
+      .withColumn("_d3", distinct3)
+      .withColumn("_top", topN)
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_toks"),
+        col("_n3").cast("long").as("n_3grams"),
+        col("_d3").cast("long").as("n_distinct_3grams"),
+        when(col("_n3") > 0,
+          e6(lit(1.0) - col("_d3").cast("double") / col("_n3").cast("double")))
+          .otherwise(lit(0L)).as("dup_3gram_ratio_e6"),
+        coalesce(col("_top"), lit(0)).cast("long").as("top_tok_n"),
+        when(n > 0, e6(coalesce(col("_top"), lit(0)).cast("double") / n.cast("double")))
+          .otherwise(lit(0L)).as("top_tok_ratio_e6"))
+  }
+
+  /** `t9_source_mix`: deterministic per-source downsampling — the domain
+    * mixing step of corpus assembly. Each source gets a keep-rate (here a
+    * fixed policy derived from the source id; in production a config),
+    * and a document survives iff its stable md5 bucket falls under the
+    * rate — rerun-stable, shard-order independent, no RNG state, same
+    * machinery as `t5_hash_split`. Output is the per-source audit:
+    * configured rate, totals, kept. */
+  def t9SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val ratePct = lit(30) +
+      (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 10) * lit(5)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), ratePct.as("rate_pct"), bucket.as("_b"))
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_b") < col("rate_pct"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
     "t3_lang_id" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_hash_split" -> (t5HashSplit _),
-    "t6_decontaminate" -> (t6Decontaminate _))
+    "t6_decontaminate" -> (t6Decontaminate _),
+    "t7_pii_redact" -> (t7PiiRedact _),
+    "t8_repetition" -> (t8Repetition _),
+    "t9_source_mix" -> (t9SourceMix _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -233,9 +317,53 @@ object TextAnalysis {
       |FROM sh t JOIN sh r ON t.h = r.h AND t.split = 'test' AND r.split = 'train'
       |GROUP BY t.doc_id ORDER BY test_doc_id""".stripMargin
 
+  // empty-text-safe token list: mirrors wsTokens (trim-regex then split)
+  private val toksCaseSql =
+    s"CASE WHEN length($trimSql) = 0 THEN []::VARCHAR[] ELSE $tokSql END"
+
+  private val t7OracleSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       | CAST(len(regexp_extract_all(text, '$LongIdRe')) AS BIGINT) AS n_long_ids,
+       | md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+       |   '$LongIdRe', '<ID>', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin
+
+  private val t8OracleSql: String =
+    s"""WITH x AS (
+       | SELECT doc_id, len(toks) AS n, greatest(len(toks) - 2, 0) AS n3,
+       |  len(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS d3,
+       |  COALESCE(list_max(list_transform(list_distinct(toks),
+       |    w -> len(list_filter(toks, t -> t = w)))), 0) AS top
+       | FROM (SELECT doc_id, $toksCaseSql AS toks FROM documents))
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_toks, CAST(n3 AS BIGINT) AS n_3grams,
+       | CAST(d3 AS BIGINT) AS n_distinct_3grams,
+       | CASE WHEN n3 > 0 THEN CAST(floor((1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |      ELSE 0 END AS dup_3gram_ratio_e6,
+       | CAST(top AS BIGINT) AS top_tok_n,
+       | CASE WHEN n > 0 THEN CAST(floor(CAST(top AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      ELSE 0 END AS top_tok_ratio_e6
+       |FROM x""".stripMargin
+
+  private val t9OracleSql: String =
+    """SELECT source,
+      | 30 + (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10) * 5 AS rate_pct,
+      | count(*) AS n_docs,
+      | CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      |   < 30 + (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10) * 5
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t6_decontaminate" -> t6OracleSql,
     "t5_hash_split" -> t5OracleSql,
+    "t7_pii_redact" -> t7OracleSql,
+    "t8_repetition" -> t8OracleSql,
+    "t9_source_mix" -> t9OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
          | CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,
