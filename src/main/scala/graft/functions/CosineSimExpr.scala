@@ -24,19 +24,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   // getFloat on any other element type silently reads garbage slots —
   // reject at analysis time (AbstractDataType/ExpectsInputTypes are
-  // private[sql], so the check is implemented directly)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    Seq(left.dataType, right.dataType).find {
-      case ArrayType(FloatType, _) => false
-      case _ => true
-    } match {
-      case Some(bad) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float> inputs, got ${bad.catalogString}")
-      case None => TypeCheckResult.TypeCheckSuccess
-    }
-  }
+  // private[sql], so the shared helper checks each side directly)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Seq(left, right).map(e => VectorTypeCheck.requireFloatArray(prettyName, e.dataType))
+      .find(_.isFailure)
+      .getOrElse(org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
 
   // mismatched lengths yield null (see below), independent of child nullability
   override def nullable: Boolean = true

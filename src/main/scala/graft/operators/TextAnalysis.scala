@@ -140,9 +140,8 @@ object TextAnalysis {
     * under reruns, shard-order independent, no RNG state to coordinate
     * across 1000 executors. */
   def t5HashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
-    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val split = when(docBucket(col("doc_id")) < 80, "train")
+      .when(docBucket(col("doc_id")) < 90, "val").otherwise("test")
     Tables.load(spark, dir, "documents")
       .select(col("source"), split.as("split"))
       .groupBy(col("source"), col("split"))
@@ -150,11 +149,14 @@ object TextAnalysis {
       .orderBy(col("source"), col("split"))
   }
 
-  private def splitCol(idCol: Column): Column = {
-    val bucket = conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
-    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-  }
+  /** Stable 0-99 bucket of an id — the hash-split / source-mix primitive
+    * (DuckDB: CAST('0x'||substr(md5(id),1,15) AS BIGINT) % 100). */
+  private def docBucket(idCol: Column): Column =
+    md5Long60(idCol.cast("string")) % 100
+
+  private def splitCol(idCol: Column): Column =
+    when(docBucket(idCol) < 80, "train")
+      .when(docBucket(idCol) < 90, "val").otherwise("test")
 
   /** `t6_decontaminate`: train/test contamination report — for every
     * eval-split document, how many train documents share at least one
@@ -199,7 +201,10 @@ object TextAnalysis {
     * pre-training privacy pass: a narrow codegen'd projection, no UDFs,
     * no shuffle; the redacted text itself never leaves the scan (only its
     * md5 does, which also lets the oracle verify the exact redaction
-    * byte-for-byte). The synthetic corpus contains no PII — counts are
+    * byte-for-byte). Counts are RAW-TEXT match counts, not
+    * redactions-applied: an email whose local part is a long digit run is
+    * counted by both patterns but consumed by the (first) email
+    * replacement. The synthetic corpus contains no PII — counts are
     * verified as exact zeros and the redaction md5s as identity — while
     * `TextAnalysisSpec` plants real PII and checks the rewriting. */
   def t7PiiRedact(spark: SparkSession, dir: String): DataFrame = {
@@ -219,15 +224,27 @@ object TextAnalysis {
 
   /** `t8_repetition`: repetition metrics per document — the Gopher-style
     * repetition filters of a training pipeline: fraction of 3-grams that
-    * are duplicates, and the most frequent token's share. Token arrays
-    * are bounded per document, so the per-row distinct×n occurrence count
-    * is a bounded constant — no shuffle, stays in the scan. */
+    * are duplicates, and the most frequent token's share. The top-token
+    * count is the longest equal run of the SORTED token array, computed
+    * in one O(n log n) fold per row (a naive distinct×occurrences scan is
+    * quadratic per document, which a 50k-token web page would feel); no
+    * shuffle, everything stays in the scan. */
   def t8Repetition(spark: SparkSession, dir: String): DataFrame = {
     val n = size(col("toks"))
     val n3 = greatest(n - 2, lit(0))
     val distinct3 = size(shingles3FromToks(col("toks")))
-    val topN = array_max(transform(array_distinct(col("toks")),
-      w => size(filter(col("toks"), t => t === w))))
+    // longest equal-adjacent run of the sorted tokens == max occurrence
+    // count of any token; empty arrays fold to the zero state's best = 0
+    val topN = aggregate(
+      array_sort(col("toks")),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("cur"), lit(0).as("best")),
+      (acc, x) => {
+        val cur2 = when(x === acc.getField("prev"), acc.getField("cur") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), cur2.as("cur"),
+          greatest(acc.getField("best"), cur2).as("best"))
+      },
+      acc => acc.getField("best"))
     def e6(c: Column): Column = floor(c * 1000000d).cast("long")
     Tables.load(spark, dir, "documents")
       .withColumn("toks", wsTokens(col("text")))
@@ -242,8 +259,8 @@ object TextAnalysis {
         when(col("_n3") > 0,
           e6(lit(1.0) - col("_d3").cast("double") / col("_n3").cast("double")))
           .otherwise(lit(0L)).as("dup_3gram_ratio_e6"),
-        coalesce(col("_top"), lit(0)).cast("long").as("top_tok_n"),
-        when(n > 0, e6(coalesce(col("_top"), lit(0)).cast("double") / n.cast("double")))
+        col("_top").cast("long").as("top_tok_n"),
+        when(n > 0, e6(col("_top").cast("double") / n.cast("double")))
           .otherwise(lit(0L)).as("top_tok_ratio_e6"))
   }
 
@@ -255,12 +272,12 @@ object TextAnalysis {
     * machinery as `t5_hash_split`. Output is the per-source audit:
     * configured rate, totals, kept. */
   def t9SourceMix(spark: SparkSession, dir: String): DataFrame = {
-    val ratePct = lit(30) +
-      (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 10) * lit(5)
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
+    // total on ANY source value: a digitless source has no capture -> ""
+    // -> null cast -> rate 30 (the base rate), mirrored in the oracle
+    val ratePct = lit(30L) +
+      (coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L)) % 10) * lit(5L)
     Tables.load(spark, dir, "documents")
-      .select(col("source"), ratePct.as("rate_pct"), bucket.as("_b"))
+      .select(col("source"), ratePct.as("rate_pct"), docBucket(col("doc_id")).as("_b"))
       .groupBy(col("source"), col("rate_pct"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -331,32 +348,42 @@ object TextAnalysis {
        |   '$LongIdRe', '<ID>', 'g')) AS redacted_md5
        |FROM documents""".stripMargin
 
+  // top-token count via unnest+group+max — the same number as the Spark
+  // side's longest-sorted-run fold (max occurrence count of any token);
+  // docs with no tokens fall out of the unnest, hence the LEFT JOIN + 0
   private val t8OracleSql: String =
-    s"""WITH x AS (
+    s"""WITH d AS (SELECT doc_id, $toksCaseSql AS toks FROM documents),
+       |x AS (
        | SELECT doc_id, len(toks) AS n, greatest(len(toks) - 2, 0) AS n3,
        |  len(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
        |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS d3,
-       |  COALESCE(list_max(list_transform(list_distinct(toks),
-       |    w -> len(list_filter(toks, t -> t = w)))), 0) AS top
-       | FROM (SELECT doc_id, $toksCaseSql AS toks FROM documents))
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_toks, CAST(n3 AS BIGINT) AS n_3grams,
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS d3
+       | FROM d),
+       |tops AS (
+       | SELECT doc_id, max(c) AS top FROM (
+       |  SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY doc_id, t)
+       | GROUP BY doc_id)
+       |SELECT x.doc_id, CAST(n AS BIGINT) AS n_toks, CAST(n3 AS BIGINT) AS n_3grams,
        | CAST(d3 AS BIGINT) AS n_distinct_3grams,
        | CASE WHEN n3 > 0 THEN CAST(floor((1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)) * 1000000.0) AS BIGINT)
        |      ELSE 0 END AS dup_3gram_ratio_e6,
-       | CAST(top AS BIGINT) AS top_tok_n,
-       | CASE WHEN n > 0 THEN CAST(floor(CAST(top AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+       | CAST(COALESCE(tops.top, 0) AS BIGINT) AS top_tok_n,
+       | CASE WHEN n > 0 THEN CAST(floor(CAST(COALESCE(tops.top, 0) AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
        |      ELSE 0 END AS top_tok_ratio_e6
-       |FROM x""".stripMargin
+       |FROM x LEFT JOIN tops ON x.doc_id = tops.doc_id""".stripMargin
 
+  // COALESCE(NULLIF(...)) keeps the oracle total on digitless sources,
+  // where a bare CAST('' AS BIGINT) would error out the whole check
   private val t9OracleSql: String =
-    """SELECT source,
-      | 30 + (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10) * 5 AS rate_pct,
-      | count(*) AS n_docs,
+    """WITH r AS (
+      | SELECT source, doc_id,
+      |  30 + (COALESCE(CAST(NULLIF(regexp_extract(source, '(\d+)', 1), '') AS BIGINT), 0) % 10) * 5 AS rate_pct
+      | FROM documents)
+      |SELECT source, rate_pct, count(*) AS n_docs,
       | CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
-      |   < 30 + (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10) * 5
-      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-      |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
+      |   < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM r GROUP BY 1, 2 ORDER BY source""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t6_decontaminate" -> t6OracleSql,

@@ -65,10 +65,16 @@ object Runner {
       t.join(s.timeoutMs)
       if (result.get() == null) {
         t.interrupt()
-        t.join(math.max(1000L, s.timeoutMs)) // grace: let the interrupt land
+        // grace to let the interrupt land: seconds, NOT another copy of
+        // the (possibly hours-long) stage timeout
+        t.join(math.min(math.max(1000L, s.timeoutMs), 30000L))
         if (t.isAlive)
           scala.util.Failure(new StageWedgedException(
             s"stage ${s.name} exceeded ${s.timeoutMs}ms and ignored interrupt; not retrying"))
+        else if (result.get() != null && result.get().isSuccess)
+          // finished during the grace window — honor the completed work
+          // instead of re-running a stage whose outputs already landed
+          result.get()
         else
           scala.util.Failure(new java.util.concurrent.TimeoutException(
             s"stage ${s.name} exceeded ${s.timeoutMs}ms"))
