@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, AnalyticsExt, Dedup, Similarity}
 import graft.pipeline.Curated
 
 /** Physical-plan shape assertions: the scale properties SURVEY.md §5
@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
       s"${r.getDouble(0)} != ${r.getDouble(1)} (not bit-identical)"))
+  }
+
+  test("q18: the sketch aggregate stays hash-based — mixing a distinct " +
+    "aggregate in would force sort-based aggregation with per-row sketch " +
+    "(de)serialization, a measured 16x regression") {
+    val p = plan(AnalyticsExt.q18ApproxStatsChecked(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"sketch agg not hash-based:\n$p")
+    assert(!p.contains("SortAggregate"), s"sort-based aggregate crept in:\n$p")
   }
 
   test("q10: exact percentiles run sort-based (window rank), not the " +
