@@ -378,17 +378,16 @@ object Dedup {
     * fails loudly rather than emitting partially-merged clusters. */
   val CcMaxRounds = 40
 
-  /** `d6_dedup_clusters`: consolidate near-dup PAIRS (d2) into CLUSTERS via
-    * min-label propagation with POINTER JUMPING (connected components),
-    * elect the min doc_id as each cluster's keeper. Each round propagates
-    * one hop along edges AND jumps through the current label pointer, so
-    * covered chain length grows ~2x per round. Rounds run TO FIXPOINT —
-    * a per-round changed-label count on the (tiny, checkpointed) label
-    * table decides termination, so long chains converge exactly and the
-    * loop usually stops after 2-3 rounds on near-dup-sized clusters. */
-  def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(shingleArrays(spark, dir), None)
-      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+  /** Connected components over undirected PAIRS via min-label propagation
+    * with POINTER JUMPING: each round propagates one hop along edges AND
+    * jumps through the current label pointer, so covered chain length
+    * grows ~2x per round. Rounds run TO FIXPOINT — a per-round
+    * changed-label count on the (tiny, checkpointed) label table decides
+    * termination, so long chains converge exactly and the loop usually
+    * stops after 2-3 rounds on near-dup-sized clusters. Input: (a, b) id
+    * pairs; output: (id, cluster) with cluster = min id of the component.
+    * The core of d6 (Jaccard pairs) and d7 (embedding pairs). */
+  private def connectedComponents(pairs: DataFrame, opName: String): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
@@ -399,7 +398,7 @@ object Dedup {
     var changed = 1L
     while (changed > 0) {
       round += 1
-      require(round <= CcMaxRounds, s"d6 did not converge in $CcMaxRounds rounds")
+      require(round <= CcMaxRounds, s"$opName did not converge in $CcMaxRounds rounds")
       val propagated = edges
         .join(labels.select(col("v").as("b"), col("l")), Seq("b"))
         .select(col("a").as("v"), col("l"))
@@ -421,11 +420,36 @@ object Dedup {
       labels = next
     }
     labels
+  }
+
+  /** `d6_dedup_clusters`: consolidate near-dup PAIRS (d2) into CLUSTERS
+    * (connected components — [[connectedComponents]]), elect the min
+    * doc_id as each cluster's keeper. */
+  def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(shingleArrays(spark, dir), None)
+      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    connectedComponents(pairs, "d6")
       .select(col("v").as("doc_id"), col("l").as("cluster_id"))
       .withColumn("is_keeper", when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
+  }
+
+  /** `d7_embed_clusters`: the embedding-space twin of d6 — consolidate
+    * d5's banded cosine near-dup PAIRS into components and elect min
+    * vec_id keepers. The composition a corpus pipeline actually runs:
+    * candidate bands → exact-cosine confirm → transitive closure, all
+    * reusing the already-verified d5 and [[connectedComponents]] pieces. */
+  def d7EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d5DedupEmbed(spark, dir)
+      .select(col("vec_id_1").as("a"), col("vec_id_2").as("b"))
+    connectedComponents(pairs, "d7")
+      .select(col("v").as("vec_id"), col("l").as("cluster_id"))
+      .withColumn("is_keeper", when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("vec_id"))
   }
 
   // ------------------------------------------------------------- oracles
@@ -501,12 +525,15 @@ object Dedup {
          | CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_keeper,
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,
-    "d5_dedup_embed" -> d5OracleSql)
+    "d5_dedup_embed" -> d5OracleSql,
+    "d7_embed_clusters" -> d7OracleSql)
 
   /** d5 oracle: the SAME 16x4 hyperplane banding (planes injected as the
     * identical double literals), then exact-cosine confirm — mirrors the
     * Spark plan the way d3's oracle mirrors its minhash banding. */
-  private lazy val d5OracleSql: String = {
+  /** The d5 banded-pair SQL split as (CTEs, pair-select-without-ORDER-BY)
+    * so d5 uses it directly and d7 embeds it as a CTE. */
+  private lazy val d5PairSql: (String, String) = {
     val pl = Similarity.planesFor(EmbedBands * EmbedPlanesPerBand)
     def dotSql(p: Int) =
       s"list_sum(list_transform(list_zip(embedding, ${Similarity.planeSqlFor(pl(p))}), x -> CAST(x[1] AS DOUBLE) * x[2]))"
@@ -520,18 +547,41 @@ object Dedup {
       s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
          | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
          |  * sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))))""".stripMargin
-    s"""WITH sigs AS (
-       |$bandSelects),
-       |cand AS (
-       | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
-       | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
-       |  AND s1.vec_id < s2.vec_id)
-       |SELECT c.v1 AS vec_id_1, c.v2 AS vec_id_2,
-       | CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
-       |FROM cand c JOIN embeddings a ON a.vec_id = c.v1 JOIN embeddings b ON b.vec_id = c.v2
-       |WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineTau
-       |ORDER BY vec_id_1, vec_id_2""".stripMargin
+    val ctes =
+      s"""sigs AS (
+         |$bandSelects),
+         |cand AS (
+         | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+         | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
+         |  AND s1.vec_id < s2.vec_id)""".stripMargin
+    val select =
+      s"""SELECT c.v1 AS vec_id_1, c.v2 AS vec_id_2,
+         | CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
+         |FROM cand c JOIN embeddings a ON a.vec_id = c.v1 JOIN embeddings b ON b.vec_id = c.v2
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineTau""".stripMargin
+    (ctes, select)
   }
+
+  private lazy val d5OracleSql: String =
+    s"WITH ${d5PairSql._1}\n${d5PairSql._2}\nORDER BY vec_id_1, vec_id_2"
+
+  /** d7 oracle: the d5 pair SQL as a CTE, closed transitively with the
+    * same recursive reach the d6 oracle uses. */
+  private lazy val d7OracleSql: String =
+    s"""WITH RECURSIVE ${d5PairSql._1},
+       |p AS (${d5PairSql._2}),
+       |edges AS (
+       | SELECT vec_id_1 AS a, vec_id_2 AS b FROM p
+       | UNION ALL SELECT vec_id_2, vec_id_1 FROM p),
+       |reach(v, l) AS (
+       | SELECT DISTINCT a, a FROM edges
+       | UNION
+       | SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v),
+       |cc AS (SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v)
+       |SELECT vec_id, cluster_id,
+       | CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS is_keeper,
+       | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cc ORDER BY vec_id""".stripMargin
 
   private lazy val d4OracleSql: String = {
     val sums = (for { j <- 0 until 4; b <- 0 until 16 }
@@ -580,5 +630,6 @@ object Dedup {
     "d3_dedup_minhash" -> (d3DedupMinhash _),
     "d4_dedup_simhash" -> (d4DedupSimhash _),
     "d5_dedup_embed" -> (d5DedupEmbed _),
-    "d6_dedup_clusters" -> (d6DedupClusters _))
+    "d6_dedup_clusters" -> (d6DedupClusters _),
+    "d7_embed_clusters" -> (d7EmbedClusters _))
 }

@@ -83,6 +83,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pairs.foreach(p => assert(byDoc(p.getLong(0)) == byDoc(p.getLong(1))))
   }
 
+  test("d7: embedding clusters cover exactly d5's paired vectors, one " +
+    "keeper per cluster, pairs transitively closed") {
+    val pairs = Dedup.d5DedupEmbed(spark, sf).collect()
+    val pairedVecs = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("vec_id_1"), r.getAs[Long]("vec_id_2"))).toSet
+    val clusters = Dedup.d7EmbedClusters(spark, sf).collect()
+    assert(clusters.map(_.getAs[Long]("vec_id")).toSet == pairedVecs)
+    clusters.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.count(_.getAs[Long]("is_keeper") == 1L) == 1)
+      assert(rows.map(_.getAs[Long]("vec_id")).min == cid)
+      assert(rows.forall(_.getAs[Long]("cluster_size") == rows.length))
+    }
+    val byVec = clusters.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach(p => assert(
+      byVec(p.getAs[Long]("vec_id_1")) == byVec(p.getAs[Long]("vec_id_2"))))
+  }
+
   test("d5: cosine pairs above threshold, no self pairs") {
     val r = Dedup.d5DedupEmbed(spark, sf).collect()
     r.foreach { p =>
