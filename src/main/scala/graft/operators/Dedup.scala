@@ -378,15 +378,27 @@ object Dedup {
     * fails loudly rather than emitting partially-merged clusters. */
   val CcMaxRounds = 40
 
+  /** Label-table row count under which the fixpoint joins hint a broadcast
+    * of the label side: (long, long) rows at ~1M are a few tens of MB —
+    * inside the session's 64 MB broadcast budget. Checkpointed tables carry
+    * no size stats, so without the hint every round's joins would fall back
+    * to full shuffle exchanges even when the label table is a few hundred
+    * near-dup vertices. Above the limit the joins stay shuffle-based, which
+    * is the correct shape when a 100 TB corpus yields a billion-vertex
+    * near-dup graph. */
+  val CcBroadcastLabelLimit = 1000000L
+
   /** Connected components over undirected PAIRS via min-label propagation
     * with POINTER JUMPING: each round propagates one hop along edges AND
     * jumps through the current label pointer, so covered chain length
-    * grows ~2x per round. Rounds run TO FIXPOINT — a per-round
-    * changed-label count on the (tiny, checkpointed) label table decides
-    * termination, so long chains converge exactly and the loop usually
-    * stops after 2-3 rounds on near-dup-sized clusters. Input: (a, b) id
-    * pairs; output: (id, cluster) with cluster = min id of the component.
-    * The core of d6 (Jaccard pairs) and d7 (embedding pairs). */
+    * grows ~2x per round. Rounds run TO FIXPOINT — each round's aggregation
+    * carries the PREVIOUS label along (min over the tagged union), so the
+    * changed-label count that decides termination is a plain filter+count
+    * on the round's checkpointed output, not an extra join job. Long chains
+    * converge exactly and the loop usually stops after 2-3 rounds on
+    * near-dup-sized clusters. Input: (a, b) id pairs; output: (id, cluster)
+    * with cluster = min id of the component. The core of d6 (Jaccard pairs)
+    * and d7 (embedding pairs). */
   private def connectedComponents(pairs: DataFrame, opName: String): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -394,39 +406,57 @@ object Dedup {
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("l", col("v"))
       .localCheckpoint(true)
+    // the vertex set is fixed, so one count decides the join strategy for
+    // every round (labels is checkpointed: this is a cheap block scan)
+    val nVerts = labels.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (nVerts <= CcBroadcastLabelLimit) broadcast(df) else df
+    val idType = pairs.schema("a").dataType
     var round = 0
     var changed = 1L
     while (changed > 0) {
       round += 1
       require(round <= CcMaxRounds, s"$opName did not converge in $CcMaxRounds rounds")
       val propagated = edges
-        .join(labels.select(col("v").as("b"), col("l")), Seq("b"))
+        .join(hinted(labels.select(col("v").as("b"), col("l"))), Seq("b"))
         .select(col("a").as("v"), col("l"))
       // pointer jump: v -> label(label(v)) doubles the covered distance
       val jumped = labels.select(col("v"), col("l").as("mid"))
-        .join(labels.select(col("v").as("mid"), col("l")), Seq("mid"))
+        .join(hinted(labels.select(col("v").as("mid"), col("l"))), Seq("mid"))
         .select(col("v"), col("l"))
+      // one aggregation computes BOTH the new label and the old one: only
+      // the labels branch carries a non-null `prev`, and each v has exactly
+      // one label row, so min(prev) ignoring nulls IS the previous label.
       // materialize each round: iterative plans must truncate lineage or
       // the optimizer re-expands all prior rounds into one exponential tree
       // (on a cluster: reliable checkpoint / table round-trip instead)
-      val next = labels.unionByName(propagated).unionByName(jumped)
-        .groupBy(col("v")).agg(min(col("l")).as("l"))
+      val nullPrev = lit(null).cast(idType)
+      val next = labels.withColumn("prev", col("l"))
+        .unionByName(propagated.withColumn("prev", nullPrev))
+        .unionByName(jumped.withColumn("prev", nullPrev))
+        .groupBy(col("v")).agg(min(col("l")).as("l"), min(col("prev")).as("prev"))
         .localCheckpoint(true)
       // min-label is monotone decreasing, so "no label changed" is the
-      // exact fixpoint test; both sides are checkpointed so this is a
-      // cheap join on the label table, not a plan re-execution
-      changed = next.join(labels.withColumnRenamed("l", "prev"), Seq("v"))
-        .filter(col("l") =!= col("prev")).count()
-      labels = next
+      // exact fixpoint test — a filter over the just-checkpointed blocks
+      changed = next.filter(col("l") =!= col("prev")).count()
+      labels = next.select(col("v"), col("l"))
     }
     labels
   }
 
   /** `d6_dedup_clusters`: consolidate near-dup PAIRS (d2) into CLUSTERS
     * (connected components — [[connectedComponents]]), elect the min
-    * doc_id as each cluster's keeper. */
-  def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(shingleArrays(spark, dir), None)
+    * doc_id as each cluster's keeper.
+    *
+    * `precomputedPairs`: a pipeline that has ALREADY materialized the d2
+    * pair table (e.g. it reports pairs AND consolidates clusters in one
+    * run) passes it here — d2's shingle scan, prefix join and confirm run
+    * once per run, not once per consumer. Pass the [[d2DedupNgram]] output
+    * shape, ideally checkpointed. Standalone calls recompute. */
+  def d6DedupClusters(spark: SparkSession, dir: String,
+                      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs
+      .getOrElse(jaccardPairs(shingleArrays(spark, dir), None))
       .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     connectedComponents(pairs, "d6")
       .select(col("v").as("doc_id"), col("l").as("cluster_id"))
@@ -440,9 +470,14 @@ object Dedup {
     * d5's banded cosine near-dup PAIRS into components and elect min
     * vec_id keepers. The composition a corpus pipeline actually runs:
     * candidate bands → exact-cosine confirm → transitive closure, all
-    * reusing the already-verified d5 and [[connectedComponents]] pieces. */
-  def d7EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d5DedupEmbed(spark, dir)
+    * reusing the already-verified d5 and [[connectedComponents]] pieces.
+    * `precomputedPairs` (the [[d5DedupEmbed]] output shape) lets a run
+    * that also reports d5 pairs feed them in instead of recomputing —
+    * see [[d6DedupClusters]]. */
+  def d7EmbedClusters(spark: SparkSession, dir: String,
+                      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs
+      .getOrElse(d5DedupEmbed(spark, dir))
       .select(col("vec_id_1").as("a"), col("vec_id_2").as("b"))
     connectedComponents(pairs, "d7")
       .select(col("v").as("vec_id"), col("l").as("cluster_id"))
@@ -630,6 +665,6 @@ object Dedup {
     "d3_dedup_minhash" -> (d3DedupMinhash _),
     "d4_dedup_simhash" -> (d4DedupSimhash _),
     "d5_dedup_embed" -> (d5DedupEmbed _),
-    "d6_dedup_clusters" -> (d6DedupClusters _),
-    "d7_embed_clusters" -> (d7EmbedClusters _))
+    "d6_dedup_clusters" -> ((s: SparkSession, d: String) => d6DedupClusters(s, d)),
+    "d7_embed_clusters" -> ((s: SparkSession, d: String) => d7EmbedClusters(s, d)))
 }

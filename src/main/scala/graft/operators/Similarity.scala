@@ -23,7 +23,7 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   val NumProbes = 10 // probes = vec_id < NumProbes
-  val NumCells = 16 // IVF centroid count (must precede `oracle` init)
+  val NumCells = 16 // IVF centroid count
   val TopK = 5
   val LshPlanes = 8
   val LshTopK = 5
@@ -134,11 +134,16 @@ object Similarity {
        |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin
   }
 
-  /** s3's entry appears once a plan has run (Verify's query pass precedes
-    * its oracle dump); if it somehow hasn't, s3 degrades to the driver's
-    * rows-only check rather than shipping a wrong oracle. */
+  /** s3's entry appears only once its result has MATERIALIZED (Verify calls
+    * [[confirmMaterialized]] after the parquet lands) for exactly one dir;
+    * otherwise s3 degrades to the driver's rows-only check rather than
+    * shipping an oracle for a result that does not exist (failed run) or an
+    * ambiguous one (two dirs verified in one JVM). */
   def oracle: Map[String, String] =
-    staticOracle ++ lastCentroids.map(cs => "s3_ann_ivf" -> s3OracleSql(cs))
+    staticOracle ++ (confirmedCentroids.toMap match {
+      case one if one.size == 1 => Map("s3_ann_ivf" -> s3OracleSql(one.head._2))
+      case _ => Map.empty
+    })
 
   private val staticOracle: Map[String, String] = Map(
     "s1_ann_brute" ->
@@ -206,16 +211,25 @@ object Similarity {
     * never leaves the executors. A cell an iteration empties keeps its
     * previous centroid (deterministic; the cell count never silently
     * shrinks, and only the FINAL model reaches the oracle). */
-  def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] = {
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+  def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    kmeansWithData(spark, dir)._1
+
+  /** k-means plus the MATERIALIZED (vec_id, embedding, f) projection it
+    * trained on, so [[s3AnnIvf]] can assign/probe from the checkpointed
+    * blocks instead of re-reading parquet a 4th time. `f` is the e6-floored
+    * long form of the embedding — flooring runs once here, not once per
+    * Lloyd iteration; every iteration's aggregate job and the final assign
+    * pass all read this one materialization (on a real cluster: reliable
+    * checkpoint / table round-trip). */
+  private def kmeansWithData(spark: SparkSession, dir: String): (Seq[(Long, Array[Long])], DataFrame) = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * KmScale).cast("long")).as("f"))
+      .localCheckpoint(true)
     var cents: Seq[(Long, Array[Long])] = e.filter(col("vec_id") < NumCells)
-      .orderBy(col("vec_id")).collect().toSeq.map { r =>
-        (r.getLong(0),
-          r.getSeq[Float](1).map(f => math.floor(f.toDouble * KmScale).toLong).toArray)
-      }
-    val sums = (0 until Dim).map(i =>
-      sum(floor(element_at(col("embedding"), i + 1).cast("double") * KmScale)
-        .cast("long")).as(s"s$i"))
+      .orderBy(col("vec_id")).select(col("vec_id"), col("f")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val sums = (0 until Dim).map(i => sum(element_at(col("f"), i + 1)).as(s"s$i"))
     for (_ <- 1 to KmIters) {
       // struct ordering = (cos, -cid): array_max is argmax cosine, min cid
       val withCos = e.withColumn("_cos",
@@ -231,15 +245,26 @@ object Similarity {
       }.toMap
       cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
-    lastCentroids = Some(cents)
-    cents
+    pendingCentroids.put(dir, cents)
+    (cents, e.select(col("vec_id"), col("embedding")))
   }
 
-  /** Most recent k-means model. Verify dumps `oracle_sql.json` AFTER the
-    * queries run, so by oracle-build time this holds exactly the centroids
-    * the s3 plan used — they are injected into the oracle SQL as literals,
-    * the same way d5's oracle injects its hyperplanes. */
-  @volatile private var lastCentroids: Option[Seq[(Long, Array[Long])]] = None
+  /** k-means models keyed by the dir they were trained on. The training is
+    * fully deterministic (fixed init, fixed-point arithmetic), so an entry
+    * is a memo of a pure function of `dir` — two dirs in one JVM can never
+    * cross-wire. `pending` = computed while building an s3 plan; an entry
+    * reaches [[oracle]] only after [[confirmMaterialized]] moves it to
+    * `confirmed`, i.e. after the s3 RESULT for that dir actually landed. */
+  private val pendingCentroids =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedCentroids =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  /** Verify's post-materialization hook (via `SparkEntry.markMaterialized`):
+    * publishes `dir`'s centroids to the oracle. A no-op for a dir s3 never
+    * ran against — the oracle then simply omits s3 (rows-only check). */
+  def confirmMaterialized(dir: String): Unit =
+    pendingCentroids.get(dir).foreach(cs => confirmedCentroids.put(dir, cs))
 
   /** `s3_ann_ivf`: inverted-file ANN with data-derived k-means centroids.
     * Every vector is assigned to its max-cosine cell (one narrow scan over
@@ -247,8 +272,8 @@ object Similarity {
     * key); probes search their top-NProbe cells. The oracle receives the
     * identical final centroids as injected literals, so results hash-match. */
   def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val cents = kmeansCentroids(spark, dir)
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val (cents, data) = kmeansWithData(spark, dir)
+    val e = data
       .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
     val scored = scoredCells(cents, col("_cos"))
     // data: top-1 cell; probes: top-NProbe cells (sorted desc = reverse of

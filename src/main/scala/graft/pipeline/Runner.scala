@@ -71,13 +71,24 @@ object Runner {
         if (t.isAlive)
           scala.util.Failure(new StageWedgedException(
             s"stage ${s.name} exceeded ${s.timeoutMs}ms and ignored interrupt; not retrying"))
-        else if (result.get() != null && result.get().isSuccess)
-          // finished during the grace window — honor the completed work
-          // instead of re-running a stage whose outputs already landed
-          result.get()
-        else
-          scala.util.Failure(new java.util.concurrent.TimeoutException(
-            s"stage ${s.name} exceeded ${s.timeoutMs}ms"))
+        else result.get() match {
+          case r @ scala.util.Success(_) =>
+            // finished during the grace window — honor the completed work
+            // instead of re-running a stage whose outputs already landed
+            r
+          case scala.util.Failure(cause) =>
+            // the attempt DID terminate during grace, with an error (the
+            // interrupt landing, or a real failure racing the timeout) —
+            // keep that root cause on the timeout instead of discarding
+            // it: logs and the onFailure hook need the actual reason
+            val te = new java.util.concurrent.TimeoutException(
+              s"stage ${s.name} exceeded ${s.timeoutMs}ms (attempt terminated with: $cause)")
+            te.initCause(cause)
+            scala.util.Failure(te)
+          case null =>
+            scala.util.Failure(new java.util.concurrent.TimeoutException(
+              s"stage ${s.name} exceeded ${s.timeoutMs}ms"))
+        }
       } else result.get()
     }
 

@@ -156,28 +156,53 @@ object StreamPipelines {
     * long-running stream. */
   def upsertSink(spark: SparkSession, stream: DataFrame, stateDir: String,
                  keys: Seq[String], orderCol: String, tieCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val fs = new java.io.File(stateDir)
-    fs.mkdirs()
+    new java.io.File(stateDir).mkdirs()
     stream.writeStream.outputMode(OutputMode.Append()).foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        def versions() = fs.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong)
-        val cur = versions()
-        val current = if (cur.isEmpty) None
-          else Some(spark.read.parquet(s"$stateDir/v${cur.max}"))
-        val merged = current match {
-          case Some(c) => Merge.upsert(c, batch.toDF(), keys, orderCol, tieCol)
-          case None => Merge.upsert(batch.toDF().limit(0), batch.toDF(), keys, orderCol, tieCol)
-        }
-        merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
-        // GC superseded versions only AFTER the new one landed, keeping a
-        // couple for recovery from a torn write of the latest
-        versions().sorted.dropRight(UpsertKeepVersions + 1).foreach { v =>
-          val dir = new java.io.File(s"$stateDir/v$v")
-          dir.listFiles().foreach(_.delete())
-          dir.delete()
-        }
-        ()
+        upsertBatch(spark, stateDir, keys, orderCol, tieCol)(batch.toDF(), batchId)
     }
+  }
+
+  /** One micro-batch of the upsert sink — public so replay semantics are
+    * testable outside a live stream. foreachBatch is AT-LEAST-ONCE (a batch
+    * whose write completed but whose checkpoint commit did not is re-run on
+    * recovery); this body is IDEMPOTENT per (batch, batchId), which makes
+    * the sink effectively-once:
+    *  - the output version dir is `v(batchId+1)` — deterministic in the
+    *    batchId, so a replay overwrites its own previous attempt, never
+    *    stacks a second copy;
+    *  - a replay that finds its own completed output as the latest version
+    *    merges the same rows into it again, and last-writer-wins upsert of
+    *    rows already present is a no-op — the state content is unchanged.
+    * The replay test in StreamingSpec asserts both properties. */
+  def upsertBatch(spark: SparkSession, stateDir: String, keys: Seq[String],
+                  orderCol: String, tieCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val fs = new java.io.File(stateDir)
+    fs.mkdirs()
+    def versions() = fs.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong)
+    val cur = versions()
+    val current = if (cur.isEmpty) None
+      else {
+        val latest = spark.read.parquet(s"$stateDir/v${cur.max}")
+        // a replay's output dir may BE the latest version (the previous
+        // attempt's write completed, its checkpoint commit did not) —
+        // materialize the read off the parquet files (checkpoint blocks,
+        // still distributed) before overwriting the very dir it came from
+        if (cur.max == batchId + 1) Some(latest.localCheckpoint(true)) else Some(latest)
+      }
+    val merged = current match {
+      case Some(c) => Merge.upsert(c, batch, keys, orderCol, tieCol)
+      case None => Merge.upsert(batch.limit(0), batch, keys, orderCol, tieCol)
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+    // GC superseded versions only AFTER the new one landed, keeping a
+    // couple for recovery from a torn write of the latest
+    versions().sorted.dropRight(UpsertKeepVersions + 1).foreach { v =>
+      val dir = new java.io.File(s"$stateDir/v$v")
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+    ()
   }
 
   /** Latest state of an upsert sink dir. */

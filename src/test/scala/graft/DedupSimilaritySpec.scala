@@ -123,6 +123,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "d5 must not be all-pairs")
   }
 
+  test("d6/d7 fed a pre-materialized pair table match the standalone runs") {
+    def key(rows: Array[org.apache.spark.sql.Row], id: String) = rows.map(r =>
+      (r.getAs[Long](id), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("is_keeper"), r.getAs[Long]("cluster_size"))).toSet
+    // a pipeline run that reports pairs AND consolidates clusters
+    // materializes the pair table once and feeds it to both consumers
+    val d5Pairs = Dedup.d5DedupEmbed(spark, sf).localCheckpoint(true)
+    assert(key(Dedup.d7EmbedClusters(spark, sf, Some(d5Pairs)).collect(), "vec_id") ==
+      key(Dedup.d7EmbedClusters(spark, sf).collect(), "vec_id"))
+    val d2Pairs = Dedup.d2DedupNgram(spark, sf).localCheckpoint(true)
+    assert(key(Dedup.d6DedupClusters(spark, sf, Some(d2Pairs)).collect(), "doc_id") ==
+      key(Dedup.d6DedupClusters(spark, sf).collect(), "doc_id"))
+  }
+
+  test("s3 oracle publishes only after its result materializes, keyed by dir") {
+    // building the s3 plan trains k-means (pending state per dir) but must
+    // NOT publish an oracle — the result it describes does not exist yet
+    Similarity.s3AnnIvf(spark, sf)
+    assert(!Similarity.oracle.contains("s3_ann_ivf"),
+      "oracle shipped for a result that never materialized")
+    // confirming a dir s3 never ran against is a no-op
+    Similarity.confirmMaterialized("/no/such/dir")
+    assert(!Similarity.oracle.contains("s3_ann_ivf"))
+    // Verify's post-write hook publishes the dir's centroids
+    Similarity.confirmMaterialized(sf)
+    assert(Similarity.oracle.contains("s3_ann_ivf"))
+    // two dirs confirmed in one JVM is ambiguous (the single-dump oracle
+    // cannot say which run it describes) — degrade to the rows-only check
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s3_dir").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    Similarity.s3AnnIvf(spark, tmp)
+    Similarity.confirmMaterialized(tmp)
+    assert(!Similarity.oracle.contains("s3_ann_ivf"))
+  }
+
   test("s1: exactly top-k per probe, ranks contiguous, cosine descending") {
     val r = Similarity.s1AnnBrute(spark, sf).collect()
     r.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>

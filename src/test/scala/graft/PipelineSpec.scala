@@ -313,6 +313,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(attempts.get() == 1, s"retried a live attempt ${attempts.get() - 1} times")
   }
 
+  test("runner: a failure landing during the timeout grace window keeps " +
+    "its root cause instead of a bare TimeoutException") {
+    import Runner._
+    val res = Runner.run(Seq(
+      Stage("grace_fail", timeoutMs = 200)(() => {
+        try Thread.sleep(60000)
+        catch { case _: InterruptedException =>
+          // the interrupt landed; the attempt dies with a REAL error whose
+          // identity logs and the onFailure hook must not lose
+          throw new IllegalStateException("cleanup exploded")
+        }
+      })))
+    res.head.status match {
+      case Failed(e) =>
+        assert(e.isInstanceOf[java.util.concurrent.TimeoutException],
+          s"timeout classification lost: $e")
+        val causes = Iterator.iterate(e.getCause)(_.getCause)
+          .takeWhile(_ != null).toList
+        assert(causes.exists(c => Option(c.getMessage).exists(_.contains("cleanup exploded"))),
+          s"root cause discarded: $e / causes=$causes")
+      case other => fail(s"expected Failed, got $other")
+    }
+  }
+
   test("single-stage groups: curation runs in isolation against a " +
     "pre-populated workDir; staging drops its cross-group deps") {
     val work = Files.createTempDirectory("graft_stage").toString

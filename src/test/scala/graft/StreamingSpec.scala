@@ -178,4 +178,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(fin == Map(1L -> "a6", 2L -> "b1", 3L -> "c1"))
     } finally q.stop()
   }
+
+  test("upsert sink batch replay is idempotent — at-least-once foreachBatch " +
+    "plus an idempotent batch body = effectively-once state") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_replay").toString
+    val apply = StreamPipelines.upsertBatch(spark, stateDir, Seq("k"), "ver", "tie") _
+    def snapshot() = StreamPipelines.currentState(spark, stateDir).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Long]("ver")))
+      .toSet
+    // the normal run: batches 0 and 1 commit
+    apply(Seq((1L, "a1", 1L, 1L), (2L, "b1", 1L, 2L)).toDF("k", "v", "ver", "tie"), 0L)
+    apply(Seq((1L, "a2", 2L, 3L), (3L, "c1", 1L, 4L)).toDF("k", "v", "ver", "tie"), 1L)
+    val committed = snapshot()
+    assert(committed == Set((1L, "a2", 2L), (2L, "b1", 1L), (3L, "c1", 1L)))
+    // crash-replay: batch 1's write COMPLETED but its streaming checkpoint
+    // commit did not, so recovery re-delivers the same batch — the body
+    // finds its own output as the latest version and must leave the state
+    // content exactly as committed
+    apply(Seq((1L, "a2", 2L, 3L), (3L, "c1", 1L, 4L)).toDF("k", "v", "ver", "tie"), 1L)
+    assert(snapshot() == committed, "replay changed committed state")
+    // replaying twice more is still a fixpoint
+    apply(Seq((1L, "a2", 2L, 3L), (3L, "c1", 1L, 4L)).toDF("k", "v", "ver", "tie"), 1L)
+    assert(snapshot() == committed)
+  }
 }
