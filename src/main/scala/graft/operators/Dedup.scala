@@ -323,7 +323,13 @@ object Dedup {
     * Candidates from hyperplane sign-pattern bands, exact-cosine confirm on
     * candidates only (the oracle mirrors the banding, like d3's minhash).
     * The all-pairs form lives only in the spec, as the recall baseline. */
-  def d5DedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+  def d5DedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    d5Pairs(spark, dir).orderBy(col("vec_id_1"), col("vec_id_2"))
+
+  /** d5's pair pipeline WITHOUT the final presentation sort — the form
+    * consumers compose on (d7's connected components does not care about
+    * pair order, and a global sort ahead of a checkpoint is pure waste). */
+  private def d5Pairs(spark: SparkSession, dir: String): DataFrame = {
     val pl = Similarity.planesFor(EmbedBands * EmbedPlanesPerBand)
     val e = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     // all 64 hyperplane dots in ONE fused expression evaluation (bit 4b+p of
@@ -353,7 +359,6 @@ object Dedup {
       .join(e.select(col("vec_id").as("vec_id_2"), col("embedding").as("eb")), Seq("vec_id_2"))
       .select(col("vec_id_1"), col("vec_id_2"), cosE6.as("cos_e6"))
       .filter(col("cos_e6") >= (CosineTau * 1e6).toLong)
-      .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
 
   /** All-pairs exact form of d5 — the spec's recall baseline ONLY (it is a
@@ -388,30 +393,104 @@ object Dedup {
     * near-dup graph. */
   val CcBroadcastLabelLimit = 1000000L
 
-  /** Connected components over undirected PAIRS via min-label propagation
-    * with POINTER JUMPING: each round propagates one hop along edges AND
-    * jumps through the current label pointer, so covered chain length
-    * grows ~2x per round. Rounds run TO FIXPOINT — each round's aggregation
-    * carries the PREVIOUS label along (min over the tagged union), so the
-    * changed-label count that decides termination is a plain filter+count
-    * on the round's checkpointed output, not an extra join job. Long chains
-    * converge exactly and the loop usually stops after 2-3 rounds on
-    * near-dup-sized clusters. Input: (a, b) id pairs; output: (id, cluster)
-    * with cluster = min id of the component. The core of d6 (Jaccard pairs)
-    * and d7 (embedding pairs). */
-  private def connectedComponents(pairs: DataFrame, opName: String): DataFrame = {
+  /** Pair count under which components are solved in a SINGLE task via
+    * union-find instead of the distributed fixpoint. Near-dup pair tables
+    * are a sliver of the corpus (candidates that survived an exact
+    * confirm), so even a 100 TB run usually lands here — 2M (long, long)
+    * edges is ~a hundred MB of task state, far under executor memory,
+    * and the one-task solve replaces ~log2(diameter) driver-synchronized
+    * fixpoint rounds (12 rounds = ~25 Spark jobs on the sf0.1 embedding
+    * graph) with ONE job. Beyond the limit — a truly huge dup graph —
+    * the distributed pointer-jumping fixpoint below is the scale path.
+    * The same size-adaptive strategy selection Spark itself applies to
+    * broadcast-vs-shuffle joins; both paths are spec-checked equal. */
+  val CcLocalPairLimit = 2000000L
+
+  /** Connected components over undirected PAIRS. Input: (a, b) id pairs;
+    * output: (id, cluster) with cluster = min id of the component. The
+    * core of d6 (Jaccard pairs) and d7 (embedding pairs).
+    *
+    * Two physical strategies, picked by pair count (see
+    * [[CcLocalPairLimit]]):
+    *
+    *  - LOCAL (small graphs): one `mapPartitions` task runs union-find
+    *    with path compression over the checkpointed pair blocks, then
+    *    relabels every component to its min id. Not a driver collect —
+    *    the graph never leaves the executors.
+    *  - DISTRIBUTED (huge graphs): min-label propagation with POINTER
+    *    JUMPING — each round propagates one hop along edges AND jumps
+    *    through the current label pointer, so covered chain length grows
+    *    ~2x per round. Rounds run TO FIXPOINT: each round's aggregation
+    *    carries the PREVIOUS label along (min over the tagged union), so
+    *    the changed-label count that decides termination is a plain
+    *    filter+count on the round's checkpointed output, not an extra
+    *    join job. */
+  private def connectedComponents(pairs0: DataFrame, opName: String): DataFrame = {
+    // materialize the pair pipeline ONCE: everything below references
+    // pairs at least twice (both edge directions), and without this the
+    // entire upstream pair generation (d2's prefix join / d5's band join +
+    // cosine confirm) would execute once per reference
+    val pairs = pairs0.localCheckpoint(true)
+    val nPairs = pairs.count() // cheap: checkpointed blocks
+    val idsAreLong = pairs.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+      pairs.schema("b").dataType == org.apache.spark.sql.types.LongType
+    if (nPairs <= CcLocalPairLimit && idsAreLong) ccLocal(pairs)
+    else ccDistributed(pairs, nPairs, opName)
+  }
+
+  /** Small-graph strategy: union-find in one task. Deterministic — the
+    * emitted label is the component MIN regardless of union order.
+    * (private[graft]: the equivalence spec drives both strategies.) */
+  private[graft] def ccLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) { // path-halve as we walk
+            val p = parent(x)
+            val g = parent.getOrElse(p, p)
+            parent(x) = g
+            x = g
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val minOf = scala.collection.mutable.LongMap.empty[Long]
+        parent.foreachKey { v =>
+          val r = find(v)
+          if (v < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = v
+        }
+        parent.keysIterator.map(v => (v, minOf(find(v))))
+      }
+      .toDF("v", "l")
+  }
+
+  /** Huge-graph strategy: distributed min-label fixpoint (see
+    * [[connectedComponents]] doc).
+    * (private[graft]: the equivalence spec drives both strategies.) */
+  private[graft] def ccDistributed(pairs: DataFrame, nPairs: Long, opName: String): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("l", col("v"))
+    // seed labels one propagation ahead: l = min(v, min neighbor) — same
+    // shuffle count as a plain distinct-init (every vertex appears as `a`
+    // in the undirected edge set), one fewer fixpoint round
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a").as("v"), least(col("a"), col("mn")).as("l"))
       .localCheckpoint(true)
-    // the vertex set is fixed, so one count decides the join strategy for
-    // every round (labels is checkpointed: this is a cheap block scan)
-    val nVerts = labels.count()
+    // vertex count ≤ 2 * pair count decides the join strategy once
     def hinted(df: DataFrame): DataFrame =
-      if (nVerts <= CcBroadcastLabelLimit) broadcast(df) else df
+      if (2 * nPairs <= CcBroadcastLabelLimit) broadcast(df) else df
     val idType = pairs.schema("a").dataType
+    val t0 = System.nanoTime()
     var round = 0
     var changed = 1L
     while (changed > 0) {
@@ -440,9 +519,14 @@ object Dedup {
       // exact fixpoint test — a filter over the just-checkpointed blocks
       changed = next.filter(col("l") =!= col("prev")).count()
       labels = next.select(col("v"), col("l"))
+      if (CcDebug) System.err.println(
+        f"[cc:$opName] round $round: changed=$changed (${(System.nanoTime() - t0) / 1e9}%.2fs cum)")
     }
     labels
   }
+
+  /** GRAFT_CC_DEBUG=1 prints per-round convergence timing to stderr. */
+  private val CcDebug = sys.env.contains("GRAFT_CC_DEBUG")
 
   /** `d6_dedup_clusters`: consolidate near-dup PAIRS (d2) into CLUSTERS
     * (connected components — [[connectedComponents]]), elect the min
@@ -477,7 +561,7 @@ object Dedup {
   def d7EmbedClusters(spark: SparkSession, dir: String,
                       precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val pairs = precomputedPairs
-      .getOrElse(d5DedupEmbed(spark, dir))
+      .getOrElse(d5Pairs(spark, dir)) // unsorted form: CC ignores pair order
       .select(col("vec_id_1").as("a"), col("vec_id_2").as("b"))
     connectedComponents(pairs, "d7")
       .select(col("v").as("vec_id"), col("l").as("cluster_id"))

@@ -137,6 +137,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       key(Dedup.d6DedupClusters(spark, sf).collect(), "doc_id"))
   }
 
+  test("connected components: the one-task union-find and the distributed " +
+    "pointer-jumping fixpoint produce identical labelings") {
+    import spark.implicits._
+    // adversarial shapes: a long chain (worst case for propagation), a
+    // star, a triangle merging into the chain, and isolated pairs — plus
+    // ids deliberately out of insertion-friendly order
+    val chain = (0 until 30).map(i => (100L + i, 101L + i))
+    val star = Seq((7L, 500L), (7L, 501L), (7L, 502L))
+    val tri = Seq((115L, 900L), (900L, 901L), (901L, 115L))
+    val loose = Seq((2000L, 2001L), (3001L, 3000L))
+    val pairs = spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(chain ++ star ++ tri ++ loose), 4)
+      .toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("l")).toMap
+    val local = m(Dedup.ccLocal(pairs))
+    val dist = m(Dedup.ccDistributed(pairs.localCheckpoint(true), pairs.count(), "spec"))
+    assert(local == dist, "strategies disagree")
+    // spot semantics: the chain+triangle component labels to its min (100)
+    assert(local(129L) == 100L && local(901L) == 100L)
+    assert(local(502L) == 7L && local(3001L) == 3000L)
+  }
+
   test("s3 oracle publishes only after its result materializes, keyed by dir") {
     // building the s3 plan trains k-means (pending state per dir) but must
     // NOT publish an oracle — the result it describes does not exist yet
