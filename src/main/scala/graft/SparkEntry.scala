@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AnalyticsExt, Dedup, Multimodal, Similarity, TextAnalysis, TopK}
+import graft.operators.{Analytics, AnalyticsExt, Behavior, Dedup, Multimodal, Similarity, TextAnalysis, TopK}
 import graft.pipeline.PipelineQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -16,8 +16,8 @@ object SparkEntry {
     * production operator (see [[benchQueries]] and README "Verified vs
     * production forms"). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.all ++ AnalyticsExt.all ++ PipelineQueries.all ++ TextAnalysis.all ++
-      Dedup.all ++ Similarity.all ++ Multimodal.all ++ TopK.all
+    Analytics.all ++ AnalyticsExt.all ++ Behavior.all ++ PipelineQueries.all ++
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++ TopK.all
 
   /** What Bench times: [[queries]] with verification-shaped entries swapped
     * for their production twins. Today that is only q18 — the verified form
@@ -30,8 +30,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracle ++ AnalyticsExt.oracle ++ PipelineQueries.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++ Multimodal.oracle
+    Analytics.oracle ++ AnalyticsExt.oracle ++ Behavior.oracle ++ PipelineQueries.oracle ++
+      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++
+      Multimodal.oracle
 
   /** Called by Verify after a query's result parquet lands. Operators whose
     * oracle SQL is built from run-derived state (s3's k-means centroids) key

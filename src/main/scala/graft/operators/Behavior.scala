@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Behavioral analytics over the `events` stream: ordered funnels and
+  * cohort retention — the product-analytics operators an engine claiming
+  * the reference's analytics surface gets asked for next (no reference
+  * analog; extensions like SURVEY.md §2's dedup/similarity block).
+  *
+  * Scale design: both operators are one shuffle on user_id plus
+  * group-sized aggregates. The funnel's per-session step times are window
+  * minima over the SAME user_id partitioning the sessionization already
+  * shuffled for (`HashPartitioning(user_id)` satisfies the
+  * `(user_id, session_id)` clustering, so the extra windows add sorts,
+  * never exchanges), and the final counts collapse to one row before the
+  * 3-step explode. Retention is two hash aggregations (distinct
+  * user-weeks, then cohort×offset counts) — both map-side partial.
+  */
+object Behavior {
+
+  /** Funnel step order: a session "reaches" step k when the k-th event
+    * type occurs AT OR AFTER the time it reached step k-1. */
+  val FunnelSteps = Seq("view", "click", "purchase")
+
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** events with q12's session ids (30-min gap, deterministic tie-break) —
+    * the same construction, kept in one place for both operators. */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** `q20_funnel_steps`: ordered-funnel conversion over sessions.
+    * Per session, step k's reach time is the min event time of step k's
+    * type at-or-after step k-1's reach time; the output is one row per
+    * funnel step with sessions reached and floor-e6 conversion ratios
+    * (vs the previous step and vs all sessions). */
+  def q20FunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+    val withT = sessionized(spark, dir)
+      .withColumn("t1",
+        min(when(col("event_type") === FunnelSteps(0), col("ts_us"))).over(bySess))
+      .withColumn("t2",
+        min(when(col("event_type") === FunnelSteps(1) && col("ts_us") >= col("t1"),
+          col("ts_us"))).over(bySess))
+      .withColumn("t3",
+        min(when(col("event_type") === FunnelSteps(2) && col("ts_us") >= col("t2"),
+          col("ts_us"))).over(bySess))
+    // one row per session (t1..t3 are session-constant window values),
+    // then ONE global row of counts — group-sized, no fact-sized state
+    val counts = withT
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .agg(
+        count(lit(1)).as("n0"),
+        count(col("t1")).as("s1"), count(col("t2")).as("s2"), count(col("t3")).as("s3"))
+    def convE6(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, floor(num * lit(1000000.0) / den).cast("long"))
+        .otherwise(lit(null).cast("long"))
+    counts.select(explode(array(
+        struct(lit("1_" + FunnelSteps(0)).as("step"), col("s1").as("n_reached"),
+          convE6(col("s1"), col("n0")).as("conv_prev_e6"),
+          convE6(col("s1"), col("n0")).as("conv_start_e6"),
+          col("n0").as("n_sessions")),
+        struct(lit("2_" + FunnelSteps(1)).as("step"), col("s2").as("n_reached"),
+          convE6(col("s2"), col("s1")).as("conv_prev_e6"),
+          convE6(col("s2"), col("n0")).as("conv_start_e6"),
+          col("n0").as("n_sessions")),
+        struct(lit("3_" + FunnelSteps(2)).as("step"), col("s3").as("n_reached"),
+          convE6(col("s3"), col("s2")).as("conv_prev_e6"),
+          convE6(col("s3"), col("n0")).as("conv_start_e6"),
+          col("n0").as("n_sessions")))).as("f"))
+      .select(col("f.*"))
+      .orderBy(col("step"))
+  }
+
+  /** Calendar-free week index: floor(epoch micros / one week). Both
+    * engines compute it as exact integer arithmetic — no timezone/ISO-week
+    * edge cases in the oracle compare. */
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** `q21_retention_cohorts`: weekly cohort retention — users are
+    * cohorted by their first active week; each (cohort, week offset) row
+    * counts users active that week and the floor-e6 retention rate vs the
+    * cohort size. Offset 0 is 1e6 by construction. */
+  def q21RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(WeekUs)).cast("long").as("week"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val cohortSize = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_n"))
+    active
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSize), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_n"),
+        floor(col("n_active") * lit(1000000.0) / col("cohort_n")).cast("long")
+          .as("retention_e6"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private val sessionCteSql =
+    """e AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+      |       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+      |       ELSE 0 END AS new_session
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      | FROM e)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q20_funnel_steps" ->
+      s"""WITH $sessionCteSql,
+         |t1 AS (
+         | SELECT user_id, session_id,
+         |  min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+         | FROM s GROUP BY 1, 2),
+         |t2 AS (
+         | SELECT s.user_id, s.session_id,
+         |  min(CASE WHEN s.event_type = 'click' AND s.ts_us >= t1.t1 THEN s.ts_us END) AS t2
+         | FROM s JOIN t1 USING (user_id, session_id) GROUP BY 1, 2),
+         |t3 AS (
+         | SELECT s.user_id, s.session_id,
+         |  min(CASE WHEN s.event_type = 'purchase' AND s.ts_us >= t2.t2 THEN s.ts_us END) AS t3
+         | FROM s JOIN t2 USING (user_id, session_id) GROUP BY 1, 2),
+         |c AS (
+         | SELECT count(*) AS n0, count(t1.t1) AS s1, count(t2.t2) AS s2, count(t3.t3) AS s3
+         | FROM t1 JOIN t2 USING (user_id, session_id) JOIN t3 USING (user_id, session_id))
+         |SELECT step, n_reached, conv_prev_e6, conv_start_e6, n_sessions FROM (
+         | SELECT '1_view' AS step, s1 AS n_reached,
+         |  CASE WHEN n0 > 0 THEN CAST(floor(s1 * 1000000.0 / n0) AS BIGINT) END AS conv_prev_e6,
+         |  CASE WHEN n0 > 0 THEN CAST(floor(s1 * 1000000.0 / n0) AS BIGINT) END AS conv_start_e6,
+         |  n0 AS n_sessions FROM c
+         | UNION ALL
+         | SELECT '2_click', s2,
+         |  CASE WHEN s1 > 0 THEN CAST(floor(s2 * 1000000.0 / s1) AS BIGINT) END,
+         |  CASE WHEN n0 > 0 THEN CAST(floor(s2 * 1000000.0 / n0) AS BIGINT) END,
+         |  n0 FROM c
+         | UNION ALL
+         | SELECT '3_purchase', s3,
+         |  CASE WHEN s2 > 0 THEN CAST(floor(s3 * 1000000.0 / s2) AS BIGINT) END,
+         |  CASE WHEN n0 > 0 THEN CAST(floor(s3 * 1000000.0 / n0) AS BIGINT) END,
+         |  n0 FROM c)
+         |ORDER BY step""".stripMargin,
+    "q21_retention_cohorts" ->
+      s"""WITH active AS (
+         | SELECT DISTINCT user_id,
+         |  CAST(floor(epoch_us(ts) / $WeekUs) AS BIGINT) AS week
+         | FROM events),
+         |cohorts AS (
+         | SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id),
+         |sz AS (
+         | SELECT cohort_week, count(*) AS cohort_n FROM cohorts GROUP BY cohort_week)
+         |SELECT c.cohort_week AS cohort_week, a.week - c.cohort_week AS week_offset,
+         | count(*) AS n_active, any_value(sz.cohort_n) AS cohort_n,
+         | CAST(floor(count(*) * 1000000.0 / any_value(sz.cohort_n)) AS BIGINT) AS retention_e6
+         |FROM active a JOIN cohorts c USING (user_id) JOIN sz ON sz.cohort_week = c.cohort_week
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_funnel_steps" -> (q20FunnelSteps _),
+    "q21_retention_cohorts" -> (q21RetentionCohorts _))
+}

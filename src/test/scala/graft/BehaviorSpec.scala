@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Analytics, Behavior}
+
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q20: funnel reaches are monotone, session total matches q12, " +
+    "and ratios are consistent with the counts") {
+    val rows = Behavior.q20FunnelSteps(spark, sf).collect()
+      .sortBy(_.getAs[String]("step"))
+    assert(rows.map(_.getAs[String]("step")).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val n0 = rows.head.getAs[Long]("n_sessions")
+    assert(rows.forall(_.getAs[Long]("n_sessions") == n0))
+    assert(n0 == Analytics.q12Sessionize(spark, sf).count(),
+      "funnel session universe must be exactly q12's sessions")
+    val reached = rows.map(_.getAs[Long]("n_reached"))
+    assert(reached(0) >= reached(1) && reached(1) >= reached(2),
+      s"ordered funnel cannot gain sessions downstream: ${reached.toSeq}")
+    // ratio columns recompute from the counts (floor-e6)
+    val denoms = Seq(n0, reached(0), reached(1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val expectPrev =
+        if (denoms(i) > 0) Some(reached(i) * 1000000L / denoms(i)) else None
+      assert(Option(r.getAs[Any]("conv_prev_e6")).map(_.asInstanceOf[Long]) == expectPrev)
+      val expectStart = if (n0 > 0) Some(reached(i) * 1000000L / n0) else None
+      assert(Option(r.getAs[Any]("conv_start_e6")).map(_.asInstanceOf[Long]) == expectStart)
+    }
+  }
+
+  test("q20: step order is enforced in time, not just presence — a " +
+    "purchase BEFORE the first view does not count as depth 3") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    // ts as long NANOS — the real events.parquet is TIMESTAMP(NANOS),
+    // which Tables.load reads via nanosAsLong and rescales itself
+    def ev(id: Long, minute: Long, user: Long, typ: String) =
+      (id, minute * 60000000000L, user, typ, 1.0, "{}")
+    // user 1: purchase(+1) view(+2) click(+3) -> reaches view+click, NOT purchase
+    // user 2: view(+1) click(+2) purchase(+3) -> full depth
+    // user 3: click only -> depth 0 (no view)
+    Seq(
+      ev(1, 100001, 1, "purchase"), ev(2, 100002, 1, "view"), ev(3, 100003, 1, "click"),
+      ev(4, 100001, 2, "view"), ev(5, 100002, 2, "click"), ev(6, 100003, 2, "purchase"),
+      ev(7, 100001, 3, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Behavior.q20FunnelSteps(spark, dir).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_reached")).toMap
+    assert(rows == Map("1_view" -> 2L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("q21: offset 0 is full retention, cohort sizes match, offsets " +
+    "non-negative, rates recompute") {
+    val rows = Behavior.q21RetentionCohorts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, n, cn, e6) = (r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("cohort_n"), r.getAs[Long]("retention_e6"))
+      assert(off >= 0, "activity cannot precede the cohort week")
+      assert(n <= cn, "active users cannot exceed the cohort")
+      assert(e6 == n * 1000000L / cn)
+      if (off == 0) assert(n == cn && e6 == 1000000L,
+        "every cohort member is active in their first week by definition")
+    }
+    // each cohort has exactly one offset-0 row
+    val zeroRows = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    assert(zeroRows.map(_.getAs[Long]("cohort_week")).distinct.length == zeroRows.length)
+  }
+}
