@@ -133,41 +133,7 @@ object Dedup {
     // cluster: reliable checkpoint). Callers that already materialized the
     // table (d3 shares it with its signature pass) skip the second copy.
     val arrays = if (alreadyCheckpointed) arrays0 else arrays0.localCheckpoint(true)
-    val candidates = cand.getOrElse {
-      // prefix length in exact integer arithmetic: n - ceil(tau*n) + 1,
-      // with ceil(4n/5) = (4n+4) div 5 (Column./ is double division)
-      val prefixLen = expr(s"cast(n - (($TauNum * n + ${TauDen - 1}) div $TauDen) + 1 as int)")
-      val prefixed = arrays.select(col("doc_id"),
-        explode(slice(col("shingles"), lit(1), prefixLen)).as("ps"))
-      // HOT-SHINGLE SKEW GUARD — exact triangle split. A shingle whose
-      // prefix posting list has m rows generates m^2 pairs in ONE task of a
-      // plain self-join. Split each posting list into blocks of
-      // `blockSize` (ordered by doc_id) and enumerate block pairs (i <= j)
-      // as extra equi-join key components: every task now generates at most
-      // blockSize^2 pairs, and because block order follows doc_id order,
-      // cross-block pairs (i < j) always have d1 < d2 — no pair is lost or
-      // duplicated. Replication cost is ceil(m/blockSize) per row, paid
-      // only by hot shingles. (AQE's skew split can't do this: it cannot
-      // subdivide a single join key.)
-      val w = Window.partitionBy(col("ps"))
-      // materialized: both join sides below derive from this — without the
-      // checkpoint the prefix explode + rank/count window execute once PER
-      // SIDE (exchange reuse only shares the shuffle, not the sort+window)
-      val blocked = prefixed
-        .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
-        .withColumn("cnt", count(lit(1)).over(w))
-        .withColumn("blk", ((col("rn") - 1) / lit(blockSize)).cast("int"))
-        .withColumn("nblk",
-          ((col("cnt") + lit(blockSize - 1)) / lit(blockSize)).cast("int"))
-        .localCheckpoint(true)
-      val left = blocked.select(col("doc_id").as("d1"), col("ps"),
-        col("blk").as("bi"), explode(sequence(col("blk"), col("nblk") - 1)).as("bj"))
-      val right = blocked.select(col("doc_id").as("d2"), col("ps"),
-        explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
-      left.join(right, Seq("ps", "bi", "bj"))
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
-    }
+    val candidates = cand.getOrElse(prefixCandidates(arrays, blockSize)())
     val jac = candidates
       .join(arrays.select(col("doc_id").as("d1"), col("shingles").as("sa"), col("n").as("n1")), Seq("d1"))
       .join(arrays.select(col("doc_id").as("d2"), col("shingles").as("sb"), col("n").as("n2")), Seq("d2"))
@@ -180,6 +146,60 @@ object Dedup {
         col("c").as("n_common"),
         floor(col("c") * lit(1000000.0) / (col("n1") + col("n2") - col("c")))
           .cast("long").as("jaccard_e6"))
+  }
+
+  /** Candidate pairs from the canonical-prefix join, as a function of
+    * per-side row filters so variants can bound WHICH pairs are even
+    * enumerated (d8 excludes corpus×corpus at the join, not after it).
+    *
+    * HOT-SHINGLE SKEW GUARD — exact triangle split. A shingle whose
+    * prefix posting list has m rows generates m^2 pairs in ONE task of a
+    * plain self-join. Split each posting list into blocks of `blockSize`
+    * (ordered by doc_id) and enumerate block pairs (i <= j) as extra
+    * equi-join key components: every task now generates at most
+    * blockSize^2 pairs, and because block order follows doc_id order,
+    * cross-block pairs (i < j) always have d1 < d2 — no pair is lost or
+    * duplicated. Replication cost is ceil(m/blockSize) per row, paid
+    * only by hot shingles. (AQE's skew split can't do this: it cannot
+    * subdivide a single join key.)
+    *
+    * `sideCases`: (leftKeep, rightKeep) row-predicate pairs over the
+    * blocked prefix table (columns: doc_id, ps, blk, nblk). Each case
+    * emits { (d1, d2) | d1 < d2, leftKeep(d1), rightKeep(d2) } of the
+    * unfiltered candidate set; the result is the distinct union across
+    * cases, all sharing ONE materialized blocked table. Block geometry is
+    * computed BEFORE filtering, so filters cannot merge two docs into the
+    * same task's pair budget. */
+  private def prefixCandidates(arrays: DataFrame, blockSize: Int)(
+      sideCases: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+        Seq((lit(true), lit(true)))): DataFrame = {
+    // prefix length in exact integer arithmetic: n - ceil(tau*n) + 1,
+    // with ceil(4n/5) = (4n+4) div 5 (Column./ is double division)
+    val prefixLen = expr(s"cast(n - (($TauNum * n + ${TauDen - 1}) div $TauDen) + 1 as int)")
+    val prefixed = arrays.select(col("doc_id"),
+      explode(slice(col("shingles"), lit(1), prefixLen)).as("ps"))
+    val w = Window.partitionBy(col("ps"))
+    // materialized: both join sides below derive from this — without the
+    // checkpoint the prefix explode + rank/count window execute once PER
+    // SIDE (exchange reuse only shares the shuffle, not the sort+window)
+    val blocked = prefixed
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("blk", ((col("rn") - 1) / lit(blockSize)).cast("int"))
+      .withColumn("nblk",
+        ((col("cnt") + lit(blockSize - 1)) / lit(blockSize)).cast("int"))
+      .localCheckpoint(true)
+    sideCases.map { case (leftKeep, rightKeep) =>
+      val left = blocked.filter(leftKeep)
+        .select(col("doc_id").as("d1"), col("ps"),
+          col("blk").as("bi"), explode(sequence(col("blk"), col("nblk") - 1)).as("bj"))
+      val right = blocked.filter(rightKeep)
+        .select(col("doc_id").as("d2"), col("ps"),
+          explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+      left.join(right, Seq("ps", "bi", "bj"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"))
+    }.reduce(_ unionByName _).distinct()
   }
 
   /** `d2_dedup_ngram`: word-3-shingle Jaccard near-dup pairs (exact, via
@@ -571,6 +591,68 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- d8
+
+  /** Batch membership for d8: stable 0-99 md5 bucket of doc_id (the same
+    * primitive as `t5_hash_split`); bucket >= NewBucketMin (20%) plays the
+    * "newly crawled batch", the rest the already-deduped corpus. A real
+    * pipeline swaps this for a snapshot/date predicate — the operator only
+    * needs SOME deterministic membership test. */
+  val NewBucketMin = 80
+
+  private def isNewDoc(c: Column): Column =
+    md5Long60(c.cast("string")) % 100 >= NewBucketMin
+
+  /** `d8_dedup_incremental`: dedup a NEW batch against an existing corpus
+    * without re-pairing the corpus with itself — the daily-crawl shape at
+    * 100 TB: the corpus is already deduped, so today's work must be
+    * proportional to today's batch. The bound is structural, not a
+    * post-filter: the prefix join enumerates (any × new) ∪ (new × old)
+    * via [[prefixCandidates]] side cases, so corpus×corpus candidate
+    * pairs are never GENERATED (with a 1000× corpus:batch ratio, a
+    * generate-then-filter design would spend ~all its join fan-out on
+    * pairs it then throws away). Output: one verdict row per new doc —
+    * dup counts vs corpus and batch, best match (max jaccard, tie -> min
+    * id), and keep/drop: drop on any corpus dup or a batch dup with a
+    * smaller doc_id (keep-first within the batch, so exactly one member
+    * of an all-new duplicate group survives). */
+  def d8DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    val cand = prefixCandidates(arrays, PrefixBlockSize)(Seq(
+      // d2-side new: covers (old, new) and (new, new) pairs
+      (lit(true), isNewDoc(col("doc_id"))),
+      // d1 new, d2 old: the remaining (new, old) orientation
+      (isNewDoc(col("doc_id")), !isNewDoc(col("doc_id")))))
+    val pairs = jaccardPairs(arrays, Some(cand), alreadyCheckpointed = true)
+      .localCheckpoint(true) // feeds the count aggregate AND the best-match window
+    // orient every confirmed pair around its NEW member(s)
+    val m = pairs.filter(isNewDoc(col("doc_id_1")))
+      .select(col("doc_id_1").as("doc_id"), col("doc_id_2").as("other"), col("jaccard_e6"))
+      .unionByName(pairs.filter(isNewDoc(col("doc_id_2")))
+        .select(col("doc_id_2").as("doc_id"), col("doc_id_1").as("other"), col("jaccard_e6")))
+    val agg = m.groupBy(col("doc_id")).agg(
+      sum(when(!isNewDoc(col("other")), 1L).otherwise(0L)).as("n_corpus_dups"),
+      sum(when(isNewDoc(col("other")), 1L).otherwise(0L)).as("n_batch_dups"),
+      sum(when(isNewDoc(col("other")) && col("other") < col("doc_id"), 1L)
+        .otherwise(0L)).as("n_prior_batch_dups"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard_e6").desc, col("other"))
+    val best = m.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("other").as("best_match_id"),
+        col("jaccard_e6").as("best_jaccard_e6"))
+    docs(spark, dir).select(col("doc_id")).filter(isNewDoc(col("doc_id")))
+      .join(agg, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("n_batch_dups"), lit(0L)).as("n_batch_dups"),
+        col("best_match_id"), col("best_jaccard_e6"),
+        when(coalesce(col("n_corpus_dups"), lit(0L)) === 0 &&
+          coalesce(col("n_prior_batch_dups"), lit(0L)) === 0, 1L)
+          .otherwise(0L).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private val toksSql =
@@ -645,7 +727,42 @@ object Dedup {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,
     "d5_dedup_embed" -> d5OracleSql,
-    "d7_embed_clusters" -> d7OracleSql)
+    "d7_embed_clusters" -> d7OracleSql,
+    "d8_dedup_incremental" -> d8OracleSql)
+
+  /** d8 oracle: the d2 pair SQL restricted to pairs touching the batch
+    * (the same "at least one new" set the side-cased prefix join emits),
+    * then the per-new-doc verdict aggregation. Bucket SQL matches
+    * t5_hash_split's convention exactly. */
+  private lazy val d8OracleSql: String = {
+    def isNewSql(x: String) =
+      s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= $NewBucketMin"
+    s"""WITH $shinglesCte,
+       |p AS (${jaccardSelectSql(s"WHERE ${isNewSql("a.doc_id")} OR ${isNewSql("b.doc_id")}")}),
+       |m AS (
+       | SELECT doc_id_1 AS doc_id, doc_id_2 AS other, jaccard_e6 FROM p WHERE ${isNewSql("doc_id_1")}
+       | UNION ALL
+       | SELECT doc_id_2, doc_id_1, jaccard_e6 FROM p WHERE ${isNewSql("doc_id_2")}),
+       |agg AS (
+       | SELECT doc_id,
+       |  CAST(sum(CASE WHEN NOT (${isNewSql("other")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_dups,
+       |  CAST(sum(CASE WHEN ${isNewSql("other")} THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups,
+       |  CAST(sum(CASE WHEN (${isNewSql("other")}) AND other < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_prior
+       | FROM m GROUP BY doc_id),
+       |best AS (
+       | SELECT doc_id, other AS best_match_id, jaccard_e6 AS best_jaccard_e6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY jaccard_e6 DESC, other) AS rn
+       |  FROM m) WHERE rn = 1),
+       |nd AS (SELECT doc_id FROM documents WHERE ${isNewSql("doc_id")})
+       |SELECT nd.doc_id AS doc_id,
+       | coalesce(agg.n_corpus_dups, 0) AS n_corpus_dups,
+       | coalesce(agg.n_batch_dups, 0) AS n_batch_dups,
+       | best.best_match_id, best.best_jaccard_e6,
+       | CAST(CASE WHEN coalesce(agg.n_corpus_dups, 0) = 0
+       |   AND coalesce(agg.n_prior, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM nd LEFT JOIN agg USING (doc_id) LEFT JOIN best USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** d5 oracle: the SAME 16x4 hyperplane banding (planes injected as the
     * identical double literals), then exact-cosine confirm — mirrors the
@@ -750,5 +867,6 @@ object Dedup {
     "d4_dedup_simhash" -> (d4DedupSimhash _),
     "d5_dedup_embed" -> (d5DedupEmbed _),
     "d6_dedup_clusters" -> ((s: SparkSession, d: String) => d6DedupClusters(s, d)),
-    "d7_embed_clusters" -> ((s: SparkSession, d: String) => d7EmbedClusters(s, d)))
+    "d7_embed_clusters" -> ((s: SparkSession, d: String) => d7EmbedClusters(s, d)),
+    "d8_dedup_incremental" -> (d8DedupIncremental _))
 }

@@ -137,6 +137,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
       key(Dedup.d6DedupClusters(spark, sf).collect(), "doc_id"))
   }
 
+  test("d8: incremental verdicts recompute exactly from d2's full pair set") {
+    // the reference computation d8 must agree with: take ALL near-dup
+    // pairs (d2), keep those touching the batch, and derive each new
+    // doc's counts/best-match/keep verdict by hand
+    def isNew(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100 >= Dedup.NewBucketMin
+    }
+    val pairs = Dedup.d2DedupNgram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jaccard_e6")))
+    val matches = pairs.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) }.filter(t => isNew(t._1)).groupBy(_._1)
+    val allNew = Tables.load(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).filter(isNew).sorted
+    val got = Dedup.d8DedupIncremental(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == allNew.toSeq, "one row per new doc")
+    got.foreach { r =>
+      val doc = r.getLong(0)
+      val ms = matches.getOrElse(doc, Array.empty).map(t => (t._2, t._3))
+      assert(r.getAs[Long]("n_corpus_dups") == ms.count(m => !isNew(m._1)))
+      assert(r.getAs[Long]("n_batch_dups") == ms.count(m => isNew(m._1)))
+      val expectKept = ms.forall(m => isNew(m._1)) &&
+        ms.forall(m => !(isNew(m._1) && m._1 < doc))
+      assert(r.getAs[Long]("is_kept") == (if (expectKept) 1L else 0L), s"doc $doc verdict")
+      if (ms.nonEmpty) {
+        val best = ms.minBy(m => (-m._2, m._1))
+        assert(r.getAs[Long]("best_match_id") == best._1 &&
+          r.getAs[Long]("best_jaccard_e6") == best._2, s"doc $doc best match")
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    // every duplicate group fully inside the batch keeps exactly its min
+    val newDupGroups = pairs.filter(t => isNew(t._1) && isNew(t._2))
+    if (newDupGroups.nonEmpty) {
+      val keptSet = got.filter(_.getAs[Long]("is_kept") == 1L).map(_.getLong(0)).toSet
+      newDupGroups.foreach { case (a, b, _) =>
+        assert(!(keptSet(a) && keptSet(b)), s"kept both members of dup pair ($a,$b)")
+      }
+    }
+  }
+
   test("connected components: the one-task union-find and the distributed " +
     "pointer-jumping fixpoint produce identical labelings") {
     import spark.implicits._

@@ -188,6 +188,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!s3.contains("zip_with"), "HOF cosine left in the s3 scan")
   }
 
+  test("q20: the per-session funnel windows reuse the sessionization's " +
+    "user_id partitioning — no second hash exchange on (user_id, session_id)") {
+    val p = plan(graft.operators.Behavior.q20FunnelSteps(spark, sf))
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(!p.contains("hashpartitioning(user_id#") ||
+      !"""hashpartitioning\(user_id#\d+L?, session_id""".r.findFirstIn(p).isDefined,
+      s"funnel re-shuffled on (user_id, session_id):\n$p")
+  }
+
+  test("q21: the cohort-size side joins broadcast, and both aggregations " +
+    "are map-side partial") {
+    val p = plan(graft.operators.Behavior.q21RetentionCohorts(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"cohort sizes not broadcast:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
   test("cosineFast returns null on mismatched array lengths, like the " +
     "declarative form (zip_with null-pads and the fold poisons to null)") {
     import org.apache.spark.sql.functions._
