@@ -98,19 +98,30 @@ object Dedup {
     *    whole partition, so one boilerplate trigram present in most
     *    documents becomes a single straggler task buffering ~n_docs rows
     *    — exactly the hot-key skew the prefix-join guard below exists to
-    *    prevent. The groupBy ships one row per mapper per hot hash, the
-    *    join streams (broadcast while dfreq fits, AQE-skew-split
-    *    sort-merge beyond), and the checkpoint keeps it one scan. */
+    *    prevent. The groupBy ships one row per mapper per hot hash, and
+    *    the join back is SIZE-ADAPTIVE: dfreq is materialized (it feeds
+    *    exactly one join, and a checkpointed input carries no stats so
+    *    nothing would ever auto-broadcast) and broadcast while it fits —
+    *    then the big shingle-row side is never shuffled on h at all, its
+    *    only shuffle is the per-doc groupBy. Beyond the limit (billions
+    *    of distinct shingles) the join stays shuffle-based with AQE skew
+    *    splitting. */
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir).localCheckpoint(true)
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val dfreqSide = if (dfreq.count() <= DfreqBroadcastLimit) broadcast(dfreq) else dfreq
+    sh.join(dfreqSide, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("df"), col("h")))),
           x => x.getField("h")).as("shingles"),
         count(lit(1)).as("n"))
   }
+
+  /** Distinct-shingle count under which the df table broadcasts: 2M
+    * (long, long) rows is a few tens of MB, inside the session's 64 MB
+    * broadcast budget. */
+  val DfreqBroadcastLimit = 2000000L
 
   /** Exact prefix-filtered Jaccard (PPJoin-style): a pair with
     * jac >= tau shares >= ceil(tau*n) shingles, so each side must expose
