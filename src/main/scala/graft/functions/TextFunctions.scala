@@ -71,6 +71,15 @@ object TextFunctions {
     * chars in the complementary class (DuckDB:
     * length(regexp_replace(x, pattern, '', 'g')) — note the 'g' flag,
     * DuckDB replaces only the first match without it). */
+  /** `size(array_intersect(a, b))` of two long arrays as ONE fused
+    * long-valued expression — the Jaccard confirm phase's inner loop.
+    * Bit-parity with the declarative form is asserted in PlanSpec. */
+  def intersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   def strippedLength(text: Column, stripPattern: String): Column =
     length(regexp_replace(text, stripPattern, ""))
 }

@@ -148,7 +148,9 @@ object Dedup {
     val jac = candidates
       .join(arrays.select(col("doc_id").as("d1"), col("shingles").as("sa"), col("n").as("n1")), Seq("d1"))
       .join(arrays.select(col("doc_id").as("d2"), col("shingles").as("sb"), col("n").as("n2")), Seq("d2"))
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // fused |a ∩ b| count (no intersection-array materialization per
+      // candidate pair); bit-parity with size(array_intersect) in PlanSpec
+      .withColumn("c", intersectCount(col("sa"), col("sb")))
     jac
       .filter(col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")) >= JaccardTau)
       .select(

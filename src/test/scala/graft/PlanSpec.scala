@@ -188,6 +188,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!s3.contains("zip_with"), "HOF cosine left in the s3 scan")
   }
 
+  test("fused intersectCount is bit-identical to size(array_intersect) — " +
+    "real shingle arrays plus adversarial duplicates/zeros/empties") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // real per-doc shingle arrays, self-joined like the confirm phase
+    val arr = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextFunctions.hashedShingles3FromToks(
+          TextFunctions.wsTokens(col("text"))).as("sh"))
+    val a = arr.select(col("doc_id").as("i1"), col("sh").as("sa"))
+    val b = arr.select(col("doc_id").as("i2"), col("sh").as("sb"))
+    val rows = a.join(b, col("i1") < col("i2")).limit(20000)
+      .select(
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("slow"),
+        TextFunctions.intersectCount(col("sa"), col("sb")).as("fast"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"${r.getLong(0)} != ${r.getLong(1)}"))
+    // edge semantics: duplicates count once, zero participates, empties
+    import spark.implicits._
+    val edge = Seq(
+      (Seq(1L, 2L, 2L, 0L), Seq(2L, 0L, 0L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(0L), Seq(0L)),
+      (Seq(5L, 5L, 5L), Seq(5L))).toDF("x", "y")
+      .select(
+        size(array_intersect(col("x"), col("y"))).cast("long").as("slow"),
+        TextFunctions.intersectCount(col("x"), col("y")).as("fast"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"edge: ${r.getLong(0)} != ${r.getLong(1)}"))
+  }
+
   test("q20: the per-session funnel windows reuse the sessionization's " +
     "user_id partitioning — no second hash exchange on (user_id, session_id)") {
     val p = plan(graft.operators.Behavior.q20FunnelSteps(spark, sf))
