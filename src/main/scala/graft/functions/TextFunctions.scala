@@ -71,6 +71,14 @@ object TextFunctions {
     * chars in the complementary class (DuckDB:
     * length(regexp_replace(x, pattern, '', 'g')) — note the 'g' flag,
     * DuckDB replaces only the first match without it). */
+  /** 64-bit SimHash of a token array as [c0..c3] 16-bit chunks, one fused
+    * per-row pass (no explode, no shuffle) — see
+    * [[graft.functions.SimHash64Expr]]. */
+  def simhash64(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(toks)))
+  }
+
   /** `size(array_intersect(a, b))` of two long arrays as ONE fused
     * long-valued expression — the Jaccard confirm phase's inner loop.
     * Bit-parity with the declarative form is asserted in PlanSpec. */

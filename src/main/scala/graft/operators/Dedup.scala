@@ -263,10 +263,27 @@ object Dedup {
 
   // ---------------------------------------------------------------- d4
 
-  /** Per-document 64-bit SimHash as 4 x 16-bit chunks, computed in closed
-    * form: per chunk bit b, weight = 2*sum(bit_b) - n_words; bit set iff
-    * weight > 0. 64 sum aggregates, zero row explosion. */
-  def simhashChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document 64-bit SimHash as 4 x 16-bit chunks — one fused
+    * per-row expression pass ([[graft.functions.SimHash64Expr]]): SimHash
+    * is a pure function of each doc's word multiset, so the signature
+    * phase needs NO explode and NO shuffle at all. The declarative
+    * 64-sum-aggregate form below survives as the spec's parity baseline. */
+  def simhashChunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("_toks"))
+      // zero-token docs have no word rows in the explode form (and the
+      // oracle), so they carry no signature here either
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"), simhash64(col("_toks")).as("_c"))
+      .select(col("doc_id"),
+        element_at(col("_c"), 1).as("c0"), element_at(col("_c"), 2).as("c1"),
+        element_at(col("_c"), 3).as("c2"), element_at(col("_c"), 4).as("c3"))
+
+  /** The original explode + 64-sum-aggregates SimHash (chunk bit b set iff
+    * 2*sum(bit_b) - n_words > 0) — kept ONLY as the independent
+    * recomputation `DedupSimilaritySpec` checks the fused expression
+    * against, and as documentation of the oracle's exact algebra. */
+  def simhashChunksSlow(spark: SparkSession, dir: String): DataFrame = {
     val words = docs(spark, dir)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
     val withVals = (0 until 4).foldLeft(words) { (df, j) =>

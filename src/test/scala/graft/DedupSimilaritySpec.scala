@@ -68,6 +68,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("d4: fused simhash64 is bit-identical to the 64-sum-aggregate form") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("c0"), r.getAs[Long]("c1"),
+        r.getAs[Long]("c2"), r.getAs[Long]("c3"))).toMap
+    val fast = m(Dedup.simhashChunks(spark, sf))
+    val slow = m(Dedup.simhashChunksSlow(spark, sf))
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (id, c) => assert(c == slow(id), s"doc $id chunks differ") }
+  }
+
   test("d6: clusters cover exactly the paired docs, one keeper per cluster") {
     val pairs = Dedup.d2DedupNgram(spark, sf).collect()
     val pairedDocs = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
