@@ -97,6 +97,80 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intersect_count == |set(a) ∩ set(b)| on random long arrays " +
+    "(duplicates, zeros, empties included)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val expr = graft.functions.IntersectCountExpr(Literal(1L), Literal(1L))
+    // small value domain forces collisions/duplicates; explicit zeros hit
+    // the empty-slot sentinel path
+    val genArr = Gen.listOf(Gen.oneOf(Gen.chooseNum(-20L, 20L), Gen.const(0L)))
+    check(Prop.forAll(genArr, genArr) { (a: List[Long], b: List[Long]) =>
+      expr.computeCount(new GenericArrayData(a.toArray),
+        new GenericArrayData(b.toArray)) == a.toSet.intersect(b.toSet).size.toLong
+    })
+  }
+
+  test("simhash64 chunks == direct multiset recomputation on random words") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.SimHash64Expr(Literal("x"))
+    def reference(words: List[String]): Seq[Long] = {
+      val cnt = new Array[Int](64)
+      words.foreach { w =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        for (j <- 0 until 4; b <- 0 until 16) {
+          val v = ((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)
+          cnt(16 * j + b) += (v >>> b) & 1
+        }
+      }
+      (0 until 4).map(j => (0 until 16).map(b =>
+        if (2 * cnt(16 * j + b) - words.length > 0) 1L << b else 0L).sum)
+    }
+    // duplicate-heavy word lists: SimHash is a MULTISET function
+    val genWords = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "döc", "e f", "a"))
+    check(Prop.forAll(genWords) { ws: List[String] =>
+      val got = expr.computeChunks(new GenericArrayData(
+        ws.map(UTF8String.fromString).toArray)).toLongArray().toSeq
+      got == reference(ws)
+    })
+  }
+
+  test("local union-find CC == reference transitive closure on random graphs") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def reference(pairs: List[(Long, Long)]): Map[Long, Long] = {
+      // naive fixpoint over adjacency — independent of the union-find code
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var label = adj.keys.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        adj.foreach { case (v, ns) =>
+          val m = math.min(label(v), ns.map(label).min)
+          if (m < label(v)) { label += v -> m; changed = true }
+        }
+      }
+      label
+    }
+    val genPairs = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))))
+      .map(_.filter(p => p._1 != p._2))
+    val p = Prop.forAll(genPairs) { pairs: List[(Long, Long)] =>
+      pairs.isEmpty || {
+        val got = graft.operators.Dedup.ccLocal(pairs.toDF("a", "b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == reference(pairs)
+      }
+    }
+    // each case runs a real (tiny) Spark job — fewer cases than pure props
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("hash-split buckets partition the id space deterministically") {
     check(Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id: Long =>
       def split(x: Long): String = {
