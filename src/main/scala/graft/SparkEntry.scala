@@ -39,6 +39,9 @@ object SparkEntry {
     * that state by `dir` and only publish it once the producing plan has
     * actually materialized — a failed run must not ship an oracle for a
     * result that does not exist. */
-  def markMaterialized(name: String, dir: String): Unit =
-    if (name == "s3_ann_ivf") Similarity.confirmMaterialized(dir)
+  def markMaterialized(name: String, dir: String): Unit = name match {
+    case "s3_ann_ivf" => Similarity.confirmMaterialized(dir)
+    case "s4_ann_pq" => Similarity.confirmPqMaterialized(dir)
+    case _ => ()
+  }
 }

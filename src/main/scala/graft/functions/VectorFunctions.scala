@@ -58,4 +58,12 @@ object VectorFunctions {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(CosineMatrixExpr(ColumnBridge.expression(emb), matrix))
   }
+
+  /** PQ codes of an e6-fixed-point vector under `books`, one fused pass
+    * ([[PqEncodeExpr]]) — the declarative argmin form overflows Janino's
+    * 64 KB method limit at 8×16×8 and knocks the scan out of codegen. */
+  def pqEncode(f: Column, books: Array[Array[Array[Long]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(f), books))
+  }
 }

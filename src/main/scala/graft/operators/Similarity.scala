@@ -143,6 +143,9 @@ object Similarity {
     staticOracle ++ (confirmedCentroids.toMap match {
       case one if one.size == 1 => Map("s3_ann_ivf" -> s3OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedPq.toMap match {
+      case one if one.size == 1 => Map("s4_ann_pq" -> s4OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   private val staticOracle: Map[String, String] = Map(
@@ -266,6 +269,10 @@ object Similarity {
   def confirmMaterialized(dir: String): Unit =
     pendingCentroids.get(dir).foreach(cs => confirmedCentroids.put(dir, cs))
 
+  /** s4's twin of [[confirmMaterialized]], for the PQ codebooks. */
+  def confirmPqMaterialized(dir: String): Unit =
+    pendingPq.get(dir).foreach(b => confirmedPq.put(dir, b))
+
   /** `s3_ann_ivf`: inverted-file ANN with data-derived k-means centroids.
     * Every vector is assigned to its max-cosine cell (one narrow scan over
     * broadcast centroid literals — at scale the cell id is the partition
@@ -297,8 +304,192 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // ------------------------------------------------- s4: product quantization
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids each →
+    * a vector compresses to 8 nibble codes (4 bytes) — the storage story
+    * that makes 100 TB of embeddings searchable from memory (64× smaller
+    * than float32). Codebooks train per subspace with the same
+    * deterministic fixed-point Lloyd's as s3 (init = first PqK vectors'
+    * subvectors, integer sums, floorDiv means — a pure function of the
+    * data dir). */
+  val NumSub = 8
+  val SubDim = 8
+  val PqK = 16
+  val PqIters = 2
+
+  /** e6-floored long subvector d of subspace j from the `f` column. */
+  private def fAt(j: Int, d: Int): Column =
+    element_at(col("f"), j * SubDim + d + 1)
+
+  /** Declarative argmin-L2 code of subspace j — exact integer distance on
+    * the e6 grid ((f-c)² sums stay < 2^45), tie → min code, the same
+    * struct-array-min trick as [[scoredCells]]. KEPT ONLY as the
+    * bit-parity baseline for the fused [[graft.functions.PqEncodeExpr]]
+    * (the 8×16×8 expansion overflows Janino's 64 KB method limit).
+    * private[graft]: PlanSpec drives both forms. */
+  private[graft] def pqCodeColSlow(books: Array[Array[Array[Long]]], j: Int): Column = {
+    val scored = books(j).zipWithIndex.map { case (cent, ci) =>
+      val dist = (0 until SubDim).map { d =>
+        val diff = fAt(j, d) - lit(cent(d))
+        diff * diff
+      }.reduce(_ + _)
+      struct(dist.as("dist"), lit(ci.toLong).as("code"))
+    }
+    array_min(array(scored: _*)).getField("code")
+  }
+
+  /** Train the 8 codebooks. One aggregate job per iteration: rows explode
+    * to (subspace, code, subvector) and the (j, code) groupBy sums all
+    * subspaces at once. Only the 8×16×8-long MODEL is collected. Returns
+    * (books, checkpointed (vec_id, embedding, f) projection). */
+  private def pqTrain(spark: SparkSession, dir: String): (Array[Array[Array[Long]]], DataFrame) = {
+    val data = emb(spark, dir).select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * KmScale).cast("long")).as("f"))
+      .localCheckpoint(true)
+    val init = data.filter(col("vec_id") < PqK).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("f")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    val books: Array[Array[Array[Long]]] = Array.tabulate(NumSub, PqK) {
+      (j, c) => java.util.Arrays.copyOfRange(init(c), j * SubDim, (j + 1) * SubDim)
+    }
+    for (_ <- 1 to PqIters) {
+      val codes = pqEncode(col("f"), books.map(_.map(_.clone())))
+      val perSub = (0 until NumSub).map(j => struct(
+        lit(j).as("j"), element_at(codes, j + 1).as("code"),
+        array((0 until SubDim).map(d => fAt(j, d)): _*).as("sub")))
+      val sums = (0 until SubDim).map(d =>
+        sum(element_at(col("sub"), d + 1)).as(s"s$d"))
+      val agg = data.select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.code").as("code"), col("e.sub").as("sub"))
+        .groupBy(col("j"), col("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      agg.foreach { r =>
+        val n = r.getAs[Long]("n")
+        books(r.getAs[Int]("j"))(r.getAs[Long]("code").toInt) =
+          (0 until SubDim).map(d => Math.floorDiv(r.getAs[Long](s"s$d"), n)).toArray
+      } // a cell no vector chose keeps its previous centroid, like s3
+    }
+    pendingPq.put(dir, books)
+    (books, data)
+  }
+
+  private val pendingPq =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Long]]]]
+  private val confirmedPq =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Long]]]]
+
+  /** Left-to-right double dot product — the IEEE sequence DuckDB's
+    * `list_sum(list_transform(list_zip(...)))` produces (same pairing the
+    * s1/s2 cosine oracles already rely on). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+
+  /** ADC shortlist size per probe: coarse 4-bit codes rank a candidate
+    * pool, exact cosine re-ranks only these — the standard PQ + re-rank
+    * pipeline (recall vs s1 asserted in the spec). */
+  val PqShortlist = 50
+
+  /** `s4_ann_pq`: product-quantization ANN with exact re-rank. Vectors
+    * are stored as 8 nibble codes; a probe first scores every vector by
+    * ASYMMETRIC DISTANCE — the sum over subspaces of dot(probe subvector,
+    * chosen centroid) — touching only codes + the 8×16 codebook, never
+    * the original vectors; the top [[PqShortlist]] by ADC are then
+    * re-ranked by exact cosine (fetching full vectors for shortlist-sized
+    * work only — at 100 TB that is the entire point: the coarse pass
+    * reads 4-byte codes, the expensive pass reads
+    * probes × shortlist vectors). Each per-subspace partial dot is
+    * floored to an e6 long BEFORE the cross-subspace sum, so the
+    * shortlist cut is integer-deterministic (float summation order can't
+    * flip it between engines). At corpus scale the probe side becomes 8
+    * lookup tables of 16 partials computed once per probe; this plan
+    * inlines the codebook as literals, which is the same arithmetic
+    * evaluated lazily. Output ranks by (exact cosine desc, vec_id),
+    * self excluded. */
+  def s4AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val (books, data) = pqTrain(spark, dir)
+    val enc = data.select(col("vec_id"), col("embedding"),
+      pqEncode(col("f"), books).as("codes"))
+    val probes = data.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val adc = (0 until NumSub).map { j =>
+      // codebook j as an array-of-arrays literal of exact doubles (e6/1e6)
+      val bookLit = array(books(j).map(cent =>
+        array(cent.map(v => lit(v.toDouble / KmScale)): _*)): _*)
+      val chosen = element_at(bookLit, element_at(col("codes"), j + 1).cast("int") + 1)
+      floor(dotD(slice(col("pe"), j * SubDim + 1, SubDim), chosen) * lit(1000000.0))
+        .cast("long")
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_e6").desc, col("vec_id"))
+    val cos = cosineFast(col("pe"), col("embedding"))
+    val wFinal = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    enc.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_e6", adc)
+      .withColumn("short_rank", row_number().over(wAdc))
+      .filter(col("short_rank") <= PqShortlist)
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= LshTopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("adc_e6"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** s4 oracle from the trained codebooks (VALUES literals, exact double
+    * round-trip), mirroring the plan: integer-L2 encode per subspace,
+    * per-subspace partial dots floored to e6 BEFORE the integer sum,
+    * ranks tie-broken on vec_id. */
+  private def s4OracleSql(books: Array[Array[Array[Long]]]): String = {
+    val centRows = (for (j <- 0 until NumSub; c <- 0 until PqK) yield {
+      val ce = books(j)(c).mkString("[", ", ", "]")
+      val cd = books(j)(c).map(v => (v.toDouble / KmScale).toString).mkString("[", ", ", "]")
+      s"($j, $c, $ce, $cd)"
+    }).mkString(",\n  ")
+    s"""WITH cents(j, cid, ce, cd) AS (VALUES
+       |  $centRows),
+       |fe AS (
+       | SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS f
+       | FROM embeddings),
+       |scored AS (
+       | SELECT fe.vec_id, c.j, c.cid,
+       |  row_number() OVER (PARTITION BY fe.vec_id, c.j ORDER BY
+       |   list_sum(list_transform(range(1, ${SubDim + 1}),
+       |     d -> (f[c.j * $SubDim + d] - c.ce[d]) * (f[c.j * $SubDim + d] - c.ce[d]))),
+       |   c.cid) AS rn
+       | FROM fe CROSS JOIN cents c),
+       |codes AS (SELECT vec_id, j, cid AS code FROM scored WHERE rn = 1),
+       |adc AS (
+       | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+       |  CAST(sum(CAST(floor(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |    d -> CAST(p.embedding[c.j * $SubDim + d] AS DOUBLE) * c.cd[d])) * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_e6
+       | FROM embeddings p
+       |  CROSS JOIN embeddings x
+       |  JOIN codes cx ON cx.vec_id = x.vec_id
+       |  JOIN cents c ON c.j = cx.j AND c.cid = cx.code
+       | WHERE p.vec_id < $NumProbes AND x.vec_id != p.vec_id
+       | GROUP BY 1, 2),
+       |short AS (
+       | SELECT probe_id, neighbor_id, adc_e6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc_e6 DESC, neighbor_id) AS srn FROM adc)
+       | WHERE srn <= $PqShortlist)
+       |SELECT probe_id, neighbor_id, adc_e6, cos_e6, rank FROM (
+       | SELECT s.probe_id, s.neighbor_id, s.adc_e6,
+       |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+       |  CAST(row_number() OVER (PARTITION BY s.probe_id
+       |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, s.neighbor_id) AS BIGINT) AS rank
+       | FROM short s
+       |  JOIN embeddings p ON p.vec_id = s.probe_id
+       |  JOIN embeddings x ON x.vec_id = s.neighbor_id)
+       |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
-    "s3_ann_ivf" -> (s3AnnIvf _))
+    "s3_ann_ivf" -> (s3AnnIvf _),
+    "s4_ann_pq" -> (s4AnnPq _))
 }

@@ -243,6 +243,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s4: PQ shortlist + exact re-rank — ranks contiguous, cosine " +
+    "descending, recall@5 vs s1 above the coarse-code floor, oracle gated") {
+    val brute = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.s4AnnPq(spark, sf).collect()
+    pq.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Long]("cos_e6"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val hits = pq.count(r =>
+      brute.contains((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits.toDouble / brute.size >= 0.6,
+      s"recall@5 $hits/${brute.size} below the 4-bit-code + rerank floor")
+    // run-state oracle gating, like s3: pending until Verify confirms
+    assert(!Similarity.oracle.contains("s4_ann_pq"))
+    Similarity.confirmPqMaterialized(sf)
+    assert(Similarity.oracle.get("s4_ann_pq").exists(_.contains("cents")))
+  }
+
   test("s2: bucketed results are a subset of the probe's bucket and " +
     "recall@k vs s1 is sane") {
     val brute = Similarity.s1AnnBrute(spark, sf).collect()

@@ -222,6 +222,29 @@ class PlanSpec extends AnyFunSuite {
       s"edge: ${r.getLong(0)} != ${r.getLong(1)}"))
   }
 
+  test("fused pqEncode is bit-identical to the declarative argmin form, " +
+    "and keeps the scan inside codegen (no 64KB fallback)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // a deterministic synthetic codebook exercising ties and negatives
+    val books: Array[Array[Array[Long]]] = Array.tabulate(Similarity.NumSub, Similarity.PqK) {
+      (j, c) => Array.tabulate(Similarity.SubDim)(d =>
+        ((j * 31 + c * 17 + d * 7) % 23 - 11).toLong * 100000L)
+    }
+    val f = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000L).cast("long")).as("f"))
+    val slowCodes = array((0 until Similarity.NumSub).map(j =>
+      Similarity.pqCodeColSlow(books, j)): _*)
+    val rows = f.select(VectorFunctions.pqEncode(col("f"), books).as("fast"),
+      slowCodes.as("slow")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"${r.getSeq[Long](0)} != ${r.getSeq[Long](1)}"))
+    val p = plan(f.select(VectorFunctions.pqEncode(col("f"), books).as("c")))
+    assert(p.contains("pq_encode"), s"not fused:\n$p")
+  }
+
   test("q20: the per-session funnel windows reuse the sessionization's " +
     "user_id partitioning — no second hash exchange on (user_id, session_id)") {
     val p = plan(graft.operators.Behavior.q20FunnelSteps(spark, sf))
