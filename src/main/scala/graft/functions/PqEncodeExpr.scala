@@ -34,8 +34,15 @@ case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Long]]])
       s"$prettyName requires array<bigint> fixed-point input, got ${other.catalogString}")
   }
 
-  /** Shared by interpreted and generated paths. */
+  override def nullable: Boolean = true
+
+  /** Shared by interpreted and generated paths. A vector shorter than
+    * numSub*subDim yields NULL — the repo's length-mismatch convention
+    * (cosineFast, and the declarative element_at-past-the-end form both
+    * fail visibly); an unchecked getLong on UnsafeArrayData would read
+    * off-heap garbage silently. */
   def computeCodes(f: ArrayData): ArrayData = {
+    if (f.numElements() < numSub * subDim) return null
     val out = new Array[Long](numSub)
     var j = 0
     while (j < numSub) {
@@ -68,7 +75,10 @@ case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Long]]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val self = ctx.addReferenceObj("self", this, classOf[PqEncodeExpr].getName)
-      s"${ev.value} = $self.computeCodes($a);"
+      s"""
+         |${ev.value} = $self.computeCodes($a);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

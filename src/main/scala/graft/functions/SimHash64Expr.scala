@@ -38,25 +38,31 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  /** Shared by interpreted and generated paths. */
+  /** Shared by interpreted and generated paths. Null elements contribute
+    * no bits but DO count toward n — exactly the declarative form's
+    * algebra (a null word's md5 is null so every bit-sum skips it, while
+    * `count(lit(1))` still counts the row). Token arrays here never carry
+    * nulls, but the expression must not NPE on a schema that allows them. */
   def computeChunks(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val cnt = new Array[Int](64)
     val md = md5Local.get()
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(a.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 4) {
-        // 16-bit big-endian chunk j = hex chars [4j, 4j+4) = bytes 2j, 2j+1
-        val v = ((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)
-        var b = 0
-        while (b < 16) {
-          cnt(16 * j + b) += (v >>> b) & 1
-          b += 1
+      if (!a.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(a.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 4) {
+          // 16-bit big-endian chunk j = hex chars [4j, 4j+4) = bytes 2j, 2j+1
+          val v = ((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)
+          var b = 0
+          while (b < 16) {
+            cnt(16 * j + b) += (v >>> b) & 1
+            b += 1
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }

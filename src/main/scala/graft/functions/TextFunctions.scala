@@ -67,10 +67,6 @@ object TextFunctions {
   def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Chars remaining after stripping `stripPattern` — i.e. the count of
-    * chars in the complementary class (DuckDB:
-    * length(regexp_replace(x, pattern, '', 'g')) — note the 'g' flag,
-    * DuckDB replaces only the first match without it). */
   /** 64-bit SimHash of a token array as [c0..c3] 16-bit chunks, one fused
     * per-row pass (no explode, no shuffle) — see
     * [[graft.functions.SimHash64Expr]]. */
@@ -88,6 +84,10 @@ object TextFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Chars remaining after stripping `stripPattern` — i.e. the count of
+    * chars in the complementary class (DuckDB:
+    * length(regexp_replace(x, pattern, '', 'g')) — note the 'g' flag,
+    * DuckDB replaces only the first match without it). */
   def strippedLength(text: Column, stripPattern: String): Column =
     length(regexp_replace(text, stripPattern, ""))
 }

@@ -210,19 +210,32 @@ object Analytics {
       .orderBy(col("n_name"))
   }
 
-  /** Gap-based sessionization (30 min) of the event stream: lag + running
-    * sum windows, then per-session aggregates. One shuffle on user_id. */
-  def q12Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** THE session definition — 30-min gap. One constant shared by the q12
+    * aggregate, the Behavior funnel/retention operators and (as a literal)
+    * their oracle SQL; change it here and every consumer moves together. */
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** events + gap-based session ids (lag + running-sum windows, one
+    * shuffle on user_id; deterministic (ts, event_id) tie-break) — the
+    * single sessionization construction every session-scoped operator
+    * builds on (q12's aggregate, Behavior's funnel). */
+  def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapUs = 1800L * 1000000L
     t(spark, dir, "events")
       .withColumn("ts_us", unix_micros(col("ts")))
-      .withColumn("new_session",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1L)
+      .withColumn("_new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs, 1L)
           .when(lag(col("ts_us"), 1).over(byUser).isNull, 1L)
           .otherwise(0L))
-      .withColumn("session_id", sum(col("new_session"))
+      .withColumn("session_id", sum(col("_new_session"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new_session")
+  }
+
+  /** Gap-based sessionization (30 min) of the event stream: per-session
+    * aggregates over [[sessionizedEvents]]. */
+  def q12Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    sessionizedEvents(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

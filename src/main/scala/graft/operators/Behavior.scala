@@ -25,22 +25,6 @@ object Behavior {
     * type occurs AT OR AFTER the time it reached step k-1. */
   val FunnelSteps = Seq("view", "click", "purchase")
 
-  val SessionGapUs: Long = 1800L * 1000000L
-
-  /** events with q12's session ids (30-min gap, deterministic tie-break) —
-    * the same construction, kept in one place for both operators. */
-  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    Tables.load(spark, dir, "events")
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .withColumn("new_session",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs, 1L)
-          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("new_session"))
-        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-  }
-
   /** `q20_funnel_steps`: ordered-funnel conversion over sessions.
     * Per session, step k's reach time is the min event time of step k's
     * type at-or-after step k-1's reach time; the output is one row per
@@ -48,7 +32,7 @@ object Behavior {
     * (vs the previous step and vs all sessions). */
   def q20FunnelSteps(spark: SparkSession, dir: String): DataFrame = {
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
-    val withT = sessionized(spark, dir)
+    val withT = Analytics.sessionizedEvents(spark, dir)
       .withColumn("t1",
         min(when(col("event_type") === FunnelSteps(0), col("ts_us"))).over(bySess))
       .withColumn("t2",
@@ -114,11 +98,14 @@ object Behavior {
 
   // ------------------------------------------------------------- oracles
 
+  /** The q12 oracle's session CTE with `event_type` carried through; the
+    * gap literal comes from [[Analytics.SessionGapUs]] so the Spark
+    * helper, this oracle and q12's stay one definition. */
   private val sessionCteSql =
-    """e AS (
+    s"""e AS (
       | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
       |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
-      |       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+      |       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${Analytics.SessionGapUs} THEN 1
       |       ELSE 0 END AS new_session
       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (

@@ -433,16 +433,6 @@ object Dedup {
     * fails loudly rather than emitting partially-merged clusters. */
   val CcMaxRounds = 40
 
-  /** Label-table row count under which the fixpoint joins hint a broadcast
-    * of the label side: (long, long) rows at ~1M are a few tens of MB —
-    * inside the session's 64 MB broadcast budget. Checkpointed tables carry
-    * no size stats, so without the hint every round's joins would fall back
-    * to full shuffle exchanges even when the label table is a few hundred
-    * near-dup vertices. Above the limit the joins stay shuffle-based, which
-    * is the correct shape when a 100 TB corpus yields a billion-vertex
-    * near-dup graph. */
-  val CcBroadcastLabelLimit = 1000000L
-
   /** Pair count under which components are solved in a SINGLE task via
     * union-find instead of the distributed fixpoint. Near-dup pair tables
     * are a sliver of the corpus (candidates that survived an exact
@@ -475,12 +465,15 @@ object Dedup {
     *    the changed-label count that decides termination is a plain
     *    filter+count on the round's checkpointed output, not an extra
     *    join job. */
-  private def connectedComponents(pairs0: DataFrame, opName: String): DataFrame = {
+  private def connectedComponents(pairs0: DataFrame, opName: String,
+                                  alreadyMaterialized: Boolean = false): DataFrame = {
     // materialize the pair pipeline ONCE: everything below references
-    // pairs at least twice (both edge directions), and without this the
-    // entire upstream pair generation (d2's prefix join / d5's band join +
-    // cosine confirm) would execute once per reference
-    val pairs = pairs0.localCheckpoint(true)
+    // pairs at least twice (both edge directions and the count), and
+    // without this the entire upstream pair generation (d2's prefix join /
+    // d5's band join + cosine confirm) would execute once per reference.
+    // Callers passing an already-checkpointed table skip the second copy
+    // (the jaccardPairs `alreadyCheckpointed` convention).
+    val pairs = if (alreadyMaterialized) pairs0 else pairs0.localCheckpoint(true)
     val nPairs = pairs.count() // cheap: checkpointed blocks
     val idsAreLong = pairs.schema("a").dataType == org.apache.spark.sql.types.LongType &&
       pairs.schema("b").dataType == org.apache.spark.sql.types.LongType
@@ -513,12 +506,10 @@ object Dedup {
           val ra = find(a); val rb = find(b)
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
-        val minOf = scala.collection.mutable.LongMap.empty[Long]
-        parent.foreachKey { v =>
-          val r = find(v)
-          if (v < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = v
-        }
-        parent.keysIterator.map(v => (v, minOf(find(v))))
+        // union always links the larger root under the smaller, so by
+        // induction every root already IS its component's min id — the
+        // property test pins this against an independent closure
+        parent.keysIterator.map(v => (v, find(v)))
       }
       .toDF("v", "l")
   }
@@ -536,9 +527,9 @@ object Dedup {
     var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
       .select(col("a").as("v"), least(col("a"), col("mn")).as("l"))
       .localCheckpoint(true)
-    // vertex count ≤ 2 * pair count decides the join strategy once
-    def hinted(df: DataFrame): DataFrame =
-      if (2 * nPairs <= CcBroadcastLabelLimit) broadcast(df) else df
+    // no broadcast hinting here on purpose: this path only runs beyond
+    // CcLocalPairLimit pairs (or for non-long ids), where the label table
+    // is far past any broadcast budget — small graphs take ccLocal
     val idType = pairs.schema("a").dataType
     val t0 = System.nanoTime()
     var round = 0
@@ -547,11 +538,11 @@ object Dedup {
       round += 1
       require(round <= CcMaxRounds, s"$opName did not converge in $CcMaxRounds rounds")
       val propagated = edges
-        .join(hinted(labels.select(col("v").as("b"), col("l"))), Seq("b"))
+        .join(labels.select(col("v").as("b"), col("l")), Seq("b"))
         .select(col("a").as("v"), col("l"))
       // pointer jump: v -> label(label(v)) doubles the covered distance
       val jumped = labels.select(col("v"), col("l").as("mid"))
-        .join(hinted(labels.select(col("v").as("mid"), col("l"))), Seq("mid"))
+        .join(labels.select(col("v").as("mid"), col("l")), Seq("mid"))
         .select(col("v"), col("l"))
       // one aggregation computes BOTH the new label and the old one: only
       // the labels branch carries a non-null `prev`, and each v has exactly
@@ -586,13 +577,14 @@ object Dedup {
     * pair table (e.g. it reports pairs AND consolidates clusters in one
     * run) passes it here — d2's shingle scan, prefix join and confirm run
     * once per run, not once per consumer. Pass the [[d2DedupNgram]] output
-    * shape, ideally checkpointed. Standalone calls recompute. */
+    * shape, MATERIALIZED (localCheckpoint) — it is consumed several times
+    * and is not re-checkpointed here. Standalone calls recompute. */
   def d6DedupClusters(spark: SparkSession, dir: String,
                       precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val pairs = precomputedPairs
       .getOrElse(jaccardPairs(shingleArrays(spark, dir), None))
       .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-    connectedComponents(pairs, "d6")
+    connectedComponents(pairs, "d6", alreadyMaterialized = precomputedPairs.isDefined)
       .select(col("v").as("doc_id"), col("l").as("cluster_id"))
       .withColumn("is_keeper", when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
       .withColumn("cluster_size",
@@ -613,7 +605,7 @@ object Dedup {
     val pairs = precomputedPairs
       .getOrElse(d5Pairs(spark, dir)) // unsorted form: CC ignores pair order
       .select(col("vec_id_1").as("a"), col("vec_id_2").as("b"))
-    connectedComponents(pairs, "d7")
+    connectedComponents(pairs, "d7", alreadyMaterialized = precomputedPairs.isDefined)
       .select(col("v").as("vec_id"), col("l").as("cluster_id"))
       .withColumn("is_keeper", when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
       .withColumn("cluster_size",

@@ -171,25 +171,31 @@ object StreamPipelines {
     *  - the output version dir is `v(batchId+1)` — deterministic in the
     *    batchId, so a replay overwrites its own previous attempt, never
     *    stacks a second copy;
-    *  - a replay that finds its own completed output as the latest version
-    *    merges the same rows into it again, and last-writer-wins upsert of
-    *    rows already present is a no-op — the state content is unchanged.
-    * The replay test in StreamingSpec asserts both properties. */
+    *  - the merge base is always the newest version at-or-before
+    *    `v(batchId)` — a replay never trusts its own previous attempt's
+    *    dir (complete OR torn mid-write), it re-derives the identical
+    *    content from the pre-batch state plus the re-delivered batch.
+    * StreamingSpec asserts both the complete-output replay and the
+    * torn-write recovery. */
   def upsertBatch(spark: SparkSession, stateDir: String, keys: Seq[String],
                   orderCol: String, tieCol: String)(batch: DataFrame, batchId: Long): Unit = {
     val fs = new java.io.File(stateDir)
     fs.mkdirs()
     def versions() = fs.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong)
     val cur = versions()
-    val current = if (cur.isEmpty) None
-      else {
-        val latest = spark.read.parquet(s"$stateDir/v${cur.max}")
-        // a replay's output dir may BE the latest version (the previous
-        // attempt's write completed, its checkpoint commit did not) —
-        // materialize the read off the parquet files (checkpoint blocks,
-        // still distributed) before overwriting the very dir it came from
-        if (cur.max == batchId + 1) Some(latest.localCheckpoint(true)) else Some(latest)
-      }
+    // Merge base = the newest version STRICTLY BEFORE this batch's own
+    // output (v(batchId+1)). On a replay the previous attempt's write may
+    // have completed OR torn mid-write — either way its dir cannot be
+    // trusted as a merge base (reading a partial v(batchId+1) and merging
+    // the batch into it would silently drop every key the torn write
+    // lost). Re-deriving from the pre-batch version + the re-delivered
+    // batch reproduces the completed attempt's exact content, which is
+    // what makes the sink effectively-once; the GC below always retains
+    // the pre-batch version (UpsertKeepVersions >= 1) precisely so this
+    // base exists.
+    val base = cur.filter(_ <= batchId)
+    val current = if (base.isEmpty) None
+      else Some(spark.read.parquet(s"$stateDir/v${base.max}"))
     val merged = current match {
       case Some(c) => Merge.upsert(c, batch, keys, orderCol, tieCol)
       case None => Merge.upsert(batch.limit(0), batch, keys, orderCol, tieCol)

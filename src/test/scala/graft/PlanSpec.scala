@@ -243,6 +243,12 @@ class PlanSpec extends AnyFunSuite {
       s"${r.getSeq[Long](0)} != ${r.getSeq[Long](1)}"))
     val p = plan(f.select(VectorFunctions.pqEncode(col("f"), books).as("c")))
     assert(p.contains("pq_encode"), s"not fused:\n$p")
+    // a too-short vector yields NULL (the repo's length-mismatch
+    // convention), never a silent off-heap garbage read
+    val short = spark.range(1)
+      .select(VectorFunctions.pqEncode(array(lit(1L), lit(2L)), books).as("c"))
+      .collect()(0)
+    assert(short.isNullAt(0), "short vector must encode to null")
   }
 
   test("q20: the per-session funnel windows reuse the sessionization's " +

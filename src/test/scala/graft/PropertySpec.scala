@@ -136,6 +136,20 @@ class PropertySpec extends AnyFunSuite {
         ws.map(UTF8String.fromString).toArray)).toLongArray().toSeq
       got == reference(ws)
     })
+    // null elements: no bits, but they DO count toward n — the declarative
+    // form's exact algebra (md5(null) skips the sums, count(*) keeps the row)
+    val withNull = expr.computeChunks(new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("bb"))))
+      .toLongArray().toSeq
+    val cnt2 = new Array[Int](64)
+    Seq("a", "bb").foreach { w =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+      for (j <- 0 until 4; b <- 0 until 16)
+        cnt2(16 * j + b) += ((((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)) >>> b) & 1
+    }
+    val expectNull = (0 until 4).map(j => (0 until 16).map(b =>
+      if (2 * cnt2(16 * j + b) - 3 > 0) 1L << b else 0L).sum)
+    assert(withNull == expectNull)
   }
 
   test("local union-find CC == reference transitive closure on random graphs") {

@@ -201,5 +201,16 @@ class StreamingSpec extends AnyFunSuite {
     // replaying twice more is still a fixpoint
     apply(Seq((1L, "a2", 2L, 3L), (3L, "c1", 1L, 4L)).toDF("k", "v", "ver", "tie"), 1L)
     assert(snapshot() == committed)
+    // TORN WRITE: the previous attempt crashed mid-write of v2, leaving a
+    // readable-but-partial dir (only one of the three state rows). The
+    // replay must NOT merge from it — recovery re-derives v2 from the
+    // retained pre-batch v1 plus the re-delivered batch.
+    val v2 = new java.io.File(s"$stateDir/v2")
+    v2.listFiles().foreach(_.delete())
+    Seq((2L, "b1", 1L, 2L)).toDF("k", "v", "ver", "tie")
+      .coalesce(1).write.mode("overwrite").parquet(v2.toString)
+    assert(snapshot() != committed, "torn-write precondition")
+    apply(Seq((1L, "a2", 2L, 3L), (3L, "c1", 1L, 4L)).toDF("k", "v", "ver", "tie"), 1L)
+    assert(snapshot() == committed, "torn v2 not recovered from pre-batch state")
   }
 }
