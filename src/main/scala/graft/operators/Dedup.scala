@@ -7,8 +7,9 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
-/** Deduplication family over `documents` (SURVEY.md §2 d1-d5): exact,
-  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+/** Deduplication family over `documents` (SURVEY.md §2 d1-d8): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine, cluster
+  * consolidation (d6/d7) and incremental batch-vs-corpus dedup (d8).
   *
   * Scale design (the whole point of these operators at 100 TB):
   *  - exact dedup: one hash-shuffle on the content hash, no pairwise work;

@@ -7,18 +7,24 @@ import graft.Tables
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (SURVEY.md §2 s1-s2).
+  * (SURVEY.md §2 s1-s4).
   *
   * s1 is the brute-force baseline: the probe set (tiny) is broadcast, the
   * big side is scanned exactly once, and top-k is a per-probe window —
   * at cluster scale this is the "scan once, rank locally" shape, with no
   * global sort.
   *
-  * s2 is the scale path: deterministic random-hyperplane LSH. Every vector
+  * s2 is a scale path: deterministic random-hyperplane LSH. Every vector
   * gets a sign-pattern bucket from 8 md5-derived hyperplanes (a narrow
   * projection over one scan), and search only compares vectors within the
   * probe's bucket — at 100 TB the bucket column is the partition/cluster
   * key, so a probe touches 1/2^8 of the data instead of all of it.
+  *
+  * s3 (IVF: data-derived k-means cells, multi-probe) and s4 (product
+  * quantization: nibble codes + asymmetric-distance shortlist + exact
+  * re-rank) are the other two production ANN shapes; both train
+  * deterministic fixed-point models whose oracle SQL is generated from
+  * the model and published only after the result materializes.
   */
 object Similarity {
 
