@@ -187,6 +187,24 @@ object AnalyticsExt {
       .orderBy(col("l_returnflag"))
   }
 
+  /** `q22_cube`: full CUBE over (order year, order status) — all four
+    * grains (both dims, each dim alone, grand total) from ONE scan via
+    * Spark's Expand-based cube, completing the multi-grain family next to
+    * q7's rollup and q17's grouping sets. Same partial-aggregation shape:
+    * the Expand fan-out (4× rows) is combined map-side before the single
+    * shuffle. */
+  def q22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("order_year"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .cube(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_totalprice"))
+      .select(
+        coalesce(col("order_year").cast("string"), lit("ALL")).as("order_year"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
+        col("n_orders"), col("sum_totalprice"))
+      .orderBy(col("order_year"), col("order_status"))
+
   /** `q19_ratio_report`: ratio-to-report windows — each nation's revenue as
     * a share of its region and of the total, in one pass (two window sums
     * over the aggregated rows; the aggregate happens BEFORE the windows so
@@ -216,9 +234,17 @@ object AnalyticsExt {
     "q14_json_extract" -> (q14JsonExtract _),
     "q15_rolling" -> (q15Rolling _),
     "q17_grouping_sets" -> (q17GroupingSets _),
-    "q18_approx_stats" -> (q18ApproxStatsChecked _))
+    "q18_approx_stats" -> (q18ApproxStatsChecked _),
+    "q22_cube" -> (q22Cube _))
 
   val oracle: Map[String, String] = Map(
+    "q22_cube" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+        | coalesce(o_orderstatus, 'ALL') AS order_status,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_totalprice
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+        |ORDER BY order_year, order_status""".stripMargin,
     "q18_approx_stats" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_orderkey) AS exact_orders,

@@ -66,4 +66,17 @@ class AnalyticsExtSpec extends AnyFunSuite {
       assert(sorted.map(_.getAs[Long]("order_idx")).toSeq == (1L to sorted.length))
     }
   }
+
+  test("q22: cube grains are mutually consistent — every marginal sums " +
+    "to the grand total") {
+    val rows = AnalyticsExt.q22Cube(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_orders")))
+    val grand = rows.collect { case ("ALL", "ALL", n) => n }
+    assert(grand.length == 1)
+    val byYear = rows.collect { case (y, "ALL", n) if y != "ALL" => n }.sum
+    val byStatus = rows.collect { case ("ALL", s, n) if s != "ALL" => n }.sum
+    val leaves = rows.collect { case (y, s, n) if y != "ALL" && s != "ALL" => n }.sum
+    assert(Seq(byYear, byStatus, leaves).forall(_ == grand.head),
+      s"marginals ($byYear, $byStatus, $leaves) != grand ${grand.head}")
+  }
 }
