@@ -31,6 +31,13 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("benchQueries covers exactly the verified query names — a bench " +
+    "twin may swap the form, never add or drop an entry") {
+    assert(SparkEntry.benchQueries.keySet == SparkEntry.queries.keySet,
+      s"diverged: ${SparkEntry.benchQueries.keySet.diff(SparkEntry.queries.keySet)} / " +
+        s"${SparkEntry.queries.keySet.diff(SparkEntry.benchQueries.keySet)}")
+  }
+
   test("q1 aggregates are internally consistent") {
     val r = operators.Analytics.q1PricingSummary(spark, sf).collect()
     assert(r.map(_.getAs[Long]("count_order")).sum > 0)
