@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   * The raw per-sweep times ship in a `"spread"` object so a reader can judge
   * the variance directly. Compare against BASELINE.md medians.
   *
+  * Output discipline: stdout carries EXACTLY one compact JSON line (medians
+  * only, 3 decimals). The harness that collects the bench keeps only the
+  * last ~2KB of output, and a spread object inlined into that line made it
+  * longer than the capture window — the line's opening brace fell off and
+  * the JSON never parsed (BENCH_r04/r05 `"parsed": null`). The spread now
+  * lands in `BENCH_SPREAD.json` beside the build.
+  *
   * Bench times `SparkEntry.benchQueries`: the same map as the verified
   * `queries`, except where an entry's verified form deliberately carries
   * extra work so the DuckDB oracle can hash-check it (q18 runs its sketches
@@ -65,17 +72,25 @@ object Bench {
     val results = named.map { case (name, _) =>
       name -> bySweep.map(sweep => sweep.find(_._1 == name).get._2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
+    // Locale.ROOT everywhere: String.format uses the JVM default locale, and
+    // a comma-decimal locale would emit malformed JSON
+    def fmt(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(median(v)) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, v) =>
-      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-      // comma-decimal locale would emit malformed JSON
-      "\"" + k + "\":" + v.map(t =>
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-        .mkString("[", ",", "]")
+      "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$Reps,"sf":"$sfDir"}""")
+    val spreadLine =
+      s"""{"metric":"spread","reps":$Reps,"sf":"$sfDir","spread":$spread}"""
+    // file only, not stderr: sbt folds the forked program's stderr into its
+    // own log (tagged [error]) right before the metric line, which both
+    // looks like a failure and eats the capture window the line must fit in
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SPREAD.json"),
+      (spreadLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
