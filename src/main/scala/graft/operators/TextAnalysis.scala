@@ -285,6 +285,126 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val MinPairCount = 3 // t10: bigram must occur this often to be scored
+  val TopCollocations = 50 // t10: report size
+
+  /** `t10_collocations`: corpus-level collocation mining — the top bigrams
+    * by lift (observed co-occurrence over the independence expectation),
+    * the n-gram-LM / tokenizer-merge-candidate statistic of a training
+    * pipeline. Two map-side-partial aggregations (unigram + bigram counts)
+    * over the corpus scan, a scalar totals row cross-joined back, unigram
+    * counts joined to each bigram end (AQE broadcasts the vocab side while
+    * it fits; at web scale it hash-joins), and a global top-50 that plans
+    * as TakeOrderedAndProject — per-partition heaps, no global sort.
+    *
+    * Lift instead of log-PMI on purpose: lift is pure IEEE mul/div of
+    * integer-derived doubles — bit-identical in any engine — while ln()
+    * is libm-implementation-specific and could flip a floor-e6 digit.
+    * Ordering ties break on the floored integer then the words, so the
+    * top-50 cut is deterministic. */
+  def t10Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+    // adjacent-pair strings (tokens are whitespace-split, so ' ' is a safe
+    // separator); NOT distinct — occurrence counts are the statistic
+    val bigrams = docs.select(explode(
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bigAll = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val big = bigAll.filter(col("c12") >= MinPairCount)
+    // n2 is the UNFILTERED bigram total: P(w1 w2) is relative to the whole
+    // corpus, not to the pairs that happened to clear the report threshold
+    val totals = uni.agg(sum(col("c")).as("n1"))
+      .crossJoin(bigAll.agg(sum(col("c12")).as("n2")))
+    // lift = P(w1 w2) / (P(w1) * P(w2)); every factor is a long-derived
+    // double, the op tree mirrors the oracle SQL exactly
+    val lift = (col("c12").cast("double") / col("n2").cast("double")) /
+      ((col("c1").cast("double") / col("n1").cast("double")) *
+        (col("c2").cast("double") / col("n1").cast("double")))
+    big
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12").as("pair_count"),
+        col("c1").as("w1_count"), col("c2").as("w2_count"),
+        floor(lift * lit(1000000.0)).cast("long").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+      .limit(TopCollocations)
+  }
+
+  /** t11 rule list — evaluation ORDER is part of the contract (a document
+    * is attributed to the FIRST rule it fails, C4/Gopher style). All six
+    * predicates are integer comparisons (ratio thresholds cross-multiplied)
+    * so the oracle agrees exactly, no float boundaries. Rules 3 and 6 drop
+    * zero documents on the synthetic corpus — verified AS zeros, the same
+    * way t7 verifies the no-PII corpus — while `TextAnalysisSpec` plants
+    * failing docs for every rule. */
+  // high_digit precedes low_alpha: digit ratio > 0.2 IMPLIES alpha ratio
+  // < 0.81 (they share the denominator), so the opposite order would
+  // starve the digit rule of every document it exists to catch
+  val FilterRules: Seq[(Int, String)] = Seq(
+    1 -> "min_tokens", 2 -> "max_chars", 3 -> "high_digit",
+    4 -> "low_alpha", 5 -> "few_stopwords", 6 -> "repetitive")
+
+  // t11 thresholds, shared by the Spark plan and the oracle SQL
+  val MinTokens = 20
+  val MaxChars = 450
+  val AlphaPct = 81 // low_alpha: alpha_chars / len < 0.81
+  val MinStopwords = 2
+
+  /** `t11_filter_funnel`: the quality-filter chain of a pre-training
+    * corpus, reported as a funnel — per rule, how many documents reached
+    * it, how many it dropped, how many survived. One scan computes every
+    * per-document metric, one map-side-partial aggregation counts docs per
+    * first-failing rule, and the funnel arithmetic runs on the 7-row
+    * result (the single-partition window is over the RULE table, bounded
+    * forever — never over documents). */
+  def t11FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("_n", size(col("toks")))
+      .withColumn("_len", length(col("text")))
+      .withColumn("_alpha", strippedLength(col("text"), "[^A-Za-z]"))
+      .withColumn("_digit", strippedLength(col("text"), "[^0-9]"))
+      .withColumn("_stop", stopCount(col("toks"), stopwords("en")))
+      .withColumn("_n3", greatest(col("_n") - 2, lit(0)))
+      .withColumn("_d3", size(shingles3FromToks(col("toks"))))
+    val firstFail =
+      when(col("_n") < MinTokens, 1) // too few tokens
+        .when(col("_len") > MaxChars, 2) // too long
+        .when(col("_digit") * 5 > col("_len"), 3) // digit ratio > 0.2
+        .when(col("_alpha") * 100 < col("_len") * AlphaPct, 4) // alpha ratio < 0.81
+        .when(col("_stop") < MinStopwords, 5) // too few stopwords
+        .when(col("_d3") * 20 < col("_n3") * 19, 6) // dup-3gram ratio > 0.05
+        .otherwise(0)
+    val drops = docs.select(firstFail.as("fail_idx"))
+      .groupBy(col("fail_idx")).agg(count(lit(1)).as("n"))
+    val rulesDf = {
+      import spark.implicits._
+      FilterRules.toDF("rule_idx", "rule")
+    }
+    val total = drops.agg(sum(col("n")).as("n_total"))
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.orderBy(col("rule_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rulesDf
+      .join(drops, col("rule_idx") === col("fail_idx"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(wPrev), lit(0L)))
+      .select(col("rule_idx").cast("long").as("rule_idx"), col("rule"),
+        col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+      .orderBy(col("rule_idx"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
@@ -294,7 +414,9 @@ object TextAnalysis {
     "t6_decontaminate" -> (t6Decontaminate _),
     "t7_pii_redact" -> (t7PiiRedact _),
     "t8_repetition" -> (t8Repetition _),
-    "t9_source_mix" -> (t9SourceMix _))
+    "t9_source_mix" -> (t9SourceMix _),
+    "t10_collocations" -> (t10Collocations _),
+    "t11_filter_funnel" -> (t11FilterFunnel _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -385,7 +507,59 @@ object TextAnalysis {
       |   < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM r GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  // same lift op tree as the Spark plan: (c12/n2) / ((c1/n1) * (c2/n1))
+  private val t10OracleSql: String =
+    s"""WITH d AS (SELECT $toksCaseSql AS toks FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       | FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+       |big0 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
+       |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d)
+       | GROUP BY bg),
+       |big AS (SELECT * FROM big0 WHERE c12 >= $MinPairCount),
+       |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1,
+       |               (SELECT CAST(sum(c12) AS BIGINT) FROM big0) AS n2)
+       |SELECT w1, w2, c12 AS pair_count, u1.c AS w1_count, u2.c AS w2_count,
+       | CAST(floor(((CAST(c12 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+       |   ((CAST(u1.c AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(u2.c AS DOUBLE) / CAST(n1 AS DOUBLE))))
+       |   * 1000000.0) AS BIGINT) AS lift_e6
+       |FROM (SELECT c12, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM big) b
+       |JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2 CROSS JOIN tot
+       |ORDER BY lift_e6 DESC, w1, w2 LIMIT $TopCollocations""".stripMargin
+
+  private val t11OracleSql: String = {
+    val rulesValues = FilterRules
+      .map { case (i, r) => s"($i, '$r')" }.mkString(", ")
+    s"""WITH m AS (
+       | SELECT len(toks) AS n, length(text) AS len,
+       |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+       |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+       |  len(list_filter(toks, t -> list_contains(${sqlList(stopwords("en"))}, t))) AS stop,
+       |  greatest(len(toks) - 2, 0) AS n3,
+       |  len(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS d3
+       | FROM (SELECT $toksCaseSql AS toks, text FROM documents)),
+       |f AS (SELECT CASE WHEN n < $MinTokens THEN 1 WHEN len > $MaxChars THEN 2
+       |  WHEN digit * 5 > len THEN 3 WHEN alpha * 100 < len * $AlphaPct THEN 4
+       |  WHEN stop < $MinStopwords THEN 5 WHEN d3 * 20 < n3 * 19 THEN 6
+       |  ELSE 0 END AS fail_idx FROM m),
+       |drops AS (SELECT fail_idx, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+       |rules(rule_idx, rule) AS (VALUES $rulesValues),
+       |j AS (SELECT rule_idx, rule, CAST(COALESCE(n, 0) AS BIGINT) AS n_dropped
+       | FROM rules LEFT JOIN drops ON fail_idx = rule_idx),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM drops)
+       |SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
+       | n_total - CAST(COALESCE(sum(n_dropped) OVER (ORDER BY rule_idx
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+       | n_dropped,
+       | n_total - CAST(COALESCE(sum(n_dropped) OVER (ORDER BY rule_idx
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_out
+       |FROM j CROSS JOIN t ORDER BY rule_idx""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t10_collocations" -> t10OracleSql,
+    "t11_filter_funnel" -> t11OracleSql,
     "t6_decontaminate" -> t6OracleSql,
     "t5_hash_split" -> t5OracleSql,
     "t7_pii_redact" -> t7OracleSql,

@@ -117,4 +117,76 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(row.getAs[Long]("fp60") >= 0 && row.getAs[Long]("shingle_fp60") >= 0)
     }
   }
+
+  /** Two-doc corpus with hand-computable collocation stats. */
+  lazy val collocDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_colloc").toString
+    Seq(
+      (0L, "new york new york new york", "s"),
+      (1L, "the cat sat the cat sat the cat sat", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t10: lift matches the hand computation; threshold and order hold") {
+    val r = TextAnalysis.t10Collocations(spark, collocDir).collect()
+    // unigrams: new 3, york 3, the 3, cat 3, sat 3 -> n1 = 15
+    // bigrams (all): doc0 5 (new-york x3, york-new x2),
+    //                doc1 8 (the-cat x3, cat-sat x3, sat-the x2) -> n2 = 13
+    // pairs with c12 >= 3: new-york, the-cat, cat-sat
+    assert(r.length == 3)
+    val byPair = r.map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) -> x).toMap
+    val ny = byPair(("new", "york"))
+    assert(ny.getAs[Long]("pair_count") == 3)
+    assert(ny.getAs[Long]("w1_count") == 3 && ny.getAs[Long]("w2_count") == 3)
+    // lift = (3/13) / ((3/15) * (3/15)) = 5.76923... -> floor e6
+    assert(ny.getAs[Long]("lift_e6") == 5769230L)
+    // all three pairs have identical counts -> identical lift; order then
+    // falls back to (w1, w2): cat-sat < new-york < the-cat
+    assert(r.map(x => (x.getAs[String]("w1"), x.getAs[String]("w2"))).toSeq ==
+      Seq(("cat", "sat"), ("new", "york"), ("the", "cat")))
+  }
+
+  /** One document per t11 rule (in attribution order) plus one clean doc.
+    * Each planted doc passes every rule BEFORE the one it must fail. */
+  lazy val funnelDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val kept = "the wandering abcdef ghijkl mnopqr stuvwx yzabcd efghij " +
+      "klmnop qrstuv wxyzab cdefgh ijklmn opqrst uvwxyz bcdefg hijklm " +
+      "nopqrs tuvwxy zabcde is fine" // 22 tokens, long words, 2 stopwords
+    Seq(
+      (0L, "only five tokens right here", "s"), // min_tokens (5 < 20)
+      (1L, Seq.fill(80)("wandering").mkString(" "), "s"), // max_chars (799 > 450)
+      (2L, Seq.fill(20)("123456").mkString(" "), "s"), // high_digit (digit ratio 0.86)
+      (3L, Seq.fill(20)("ab?!").mkString(" "), "s"), // low_alpha (alpha ratio 0.40)
+      (4L, Seq.fill(20)("wombat").mkString(" "), "s"), // few_stopwords (0 < 2)
+      (5L, Seq.fill(8)("the wombat jumped").mkString(" "), "s"), // repetitive
+      (6L, kept, "s")) // survives every rule
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t11: each rule catches its planted doc; funnel arithmetic closes") {
+    val r = TextAnalysis.t11FilterFunnel(spark, funnelDir).collect()
+      .sortBy(_.getAs[Long]("rule_idx"))
+    assert(r.length == 6)
+    assert(r.map(_.getAs[String]("rule")).toSeq == Seq("min_tokens",
+      "max_chars", "high_digit", "low_alpha", "few_stopwords", "repetitive"))
+    // one planted failure per rule, evaluated in order
+    r.foreach(row => assert(row.getAs[Long]("n_dropped") == 1L,
+      row.getAs[String]("rule")))
+    // funnel closes: first n_in is the corpus, links chain, last n_out = kept
+    assert(r.head.getAs[Long]("n_in") == 7L)
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"))
+      case _ => ()
+    }
+    assert(r.last.getAs[Long]("n_out") == 1L)
+    r.foreach(row => assert(row.getAs[Long]("n_in") - row.getAs[Long]("n_dropped")
+      == row.getAs[Long]("n_out")))
+  }
 }
