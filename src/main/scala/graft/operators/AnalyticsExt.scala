@@ -205,6 +205,47 @@ object AnalyticsExt {
         col("n_orders"), col("sum_totalprice"))
       .orderBy(col("order_year"), col("order_status"))
 
+  val RangeBandDays = 3 // q23: window half-width (±3 days -> 7-day band)
+
+  /** `q23_range_join`: interval/range join without an equi-key — each order
+    * tagged with the market context of its ±3-day neighborhood (order count
+    * and cents volume across ALL orders in the band). Spark has no native
+    * range join (a raw `BETWEEN` predicate plans as BroadcastNestedLoopJoin
+    * — all-pairs work), so this is the scale-correct re-expression:
+    *
+    *  1. aggregate the fact table to DAY grain (one map-side-partial
+    *     shuffle — the only big-data movement in the whole plan);
+    *  2. slide the ±3 window on the DAY table by exploding each day's
+    *     partial into the 7 band centers it serves and re-aggregating
+    *     (bounded 7x fan-out of a #days-sized table, not of the facts);
+    *  3. broadcast the finished band table back onto the fact scan — a
+    *     map-side hash join, no second fact shuffle, no row explosion.
+    *
+    * The DuckDB oracle states the same query AS the naive range join
+    * (`d2.day BETWEEN d1.day-3 AND d1.day+3`, its IEJoin handles it) —
+    * same answer, engine-appropriate plans on each side. Day index and
+    * cents are integers end-to-end, so every aggregate is associativity-
+    * exact in any execution order. */
+  def q23RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val daily = orders.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val band = daily
+      .select(explode(sequence(lit(-RangeBandDays), lit(RangeBandDays))).as("off"),
+        col("day"), col("n"), col("cents"))
+      .select((col("day") + col("off")).as("day"), col("n"), col("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n_orders_7d"), sum(col("cents")).as("cents_7d"))
+    orders.join(broadcast(band), Seq("day"))
+      .select(col("o_orderkey"), col("day").cast("long").as("day"),
+        col("n_orders_7d"), col("cents_7d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** `q19_ratio_report`: ratio-to-report windows — each nation's revenue as
     * a share of its region and of the total, in one pass (two window sums
     * over the aggregated rows; the aggregate happens BEFORE the windows so
@@ -235,9 +276,26 @@ object AnalyticsExt {
     "q15_rolling" -> (q15Rolling _),
     "q17_grouping_sets" -> (q17GroupingSets _),
     "q18_approx_stats" -> (q18ApproxStatsChecked _),
-    "q22_cube" -> (q22Cube _))
+    "q22_cube" -> (q22Cube _),
+    "q23_range_join" -> (q23RangeJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q23_range_join" ->
+      s"""WITH o AS (
+         | SELECT o_orderkey,
+         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         | FROM orders),
+         |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS cents FROM o GROUP BY day),
+         |win AS (
+         | SELECT d1.day, CAST(sum(d2.n) AS BIGINT) AS n_orders_7d,
+         |  CAST(sum(d2.cents) AS BIGINT) AS cents_7d
+         | FROM daily d1 JOIN daily d2
+         |  ON d2.day BETWEEN d1.day - $RangeBandDays AND d1.day + $RangeBandDays
+         | GROUP BY d1.day)
+         |SELECT o.o_orderkey, CAST(o.day AS BIGINT) AS day, w.n_orders_7d, w.cents_7d
+         |FROM o JOIN win w ON o.day = w.day ORDER BY o_orderkey""".stripMargin,
     "q22_cube" ->
       """SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
         | coalesce(o_orderstatus, 'ALL') AS order_status,

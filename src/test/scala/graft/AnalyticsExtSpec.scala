@@ -57,6 +57,43 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("q23: band totals match a hand-built day layout and brute recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q23").toString
+    // one order per day on days 0..9 (x100 cents), plus a 3-order burst on
+    // day 20 — isolated from the first run by more than the band width
+    val rows = (0 to 9).map(d => (d.toLong, d, 1.00)) ++
+      Seq((100L, 20, 3.00), (101L, 20, 4.00), (102L, 20, 5.00))
+    rows.map { case (k, d, p) =>
+      (k, java.sql.Timestamp.valueOf(java.time.LocalDate.ofEpochDay(d).atStartOfDay()), p)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = AnalyticsExt.q23RangeJoin(spark, dir).collect()
+      .map(x => x.getAs[Long]("o_orderkey") ->
+        (x.getAs[Long]("n_orders_7d"), x.getAs[Long]("cents_7d"))).toMap
+    assert(r.size == 13)
+    // day 0 sees days 0..3; day 5 sees 2..8; day 9 sees 6..9 (nothing at 10+)
+    assert(r(0L) == ((4L, 400L)))
+    assert(r(5L) == ((7L, 700L)))
+    assert(r(9L) == ((4L, 400L)))
+    // the burst is its own island: every day-20 order sees exactly the burst
+    Seq(100L, 101L, 102L).foreach(k => assert(r(k) == ((3L, 1200L))))
+    // brute-force recompute over the real sf table
+    val got = AnalyticsExt.q23RangeJoin(spark, sf).collect()
+    val days = Tables.load(spark, sf, "orders")
+      .select(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("c")).collect()
+      .map(x => (x.getAs[Int]("d"), x.getAs[Long]("c")))
+    val byDay = days.groupBy(_._1)
+    def band(d: Int) = (d - 3 to d + 3).flatMap(byDay.get).flatten
+    val lookup = days.map(_._1).distinct.map(d =>
+      d -> (band(d).size.toLong, band(d).map(_._2).sum)).toMap
+    got.foreach { x =>
+      val d = x.getAs[Long]("day").toInt
+      assert((x.getAs[Long]("n_orders_7d"), x.getAs[Long]("cents_7d")) == lookup(d))
+    }
+  }
+
   test("q15: running totals are monotone per customer") {
     val r = AnalyticsExt.q15Rolling(spark, sf).collect()
     r.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rows) =>

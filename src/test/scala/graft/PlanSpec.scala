@@ -45,6 +45,14 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic join in:\n$p")
   }
 
+  test("q23: the range join plans as a broadcast hash join on the band " +
+    "table — never a nested-loop over the BETWEEN predicate") {
+    val p = plan(AnalyticsExt.q23RangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate reached the join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band table not broadcast in:\n$p")
+  }
+
   test("s1: probes are broadcast; big side is scanned, not shuffled, for the join") {
     val p = plan(Similarity.s1AnnBrute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
