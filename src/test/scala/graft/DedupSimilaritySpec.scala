@@ -264,6 +264,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.oracle.get("s4_ann_pq").exists(_.contains("cents")))
   }
 
+  test("s5: every vector ranked, ranks contiguous, no self-neighbors, and " +
+    "every d5 near-dup pair is reported or outranked on both ends") {
+    val r = Similarity.s5KnnJoin(spark, sf).collect()
+    val byVec = r.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Long]("cos_e6"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != v))
+    }
+    // the kNN join must not MISS a confirmed near-dup: each d5 pair either
+    // appears in some direction, or BOTH endpoints carry a full top-k of
+    // neighbors at least as close (legitimately outranked — e.g. inside a
+    // near-dup cluster wider than k)
+    val reported = r.map(x =>
+      (x.getAs[Long]("vec_id"), x.getAs[Long]("neighbor_id"))).toSet
+    val kthCos = byVec.map { case (v, rows) =>
+      v -> (rows.length, rows.map(_.getAs[Long]("cos_e6")).min)
+    }
+    val pairs = Dedup.d5DedupEmbed(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val (a, b, c) = (p.getAs[Long]("vec_id_1"), p.getAs[Long]("vec_id_2"),
+        p.getAs[Long]("cos_e6"))
+      val hit = reported.contains((a, b)) || reported.contains((b, a))
+      def outranked(v: Long) = kthCos.get(v)
+        .exists { case (n, worst) => n == Similarity.KnnK && worst >= c }
+      assert(hit || (outranked(a) && outranked(b)),
+        s"d5 pair ($a,$b,cos_e6=$c) neither reported nor outranked")
+    }
+  }
+
   test("s2: bucketed results are a subset of the probe's bucket and " +
     "recall@k vs s1 is sane") {
     val brute = Similarity.s1AnnBrute(spark, sf).collect()
