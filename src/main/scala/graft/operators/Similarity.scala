@@ -129,23 +129,32 @@ object Similarity {
       .withColumn("_bkt", hyperplaneBucket(col("embedding"), pl))
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // DIRECTED candidates: (a,b) and (b,a) both rank — each vector owns
-    // its own neighbor list
+    // UNDIRECTED candidates (v1 < v2): half the distinct shuffle, half the
+    // confirm-join probes and half the cosine work of the directed form;
+    // both directions are recovered AFTER scoring by a one-pass explode
+    // mirror (no self-union — a union of a derived DF would re-execute the
+    // whole candidate pipeline once per branch)
     val cand = sigs
-      .join(sigs.select(col("vec_id").as("neighbor_id"), col("band"), col("sig")),
+      .join(sigs.select(col("vec_id").as("vb"), col("band"), col("sig")),
         Seq("band", "sig"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id")).distinct()
-    val cos = cosineFast(col("ea"), col("eb"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(cos.desc, col("neighbor_id"))
-    cand
-      .join(e.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb")),
-        Seq("neighbor_id"))
+      .filter(col("vec_id") < col("vb"))
+      .select(col("vec_id").as("va"), col("vb")).distinct()
+    // rank on the floored e6 integer, not the raw double, so the cosine is
+    // evaluated once per pair and the oracle's ordering ties agree exactly
+    val scored = cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .select(col("va"), col("vb"),
+        floor(cosineFast(col("ea"), col("eb")) * lit(1000000.0)).cast("long").as("cos_e6"))
+    val mirrored = scored.select(explode(array(
+        struct(col("va").as("vec_id"), col("vb").as("neighbor_id"), col("cos_e6")),
+        struct(col("vb").as("vec_id"), col("va").as("neighbor_id"), col("cos_e6")))).as("p"))
+      .select(col("p.vec_id"), col("p.neighbor_id"), col("p.cos_e6"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    mirrored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= KnnK)
-      .select(col("vec_id"), col("neighbor_id"),
-        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
   }
 
@@ -232,14 +241,20 @@ object Similarity {
          |cand AS (
          | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
          | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
-         |  AND s1.vec_id != s2.vec_id)
-         |SELECT vec_id, neighbor_id, cos_e6, rank FROM (
-         | SELECT c.v1 AS vec_id, c.v2 AS neighbor_id,
-         |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
-         |  row_number() OVER (PARTITION BY c.v1
-         |    ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, c.v2) AS rank
+         |  AND s1.vec_id < s2.vec_id),
+         |scored AS (
+         | SELECT c.v1, c.v2,
+         |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
          | FROM cand c JOIN embeddings a ON a.vec_id = c.v1
-         |  JOIN embeddings b ON b.vec_id = c.v2)
+         |  JOIN embeddings b ON b.vec_id = c.v2),
+         |mirrored AS (
+         | SELECT v1 AS vec_id, v2 AS neighbor_id, cos_e6 FROM scored
+         | UNION ALL SELECT v2, v1, cos_e6 FROM scored)
+         |SELECT vec_id, neighbor_id, cos_e6, rank FROM (
+         | SELECT vec_id, neighbor_id, cos_e6,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         | FROM mirrored)
          |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     "s1_ann_brute" ->
       s"""SELECT probe_id, neighbor_id, cos_e6, rank FROM (
