@@ -166,11 +166,85 @@ object Multimodal {
        | CAST(('0x' || substr(fh, 1, 2)) AS BIGINT) AS first_byte
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m3 window geometry: overlapping 16-byte windows, 8-byte hop (50%
+    * overlap) — the STFT-like segmentation shape of audio feature
+    * extraction. */
+  val WinBytes = 16
+  val HopBytes = 8
+
+  /** Energy below this marks a window "quiet" (the synthetic payloads'
+    * expected window energy is ~87k, so the flag splits them
+    * deterministically rather than landing all-0 or all-1). */
+  val QuietBelow = 60000L
+
+  /** `m3_audio_windows`: overlapping-window segmentation over the audio
+    * payloads — the Spark-side shape of STFT/VAD feature extraction:
+    * explode the window-start sequence per row, slice the binary payload
+    * per window, emit integer energy (sum of squared deviations from the
+    * 8-bit midpoint), peak deviation, a window fingerprint and a
+    * quiet-window flag. Windows OVERLAP (hop < width), which the frame
+    * sampler (m2) cannot express; the payload is still scanned once and
+    * never shuffled, and every statistic is integer arithmetic, exact in
+    * any engine and any execution order. */
+  def m3AudioWindows(spark: SparkSession, dir: String): DataFrame = {
+    val nWins = ((length(col("content")) - lit(WinBytes)) / lit(HopBytes) + 1).cast("int")
+    val wins = mediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .filter(length(col("content")) >= WinBytes) // truncated blobs: 0 rows, not a crash
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), nWins - 1)).as("win_idx"))
+      .withColumn("win_hex", lower(hex(expr(
+        s"substring(content, 1 + win_idx * $HopBytes, $WinBytes)"))))
+      .withColumn("devs",
+        transform(sequence(lit(0), lit(WinBytes - 1)),
+          i => conv(col("win_hex").substr(lit(1) + i * 2, lit(2)), 16, 10).cast("long") - 128L))
+    wins.select(
+      col("doc_id"),
+      col("win_idx").cast("long").as("win_idx"),
+      (col("win_idx") * HopBytes).cast("long").as("start_byte"),
+      md5(col("win_hex")).as("win_fp"),
+      aggregate(col("devs"), lit(0L), (acc, d) => acc + d * d).as("energy"),
+      array_max(transform(col("devs"), d => abs(d))).as("peak"))
+      .withColumn("is_quiet",
+        when(col("energy") < QuietBelow, 1L).otherwise(0L))
+      .orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  /** m3 oracle: hex-domain windows like m2's, with the OVERLAPPING start
+    * sequence (window w = 32 hex chars at offset 16w — half the window
+    * width, because the hop is half the window). */
+  private val m3Oracle: String =
+    s"""WITH a AS (
+       | SELECT doc_id, repeat(md5(text), 4) AS hex FROM documents
+       | WHERE CAST(doc_id % 3 AS INTEGER) = 1),
+       |wi AS (
+       | SELECT doc_id, hex,
+       |  unnest(range(0, (len(hex) // 2 - $WinBytes) // $HopBytes + 1)) AS win_idx
+       | FROM a WHERE len(hex) // 2 >= $WinBytes),
+       |w AS (
+       | SELECT doc_id, win_idx,
+       |  substr(hex, 1 + CAST(win_idx AS INTEGER) * ${2 * HopBytes}, ${2 * WinBytes}) AS wh
+       | FROM wi),
+       |d AS (
+       | SELECT doc_id, win_idx, wh,
+       |  list_transform(range(0, $WinBytes),
+       |   i -> CAST(('0x' || substr(wh, 1 + 2 * CAST(i AS INTEGER), 2)) AS BIGINT) - 128) AS devs
+       | FROM w)
+       |SELECT doc_id, win_idx, CAST(win_idx * $HopBytes AS BIGINT) AS start_byte,
+       | md5(wh) AS win_fp,
+       | CAST(list_sum(list_transform(devs, x -> x * x)) AS BIGINT) AS energy,
+       | CAST(list_max(list_transform(devs, x -> abs(x))) AS BIGINT) AS peak,
+       | CAST(CASE WHEN list_sum(list_transform(devs, x -> x * x)) < $QuietBelow
+       |   THEN 1 ELSE 0 END AS BIGINT) AS is_quiet
+       |FROM d ORDER BY doc_id, win_idx""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m1_multimodal_meta" -> m1Oracle,
-    "m2_frame_sample" -> m2Oracle)
+    "m2_frame_sample" -> m2Oracle,
+    "m3_audio_windows" -> m3Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
-    "m2_frame_sample" -> (m2FrameSample _))
+    "m2_frame_sample" -> (m2FrameSample _),
+    "m3_audio_windows" -> (m3AudioWindows _))
 }

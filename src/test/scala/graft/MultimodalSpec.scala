@@ -48,6 +48,34 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("first_byte") == m1First(r.getAs[Long]("doc_id"))))
   }
 
+  test("m3: seven overlapping windows per audio doc, stats bounded, and " +
+    "the energy/peak agree with a direct payload recompute") {
+    val m3 = Multimodal.m3AudioWindows(spark, sf).collect()
+    val audio = Multimodal.mediaTable(spark, sf)
+      .filter(col("media_type") === "audio")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("content")).toMap
+    // 64-byte payload, window 16, hop 8 -> starts 0,8,...,48 = 7 windows
+    assert(m3.length == 7 * audio.size, s"${m3.length} rows for ${audio.size} audio docs")
+    m3.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rows) =>
+      assert(rows.map(_.getAs[Long]("win_idx")).sorted.sameElements(0L to 6L))
+      rows.foreach { r =>
+        val start = r.getAs[Long]("start_byte").toInt
+        assert(start == r.getAs[Long]("win_idx") * Multimodal.HopBytes)
+        // recompute energy/peak straight from the payload bytes
+        val win = audio(doc).slice(start, start + Multimodal.WinBytes)
+          .map(b => (b & 0xff).toLong - 128L)
+        assert(r.getAs[Long]("energy") == win.map(d => d * d).sum)
+        assert(r.getAs[Long]("peak") == win.map(math.abs).max)
+        assert(r.getAs[Long]("is_quiet") ==
+          (if (r.getAs[Long]("energy") < Multimodal.QuietBelow) 1L else 0L))
+        assert(r.getAs[String]("win_fp").matches("[0-9a-f]{32}"))
+      }
+    }
+    // the flag must split the corpus (not land all-0/all-1 vacuously)
+    val quiet = m3.count(_.getAs[Long]("is_quiet") == 1L)
+    assert(quiet > 0 && quiet < m3.length, s"quiet=$quiet of ${m3.length}")
+  }
+
   test("vector functions: dot/l2/bucket deterministic and consistent") {
     import spark.implicits._
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
