@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"band table not broadcast in:\n$p")
   }
 
+  test("s5: the kNN join builds candidates from band equi-joins — no " +
+    "cartesian/nested-loop — and its top-50-style cut never global-sorts") {
+    val p = plan(Similarity.s5KnnJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in:\n$p")
+  }
+
+  test("t10: the collocation report plans as TakeOrderedAndProject " +
+    "(per-partition top-k heaps), not a global sort of the bigram table") {
+    val p = plan(graft.operators.TextAnalysis.t10Collocations(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
+  }
+
   test("s1: probes are broadcast; big side is scanned, not shuffled, for the join") {
     val p = plan(Similarity.s1AnnBrute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
