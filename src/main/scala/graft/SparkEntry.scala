@@ -42,6 +42,7 @@ object SparkEntry {
   def markMaterialized(name: String, dir: String): Unit = name match {
     case "s3_ann_ivf" => Similarity.confirmMaterialized(dir)
     case "s4_ann_pq" => Similarity.confirmPqMaterialized(dir)
+    case "s6_cluster_assign" => Similarity.confirmS6Materialized(dir)
     case _ => ()
   }
 }

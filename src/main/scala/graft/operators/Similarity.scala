@@ -218,6 +218,9 @@ object Similarity {
     }) ++ (confirmedPq.toMap match {
       case one if one.size == 1 => Map("s4_ann_pq" -> s4OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS6.toMap match {
+      case one if one.size == 1 => Map("s6_cluster_assign" -> s6OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -379,6 +382,54 @@ object Similarity {
   /** s4's twin of [[confirmMaterialized]], for the PQ codebooks. */
   def confirmPqMaterialized(dir: String): Unit =
     pendingPq.get(dir).foreach(b => confirmedPq.put(dir, b))
+
+  /** s6's twin: the same trained centroids (pending entries are memos of a
+    * pure function of dir, shared with s3), but confirmed SEPARATELY — a
+    * failed s6 run must not inherit an oracle because s3 happened to
+    * materialize, and vice versa. */
+  private val confirmedS6 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS6Materialized(dir: String): Unit =
+    pendingCentroids.get(dir).foreach(cs => confirmedS6.put(dir, cs))
+
+  /** `s6_cluster_assign`: corpus-wide cluster assignment — every vector's
+    * max-cosine cell from the deterministic k-means model, with its cosine
+    * to the chosen centroid. This is the corpus-CURATION face of the s3
+    * machinery: where s3 answers probe queries, s6 materializes the
+    * partition a cluster-balanced sampler / per-cluster dedup pass would
+    * consume. One narrow scan over broadcast centroid literals (the fused
+    * cosineMatrix pass); at scale cluster_id is the table's partition key.
+    * Tie-break = max cosine then min cid, identical to s3's assignment. */
+  def s6ClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, data) = kmeansWithData(spark, dir)
+    val e = data
+      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
+      .withColumn("_best", array_max(scoredCells(cents, col("_cos"))))
+    e.select(col("vec_id"),
+        col("_best").getField("cid").cast("long").as("cluster_id"),
+        floor(col("_best").getField("cos") * lit(1000000.0)).cast("long").as("cos_e6"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s6 oracle: assignment-only slice of the s3 oracle over the same
+    * injected centroid literals. */
+  private def s6OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    val centRows = cents.map { case (cid, c) =>
+      "(" + cid + ", " + c.map(s => (s.toDouble / KmScale).toString)
+        .mkString("[", ", ", "]") + ")"
+    }.mkString(",\n  ")
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  $centRows),
+       |scored AS (
+       | SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cent")} AS cos,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       | CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 
   /** `s3_ann_ivf`: inverted-file ANN with data-derived k-means centroids.
     * Every vector is assigned to its max-cosine cell (one narrow scan over
@@ -599,5 +650,6 @@ object Similarity {
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s4_ann_pq" -> (s4AnnPq _),
-    "s5_knn_join" -> (s5KnnJoin _))
+    "s5_knn_join" -> (s5KnnJoin _),
+    "s6_cluster_assign" -> (s6ClusterAssign _))
 }

@@ -264,6 +264,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.oracle.get("s4_ann_pq").exists(_.contains("cents")))
   }
 
+  test("s6: every vector assigned to its argmax centroid (recomputed " +
+    "independently), assignment deterministic, oracle gated per dir") {
+    val r = Similarity.s6ClusterAssign(spark, sf).collect()
+    val emb = Tables.load(spark, sf, "embeddings").collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        x.getSeq[Float](x.fieldIndex("embedding")).toArray).toMap
+    assert(r.length == emb.size, "every vector must be assigned")
+    assert(r.map(_.getAs[Long]("cluster_id")).distinct.length > 1)
+    // independent argmax recompute from the trained model, with the same
+    // (max cos, min cid) tie-break
+    val cents = Similarity.kmeansCentroids(spark, sf)
+      .map { case (cid, c) => cid -> c.map(_.toDouble / Similarity.KmScale) }
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i) * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    r.foreach { row =>
+      val v = row.getAs[Long]("vec_id")
+      val best = cents.map { case (cid, c) => (cos(emb(v), c), -cid, cid) }.max
+      assert(row.getAs[Long]("cluster_id") == best._3, s"vec $v argmax")
+      assert(row.getAs[Long]("cos_e6") == math.floor(best._1 * 1e6).toLong, s"vec $v cos")
+    }
+    // gating: pending until Verify confirms THIS entry (s3's confirm for
+    // the same dir must not leak an s6 oracle)
+    assert(!Similarity.oracle.contains("s6_cluster_assign"))
+    Similarity.confirmS6Materialized(sf)
+    assert(Similarity.oracle.get("s6_cluster_assign").exists(_.contains("cents")))
+  }
+
   test("s5: every vector ranked, ranks contiguous, no self-neighbors, and " +
     "every d5 near-dup pair is reported or outranked on both ends") {
     val r = Similarity.s5KnnJoin(spark, sf).collect()
