@@ -405,6 +405,60 @@ object TextAnalysis {
       .orderBy(col("rule_idx"))
   }
 
+  val BinTokens = 1024L // t12: training-sequence token budget
+
+  /** `t12_sequence_pack`: concat-and-chunk sequence packing — the step
+    * that turns a document corpus into fixed-token-budget training
+    * sequences. Documents are laid on one global token tape in a
+    * deterministic shuffle order (md5 of doc_id — rerun-stable, no RNG),
+    * and each doc's tape offset tells which bins it lands in (documents
+    * split across bin boundaries, GPT-pretraining style).
+    *
+    * The tape offset is an EXCLUSIVE PREFIX SUM over a global order —
+    * the textbook case where the naive form (one `Window.orderBy` with no
+    * partitions) collapses to a single task. This is the distributed
+    * form: range-partition by the order key, per-range token totals
+    * (tiny: one row per range) turned into range base offsets, broadcast
+    * back, running sum WITHIN each sorted range. The output is exact
+    * integer arithmetic independent of where the range bounds land, so
+    * any partition count produces byte-identical results (asserted in
+    * spec with 3 vs 7 ranges); per-range window state is corpus/ranges
+    * rows — ranges scale with the cluster. */
+  def t12SequencePack(spark: SparkSession, dir: String): DataFrame =
+    t12SequencePackRanged(spark, dir, 0)
+
+  /** [[t12SequencePack]] with an explicit range count (0 = session
+    * default) — the spec's partition-invariance hook. */
+  def t12SequencePackRanged(spark: SparkSession, dir: String, ranges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"),
+        size(wsTokens(col("text"))).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0) // zero-token docs occupy no tape
+    val ordered =
+      (if (ranges > 0) base.repartitionByRange(ranges, col("key"), col("doc_id"))
+       else base.repartitionByRange(col("key"), col("doc_id")))
+        .sortWithinPartitions(col("key"), col("doc_id"))
+        .withColumn("rid", spark_partition_id())
+        .localCheckpoint(true)
+    // per-range totals -> exclusive base offsets; range-count rows, so the
+    // unpartitioned window is bounded by cluster parallelism, not data
+    val offsets = ordered.groupBy(col("rid")).agg(sum(col("n_toks")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rid"), col("base"))
+    val wRun = Window.partitionBy(col("rid")).orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ordered.join(broadcast(offsets), Seq("rid"))
+      .withColumn("tok_offset",
+        col("base") + coalesce(sum(col("n_toks")).over(wRun), lit(0L)))
+      .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+        expr(s"tok_offset div $BinTokens").as("start_bin"),
+        expr(s"(tok_offset + n_toks - 1) div $BinTokens").as("end_bin"),
+        (col("tok_offset") % BinTokens).as("bin_offset"))
+      .orderBy(col("tok_offset"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
@@ -416,7 +470,8 @@ object TextAnalysis {
     "t8_repetition" -> (t8Repetition _),
     "t9_source_mix" -> (t9SourceMix _),
     "t10_collocations" -> (t10Collocations _),
-    "t11_filter_funnel" -> (t11FilterFunnel _))
+    "t11_filter_funnel" -> (t11FilterFunnel _),
+    "t12_sequence_pack" -> (t12SequencePack _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -557,7 +612,26 @@ object TextAnalysis {
        |FROM j CROSS JOIN t ORDER BY rule_idx""".stripMargin
   }
 
+  // the oracle states the pack as the naive single-window prefix sum —
+  // same tape, engine-appropriate plan
+  private val t12OracleSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+       |  CAST(CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END AS BIGINT) AS n_toks
+       | FROM documents),
+       |o AS (
+       | SELECT doc_id, n_toks,
+       |  CAST(COALESCE(sum(n_toks) OVER (ORDER BY key, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       | FROM d WHERE n_toks > 0)
+       |SELECT doc_id, n_toks, tok_offset,
+       | tok_offset // $BinTokens AS start_bin,
+       | (tok_offset + n_toks - 1) // $BinTokens AS end_bin,
+       | tok_offset % $BinTokens AS bin_offset
+       |FROM o ORDER BY tok_offset""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t12_sequence_pack" -> t12OracleSql,
     "t10_collocations" -> t10OracleSql,
     "t11_filter_funnel" -> t11OracleSql,
     "t6_decontaminate" -> t6OracleSql,

@@ -170,6 +170,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     dir
   }
 
+  test("t12: the tape is contiguous, bin arithmetic closes, and the " +
+    "distributed prefix sum is invariant to the range count") {
+    val r3 = TextAnalysis.t12SequencePackRanged(spark, sf, 3).collect()
+    val r7 = TextAnalysis.t12SequencePackRanged(spark, sf, 7).collect()
+    assert(r3.map(_.toString).toSeq == r7.map(_.toString).toSeq,
+      "pack must not depend on how the range partitioner splits the tape")
+    val sorted = r3.sortBy(_.getAs[Long]("tok_offset"))
+    // contiguity: each doc starts exactly where the previous one ended
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(b.getAs[Long]("tok_offset") ==
+        a.getAs[Long]("tok_offset") + a.getAs[Long]("n_toks"))
+      case _ => ()
+    }
+    assert(sorted.head.getAs[Long]("tok_offset") == 0L)
+    sorted.foreach { row =>
+      val (off, n) = (row.getAs[Long]("tok_offset"), row.getAs[Long]("n_toks"))
+      assert(row.getAs[Long]("start_bin") == off / TextAnalysis.BinTokens)
+      assert(row.getAs[Long]("end_bin") == (off + n - 1) / TextAnalysis.BinTokens)
+      assert(row.getAs[Long]("bin_offset") == off % TextAnalysis.BinTokens)
+      assert(row.getAs[Long]("end_bin") >= row.getAs[Long]("start_bin"))
+    }
+    // the tape covers every non-empty doc exactly once
+    val total = sorted.last.getAs[Long]("tok_offset") + sorted.last.getAs[Long]("n_toks")
+    assert(total == sorted.map(_.getAs[Long]("n_toks")).sum)
+  }
+
   test("t11: each rule catches its planted doc; funnel arithmetic closes") {
     val r = TextAnalysis.t11FilterFunnel(spark, funnelDir).collect()
       .sortBy(_.getAs[Long]("rule_idx"))
