@@ -41,7 +41,45 @@ object PipelineQueries {
   def p8IngestOrders(spark: SparkSession, dir: String): DataFrame =
     Ingest.ingestRawEntity(spark, dir, PipelineConfig.default.entity("orders"))
 
+  /** `p10_schema_drift`: schema-evolution ingest — the config-driven
+    * entity pipeline meeting a source whose schema changed between
+    * batches (a column appears, another disappears), the standing hazard
+    * of the reference's per-entity ingest jobs. Older batches align by
+    * NAME with missing columns null-filled (`unionByName`
+    * allowMissingColumns — positional union would silently mis-bind), and
+    * every row keeps its batch provenance so downstream can tell "null
+    * because absent then" from "null in the source". Simulated from the
+    * orders table: the pre-1997 batch lacks `o_orderstatus` (not yet
+    * captured), the 1997+ batch lacks `o_orderpriority` (dropped
+    * upstream). Pure projection + union — no shuffle beyond the output
+    * sort; at scale this is a metadata-only concern. */
+  def p10SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    val early = orders.filter(col("yr") < 1997)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderpriority"),
+        lit("v1").as("_batch"))
+    val late = orders.filter(col("yr") >= 1997)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderstatus"),
+        lit("v2").as("_batch"))
+    early.unionByName(late, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val p10Oracle: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+      | o_orderpriority, 'v1' AS _batch, NULL AS o_orderstatus
+      |FROM orders WHERE year(o_orderdate) < 1997
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+      | NULL AS o_orderpriority, 'v2' AS _batch, o_orderstatus
+      |FROM orders WHERE year(o_orderdate) >= 1997
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_schema_drift" -> (p10SchemaDrift _),
     "p9_date_dim" -> (p9DateDim _),
     "p8_ingest_orders" -> (p8IngestOrders _),
     "p1_ingest_raw" -> (Ingest.p1IngestRaw _),
@@ -53,6 +91,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p10_schema_drift" -> p10Oracle,
     "p9_date_dim" -> p9Oracle,
     "p8_ingest_orders" -> Ingest.entityOracle(PipelineConfig.default.entity("orders")),
     "p1_ingest_raw" -> Ingest.oracle,

@@ -337,6 +337,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p10: drifted batches align by NAME with null fill, provenance " +
+    "splits the corpus, and no row is lost or duplicated") {
+    val r = PipelineQueries.p10SchemaDrift(spark, sf).collect()
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(r.length == total, "drift union must preserve every row")
+    assert(r.map(_.getAs[Long]("o_orderkey")).distinct.length == r.length)
+    val (v1, v2) = r.partition(_.getAs[String]("_batch") == "v1")
+    assert(v1.nonEmpty && v2.nonEmpty)
+    // the column each batch lacked is null there and only there
+    assert(v1.forall(_.getAs[String]("o_orderstatus") == null))
+    assert(v1.forall(_.getAs[String]("o_orderpriority") != null))
+    assert(v2.forall(_.getAs[String]("o_orderpriority") == null))
+    assert(v2.forall(_.getAs[String]("o_orderstatus") != null))
+  }
+
   test("single-stage groups: curation runs in isolation against a " +
     "pre-populated workDir; staging drops its cross-group deps") {
     val work = Files.createTempDirectory("graft_stage").toString
