@@ -38,6 +38,21 @@ class AnalyticsSpec extends AnyFunSuite {
         s"${SparkEntry.queries.keySet.diff(SparkEntry.benchQueries.keySet)}")
   }
 
+  test("the bench metric line fits the driver's 2000-char output tail") {
+    // the driver parses the stdout JSON from a 2000-char tail; sbt appends
+    // a ~75-char [success] line after it. Project the line's length from
+    // the live query set: per query `"name":NN.NNN,` plus the fixed
+    // envelope. Fails BEFORE an operator addition silently overflows the
+    // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
+    val perQuery = SparkEntry.benchQueries.keySet.toSeq
+      .map(_.length + 10).sum // quotes + colon + 6-char value + comma
+    val envelope = 120 // {"metric":"total","value":...,"unit":...,"reps":...,"sf":"..."}
+    val projected = perQuery + envelope
+    assert(projected < 1850,
+      s"projected bench line $projected chars — trim decimals or shorten names " +
+        "before the driver's 2000-char tail cuts the line's opening brace")
+  }
+
   test("q1 aggregates are internally consistent") {
     val r = operators.Analytics.q1PricingSummary(spark, sf).collect()
     assert(r.map(_.getAs[Long]("count_order")).sum > 0)
