@@ -84,13 +84,19 @@ object Bench {
     val total = results.map(r => median(r._2)).sum
     val spreadLine =
       s"""{"metric":"spread","reps":$Reps,"sf":"$sfDir","spread":$spread}"""
+    // metric line FIRST — it is the round's primary artifact and must
+    // survive a spread-write failure (read-only cwd, full disk)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfDir"}""")
     // file only, not stderr: sbt folds the forked program's stderr into its
     // own log (tagged [error]) right before the metric line, which both
     // looks like a failure and eats the capture window the line must fit in
-    java.nio.file.Files.write(
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREAD.json"),
       (spreadLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfDir"}""")
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] spread write failed (non-fatal): $e")
+    }
     spark.stop()
   }
 }

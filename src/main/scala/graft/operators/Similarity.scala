@@ -96,8 +96,12 @@ object Similarity {
   val KnnPlanesPerBand = 4 // s5: planes per band
   val KnnK = 3 // s5: neighbors reported per vector
 
-  /** `s5_knn_join`: all-pairs k-NN join — every vector's top-k nearest
-    * neighbors, not just a probe set's. The brute form is a self cross
+  /** `s5_knn_join`: all-pairs k-NN join — each vector's top-k nearest
+    * neighbors among its LSH-band candidates, not just a probe set's. A
+    * vector sharing no (band, sig) with any other vector emits NO rows
+    * (standard LSH semantics — consumers detect isolated vectors by
+    * anti-joining the corpus; at this corpus's 16x4 slicing every vector
+    * has candidates, which the spec pins). The brute form is a self cross
     * join (quadratic; off the table at corpus scale), so candidates come
     * from hyperplane LSH bands over the SAME deterministic 64-plane
     * family d5 uses; exact cosine runs on candidates only, and the

@@ -44,13 +44,14 @@ class AnalyticsSpec extends AnyFunSuite {
     // the live query set: per query `"name":NN.NNN,` plus the fixed
     // envelope. Fails BEFORE an operator addition silently overflows the
     // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
-    val perQuery = SparkEntry.benchQueries.keySet.toSeq
-      .map(_.length + 10).sum // quotes + colon + 6-char value + comma
-    val envelope = 120 // {"metric":"total","value":...,"unit":...,"reps":...,"sf":"..."}
-    val projected = perQuery + envelope
-    assert(projected < 1850,
-      s"projected bench line $projected chars — trim decimals or shorten names " +
-        "before the driver's 2000-char tail cuts the line's opening brace")
+    // render the actual line shape with worst-case 'NNN.NNN' values and
+    // the real sf-dir default, instead of estimating field widths
+    val qs = SparkEntry.benchQueries.keySet.toSeq
+      .map(n => "\"" + n + "\":123.456").mkString("{", ",", "}")
+    val sample = s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"reps":3,"sf":"/root/testdata/sf0.1"}"""
+    assert(sample.length < 1850,
+      s"projected bench line ${sample.length} chars — trim decimals or shorten " +
+        "names before the driver's 2000-char tail cuts the line's opening brace")
   }
 
   test("q1 aggregates are internally consistent") {

@@ -301,6 +301,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     "every d5 near-dup pair is reported or outranked on both ends") {
     val r = Similarity.s5KnnJoin(spark, sf).collect()
     val byVec = r.groupBy(_.getAs[Long]("vec_id"))
+    // at the 16x4 slicing every corpus vector has at least one band
+    // collision — an accidental coverage drop (e.g. a band-slicing bug)
+    // must fail here, not silently shrink the output
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(byVec.size.toLong == nVecs,
+      s"only ${byVec.size} of $nVecs vectors produced neighbor rows")
     byVec.foreach { case (v, rows) =>
       val sorted = rows.sortBy(_.getAs[Long]("rank"))
       assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))

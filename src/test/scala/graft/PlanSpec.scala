@@ -53,8 +53,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"band table not broadcast in:\n$p")
   }
 
-  test("s5: the kNN join builds candidates from band equi-joins — no " +
-    "cartesian/nested-loop — and its top-50-style cut never global-sorts") {
+  test("s5: the kNN join builds candidates from band equi-joins — never " +
+    "a cartesian or nested-loop over the corpus") {
     val p = plan(Similarity.s5KnnJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in:\n$p")
