@@ -11,6 +11,16 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sfDir, outDir)
+    finally spark.stop()
+  }
+
+  /** The dump pass, session-agnostic so the contract is testable: MUST
+    * not throw on a broken sfDir or a failing query — each failure is
+    * caught per query, logged, and its oracle entry withheld, while
+    * `oracle_sql.json` is still written (the driver's whole round zeroes
+    * if this crashes). Returns the failed query names. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Set[String] = {
     new java.io.File(outDir).mkdirs()
     // queries whose result parquet failed to materialize: their oracle
     // entries are withheld below, so a partial failure degrades to the
@@ -45,6 +55,6 @@ object Verify {
     val json = SparkEntry.oracleSql.filterNot { case (k, _) => failed(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    failed.toSet
   }
 }

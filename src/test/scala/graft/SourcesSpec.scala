@@ -11,6 +11,25 @@ class SourcesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("Verify.run on a broken sfDir must not throw: every failure is " +
+    "per-query, oracle_sql.json still lands, failed oracles withheld") {
+    val out = Files.createTempDirectory("graft_verify_bad").toString
+    // a dir with no parquet tables at all — every table-reading query fails
+    val badDir = Files.createTempDirectory("graft_verify_empty").toString
+    val failed = Verify.run(spark, badDir, out) // the contract: no throw
+    assert(failed.nonEmpty)
+    val json = Files.readString(java.nio.file.Paths.get(s"$out/oracle_sql.json"))
+    assert(json.startsWith("{") && json.endsWith("}"))
+    // withheld: no failed query may ship an oracle for a result that
+    // does not exist
+    failed.foreach(name => assert(!json.contains("\"" + name + "\""),
+      s"$name failed but its oracle shipped"))
+    // p9_date_dim reads no table, so it succeeds even here and proves the
+    // dump keeps going after failures
+    assert(!failed.contains("p9_date_dim"))
+    assert(json.contains("\"p9_date_dim\""))
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString + "/orders"
     Sinks.writeDatePartitioned(Tables.load(spark, sf, "orders"), "o_orderdate", dir)
