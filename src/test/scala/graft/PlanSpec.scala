@@ -66,6 +66,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
   }
 
+  test("t12: the tape prefix sum runs range-partitioned — the only " +
+    "unpartitioned window is over the per-range totals, never the docs") {
+    val df = graft.operators.TextAnalysis.t12SequencePackRanged(spark, sf, 3)
+    val p = plan(df)
+    // the per-document running sum must carry the range id: a regression
+    // to the naive global form would order by (key, doc_id) with no rid
+    assert(p.contains("windowspecdefinition(rid"),
+      s"running sum lost its range partitioning in:\n$p")
+    assert(!"windowspecdefinition\\((?!rid)[^)]{0,200}key#".r.findFirstIn(p).isDefined,
+      s"a document-order window runs unpartitioned in:\n$p")
+  }
+
   test("s1: probes are broadcast; big side is scanned, not shuffled, for the join") {
     val p = plan(Similarity.s1AnnBrute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
