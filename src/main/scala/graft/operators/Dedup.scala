@@ -697,6 +697,101 @@ object Dedup {
 
   // count(DISTINCT a.h) == size(array_intersect(...)) in all cases,
   // including a within-doc hash collision (both are distinct-semantics)
+  // ---------------------------------------------------------------- d9
+
+  val ChunkMod = 8L // token starts a fresh chunk after it iff md5 % this == 0
+  val MinChunkToks = 4 // shorter chunks carry no dedup signal
+  val MaxChunkDf = 50L // chunks in more docs than this are boilerplate
+  val MinSharedChunks = 2L
+
+  /** `d9_dedup_chunks`: content-defined-chunking dedup — detects PARTIAL
+    * overlap (a paragraph copied into an otherwise-different document),
+    * the modality whole-document similarity (d2-d5) dilutes away. Chunk
+    * boundaries are content-defined (a token closes its chunk iff its md5
+    * hits `ChunkMod` — the gear-CDC idea at token granularity), so an
+    * insertion upstream shifts no downstream boundaries and identical
+    * passages chunk identically in every document. Shared-chunk counting
+    * is a posting-list equi-join on chunk fingerprints, restricted to
+    * chunks seen in 2..`MaxChunkDf` docs — singleton chunks can't pair
+    * (pruned before the join) and hotter-than-`MaxChunkDf` chunks are
+    * boilerplate, so posting-list fan-out is bounded per chunk, never
+    * all-pairs. The per-document chunk window partitions by doc_id
+    * (bounded by document length); `containment_e6` is exact integer
+    * arithmetic (shared·1e6 div min chunk count). */
+  def d9DedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val wChunk = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isBoundary = (md5Long60(col("tok")) % ChunkMod === 0).cast("long")
+    // chunk text rebuilt in token order via sorted (pos, tok) structs —
+    // collect_list order is execution-dependent, the sort is the contract
+    val chunkFp = md5(concat_ws(" ",
+      transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))))
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum(isBoundary).over(wChunk), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"), chunkFp.as("fp"))
+      .filter(col("n_toks") >= MinChunkToks)
+      .localCheckpoint(true) // 4 consumers below; the tokenize+window+agg runs once
+    val eligible = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= MaxChunkDf)
+      .select(col("fp"))
+    val posting = chunks.join(eligible, Seq("fp"))
+    val pairs = posting.select(col("fp"), col("doc_id").as("doc_id_1"))
+      .join(posting.select(col("fp"), col("doc_id").as("doc_id_2")), Seq("fp"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(countDistinct(col("fp")).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") >= MinSharedChunks)
+    val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    pairs
+      .join(totals.select(col("doc_id").as("doc_id_1"), col("n_chunks").as("n1")), Seq("doc_id_1"))
+      .join(totals.select(col("doc_id").as("doc_id_2"), col("n_chunks").as("n2")), Seq("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_shared_chunks"),
+        expr("(n_shared_chunks * 1000000) div least(n1, n2)").as("containment_e6"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  private lazy val d9OracleSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, u.tok, u.pos FROM (
+       |  SELECT doc_id, unnest($toksCaseDSql) AS tok,
+       |         generate_subscripts($toksCaseDSql, 1) AS pos
+       |  FROM documents) u(doc_id, tok, pos)),
+       |b AS (
+       | SELECT doc_id, tok, pos,
+       |  CAST(COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) % $ChunkMod = 0
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+       | FROM t),
+       |c AS (
+       | SELECT doc_id, chunk_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+       |  CAST(count(*) AS BIGINT) AS n_toks
+       | FROM b GROUP BY doc_id, chunk_id HAVING count(*) >= $MinChunkToks),
+       |el AS (SELECT fp FROM c GROUP BY fp
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxChunkDf),
+       |p AS (
+       | SELECT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+       |  CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared_chunks
+       | FROM c a JOIN c b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+       | WHERE a.fp IN (SELECT fp FROM el)
+       | GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= $MinSharedChunks),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY doc_id)
+       |SELECT p.doc_id_1, p.doc_id_2, p.n_shared_chunks,
+       | (p.n_shared_chunks * 1000000) // least(n1.n_chunks, n2.n_chunks) AS containment_e6
+       |FROM p JOIN n n1 ON p.doc_id_1 = n1.doc_id JOIN n n2 ON p.doc_id_2 = n2.doc_id
+       |ORDER BY 1, 2""".stripMargin
+
+  // wsTokens rendered for d9 (trim-regex then split; empty text -> [])
+  private lazy val toksCaseDSql: String =
+    """CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+      | ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END"""
+      .stripMargin.replace("\n", "")
+
   private def jaccardSelectSql(candJoin: String): String =
     s"""SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2, p.c AS n_common,
        | CAST(floor(p.c * 1000000.0 / (n1.n + n2.n - p.c)) AS BIGINT) AS jaccard_e6
@@ -709,6 +804,7 @@ object Dedup {
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d9_dedup_chunks" -> d9OracleSql,
     "d1_dedup_exact" ->
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
@@ -891,5 +987,6 @@ object Dedup {
     "d5_dedup_embed" -> (d5DedupEmbed _),
     "d6_dedup_clusters" -> ((s: SparkSession, d: String) => d6DedupClusters(s, d)),
     "d7_embed_clusters" -> ((s: SparkSession, d: String) => d7EmbedClusters(s, d)),
-    "d8_dedup_incremental" -> (d8DedupIncremental _))
+    "d8_dedup_incremental" -> (d8DedupIncremental _),
+    "d9_dedup_chunks" -> (d9DedupChunks _))
 }

@@ -264,6 +264,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.oracle.get("s4_ann_pq").exists(_.contains("cents")))
   }
 
+  test("d9: a junk prefix shifts no downstream chunk boundaries — the " +
+    "copied passage is found, counts match an independent recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // the longest sf doc plays the copied passage
+    val passage = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(length(col("text")).desc, col("doc_id")).select("text")
+      .as[String].head()
+    val dir = java.nio.file.Files.createTempDirectory("graft_d9").toString
+    Seq((0L, passage, "s"), (1L, "zz qq ww " + passage, "s"),
+      (2L, "totally unrelated words only here", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent chunker: same boundary rule, plain Scala
+    def md5_60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      toks.foreach { t =>
+        cur = cur :+ t
+        if (md5_60(t) % Dedup.ChunkMod == 0) { out += cur; cur = Nil }
+      }
+      if (cur.nonEmpty) out += cur
+      out.toSeq.filter(_.size >= Dedup.MinChunkToks).map(_.mkString(" "))
+    }
+    val c0 = chunksOf(passage)
+    val c1 = chunksOf("zz qq ww " + passage)
+    val expectedShared = (c0.toSet intersect c1.toSet).size
+    assume(expectedShared >= Dedup.MinSharedChunks, "passage too short to chunk")
+    val r = Dedup.d9DedupChunks(spark, dir).collect()
+      .map(x => (x.getAs[Long]("doc_id_1"), x.getAs[Long]("doc_id_2")) -> x).toMap
+    assert(r.contains((0L, 1L)), "the copied passage must pair its two hosts")
+    assert(!r.keySet.exists { case (a, b) => a == 2L || b == 2L },
+      "the unrelated doc must not pair")
+    val row = r((0L, 1L))
+    assert(row.getAs[Long]("n_shared_chunks") == expectedShared.toLong)
+    assert(row.getAs[Long]("containment_e6") ==
+      expectedShared.toLong * 1000000L / math.min(c0.size, c1.size))
+  }
+
   test("s6: every vector assigned to its argmax centroid (recomputed " +
     "independently), assignment deterministic, oracle gated per dir") {
     val r = Similarity.s6ClusterAssign(spark, sf).collect()
