@@ -37,6 +37,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   val Reps = 3
+  val DefaultSfDir = "/root/testdata/sf0.1"
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -45,7 +46,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"),
@@ -84,12 +85,12 @@ object Bench {
     val total = results.map(r => median(r._2)).sum
     val spreadLine =
       s"""{"metric":"spread","reps":$Reps,"sf":"$sfDir","spread":$spread}"""
-    // metric line FIRST — it is the round's primary artifact and must
-    // survive a spread-write failure (read-only cwd, full disk)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfDir"}""")
-    // file only, not stderr: sbt folds the forked program's stderr into its
-    // own log (tagged [error]) right before the metric line, which both
-    // looks like a failure and eats the capture window the line must fit in
+    // spread to a FILE only, never stderr (sbt folds forked stderr into
+    // its log right where it lands, eating the capture window), written
+    // BEFORE the metric line so that even its failure diagnostic cannot
+    // land after the line and push it out of the collector's 2KB tail;
+    // the write is non-fatal — the metric line is the round's primary
+    // artifact and must survive a read-only cwd or full disk
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREAD.json"),
       (spreadLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -97,6 +98,7 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] spread write failed (non-fatal): $e")
     }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

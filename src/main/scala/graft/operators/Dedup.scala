@@ -758,8 +758,8 @@ object Dedup {
   private lazy val d9OracleSql: String =
     s"""WITH t AS (
        | SELECT doc_id, u.tok, u.pos FROM (
-       |  SELECT doc_id, unnest($toksCaseDSql) AS tok,
-       |         generate_subscripts($toksCaseDSql, 1) AS pos
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |         generate_subscripts($toksSql, 1) AS pos
        |  FROM documents) u(doc_id, tok, pos)),
        |b AS (
        | SELECT doc_id, tok, pos,
@@ -785,12 +785,6 @@ object Dedup {
        | (p.n_shared_chunks * 1000000) // least(n1.n_chunks, n2.n_chunks) AS containment_e6
        |FROM p JOIN n n1 ON p.doc_id_1 = n1.doc_id JOIN n n2 ON p.doc_id_2 = n2.doc_id
        |ORDER BY 1, 2""".stripMargin
-
-  // wsTokens rendered for d9 (trim-regex then split; empty text -> [])
-  private lazy val toksCaseDSql: String =
-    """CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
-      | ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END"""
-      .stripMargin.replace("\n", "")
 
   private def jaccardSelectSql(candJoin: String): String =
     s"""SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2, p.c AS n_common,

@@ -48,7 +48,7 @@ class AnalyticsSpec extends AnyFunSuite {
     // the real sf-dir default, instead of estimating field widths
     val qs = SparkEntry.benchQueries.keySet.toSeq
       .map(n => "\"" + n + "\":123.456").mkString("{", ",", "}")
-    val sample = s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"reps":3,"sf":"/root/testdata/sf0.1"}"""
+    val sample = s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"${Bench.DefaultSfDir}"}"""
     assert(sample.length < 1850,
       s"projected bench line ${sample.length} chars — trim decimals or shorten " +
         "names before the driver's 2000-char tail cuts the line's opening brace")
