@@ -45,6 +45,16 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic join in:\n$p")
   }
 
+  test("d8/d9: incremental and chunk dedup never build a cartesian — " +
+    "side-cased prefix join and bounded posting-list join respectively") {
+    Seq(Dedup.d8DedupIncremental(spark, sf), Dedup.d9DedupChunks(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"quadratic join in:\n$p")
+      }
+  }
+
   test("q23: the range join plans as a broadcast hash join on the band " +
     "table — never a nested-loop over the BETWEEN predicate") {
     val p = plan(AnalyticsExt.q23RangeJoin(spark, sf))
