@@ -5,13 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev harness only — the driver passes two): comma-
+    // separated query names to restrict the dump to, for fast iteration
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, outDir)
+    try run(spark, sfDir, outDir, only)
     finally spark.stop()
   }
 
@@ -20,15 +25,19 @@ object Verify {
     * caught per query, logged, and its oracle entry withheld, while
     * `oracle_sql.json` is still written (the driver's whole round zeroes
     * if this crashes). Returns the failed query names. */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Set[String] = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Set[String] = Set.empty): Set[String] = {
     new java.io.File(outDir).mkdirs()
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
     // queries whose result parquet failed to materialize: their oracle
     // entries are withheld below, so a partial failure degrades to the
     // driver's rows-only/missing check instead of comparing a live oracle
     // against a stale or absent dump (e.g. s3's oracle is built from
     // process state the failed run may have half-updated)
     val failed = scala.collection.mutable.Set.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -52,7 +61,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filterNot { case (k, _) => failed(k) }
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
+      .filterNot { case (k, _) => failed(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     failed.toSet

@@ -459,6 +459,49 @@ object TextAnalysis {
       .orderBy(col("tok_offset"))
   }
 
+  val TopKeywords = 3 // t13: keywords reported per document
+
+  /** `t13_tfidf_keywords`: per-document keyword extraction — each
+    * document's top terms by a tf·idf weight, the signature/routing
+    * statistic of corpus curation (topic bucketing, near-dup triage,
+    * retrieval keys). Weight is tf × (N / df) — the LOG-FREE idf
+    * surrogate, for the same reason t10 ranks by lift instead of PMI:
+    * every factor is an integer-derived double and the op tree is pure
+    * IEEE mul/div, bit-identical in any engine, while ln() is
+    * libm-implementation-specific and could flip a floor-e6 digit.
+    *
+    * Scale: term frequencies and document frequencies are two map-side-
+    * partial aggregations over one exploded token scan (df aggregates the
+    * ALREADY doc-distinct tf rows — never a distinct over raw tokens);
+    * the vocab join runs on `term` (AQE broadcasts the df side while it
+    * fits, hash-joins at web scale), and the per-document top-k is a
+    * row_number window partitioned by doc_id — per-doc frames, no global
+    * sort. Ties break on the floored weight then the term string, so the
+    * cut is deterministic. */
+  def t13TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) by construction, so df is a plain
+    // count — the expensive distinct already happened in the tf aggregate
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight_e6").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("weight_e6",
+        floor(col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double") * lit(1000000.0)).cast("long"))
+      .withColumn("kw_rank", row_number().over(wTop).cast("long"))
+      .filter(col("kw_rank") <= TopKeywords)
+      .select(col("doc_id"), col("kw_rank"), col("term"),
+        col("tf"), col("df"), col("weight_e6"))
+      .orderBy(col("doc_id"), col("kw_rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
@@ -471,7 +514,8 @@ object TextAnalysis {
     "t9_source_mix" -> (t9SourceMix _),
     "t10_collocations" -> (t10Collocations _),
     "t11_filter_funnel" -> (t11FilterFunnel _),
-    "t12_sequence_pack" -> (t12SequencePack _))
+    "t12_sequence_pack" -> (t12SequencePack _),
+    "t13_tfidf_keywords" -> (t13TfidfKeywords _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -630,7 +674,24 @@ object TextAnalysis {
        | tok_offset % $BinTokens AS bin_offset
        |FROM o ORDER BY tok_offset""".stripMargin
 
+  // same weight op tree as the Spark plan: tf * n_docs / df * 1e6, floored
+  private val t13OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksCaseSql AS toks FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       | FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, term, tf, df,
+       |  CAST(floor(CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS weight_e6
+       | FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY weight_e6 DESC, term) AS kw_rank FROM s)
+       |SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, term, tf, df, weight_e6
+       |FROM r WHERE kw_rank <= $TopKeywords ORDER BY doc_id, kw_rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t13_tfidf_keywords" -> t13OracleSql,
     "t12_sequence_pack" -> t12OracleSql,
     "t10_collocations" -> t10OracleSql,
     "t11_filter_funnel" -> t11OracleSql,

@@ -170,6 +170,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     dir
   }
 
+  test("t13: weights match the hand computation; rank cut and ties are " +
+    "deterministic; every doc with tokens reports exactly min(3, vocab)") {
+    val r = TextAnalysis.t13TfidfKeywords(spark, plantedDir).collect()
+    // planted corpus: 6 docs. doc 3 = "a a a": tf(a)=3, df(a)=1 (no other
+    // doc contains "a" as a token) -> weight = 3 * 6 / 1 = 18e6, rank 1,
+    // and it is the doc's ONLY keyword (vocab of 1)
+    val d3 = r.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(d3.length == 1)
+    assert(d3.head.getAs[String]("term") == "a")
+    assert(d3.head.getAs[Long]("tf") == 3L)
+    assert(d3.head.getAs[Long]("df") == 1L)
+    assert(d3.head.getAs[Long]("weight_e6") == 18000000L)
+    // doc 2 = "x y x y x y x y": tf=4 each, df=1 each -> equal weights;
+    // the tie breaks on the term string: x before y
+    val d2 = r.filter(_.getAs[Long]("doc_id") == 2L)
+      .sortBy(_.getAs[Long]("kw_rank"))
+    assert(d2.map(_.getAs[String]("term")).toSeq == Seq("x", "y"))
+    assert(d2.map(_.getAs[Long]("weight_e6")).distinct.length == 1)
+    // empty doc 4 yields no keyword rows; everyone else caps at 3
+    assert(!r.exists(_.getAs[Long]("doc_id") == 4L))
+    r.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Long]("kw_rank")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+  }
+
   test("t12: the tape is contiguous, bin arithmetic closes, and the " +
     "distributed prefix sum is invariant to the range count") {
     val r3 = TextAnalysis.t12SequencePackRanged(spark, sf, 3).collect()

@@ -25,7 +25,8 @@ def run_verify():
              "java.base/sun.nio.cs", "java.base/sun.security.action",
              "java.base/sun.util.calendar"]
     cmd = ["java"] + [a for p in opens for a in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
-        "-Xmx8g", "-Dspark.ui.enabled=false", "-cp", cp, "graft.Verify", SF, OUT]
+        "-Xmx8g", "-Dspark.ui.enabled=false", "-cp", cp, "graft.Verify", SF, OUT] + (
+        [",".join(sorted(ONLY))] if ONLY else [])
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
