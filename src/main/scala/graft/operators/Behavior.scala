@@ -96,6 +96,40 @@ object Behavior {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Calendar-free day index, same construction as [[WeekUs]]. */
+  private val DayUs = 86400L * 1000000L
+
+  /** q24 window width: distinct users over the trailing 7 days. */
+  val RollingDays = 7
+
+  /** `q24_rolling_distinct`: daily active users plus 7-day rolling
+    * distinct users per day — the engagement statistic whose naive form
+    * (a self-join `a.day BETWEEN b.day-6 AND b.day`, or a distinct-state
+    * window) does not scale. The distributed shape: collapse events to
+    * distinct (user, day) once (map-side-partial distinct over the only
+    * fact-sized input), then explode each activity row to the ≤7 window
+    * END days it contributes to — a BOUNDED fan-out of the already-tiny
+    * activity table — and count distinct users per window end. Window
+    * ends with no activity of their own are dropped by the inner join
+    * (the report is per OBSERVED day). Day indices are floor(epoch
+    * micros / day) like q21's weeks: exact integer arithmetic, no
+    * timezone/calendar edge cases in the oracle compare. */
+  def q24RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day_idx"))
+      .distinct()
+    val dau = active.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("user_id"), explode(sequence(col("day_idx"),
+        col("day_idx") + lit(RollingDays - 1).cast("long"))).as("win_day"))
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("wau_7d"))
+    dau.join(wau, col("day_idx") === col("win_day"))
+      .select(col("day_idx"), col("dau"), col("wau_7d"))
+      .orderBy(col("day_idx"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** The q12 oracle's session CTE with `event_type` carried through; the
@@ -160,9 +194,23 @@ object Behavior {
          | count(*) AS n_active, any_value(sz.cohort_n) AS cohort_n,
          | CAST(floor(count(*) * 1000000.0 / any_value(sz.cohort_n)) AS BIGINT) AS retention_e6
          |FROM active a JOIN cohorts c USING (user_id) JOIN sz ON sz.cohort_week = c.cohort_week
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q24_rolling_distinct" ->
+      s"""WITH active AS (
+         | SELECT DISTINCT user_id,
+         |  CAST(floor(epoch_us(ts) / $DayUs) AS BIGINT) AS day_idx
+         | FROM events),
+         |dau AS (SELECT day_idx, count(*) AS dau FROM active GROUP BY 1),
+         |wau AS (
+         | SELECT day_idx + o.off AS win_day, count(DISTINCT user_id) AS wau_7d
+         | FROM active CROSS JOIN (SELECT unnest(range(0, $RollingDays)) AS off) o
+         | GROUP BY 1)
+         |SELECT d.day_idx AS day_idx, d.dau AS dau, w.wau_7d AS wau_7d
+         |FROM dau d JOIN wau w ON w.win_day = d.day_idx
+         |ORDER BY day_idx""".stripMargin)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_funnel_steps" -> (q20FunnelSteps _),
-    "q21_retention_cohorts" -> (q21RetentionCohorts _))
+    "q21_retention_cohorts" -> (q21RetentionCohorts _),
+    "q24_rolling_distinct" -> (q24RollingDistinct _))
 }

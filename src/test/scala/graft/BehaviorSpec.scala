@@ -54,6 +54,28 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows == Map("1_view" -> 2L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("q24: wau bounds dau, matches a brute-force recount, and every " +
+    "observed day reports") {
+    import org.apache.spark.sql.functions._
+    val rows = Behavior.q24RollingDistinct(spark, sf).collect()
+      .map(r => r.getAs[Long]("day_idx") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau_7d"))).toMap
+    // brute-force oracle: distinct (user, day) in memory (sf0.001 is tiny)
+    val active = Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400L * 1000000L)).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = active.map(_._2).distinct.sorted
+    assert(rows.keySet == days.toSet, "one row per observed day")
+    days.foreach { d =>
+      val dau = active.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = active.filter(a => a._2 >= d - 6 && a._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(rows(d) == (dau, wau), s"day $d")
+      assert(rows(d)._2 >= rows(d)._1, "a window contains its own day")
+    }
+  }
+
   test("q21: offset 0 is full retention, cohort sizes match, offsets " +
     "non-negative, rates recompute") {
     val rows = Behavior.q21RetentionCohorts(spark, sf).collect()
