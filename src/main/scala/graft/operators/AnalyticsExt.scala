@@ -269,7 +269,48 @@ object AnalyticsExt {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** q25 bin count (equi-width over the observed [min, max]). */
+  val HistBins = 20
+
+  /** `q25_histogram`: exact equi-width histogram of lineitem extended
+    * price — the two-pass distributed shape: pass 1 is a trivial
+    * map-side-partial min/max aggregate, broadcast back as a single
+    * stats row; pass 2 bins every value with pure arithmetic and
+    * aggregates counts per bin (21 groups, map-side partial). No sort,
+    * no shuffle of fact rows beyond the 21-row aggregate. Per-bin
+    * extrema are min/max (order-independent) — deliberately NOT sum():
+    * a float sum's value depends on reduction order and would never
+    * hash-match an oracle. The bin expression and the floor-e2
+    * boundary columns are fixed-order IEEE arithmetic, identical in
+    * DuckDB; values at interior bin edges land identically in both
+    * engines because the DOUBLES are identical, and v = vmax is
+    * clamped into the last bin on both sides. */
+  def q25Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(col("l_extendedprice").as("v"))
+    val stats = li.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val bin = least(
+      floor((col("v") - col("vmin")) * lit(HistBins.toDouble) / (col("vmax") - col("vmin"))),
+      lit((HistBins - 1).toDouble)).cast("long")
+    li.crossJoin(broadcast(stats))
+      .select(bin.as("bin_idx"), col("v"), col("vmin"), col("vmax"))
+      .groupBy(col("bin_idx"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        floor(min(col("v")) * 100d).cast("long").as("v_min_c"),
+        floor(max(col("v")) * 100d).cast("long").as("v_max_c"),
+        // bin boundaries from the same stats row (min/max are
+        // group-constant); floor-e2 cents for cross-engine stability
+        floor((min(col("vmin")) + col("bin_idx").cast("double") *
+          ((min(col("vmax")) - min(col("vmin"))) / HistBins.toDouble)) * 100d)
+          .cast("long").as("bin_lo_c"),
+        floor((min(col("vmin")) + (col("bin_idx") + 1L).cast("double") *
+          ((min(col("vmax")) - min(col("vmin"))) / HistBins.toDouble)) * 100d)
+          .cast("long").as("bin_hi_c"))
+      .orderBy(col("bin_idx"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_histogram" -> (q25Histogram _),
     "q19_ratio_report" -> (q19RatioReport _),
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_json_extract" -> (q14JsonExtract _),
@@ -280,6 +321,25 @@ object AnalyticsExt {
     "q23_range_join" -> (q23RangeJoin _))
 
   val oracle: Map[String, String] = Map(
+    // same op trees as the Spark plan: bin = least(floor((v-vmin)*B/(vmax-vmin)), B-1),
+    // boundaries from the identical stats doubles — bit-stable in both engines
+    "q25_histogram" ->
+      s"""WITH s AS (
+         | SELECT min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax
+         | FROM lineitem),
+         |b AS (
+         | SELECT least(floor((l_extendedprice - vmin) * ${HistBins}.0 / (vmax - vmin)),
+         |   ${HistBins - 1}.0) AS binf,
+         |  l_extendedprice AS v, vmin, vmax
+         | FROM lineitem CROSS JOIN s)
+         |SELECT CAST(binf AS BIGINT) AS bin_idx, CAST(count(*) AS BIGINT) AS n_items,
+         | CAST(floor(min(v) * 100) AS BIGINT) AS v_min_c,
+         | CAST(floor(max(v) * 100) AS BIGINT) AS v_max_c,
+         | CAST(floor((min(vmin) + binf * ((min(vmax) - min(vmin)) / ${HistBins}.0)) * 100)
+         |   AS BIGINT) AS bin_lo_c,
+         | CAST(floor((min(vmin) + (binf + 1.0) * ((min(vmax) - min(vmin)) / ${HistBins}.0)) * 100)
+         |   AS BIGINT) AS bin_hi_c
+         |FROM b GROUP BY binf ORDER BY bin_idx""".stripMargin,
     "q23_range_join" ->
       s"""WITH o AS (
          | SELECT o_orderkey,

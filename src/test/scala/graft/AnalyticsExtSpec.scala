@@ -116,4 +116,24 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(Seq(byYear, byStatus, leaves).forall(_ == grand.head),
       s"marginals ($byYear, $byStatus, $leaves) != grand ${grand.head}")
   }
+
+  test("q25: bin counts total the table, observed extrema sit inside " +
+    "their bin boundaries, and bins are within range") {
+    val rows = AnalyticsExt.q25Histogram(spark, sf).collect()
+    val total = Tables.load(spark, sf, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == total,
+      "every row must land in exactly one bin")
+    val idx = rows.map(_.getAs[Long]("bin_idx"))
+    assert(idx.toSeq == idx.sorted.toSeq && idx.distinct.length == idx.length)
+    assert(idx.forall(i => i >= 0 && i < AnalyticsExt.HistBins))
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("bin_lo_c"), r.getAs[Long]("bin_hi_c"))
+      val (vmin, vmax) = (r.getAs[Long]("v_min_c"), r.getAs[Long]("v_max_c"))
+      assert(vmin <= vmax)
+      // ±1 cent slack: boundary cents recompute vmin + k*width in floating
+      // point, which can land one ulp across the floor line vs the value
+      assert(vmin >= lo - 1 && vmax <= hi + 1,
+        s"bin ${r.getAs[Long]("bin_idx")}: [$vmin,$vmax] outside [$lo,$hi]")
+    }
+  }
 }
