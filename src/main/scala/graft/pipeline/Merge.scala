@@ -56,4 +56,79 @@ object Merge {
       |  row_number() OVER (PARTITION BY o_custkey
       |    ORDER BY epoch_us(o_orderdate) DESC, o_orderkey DESC) AS rn
       | FROM orders) WHERE rn = 1""".stripMargin
+
+  /** Snapshot reconciliation: diff two versions of a keyed table and emit
+    * the added / removed / changed rows — the audit an incremental load
+    * (p7) or a re-export gets checked against. Each side collapses to
+    * (key, fingerprint) in its scan projection; the only shuffle is ONE
+    * co-partitioned full-outer join on the key, so the diff costs a single
+    * join pass regardless of row width. Unchanged rows are dropped as
+    * early as possible (the verdict filter sits directly on the join).
+    *
+    * The fingerprint is md5 over '|'-joined value columns, which must
+    * already be STABLE-rendered: longs/strings only — callers floor
+    * doubles to integer cents and cast timestamps to epoch micros first,
+    * because engine-native double/timestamp→string renderings differ.
+    * concat_ws skips NULL columns (identically in Spark and DuckDB), so a
+    * null column is distinguishable from absent text only if the caller
+    * coalesces — fine for a fingerprint whose job is change DETECTION. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(
+      col(key),
+      md5(concat_ws("|", df.columns.filterNot(_ == key).map(col): _*)).as(as))
+    fp(oldSnap, "old_fp").join(fp(newSnap, "new_fp"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+  }
+
+  /** `p11_snapshot_diff`: [[snapshotDiff]] over two deterministic
+    * snapshots simulated from orders — yesterday's export is missing the
+    * keys ≡98 (mod 100) that arrive today ('added'), today's is missing
+    * the ≡97 keys ('removed'), and the ≡99 keys changed status ('changed').
+    * Value columns are pre-rendered stable: price floored to cents,
+    * orderdate to epoch micros. */
+  def p11SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100d).cast("long").as("price_c"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
+        col("o_orderpriority"))
+    val oldSnap = base.filter(col("o_orderkey") % 100 =!= 98)
+    val newSnap = base.filter(col("o_orderkey") % 100 =!= 97)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 100 === 99, lit("X")).otherwise(col("o_orderstatus")))
+      // restore the fingerprint column order mutated by withColumn
+      .select(base.columns.map(col): _*)
+    snapshotDiff(oldSnap, newSnap, "o_orderkey")
+      .select(col("o_orderkey"), col("change_type"), col("old_fp"), col("new_fp"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val p11Oracle: String =
+    """WITH base AS (
+      | SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+      |  epoch_us(o_orderdate) AS date_us, o_orderpriority
+      | FROM orders),
+      |o AS (
+      | SELECT o_orderkey, md5(concat_ws('|', o_custkey, o_orderstatus,
+      |   price_c, date_us, o_orderpriority)) AS old_fp
+      | FROM base WHERE o_orderkey % 100 <> 98),
+      |n AS (
+      | SELECT o_orderkey, md5(concat_ws('|', o_custkey,
+      |   CASE WHEN o_orderkey % 100 = 99 THEN 'X' ELSE o_orderstatus END,
+      |   price_c, date_us, o_orderpriority)) AS new_fp
+      | FROM base WHERE o_orderkey % 100 <> 97)
+      |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      | CASE WHEN old_fp IS NULL THEN 'added'
+      |      WHEN new_fp IS NULL THEN 'removed'
+      |      ELSE 'changed' END AS change_type,
+      | old_fp, new_fp
+      |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -79,6 +79,7 @@ object PipelineQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_snapshot_diff" -> (Merge.p11SnapshotDiff _),
     "p10_schema_drift" -> (p10SchemaDrift _),
     "p9_date_dim" -> (p9DateDim _),
     "p8_ingest_orders" -> (p8IngestOrders _),
@@ -91,6 +92,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p11_snapshot_diff" -> Merge.p11Oracle,
     "p10_schema_drift" -> p10Oracle,
     "p9_date_dim" -> p9Oracle,
     "p8_ingest_orders" -> Ingest.entityOracle(PipelineConfig.default.entity("orders")),

@@ -352,6 +352,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(v2.forall(_.getAs[String]("o_orderstatus") != null))
   }
 
+  test("p11: snapshot diff classifies planted add/remove/change exactly " +
+    "and drops unchanged rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val oldSnap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val newSnap = Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "d", 40L))
+      .toDF("k", "s", "v")
+    val d = Merge.snapshotDiff(oldSnap, newSnap, "k").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type")).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"got $d") // k=1 is unchanged and must not appear
+    // the orders-derived query matches the planted key arithmetic
+    val q = Merge.p11SnapshotDiff(spark, sf).collect()
+    val byType = q.groupBy(_.getAs[String]("change_type"))
+      .view.mapValues(_.map(_.getAs[Long]("o_orderkey")).toSet).toMap
+    val keys = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(byType.getOrElse("added", Set()) == keys.filter(_ % 100 == 98))
+    assert(byType.getOrElse("removed", Set()) == keys.filter(_ % 100 == 97))
+    assert(byType.getOrElse("changed", Set()) ==
+      keys.filter(_ % 100 == 99)) // status rewrite touches only these
+    q.foreach { r =>
+      val (o, n) = (r.getAs[String]("old_fp"), r.getAs[String]("new_fp"))
+      r.getAs[String]("change_type") match {
+        case "added"   => assert(o == null && n != null)
+        case "removed" => assert(o != null && n == null)
+        case "changed" => assert(o != null && n != null && o != n)
+      }
+    }
+  }
+
   test("single-stage groups: curation runs in isolation against a " +
     "pre-populated workDir; staging drops its cross-group deps") {
     val work = Files.createTempDirectory("graft_stage").toString
