@@ -238,7 +238,85 @@ object Multimodal {
        |   THEN 1 ELSE 0 END AS BIGINT) AS is_quiet
        |FROM d ORDER BY doc_id, win_idx""".stripMargin
 
+  /** m4 image geometry: the 64-byte payload as an 8×8 single-channel
+    * "image", tiled 4×4 — so each image yields a 2×2 grid of tiles. At a
+    * real deployment the dimensions come from decoded metadata (m1's
+    * width/height) and the tiles feed a patch-based vision encoder; the
+    * plumbing — 2D row-major gather from an opaque binary column, one
+    * pass, features only — is what this operator is. */
+  val ImgW = 8
+  val ImgH = 8
+  val TileW = 4
+  val TileH = 4
+  private val TilesX = ImgW / TileW
+  private val TilesY = ImgH / TileH
+
+  /** `m4_image_tiles`: fixed-grid 2D tile extraction over the image
+    * payloads — the patch-extraction shape of a vision pipeline, and a
+    * gather neither m2 (contiguous frames) nor m3 (overlapping windows)
+    * can express: a tile's bytes are NOT contiguous, they are TileH
+    * row-fragments each ImgW bytes apart. The tile is assembled in the
+    * hex domain (concat of row slices), fingerprinted and reduced to
+    * integer stats; the payload is scanned once and never shuffled, and
+    * the 4× tile fan-out carries only tiny feature rows. */
+  def m4ImageTiles(spark: SparkSession, dir: String): DataFrame = {
+    val tiles = mediaTable(spark, dir)
+      .filter(col("media_type") === "image")
+      .filter(length(col("content")) >= ImgW * ImgH) // truncated blobs: 0 rows
+      .withColumn("hex", lower(hex(col("content"))))
+      .select(col("doc_id"), col("hex"),
+        explode(sequence(lit(0), lit(TilesX * TilesY - 1))).as("tile_idx"))
+      .withColumn("tile_x", col("tile_idx") % TilesX)
+      .withColumn("tile_y", expr(s"tile_idx div $TilesX"))
+      // row-major 2D gather: tile row r lives at byte
+      // (tile_y*TileH + r)*ImgW + tile_x*TileW, i.e. twice that in hex
+      .withColumn("tile_hex", concat_ws("",
+        transform(sequence(lit(0), lit(TileH - 1)), r =>
+          col("hex").substr(
+            ((col("tile_y") * TileH + r) * ImgW + col("tile_x") * TileW) * 2 + 1,
+            lit(TileW * 2)))))
+      .withColumn("pix",
+        transform(sequence(lit(0), lit(TileW * TileH - 1)),
+          i => conv(col("tile_hex").substr(lit(1) + i * 2, lit(2)), 16, 10).cast("long")))
+    tiles.select(
+      col("doc_id"),
+      col("tile_x").cast("long").as("tile_x"),
+      col("tile_y").cast("long").as("tile_y"),
+      md5(col("tile_hex")).as("tile_fp"),
+      aggregate(col("pix"), lit(0L), (acc, x) => acc + x).as("byte_sum"),
+      array_min(col("pix")).as("pix_min"),
+      array_max(col("pix")).as("pix_max"))
+      .orderBy(col("doc_id"), col("tile_y"), col("tile_x"))
+  }
+
+  /** m4 oracle: the same row-major hex-domain gather — tile row r of tile
+    * (tx, ty) is 2·TileW hex chars at offset 2·((ty·TileH+r)·ImgW+tx·TileW). */
+  private val m4Oracle: String =
+    s"""WITH img AS (
+       | SELECT doc_id, repeat(md5(text), 4) AS hex FROM documents
+       | WHERE CAST(doc_id % 3 AS INTEGER) = 0 AND len(repeat(md5(text), 4)) // 2 >= ${ImgW * ImgH}),
+       |t AS (
+       | SELECT doc_id, hex, unnest(range(0, ${TilesX * TilesY})) AS tile_idx FROM img),
+       |g AS (
+       | SELECT doc_id, tile_idx % $TilesX AS tile_x, tile_idx // $TilesX AS tile_y,
+       |  array_to_string(list_transform(range(0, $TileH), r ->
+       |    substr(hex, 1 + 2 * (((tile_idx // $TilesX) * $TileH + CAST(r AS INTEGER)) * $ImgW
+       |      + (tile_idx % $TilesX) * $TileW), ${2 * TileW})), '') AS tile_hex
+       | FROM t),
+       |p AS (
+       | SELECT doc_id, tile_x, tile_y, tile_hex,
+       |  list_transform(range(0, ${TileW * TileH}),
+       |    i -> CAST(('0x' || substr(tile_hex, 1 + 2 * CAST(i AS INTEGER), 2)) AS BIGINT)) AS pix
+       | FROM g)
+       |SELECT doc_id, CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+       | md5(tile_hex) AS tile_fp,
+       | CAST(list_sum(pix) AS BIGINT) AS byte_sum,
+       | CAST(list_min(pix) AS BIGINT) AS pix_min,
+       | CAST(list_max(pix) AS BIGINT) AS pix_max
+       |FROM p ORDER BY doc_id, tile_y, tile_x""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m4_image_tiles" -> m4Oracle,
     "m1_multimodal_meta" -> m1Oracle,
     "m2_frame_sample" -> m2Oracle,
     "m3_audio_windows" -> m3Oracle)
@@ -246,5 +324,6 @@ object Multimodal {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
     "m2_frame_sample" -> (m2FrameSample _),
-    "m3_audio_windows" -> (m3AudioWindows _))
+    "m3_audio_windows" -> (m3AudioWindows _),
+    "m4_image_tiles" -> (m4ImageTiles _))
 }

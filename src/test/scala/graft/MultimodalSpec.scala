@@ -76,6 +76,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(quiet > 0 && quiet < m3.length, s"quiet=$quiet of ${m3.length}")
   }
 
+  test("m4: four tiles per image doc, and each tile's bytes/stats agree " +
+    "with a direct 2D gather from the payload") {
+    val m4 = Multimodal.m4ImageTiles(spark, sf).collect()
+    val images = Multimodal.mediaTable(spark, sf)
+      .filter(col("media_type") === "image")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("content")).toMap
+    assert(m4.length == 4 * images.size, s"${m4.length} rows for ${images.size} image docs")
+    m4.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rows) =>
+      assert(rows.map(r => (r.getAs[Long]("tile_x"), r.getAs[Long]("tile_y"))).toSet ==
+        Set((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)))
+      rows.foreach { r =>
+        val (tx, ty) = (r.getAs[Long]("tile_x").toInt, r.getAs[Long]("tile_y").toInt)
+        // independent row-major gather straight from the payload bytes
+        val pix = for {
+          row <- 0 until Multimodal.TileH
+          c <- 0 until Multimodal.TileW
+        } yield (images(doc)((ty * Multimodal.TileH + row) * Multimodal.ImgW
+          + tx * Multimodal.TileW + c) & 0xff).toLong
+        assert(r.getAs[Long]("byte_sum") == pix.sum)
+        assert(r.getAs[Long]("pix_min") == pix.min)
+        assert(r.getAs[Long]("pix_max") == pix.max)
+        assert(r.getAs[String]("tile_fp").matches("[0-9a-f]{32}"))
+      }
+      // the synthetic payload is repeat(md5, 4): a 16-byte period = every
+      // 2 image rows, so tiles repeat VERTICALLY exactly (ty=0 ≡ ty=1)
+      // while the left/right halves differ — a sharp check that the 2D
+      // gather picks up exactly the bytes it should
+      val fp = rows.map(r => (r.getAs[Long]("tile_x"), r.getAs[Long]("tile_y")) ->
+        r.getAs[String]("tile_fp")).toMap
+      assert(fp((0L, 0L)) == fp((0L, 1L)) && fp((1L, 0L)) == fp((1L, 1L)))
+      assert(fp((0L, 0L)) != fp((1L, 0L)))
+    }
+  }
+
   test("vector functions: dot/l2/bucket deterministic and consistent") {
     import spark.implicits._
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
