@@ -88,6 +88,39 @@ class PlanSpec extends AnyFunSuite {
       s"a document-order window runs unpartitioned in:\n$p")
   }
 
+  test("q25: the histogram reads ONLY the value column and joins the " +
+    "one-row stats via broadcast — no fact-side shuffle before binning") {
+    val p = plan(AnalyticsExt.q25Histogram(spark, sf))
+    val read = p.substring(p.indexOf("ReadSchema"))
+    assert(read.contains("l_extendedprice") && !read.contains("l_orderkey"),
+      s"scan not pruned to the value column:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"stats row not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "bin counts must combine map-side")
+  }
+
+  test("q24/t13/p11: the new fan-out/join operators never build a " +
+    "cartesian or nested-loop join") {
+    Seq(
+      graft.operators.Behavior.q24RollingDistinct(spark, sf),
+      graft.operators.TextAnalysis.t13TfidfKeywords(spark, sf),
+      graft.pipeline.Merge.p11SnapshotDiff(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        // t13/q25 broadcast a one-row totals frame by construction; what
+        // must never appear is a nested loop over fact-sized inputs
+        assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      }
+    // p11's diff must stay ONE join of the two fingerprint projections
+    val p11 = plan(graft.pipeline.Merge.p11SnapshotDiff(spark, sf))
+    assert("Join [A-Za-z]*".r.findAllIn(p11).size <= 1 ||
+      ("SortMergeJoin".r.findAllIn(p11).size +
+        "ShuffledHashJoin".r.findAllIn(p11).size +
+        "BroadcastHashJoin".r.findAllIn(p11).size) == 1,
+      s"snapshot diff should be a single keyed join:\n$p11")
+  }
+
   test("s1: probes are broadcast; big side is scanned, not shuffled, for the join") {
     val p = plan(Similarity.s1AnnBrute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
