@@ -162,6 +162,65 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  val BinPlanes = 64 // s7: sign-sketch width — one BIGINT per vector
+  val BinShortlist = 32 // s7: Hamming shortlist fed to the exact re-rank
+
+  /** `s7_ann_binary`: binary-quantized ANN — the compressed-index search
+    * path beside s4's PQ: every vector collapses to a 64-bit sign sketch
+    * (bit p = sign of embedding·plane p, the SAME deterministic plane
+    * family as s2/s5/d5), probes pre-rank the corpus by Hamming distance
+    * on the sketches (XOR + popcount — pure integer ops over 8
+    * bytes/vector), and ONLY the per-probe shortlist fetches float
+    * vectors for the exact-cosine re-rank. At 100 TB the sketch table is
+    * ~1/256 the size of the float table, the Hamming pass is a narrow
+    * integer scan with per-probe window top-k (no global sort), and the
+    * float fetch is a shortlist-sized join — floats never stream through
+    * the ranking shuffle.
+    *
+    * Hamming approximates angle — P[bit differs] = arccos(cos)/π per
+    * plane — so the sketch's resolving power depends on the NEIGHBOR
+    * REGIME: a production near-dup corpus (cos ≥ 0.8, 0.20 flip rate vs
+    * the bulk's 0.5) separates by many σ and re-rank recall approaches 1,
+    * while THIS corpus's true top-5 sit at cos ≈ 0.32 (25.3 expected
+    * flips vs the bulk's 32, a 1.7σ gap), where the measured recall@5 is
+    * ~0.4 with a 6.4×k shortlist — 6× better than a random shortlist
+    * (32/499 ≈ 0.064), which is what the spec asserts. The dial is the
+    * same as s5's band length: more planes per vector (2-4 bits/dim) or
+    * a deeper shortlist, both linear cost. Ties break on
+    * (hamming, vec_id) and (cos desc, vec_id) — deterministic cut. */
+  def s7AnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    val pl = planesFor(BinPlanes)
+    val e = emb(spark, dir)
+    // the compressed index: (vec_id, 64-bit sketch), one fused plane pass
+    val sigs = e.select(col("vec_id"),
+      hyperplaneBucket(col("embedding"), pl).as("sig"))
+    val probes = sigs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("sig").as("psig"))
+    val wHam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val shortlist = sigs
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long"))
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= BinShortlist)
+      .select(col("probe_id"), col("vec_id"), col("hamming"))
+    // floats are fetched ONLY here: shortlist-sized joins back to the
+    // vector table (AQE broadcasts the tiny shortlist side)
+    val pvecs = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cos = cosineFast(col("pe"), col("embedding"))
+    val wCos = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(pvecs), Seq("probe_id"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("hamming"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def planeSql(p: Int): String = planeSqlFor(planes(p))
@@ -241,7 +300,40 @@ object Similarity {
     }.mkString("\n UNION ALL ")
   }
 
+  /** s7 sketch: the identical 64-plane literals as one BIGINT bit sum
+    * (distinct-bit addition ≡ bitwise OR, incl. the sign bit at p=63). */
+  private lazy val binSigSql: String = {
+    val pl = planesFor(BinPlanes)
+    def dSql(p: Int) =
+      s"list_sum(list_transform(list_zip(embedding, ${planeSqlFor(pl(p))}), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    (0 until BinPlanes).map(p =>
+      s"(CASE WHEN ${dSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+  }
+
+  private lazy val s7OracleSql: String =
+    s"""WITH sigs AS (SELECT vec_id, $binSigSql AS sig FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, sig AS psig FROM sigs WHERE vec_id < $NumProbes),
+       |h AS (
+       | SELECT p.probe_id, s.vec_id,
+       |  CAST(bit_count(xor(s.sig, p.psig)) AS BIGINT) AS hamming
+       | FROM sigs s CROSS JOIN probes p WHERE s.vec_id <> p.probe_id),
+       |sl AS (SELECT probe_id, vec_id, hamming FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY hamming, vec_id) AS hrank FROM h) WHERE hrank <= $BinShortlist),
+       |r AS (
+       | SELECT t.probe_id, t.vec_id, t.hamming,
+       |  ${cosSql("pe.embedding", "e.embedding")} AS cos
+       | FROM sl t JOIN embeddings e ON e.vec_id = t.vec_id
+       |  JOIN embeddings pe ON pe.vec_id = t.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, hamming,
+       | CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY cos DESC, vec_id) AS rank FROM r)
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
   private val staticOracle: Map[String, String] = Map(
+    "s7_ann_binary" -> s7OracleSql,
     "s5_knn_join" ->
       s"""WITH sigs AS (
          |$knnBandSql),
@@ -655,5 +747,6 @@ object Similarity {
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s4_ann_pq" -> (s4AnnPq _),
     "s5_knn_join" -> (s5KnnJoin _),
+    "s7_ann_binary" -> (s7AnnBinary _),
     "s6_cluster_assign" -> (s6ClusterAssign _))
 }

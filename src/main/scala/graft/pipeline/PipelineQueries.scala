@@ -78,7 +78,81 @@ object PipelineQueries {
       |FROM orders WHERE year(o_orderdate) >= 1997
       |ORDER BY o_orderkey""".stripMargin
 
+  /** p12 grid: both dims normalize to 16-bit lattice coordinates; buckets
+    * are the top [[ZBucketBits]] bits of the 32-bit Morton key = a
+    * quadtree cell at depth ZBucketBits/2. */
+  val ZGridBits = 16
+  val ZBucketBits = 6
+
+  /** `p12_zorder_layout`: Z-order (Morton) layout assignment — the
+    * space-filling-curve clustering a lakehouse applies so ONE sort order
+    * serves range predicates on TWO columns (file-level min/max skipping
+    * on either dim). Pass 1 is a map-side-partial min/max of both dims
+    * broadcast back as one stats row (q25's two-pass shape); pass 2
+    * normalizes each dim to a 16-bit lattice with pure integer arithmetic
+    * (`(v - min) * 65536 div (max - min + 1)` — exact in any engine),
+    * interleaves the bits into the 32-bit Morton key, and aggregates
+    * per-bucket stats (top-6-bit prefix = depth-3 quadtree cell). The
+    * per-cell min/max spans in BOTH dims are bounded by the cell geometry
+    * (< 2^13 lattice steps at depth 3) — that bound IS the file-skipping
+    * guarantee, and the spec asserts it exactly. At 100 TB the Morton key
+    * is the range-partition/sort key at write time; this operator is the
+    * assignment + the layout-quality audit. */
+  def p12ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          lit(86400L * 1000000L)).cast("long").as("day"),
+        col("o_custkey").as("cust"))
+    val stats = o.agg(
+      min(col("day")).as("day_min"), max(col("day")).as("day_max"),
+      min(col("cust")).as("cust_min"), max(col("cust")).as("cust_max"))
+    val grid = (1L << ZGridBits).toString
+    def norm(v: String, lo: String, hi: String) =
+      s"(($v - $lo) * $grid) div ($hi - $lo + 1)"
+    val z = "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> acc" +
+      " + shiftleft(CAST(shiftrightunsigned(xn, i) & 1 AS BIGINT), 2 * i)" +
+      " + shiftleft(CAST(shiftrightunsigned(yn, i) & 1 AS BIGINT), 2 * i + 1))"
+    o.crossJoin(broadcast(stats))
+      .withColumn("xn", expr(norm("day", "day_min", "day_max")))
+      .withColumn("yn", expr(norm("cust", "cust_min", "cust_max")))
+      .withColumn("zkey", expr(z))
+      .withColumn("bucket",
+        shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZBucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("xn")).as("x_min"), max(col("xn")).as("x_max"),
+        min(col("yn")).as("y_min"), max(col("yn")).as("y_max"))
+      .orderBy(col("bucket"))
+  }
+
+  val p12Oracle: String = {
+    val grid = 1L << ZGridBits
+    s"""WITH o AS (
+       | SELECT o_orderkey, epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  o_custkey AS cust
+       | FROM orders),
+       |s AS (SELECT min(day) AS day_min, max(day) AS day_max,
+       |  min(cust) AS cust_min, max(cust) AS cust_max FROM o),
+       |g AS (
+       | SELECT ((day - day_min) * $grid) // (day_max - day_min + 1) AS xn,
+       |  ((cust - cust_min) * $grid) // (cust_max - cust_min + 1) AS yn
+       | FROM o CROSS JOIN s),
+       |z AS (
+       | SELECT xn, yn,
+       |  CAST(list_sum(list_transform(range(0, 16), i ->
+       |    (((xn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER)))
+       |    + (((yn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER) + 1))))
+       |   AS BIGINT) AS zkey
+       | FROM g)
+       |SELECT zkey >> ${2 * ZGridBits - ZBucketBits} AS bucket,
+       | CAST(count(*) AS BIGINT) AS n_orders,
+       | min(xn) AS x_min, max(xn) AS x_max, min(yn) AS y_min, max(yn) AS y_max
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_zorder_layout" -> (p12ZorderLayout _),
     "p11_snapshot_diff" -> (Merge.p11SnapshotDiff _),
     "p10_schema_drift" -> (p10SchemaDrift _),
     "p9_date_dim" -> (p9DateDim _),
@@ -92,6 +166,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p12_zorder_layout" -> p12Oracle,
     "p11_snapshot_diff" -> Merge.p11Oracle,
     "p10_schema_drift" -> p10Oracle,
     "p9_date_dim" -> p9Oracle,

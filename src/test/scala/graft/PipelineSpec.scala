@@ -384,6 +384,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p12: every z-order bucket is a real quadtree cell — per-cell " +
+    "spans in BOTH dims are bounded by the cell geometry, no row lost") {
+    val r = PipelineQueries.p12ZorderLayout(spark, sf).collect()
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(r.map(_.getAs[Long]("n_orders")).sum == total)
+    // depth-3 quadtree on a 16-bit lattice: each bucket fixes the top 3
+    // bits of each dim, so the within-cell span is < 2^13 lattice steps.
+    // This bound IS the min/max file-skipping guarantee of the layout.
+    val cellSpan = 1L << (PipelineQueries.ZGridBits - PipelineQueries.ZBucketBits / 2)
+    r.foreach { b =>
+      assert(b.getAs[Long]("x_max") - b.getAs[Long]("x_min") < cellSpan,
+        s"bucket ${b.getAs[Long]("bucket")} x-span breaks the cell bound")
+      assert(b.getAs[Long]("y_max") - b.getAs[Long]("y_min") < cellSpan,
+        s"bucket ${b.getAs[Long]("bucket")} y-span breaks the cell bound")
+    }
+    // buckets are valid depth-3 cells and the layout actually spreads
+    val ids = r.map(_.getAs[Long]("bucket"))
+    assert(ids.forall(b => b >= 0 && b < (1L << PipelineQueries.ZBucketBits)))
+    assert(ids.length > 1, "a one-cell layout clusters nothing")
+  }
+
   test("single-stage groups: curation runs in isolation against a " +
     "pre-populated workDir; staging drops its cross-group deps") {
     val work = Files.createTempDirectory("graft_stage").toString

@@ -105,7 +105,10 @@ class PlanSpec extends AnyFunSuite {
     Seq(
       graft.operators.Behavior.q24RollingDistinct(spark, sf),
       graft.operators.TextAnalysis.t13TfidfKeywords(spark, sf),
-      graft.pipeline.Merge.p11SnapshotDiff(spark, sf))
+      graft.pipeline.Merge.p11SnapshotDiff(spark, sf),
+      // s7's probe join is an intended 10-row broadcast NLJ (s1's shape);
+      // what must never appear is a cartesian over the corpus
+      Similarity.s7AnnBinary(spark, sf))
       .foreach { df =>
         val p = plan(df)
         // t13/q25 broadcast a one-row totals frame by construction; what
