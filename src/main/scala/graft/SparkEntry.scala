@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AnalyticsExt, Behavior, Dedup, Multimodal, Similarity, TextAnalysis, TopK}
+import graft.operators.{Analytics, AnalyticsExt, Behavior, Dedup, HeavyHitters, Multimodal, Similarity, TextAnalysis, TopK}
 import graft.pipeline.PipelineQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -17,7 +17,8 @@ object SparkEntry {
     * production forms"). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.all ++ AnalyticsExt.all ++ Behavior.all ++ PipelineQueries.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++ TopK.all
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++ TopK.all ++
+      Map("t14_heavy_hitters" -> (HeavyHitters.t14HeavyHitters _))
 
   /** What Bench times: [[queries]] with verification-shaped entries swapped
     * for their production twins. Today that is only q18 — the verified form
@@ -32,7 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ AnalyticsExt.oracle ++ Behavior.oracle ++ PipelineQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++
-      Multimodal.oracle
+      Multimodal.oracle ++ Map("t14_heavy_hitters" -> HeavyHitters.t14Oracle)
 
   /** Called by Verify after a query's result parquet lands. Operators whose
     * oracle SQL is built from run-derived state (s3's k-means centroids) key

@@ -197,6 +197,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t14: MG candidates contain every true heavy hitter under any " +
+    "partitioning, and the output equals a brute-force recount") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // planted stream: 'hot' 40%, 'warm' 30%, 120 singleton tokens (k=5
+    // leaves 4 counters — the decrement path runs constantly)
+    val toks = Seq.fill(200)("hot") ++ Seq.fill(150)("warm") ++
+      (0 until 120).map(i => s"cold$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg").toString
+    // shuffle deterministically so heavy tokens interleave with the tail
+    val text = new scala.util.Random(7).shuffle(toks).mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n = toks.size
+    (1 to 4).foreach { _ =>
+      val cands = HeavyHitters.mgCandidates(spark, dir, k = 5)
+      assert(cands.contains("hot") && cands.contains("warm"),
+        s"freq > n/5 tokens missing from MG summary: $cands")
+      assert(cands.size <= 4, "summary must keep at most k-1 counters")
+    }
+    // the mergeable-summaries combine, exercised directly (a local[n]
+    // run with one small file may never merge two non-empty partials):
+    // pointwise sum = {a:5, b:4, c:3, d:2, e:1}; k=4 -> subtract the
+    // 4th-largest (2), keep >0
+    val agg = new HeavyHitters.MisraGriesAgg(4)
+    val merged = agg.merge(
+      Map("a" -> 3L, "b" -> 4L, "c" -> 1L),
+      Map("a" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
+    assert(merged == Map("a" -> 3L, "b" -> 2L, "c" -> 1L), s"got $merged")
+    // reduce's decrement path: full summary + unseen token shrinks all
+    assert(agg.reduce(Map("a" -> 2L, "b" -> 1L, "c" -> 1L), "z") == Map("a" -> 1L))
+
+    // the full operator on the real corpus == brute recount above n/k
+    val out = graft.operators.HeavyHitters.t14HeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n_occurrences")).toMap
+    val brute = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.wsTokens(
+          org.apache.spark.sql.functions.col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = brute.map(_._2).sum
+    val expect = brute.filter(_._2 * HeavyHitters.MgK > total).toMap
+    assert(out == expect, s"got ${out.size} heavy hitters, expected ${expect.size}")
+  }
+
   test("t12: the tape is contiguous, bin arithmetic closes, and the " +
     "distributed prefix sum is invariant to the range count") {
     val r3 = TextAnalysis.t12SequencePackRanged(spark, sf, 3).collect()
