@@ -31,6 +31,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("misra-gries: any fold/merge tree keeps every token with " +
+    "freq > n/k, with at most k-1 counters") {
+    import graft.operators.HeavyHitters.MisraGriesAgg
+    val genStream = Gen.listOf(Gen.chooseNum(0, 15).map(_.toString))
+    check(Prop.forAll(genStream, Gen.chooseNum(2, 8),
+      Gen.chooseNum(0, 1000), Gen.chooseNum(0, 1000)) {
+      (toks: List[String], k: Int, c1: Int, c2: Int) =>
+        val agg = new MisraGriesAgg(k)
+        // three-way split folded independently, merged as a tree — the
+        // shape Spark's partial aggregation actually produces
+        val i = if (toks.isEmpty) 0 else c1 % (toks.length + 1)
+        val j = if (toks.isEmpty) 0 else i + c2 % (toks.length - i + 1)
+        val (a, rest) = toks.splitAt(i)
+        val (b, c) = rest.splitAt(j - i)
+        val merged = agg.merge(
+          agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)),
+          c.foldLeft(agg.zero)(agg.reduce))
+        val n = toks.length
+        val heavy = toks.groupBy(identity).collect {
+          case (t, g) if g.size.toLong * k > n => t
+        }
+        heavy.forall(merged.contains) && merged.size <= k - 1
+    })
+  }
+
   test("prefix filter: pairs with jaccard >= tau always share a prefix element") {
     // replicate the d2 prefix-length arithmetic: n - ceil(4n/5) + 1
     def prefix(s: Set[String]): Set[String] = {
