@@ -46,8 +46,9 @@ class AnalyticsSpec extends AnyFunSuite {
     // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
     // render the actual line shape with worst-case 'NNN.NNN' values and
     // the real sf-dir default, instead of estimating field widths
+    // per-query worst case mirrors Bench's 2-decimal median rendering
     val qs = SparkEntry.benchQueries.keySet.toSeq
-      .map(n => "\"" + n + "\":123.456").mkString("{", ",", "}")
+      .map(n => "\"" + n + "\":123.45").mkString("{", ",", "}")
     val sample = s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"${Bench.DefaultSfDir}"}"""
     assert(sample.length < 1850,
       s"projected bench line ${sample.length} chars — trim decimals or shorten " +
