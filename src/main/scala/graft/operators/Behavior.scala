@@ -130,6 +130,39 @@ object Behavior {
       .orderBy(col("day_idx"))
   }
 
+  /** `q26_lateness_audit`: out-of-order-arrival measurement over a change
+    * stream — per key, how many records arrived with an EVENT time
+    * earlier than something already seen, and by how much. This is the
+    * statistic that sizes a streaming deployment's watermark delay
+    * (`withWatermark(d)` drops exactly the records this report counts at
+    * lateness > d), measured over the batch table so the number exists
+    * BEFORE the stream is wired. The subject is the orders change stream
+    * (p7's incremental-merge input, heavily out of order: arrival =
+    * monotone o_orderkey ingest sequence, event time = o_orderdate);
+    * lateness of a record is (max event time seen so far) − (its event
+    * time). One shuffle on the key; the running max is O(1) window state
+    * per row; the report is one map-side-partial aggregate. */
+  def q26LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perOrder = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+      .withColumn("late_us", // first arrival per key: empty frame -> 0
+        greatest(coalesce(max(col("ts_us")).over(wPrev), col("ts_us")) - col("ts_us"),
+          lit(0L)))
+    perOrder
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .select(col("o_custkey"), col("n_orders"), col("n_late"), col("max_late_us"),
+        floor(col("n_late") * lit(1000000.0) / col("n_orders")).cast("long")
+          .as("late_share_e6"))
+      .orderBy(col("o_custkey"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** The q12 oracle's session CTE with `event_type` carried through; the
@@ -207,10 +240,24 @@ object Behavior {
          | GROUP BY 1)
          |SELECT d.day_idx AS day_idx, d.dau AS dau, w.wau_7d AS wau_7d
          |FROM dau d JOIN wau w ON w.win_day = d.day_idx
-         |ORDER BY day_idx""".stripMargin)
+         |ORDER BY day_idx""".stripMargin,
+    "q26_lateness_audit" ->
+      """WITH e AS (
+        | SELECT o_custkey,
+        |  greatest(COALESCE(max(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    epoch_us(o_orderdate)) - epoch_us(o_orderdate), 0) AS late_us
+        | FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | CAST(max(late_us) AS BIGINT) AS max_late_us,
+        | CAST(floor(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000.0
+        |   / count(*)) AS BIGINT) AS late_share_e6
+        |FROM e GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_funnel_steps" -> (q20FunnelSteps _),
     "q21_retention_cohorts" -> (q21RetentionCohorts _),
-    "q24_rolling_distinct" -> (q24RollingDistinct _))
+    "q24_rolling_distinct" -> (q24RollingDistinct _),
+    "q26_lateness_audit" -> (q26LatenessAudit _))
 }

@@ -76,6 +76,41 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q26: lateness matches a hand recount on a planted out-of-order " +
+    "stream, and the real corpus audit is non-vacuous") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    // key 1 arrives (t=10, 20, 15, 30, 5): records 3 and 5 are late by
+    // 5s and 25s; key 2 arrives in order
+    val us = 1000000L
+    Seq(
+      (1L, 101L, 10 * us), (1L, 102L, 20 * us), (1L, 103L, 15 * us),
+      (1L, 104L, 30 * us), (1L, 105L, 5 * us),
+      (2L, 201L, 10 * us), (2L, 202L, 11 * us))
+      .map { case (k, id, t) => (id, k, new java.sql.Timestamp(t / 1000)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderstatus", org.apache.spark.sql.functions.lit("O"))
+      .withColumn("o_totalprice", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("o_orderpriority", org.apache.spark.sql.functions.lit("1-X"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Behavior.q26LatenessAudit(spark, dir).collect()
+      .map(x => x.getAs[Long]("o_custkey") -> x).toMap
+    assert(r(1L).getAs[Long]("n_late") == 2)
+    assert(r(1L).getAs[Long]("max_late_us") == 25 * us)
+    assert(r(1L).getAs[Long]("late_share_e6") == 400000L) // 2 of 5
+    assert(r(2L).getAs[Long]("n_late") == 0)
+    assert(r(2L).getAs[Long]("max_late_us") == 0L)
+    // the shipped corpus is genuinely out of order — the audit must not
+    // verify vacuously as all-zeros (orders arrive keyed, not time-sorted)
+    val real = Behavior.q26LatenessAudit(spark, sf).collect()
+    assert(real.map(_.getAs[Long]("n_late")).sum > 0)
+    // every key's n_late < n_orders (the first arrival is never late)
+    real.foreach { x =>
+      assert(x.getAs[Long]("n_late") < x.getAs[Long]("n_orders"))
+    }
+  }
+
   test("q21: offset 0 is full retention, cohort sizes match, offsets " +
     "non-negative, rates recompute") {
     val rows = Behavior.q21RetentionCohorts(spark, sf).collect()
