@@ -152,6 +152,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_pit_join" -> (Scd2.p13PitJoin _),
     "p12_zorder_layout" -> (p12ZorderLayout _),
     "p11_snapshot_diff" -> (Merge.p11SnapshotDiff _),
     "p10_schema_drift" -> (p10SchemaDrift _),
@@ -166,6 +167,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p13_pit_join" -> Scd2.p13Oracle,
     "p12_zorder_layout" -> p12Oracle,
     "p11_snapshot_diff" -> Merge.p11Oracle,
     "p10_schema_drift" -> p10Oracle,

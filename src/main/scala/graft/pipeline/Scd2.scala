@@ -50,4 +50,93 @@ object Scd2 {
       | CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+
+  /** The fact slice of the events stream for [[p13PitJoin]]: purchases
+    * are the facts; every other event type is a profile-state change. */
+  val PitFactType = "purchase"
+
+  /** `p13_pit_join`: point-in-time (bitemporally correct) consumption of
+    * an SCD2 dimension — each fact row joined to the dimension VERSION in
+    * effect at the fact's event time, the query every SCD2 build exists to
+    * serve (training-data pipelines know it as the feature-store
+    * "time-travel join" that prevents label leakage: a fact must never see
+    * attributes from its future). Subject: `purchase` events as facts
+    * against the SCD2 profile state built from every OTHER event type via
+    * [[fromChangeLog]] — the same stream split into state and
+    * consumption, so facts and versions genuinely interleave in time.
+    *
+    * The naive form is an interval join (`from_us <= t AND t < to_us`) —
+    * a non-equi predicate that plans as a nested loop over the facts. The
+    * distributed shape here is the q13 as-of union instead
+    * ([[graft.operators.AnalyticsExt.q13AsofJoin]]): dimension versions
+    * enter the stream at their `effective_from_us`, facts at their event
+    * time, ONE shuffle on the entity key, one ordered window pass carries
+    * the latest version's attributes onto each fact row. Versions are
+    * half-open `[from, to)`, so "latest version at-or-before t" IS the
+    * interval match; a zero-width version (two changes at one timestamp)
+    * is correctly superseded by ordering same-instant rows by `version`.
+    * Facts before the key's first version — and facts whose key has no
+    * dimension row at all — keep null version columns (the SCD2 analog of
+    * a late-arriving dimension member).
+    *
+    * At 100 TB this is shuffle-optimal — no per-fact probe, no interval
+    * explosion, and the window state per row is the O(1) carried version,
+    * regardless of version count. */
+  def p13PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), unix_micros(col("ts")).as("ts_us"))
+    val dim = fromChangeLog(events.filter(col("event_type") =!= PitFactType),
+        Seq("user_id"), "ts_us", "event_id")
+      .select(col("user_id"), col("effective_from_us").as("t_us"),
+        col("version"), col("event_type"), col("value"))
+    val facts = events.filter(col("event_type") === PitFactType)
+      .select(col("user_id"), col("ts_us").as("t_us"),
+        col("event_id"), col("value").as("amount"))
+    val tagged = dim
+      .select(col("user_id"), col("t_us"), lit(0).as("src"),
+        col("version"), col("event_type"), col("value"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("amount"))
+      .unionByName(facts.select(col("user_id"), col("t_us"), lit(1).as("src"),
+        lit(null).cast("long").as("version"), lit(null).cast("string").as("event_type"),
+        lit(null).cast("double").as("value"),
+        col("event_id"), col("amount")))
+    // dim rows sort before facts at the same instant (from-inclusive), and
+    // same-instant versions sort ascending so the LAST one carried is the
+    // surviving non-zero-width version
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("src"), col("version"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("pit_version", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("pit_state", last(col("event_type"), ignoreNulls = true).over(w))
+      .withColumn("pit_value", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("user_id"), col("t_us").as("ts_us"),
+        col("amount"), col("pit_version"), col("pit_state"), col("pit_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The oracle states the NAIVE interval join over the filtered-log SCD2
+    * versions — DuckDB's IEJoin handles it; the Spark plan above must
+    * agree row-for-row. */
+  val p13Oracle: String =
+    s"""WITH scd AS (
+       | SELECT user_id, row_number() OVER w AS version,
+       |  event_type, round(value, 2) AS value,
+       |  epoch_us(ts) AS effective_from_us,
+       |  lead(epoch_us(ts)) OVER w AS effective_to_us
+       | FROM events WHERE event_type <> '$PitFactType'
+       | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+       |SELECT f.event_id AS event_id, f.user_id AS user_id,
+       | epoch_us(f.ts) AS ts_us, round(f.value, 2) AS amount,
+       | s.version AS pit_version, s.event_type AS pit_state,
+       | s.value AS pit_value
+       |FROM events f LEFT JOIN scd s
+       | ON s.user_id = f.user_id
+       | AND s.effective_from_us <= epoch_us(f.ts)
+       | AND (s.effective_to_us IS NULL OR epoch_us(f.ts) < s.effective_to_us)
+       |WHERE f.event_type = '$PitFactType'
+       |ORDER BY event_id""".stripMargin
 }

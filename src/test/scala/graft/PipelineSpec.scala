@@ -441,6 +441,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(PipelineMain.stagesFor(all, None).size == all.size)
   }
 
+  test("p13: PIT join picks the version in effect at fact time — planted " +
+    "change log covers zero-width supersession, pre-first-version and " +
+    "unkeyed facts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_pit").toString
+    def us(s: Long): Long = s * 1000000L
+    // one events table carrying BOTH sides: user 1's profile changes at
+    // t=100s, two at the SAME instant t=200s (v2 zero-width, v3
+    // supersedes it), one at t=300s — and purchase facts before the first
+    // version, exactly at a version start, at the double-change instant,
+    // and after the last version. user 3 purchases with no state at all.
+    Seq(
+      (1L, us(100), 1L, "signup", 1.0),
+      (2L, us(200), 1L, "view", 2.0), // zero-width: closed by v3 at same t
+      (3L, us(200), 1L, "click", 3.0),
+      (4L, us(300), 1L, "error", 4.0),
+      (10L, us(99), 1L, "purchase", 10.0),  // before first version
+      (11L, us(100), 1L, "purchase", 11.0), // == v1.from (inclusive)
+      (12L, us(200), 1L, "purchase", 12.0), // double-change instant
+      (13L, us(301), 1L, "purchase", 13.0), // open current version
+      (14L, us(200), 3L, "purchase", 14.0)) // key with no dimension rows
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      // testdata events.ts is parquet TIMESTAMP(NANOS) surfaced via
+      // nanosAsLong — plant the same shape so Tables.load's div holds
+      .select(col("event_id"), (col("ts_us") * 1000L).as("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Scd2.p13PitJoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("pit_version")).map(_.toLong),
+          Option(r.getAs[String]("pit_state")))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L, 14L),
+      "only purchase rows are facts")
+    assert(got(10L) == (None, None), "fact before the first version")
+    assert(got(11L) == (Some(1L), Some("signup")), "from is inclusive")
+    assert(got(12L) == (Some(3L), Some("click")),
+      "a zero-width version must never win at its own instant")
+    assert(got(13L) == (Some(4L), Some("error")), "open version carries forward")
+    assert(got(14L) == (None, None), "key absent from the dimension")
+    // non-vacuous on the shipped corpus: both matched and unmatched facts
+    val corpus = Scd2.p13PitJoin(spark, sf)
+    assert(corpus.filter(col("pit_version").isNotNull).limit(1).count() == 1)
+    assert(corpus.filter(col("pit_version").isNull).limit(1).count() == 1)
+  }
+
   test("full DAG: sense → ingest → stage → quality → curate → archive") {
     import Runner._
     val landing = Files.createTempDirectory("graft_e2e")
