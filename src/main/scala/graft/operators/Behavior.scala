@@ -163,6 +163,48 @@ object Behavior {
       .orderBy(col("o_custkey"))
   }
 
+  /** q27 decay window: events older than this many days (vs the corpus
+    * max day) contribute nothing; also bounds the dyadic weight range. */
+  val DecayDays = 30
+
+  /** `q27_decay_score`: exponentially time-decayed engagement score per
+    * user — the feature-store recency weighting (half-life = 1 day):
+    * `score = Σ value · 2^(-age_days)`. Two properties make it an
+    * ENGINE operator rather than a UDF: (1) the reference day is a global
+    * statistic, computed as a map-side-partial max broadcast back as one
+    * row (q25's two-pass shape — no sort, no driver round-trip baked
+    * into the plan); (2) the decay arithmetic is EXACT — cent values
+    * times dyadic weights `2^(DecayDays-1-age)` summed as BIGINT, so the
+    * result is bit-identical under any partitioning / merge order (a
+    * float `pow(0.5, age)` sum would differ by reduction tree). The
+    * decayed sum is re-based to "cents as of the reference day" by one
+    * final floor-shift. Events older than [[DecayDays]] are filtered
+    * BEFORE the aggregate — at 100 TB that predicate prunes date
+    * partitions at the scan. */
+  def q27DecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day_idx"),
+        // pure floor, never round: cents via floor(v*100) is the same
+        // IEEE sequence in any engine; round()'s half-up vs half-even
+        // differs cross-engine on exact .5 products
+        floor(col("value") * lit(100)).cast("long").as("value_e2"))
+    val stats = ev.agg(max(col("day_idx")).as("ref_day"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("age", col("ref_day") - col("day_idx"))
+      .filter(col("age") < lit(DecayDays))
+      .withColumn("w_contrib",
+        expr(s"value_e2 * shiftleft(CAST(1 AS BIGINT), ${DecayDays - 1} - age)"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_recent"),
+        min(col("age")).as("newest_age_days"),
+        sum(col("w_contrib")).as("score_num"))
+      .withColumn("score_today_e2",
+        expr(s"score_num div ${1L << (DecayDays - 1)}")) // exact int div, no FP
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** The q12 oracle's session CTE with `event_type` carried through; the
@@ -241,6 +283,24 @@ object Behavior {
          |SELECT d.day_idx AS day_idx, d.dau AS dau, w.wau_7d AS wau_7d
          |FROM dau d JOIN wau w ON w.win_day = d.day_idx
          |ORDER BY day_idx""".stripMargin,
+    "q27_decay_score" ->
+      s"""WITH ev AS (
+         | SELECT user_id,
+         |  CAST(floor(epoch_us(ts) / $DayUs) AS BIGINT) AS day_idx,
+         |  CAST(floor(value * 100) AS BIGINT) AS value_e2
+         | FROM events),
+         |s AS (SELECT max(day_idx) AS ref_day FROM ev),
+         |w AS (
+         | SELECT user_id, ref_day - day_idx AS age, value_e2
+         | FROM ev CROSS JOIN s
+         | WHERE ref_day - day_idx < $DecayDays)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+         | min(age) AS newest_age_days,
+         | CAST(sum(value_e2 * (CAST(1 AS BIGINT) << (${DecayDays - 1} - age))) AS BIGINT)
+         |   AS score_num,
+         | CAST(sum(value_e2 * (CAST(1 AS BIGINT) << (${DecayDays - 1} - age))) AS BIGINT)
+         |   // ${1L << (DecayDays - 1)} AS score_today_e2
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q26_lateness_audit" ->
       """WITH e AS (
         | SELECT o_custkey,
@@ -259,5 +319,6 @@ object Behavior {
     "q20_funnel_steps" -> (q20FunnelSteps _),
     "q21_retention_cohorts" -> (q21RetentionCohorts _),
     "q24_rolling_distinct" -> (q24RollingDistinct _),
-    "q26_lateness_audit" -> (q26LatenessAudit _))
+    "q26_lateness_audit" -> (q26LatenessAudit _),
+    "q27_decay_score" -> (q27DecayScore _))
 }

@@ -54,6 +54,40 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows == Map("1_view" -> 2L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("q27: decay score matches exact hand arithmetic on a planted log — " +
+    "dyadic weights, window cutoff, and the re-based cents value") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decay").toString
+    val dayNs = 86400L * 1000000000L
+    def ev(id: Long, day: Long, user: Long, value: Double) =
+      (id, day * dayNs, user, "view", value, "{}")
+    // ref day = 1030 (corpus max). user 1: ages 0, 1, 29 in-window and
+    // age 30 EXCLUDED; user 2: a single stale event exactly at the edge.
+    Seq(
+      ev(1, 1030, 1, 2.00), ev(2, 1029, 1, 4.00), ev(3, 1001, 1, 1.00),
+      ev(4, 1000, 1, 999.99), // age 30: outside the window
+      ev(5, 1001, 2, 0.05))   // age 29: last in-window day
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Behavior.q27DecayScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_recent"), r.getAs[Long]("newest_age_days"),
+          r.getAs[Long]("score_num"), r.getAs[Long]("score_today_e2")))).toMap
+    val w = (age: Int) => 1L << (Behavior.DecayDays - 1 - age)
+    // u1: 200c·2^29 + 400c·2^28 + 100c·2^0; today-cents floor = 200 + 200 + 0
+    val u1 = 200L * w(0) + 400L * w(1) + 100L * w(29)
+    assert(got(1L) == ((3L, 0L, u1, u1 / w(0))))
+    assert(got(1L)._4 == 400L, "2$ today + 4$ yesterday halved + dust")
+    // u2: 5c at age 29 -> survives the cutoff, rounds to zero today-cents
+    assert(got(2L) == ((1L, 29L, 5L, 0L)))
+    // the corpus fits the exact-BIGINT envelope: max |value_e2| * 2^29 *
+    // per-user count must stay far under 2^63 (documented scale bound)
+    import org.apache.spark.sql.functions.{abs, max, col}
+    val events = Tables.load(spark, sf, "events")
+    val mx = events.agg(max(abs(col("value")))).head.getDouble(0)
+    assert(mx * 100 * w(0) * events.count() < Long.MaxValue / 4.0)
+  }
+
   test("q24: wau bounds dau, matches a brute-force recount, and every " +
     "observed day reports") {
     import org.apache.spark.sql.functions._
