@@ -285,6 +285,55 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** t15: exact per-stratum sample size. */
+  val StratQuota = 10
+
+  /** Row shape fed through the t15 bounded-heap sampler. */
+  final case class StratRow(source: String, rank_h: Long, doc_id: Long)
+
+  /** `t15_stratified_sample`: EXACT per-stratum quota sampling — every
+    * source contributes `min(quota, stratum size)` documents, chosen by a
+    * salted md5 rank so the pick is uniform-ish, deterministic, and
+    * reproducible forever (the curation counterpart of t9's RATE-based
+    * mixing: t9 keeps a deterministic fraction, t15 a deterministic
+    * COUNT — the "N examples per domain" eval/finetune set builder).
+    *
+    * Shape: per-stratum top-k through the q16 bounded-heap Aggregator,
+    * NOT a `row_number` window — the window form shuffles and sorts every
+    * row of every stratum, while the aggregator reduces each task's rows
+    * to k before the exchange, so the shuffle carries `strata × k` rows
+    * no matter how large the corpus (the formulation that survives a
+    * 100 TB stratum). Order within the heap is (md5 rank, doc_id) — a
+    * total order, so ties cannot make the cut nondeterministic. */
+  def t15StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        md5Long60(concat(lit("t15|"), col("doc_id").cast("string"))).as("rank_h"),
+        col("doc_id"))
+      .as[StratRow]
+    val byRank: (StratRow, StratRow) => Boolean = (a, b) =>
+      a.rank_h < b.rank_h || (a.rank_h == b.rank_h && a.doc_id < b.doc_id)
+    val agg = new TopK.TopKAggregator[StratRow](StratQuota, byRank)
+    rows.groupByKey(_.source)
+      .agg(agg.toColumn.name("pick"))
+      .flatMap { case (_, pick) =>
+        pick.zipWithIndex.map { case (s, i) => (s.source, i + 1L, s.doc_id) }
+      }
+      .toDF("source", "sample_rank", "doc_id")
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  private val t15OracleSql: String =
+    s"""SELECT source, sample_rank, doc_id FROM (
+       | SELECT source, doc_id,
+       |  row_number() OVER (PARTITION BY source ORDER BY
+       |   CAST(('0x' || substr(md5('t15|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+       |   doc_id) AS sample_rank
+       | FROM documents)
+       |WHERE sample_rank <= $StratQuota
+       |ORDER BY source, sample_rank""".stripMargin
+
   val MinPairCount = 3 // t10: bigram must occur this often to be scored
   val TopCollocations = 50 // t10: report size
 
@@ -515,7 +564,8 @@ object TextAnalysis {
     "t10_collocations" -> (t10Collocations _),
     "t11_filter_funnel" -> (t11FilterFunnel _),
     "t12_sequence_pack" -> (t12SequencePack _),
-    "t13_tfidf_keywords" -> (t13TfidfKeywords _))
+    "t13_tfidf_keywords" -> (t13TfidfKeywords _),
+    "t15_stratified_sample" -> (t15StratifiedSample _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -691,6 +741,7 @@ object TextAnalysis {
        |FROM r WHERE kw_rank <= $TopKeywords ORDER BY doc_id, kw_rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t15_stratified_sample" -> t15OracleSql,
     "t13_tfidf_keywords" -> t13OracleSql,
     "t12_sequence_pack" -> t12OracleSql,
     "t10_collocations" -> t10OracleSql,

@@ -130,6 +130,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     dir
   }
 
+  test("t15: stratified sample hits the exact quota per stratum and " +
+    "matches a brute-force recount of the md5 ranking") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.t15StratifiedSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("sample_rank"),
+        r.getAs[Long]("doc_id")))
+    // brute force: same salted rank via Spark SQL, in-memory top-k
+    val ranked = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        expr("CAST(conv(substring(md5(concat('t15|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = ranked.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(TextAnalysis.StratQuota)
+        .zipWithIndex.map { case (r, i) => (src, i + 1L, r._2) }
+    }.toSet
+    assert(got.toSet == expect, "sample must equal the rank-order pick exactly")
+    // exact quota: every stratum yields min(quota, stratum size)
+    val sizes = ranked.groupBy(_._1).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length == math.min(TextAnalysis.StratQuota, sizes(src)))
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length.toLong),
+        "ranks are dense from 1")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("t10: lift matches the hand computation; threshold and order hold") {
     val r = TextAnalysis.t10Collocations(spark, collocDir).collect()
     // unigrams: new 3, york 3, the 3, cat 3, sat 3 -> n1 = 15
