@@ -234,6 +234,15 @@ object Dedup {
     // (explode of the already-distinct shingles — not a second
     // tokenize+shingle scan of the corpus) and jaccardPairs' confirm joins
     val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    jaccardPairs(arrays, Some(minhashCandidates(arrays)), alreadyCheckpointed = true)
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** The MinHash+LSH candidate generator shared by d3 (Jaccard confirm)
+    * and d10 (edit-distance confirm): k chunk-min signatures in one pass
+    * over the exploded shingle arrays, band signatures, band-bucket
+    * equi-join, distinct (d1 < d2) pairs. */
+  private def minhashCandidates(arrays: DataFrame): DataFrame = {
     val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("h"))
     // all k minhashes in ONE pass: base digests materialized per shingle
     // row, k chunk-min() aggregates per doc — no seed explosion, partial
@@ -254,11 +263,43 @@ object Dedup {
     }
     val sig = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    val cand = sig.select(col("doc_id").as("d1"), col("band"), col("bsig"))
+    sig.select(col("doc_id").as("d1"), col("band"), col("bsig"))
       .join(sig.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    jaccardPairs(arrays, Some(cand), alreadyCheckpointed = true)
+  }
+
+  /** d10: a pair is a fuzzy dup when edit distance ≤ max(len)/EditDen. */
+  val EditDen = 5
+
+  /** `d10_dedup_fuzzy`: edit-distance near-dup pairs — the fuzzy-match
+    * face of the dedup family (OCR noise, typo variants, minor edits that
+    * shingle Jaccard under-scores when they touch many shingles). The
+    * quadratic step is never global: candidates come from the SAME
+    * MinHash+LSH banding d3 uses ([[minhashCandidates]] — bounded per
+    * band bucket), and the O(n·m) Levenshtein confirm runs only on those
+    * pairs, on NORMALIZED text. The verdict is integer arithmetic
+    * (`EditDen·dist ≤ max_len`), and the reported similarity a floor-e6
+    * ratio — both engines agree bit-for-bit. At 100 TB the confirm is the
+    * thresholded-Levenshtein variant (O(n·τ) banded DP); the shape —
+    * banded candidates, bounded confirm — is what scales, and the spec
+    * pins the no-cartesian plan. */
+  def d10DedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    val cand = minhashCandidates(arrays)
+    val norm = docs(spark, dir).select(col("doc_id"), normText(col("text")).as("nt"))
+    cand
+      .join(norm.select(col("doc_id").as("d1"), col("nt").as("nt1")), Seq("d1"))
+      .join(norm.select(col("doc_id").as("d2"), col("nt").as("nt2")), Seq("d2"))
+      .withColumn("edit_dist", levenshtein(col("nt1"), col("nt2")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("nt1")), length(col("nt2"))).cast("long"))
+      .filter(col("edit_dist") * lit(EditDen) <= col("max_len"))
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+        col("edit_dist"), col("max_len"),
+        when(col("max_len") === 0, lit(1000000L)).otherwise(
+          floor((col("max_len") - col("edit_dist")) * lit(1000000.0) / col("max_len"))
+            .cast("long")).as("edit_sim_e6"))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
@@ -786,6 +827,21 @@ object Dedup {
        |FROM p JOIN n n1 ON p.doc_id_1 = n1.doc_id JOIN n n2 ON p.doc_id_2 = n2.doc_id
        |ORDER BY 1, 2""".stripMargin
 
+  /** The MinHash band-candidate CTE mirrored from [[minhashCandidates]]
+    * (consumes `docsh` from [[shinglesCte]]; yields `cand(cd1, cd2)`). */
+  private val minhashCandCte: String =
+    s"""mh AS (
+       | SELECT doc_id, r.seed,
+       |  min(substr(md5(CAST(r.seed // $MinhashChunksPerDigest AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
+       |      1 + $MinhashChunkHex * (r.seed % $MinhashChunksPerDigest), $MinhashChunkHex)) AS mh
+       | FROM docsh, range($MinhashSeeds) r(seed) GROUP BY doc_id, r.seed),
+       |sig AS (
+       | SELECT doc_id, seed // $BandsOf AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bsig
+       | FROM mh GROUP BY doc_id, seed // $BandsOf),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS cd1, b.doc_id AS cd2
+       | FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
+
   private def jaccardSelectSql(candJoin: String): String =
     s"""SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2, p.c AS n_common,
        | CAST(floor(p.c * 1000000.0 / (n1.n + n2.n - p.c)) AS BIGINT) AS jaccard_e6
@@ -811,18 +867,23 @@ object Dedup {
       s"WITH $shinglesCte\n${jaccardSelectSql("")}",
     "d3_dedup_minhash" ->
       s"""WITH $shinglesCte,
-         |mh AS (
-         | SELECT doc_id, r.seed,
-         |  min(substr(md5(CAST(r.seed // $MinhashChunksPerDigest AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
-         |      1 + $MinhashChunkHex * (r.seed % $MinhashChunksPerDigest), $MinhashChunkHex)) AS mh
-         | FROM docsh, range($MinhashSeeds) r(seed) GROUP BY doc_id, r.seed),
-         |sig AS (
-         | SELECT doc_id, seed // $BandsOf AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bsig
-         | FROM mh GROUP BY doc_id, seed // $BandsOf),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS cd1, b.doc_id AS cd2
-         | FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |$minhashCandCte
          |${jaccardSelectSql("JOIN cand ON cd1 = a.doc_id AND cd2 = b.doc_id")}""".stripMargin,
+    "d10_dedup_fuzzy" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandCte,
+         |n AS (
+         | SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+         | FROM documents)
+         |SELECT c.cd1 AS doc_id_1, c.cd2 AS doc_id_2,
+         | CAST(levenshtein(n1.nt, n2.nt) AS BIGINT) AS edit_dist,
+         | CAST(greatest(length(n1.nt), length(n2.nt)) AS BIGINT) AS max_len,
+         | CASE WHEN greatest(length(n1.nt), length(n2.nt)) = 0 THEN 1000000
+         |  ELSE CAST(floor((greatest(length(n1.nt), length(n2.nt)) - levenshtein(n1.nt, n2.nt))
+         |   * 1000000.0 / greatest(length(n1.nt), length(n2.nt))) AS BIGINT) END AS edit_sim_e6
+         |FROM cand c JOIN n n1 ON n1.doc_id = c.cd1 JOIN n n2 ON n2.doc_id = c.cd2
+         |WHERE levenshtein(n1.nt, n2.nt) * $EditDen <= greatest(length(n1.nt), length(n2.nt))
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "d4_dedup_simhash" -> d4OracleSql,
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
@@ -982,5 +1043,6 @@ object Dedup {
     "d6_dedup_clusters" -> ((s: SparkSession, d: String) => d6DedupClusters(s, d)),
     "d7_embed_clusters" -> ((s: SparkSession, d: String) => d7EmbedClusters(s, d)),
     "d8_dedup_incremental" -> (d8DedupIncremental _),
-    "d9_dedup_chunks" -> (d9DedupChunks _))
+    "d9_dedup_chunks" -> (d9DedupChunks _),
+    "d10_dedup_fuzzy" -> (d10DedupFuzzy _))
 }

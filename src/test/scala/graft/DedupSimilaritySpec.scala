@@ -58,6 +58,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(lsh.size.toDouble / exact.size >= 0.8, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("d10: planted typo variant is caught with the hand-computed edit " +
+    "distance; an unrelated doc never pairs; verdict arithmetic is exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    // long shared body, ONE substituted character: nearly every shingle
+    // survives, so the minhash bands must surface the pair
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four")
+    val typo = base.replace("november", "novembur")
+    Seq((1L, base), (2L, typo),
+      (3L, "completely unrelated text about spark physical plans and shuffles"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.d10DedupFuzzy(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2")) ->
+        ((r.getAs[Long]("edit_dist"), r.getAs[Long]("max_len"),
+          r.getAs[Long]("edit_sim_e6")))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only the typo pair, got ${got.keySet}")
+    // one substituted character -> Levenshtein 1
+    val (dist, mlen, sim) = got((1L, 2L))
+    assert(dist == 1L && mlen == base.length.toLong)
+    assert(sim == (mlen - dist) * 1000000L / mlen)
+    // the corpus run agrees with a direct recount over its own pairs
+    val corpus = Dedup.d10DedupFuzzy(spark, sf).collect()
+    val texts = Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.replaceAll("\\s+", " ")).toMap
+    corpus.foreach { r =>
+      val (a, b) = (texts(r.getAs[Long]("doc_id_1")), texts(r.getAs[Long]("doc_id_2")))
+      assert(r.getAs[Long]("max_len") == math.max(a.length, b.length))
+      assert(r.getAs[Long]("edit_dist") * Dedup.EditDen <= r.getAs[Long]("max_len"))
+    }
+  }
+
   test("d4: simhash chunks are 16-bit and near counts consistent") {
     val r = Dedup.d4DedupSimhash(spark, sf).cache()
     assert(r.filter("c0 < 0 OR c0 > 65535 OR c1 < 0 OR c1 > 65535 OR " +
