@@ -309,7 +309,63 @@ object AnalyticsExt {
       .orderBy(col("bin_idx"))
   }
 
+  /** q28: a row is an outlier when |x − median| > MadK × MAD. */
+  val MadK = 3
+
+  /** `q28_anomaly_mad`: robust outlier audit per group — median and MAD
+    * (median absolute deviation), the per-row robust-z verdict, and
+    * group-level outlier accounting over order totals by priority. The
+    * mean/stddev form breaks down exactly when it matters (outliers
+    * inflate the stddev that defines them); median/MAD is the standard
+    * robust alternative, and a DQ engine owes it as a first-class op.
+    *
+    * Everything runs in EXACT integer space so the verdict can never flip
+    * on a cross-engine ulp: values become cents via floor(x·100); the
+    * median of cents is a dyadic (lo+hi)/2 — exact in doubles — published
+    * as the INTEGER `med_cents_x2 = lo+hi`; deviations are integers in
+    * half-cents; MAD likewise publishes `mad_hcents_x2`. The outlier test
+    * `2·ad > MadK·mad_x2` and the share/z ratios are pure integer (or
+    * integer-derived IEEE) arithmetic. Shape: two sort-based exact
+    * medians (the q10 machinery — the documented sketch path at 100 TB is
+    * q18's approx_percentile), each a single window per group, with the
+    * group-sized stats rows broadcast back onto the fact scan. */
+  def q28AnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * lit(100)).cast("long").as("x_c"))
+    // median of cents, exactly: p50 interpolation of integers is (lo+hi)/2,
+    // dyadic-exact, so doubling it recovers the integer lo+hi
+    val med = Analytics.exactPercentiles(base, "prio", Seq(("x_c", 0.5, "med_raw")))
+      .select(col("prio"), col("n"),
+        (col("med_raw") * 2).cast("long").as("med_x2"))
+    val dev = base.join(broadcast(med), Seq("prio"))
+      .withColumn("ad", abs(col("x_c") * 2 - col("med_x2"))) // half-cents
+    val mad = Analytics.exactPercentiles(
+        dev.select(col("prio"), col("ad")), "prio", Seq(("ad", 0.5, "mad_raw")))
+      .select(col("prio"), (col("mad_raw") * 2).cast("long").as("mad_x2"))
+    dev.join(broadcast(mad), Seq("prio"))
+      // 2·ad > K·mad_x2 <=> |x−med| > K·MAD, all integers
+      .withColumn("is_out",
+        (col("ad") * 2 > lit(MadK) * col("mad_x2")).cast("long"))
+      .groupBy(col("prio"))
+      .agg(max(col("n")).as("n_orders"),
+        max(col("med_x2")).as("med_cents_x2"),
+        max(col("mad_x2")).as("mad_hcents_x2"),
+        sum(col("is_out")).as("n_outliers"),
+        max(col("ad")).as("max_ad_hc"))
+      .select(col("prio"), col("n_orders"), col("med_cents_x2"),
+        col("mad_hcents_x2"), col("n_outliers"),
+        floor(col("n_outliers") * lit(1000000.0) / col("n_orders")).cast("long")
+          .as("outlier_share_e6"),
+        // robust z = |x−med|/MAD = 2·ad/mad_x2 (exact integer operands)
+        when(col("mad_hcents_x2") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("max_ad_hc") * lit(2000000.0) / col("mad_hcents_x2"))
+            .cast("long")).as("max_z_e6"))
+      .orderBy(col("prio"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_anomaly_mad" -> (q28AnomalyMad _),
     "q25_histogram" -> (q25Histogram _),
     "q19_ratio_report" -> (q19RatioReport _),
     "q13_asof_join" -> (q13AsofJoin _),
@@ -321,6 +377,34 @@ object AnalyticsExt {
     "q23_range_join" -> (q23RangeJoin _))
 
   val oracle: Map[String, String] = Map(
+    // integer space end-to-end (cents / half-cents): quantile_cont over
+    // integers interpolates dyadic-exactly, so the doubled casts are exact
+    "q28_anomaly_mad" ->
+      s"""WITH b AS (
+         | SELECT o_orderpriority AS prio,
+         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS x_c
+         | FROM orders),
+         |m AS (
+         | SELECT prio, count(*) AS n,
+         |  CAST(quantile_cont(x_c, 0.5) * 2 AS BIGINT) AS med_x2
+         | FROM b GROUP BY prio),
+         |d AS (
+         | SELECT b.prio, abs(b.x_c * 2 - m.med_x2) AS ad, m.n, m.med_x2
+         | FROM b JOIN m USING (prio)),
+         |md AS (
+         | SELECT prio, CAST(quantile_cont(ad, 0.5) * 2 AS BIGINT) AS mad_x2
+         | FROM d GROUP BY prio)
+         |SELECT d.prio AS prio, any_value(d.n) AS n_orders,
+         | any_value(d.med_x2) AS med_cents_x2,
+         | any_value(md.mad_x2) AS mad_hcents_x2,
+         | CAST(sum(CASE WHEN d.ad * 2 > $MadK * md.mad_x2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_outliers,
+         | CAST(floor(sum(CASE WHEN d.ad * 2 > $MadK * md.mad_x2 THEN 1 ELSE 0 END)
+         |   * 1000000.0 / any_value(d.n)) AS BIGINT) AS outlier_share_e6,
+         | CASE WHEN any_value(md.mad_x2) = 0 THEN NULL
+         |  ELSE CAST(floor(max(d.ad) * 2000000.0 / any_value(md.mad_x2)) AS BIGINT)
+         |  END AS max_z_e6
+         |FROM d JOIN md USING (prio) GROUP BY d.prio ORDER BY prio""".stripMargin,
     // same op trees as the Spark plan: bin = least(floor((v-vmin)*B/(vmax-vmin)), B-1),
     // boundaries from the identical stats doubles — bit-stable in both engines
     "q25_histogram" ->

@@ -94,6 +94,31 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("q28: median/MAD/outlier arithmetic matches hand computation for " +
+    "odd, even and constant (MAD=0) groups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    // A (odd n=5, one wild point), B (even n=4, interpolated median),
+    // C (constant: MAD = 0 -> no outliers, null z)
+    (Seq.tabulate(4)(i => ("A", (i + 1).toDouble)) ++ Seq(("A", 100.0)) ++
+      Seq.tabulate(4)(i => ("B", (i + 1).toDouble)) ++
+      Seq.fill(3)(("C", 5.0)))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = AnalyticsExt.q28AnomalyMad(spark, dir).collect()
+      .map(r => r.getAs[String]("prio") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Long]("med_cents_x2"),
+          r.getAs[Long]("mad_hcents_x2"), r.getAs[Long]("n_outliers"),
+          Option(r.getAs[java.lang.Long]("max_z_e6")).map(_.toLong)))).toMap
+    // A: cents 100..400,10000; med 300 -> x2 600; ad 400,200,0,200,19400;
+    // MAD 200 -> x2 400; only the wild point beats 3*MAD; z = 2*19400/400
+    assert(got("A") == ((5L, 600L, 400L, 1L, Some(97000000L))))
+    // B: med 250 (interpolated) -> x2 500; ad 300,100,100,300; MAD 200
+    assert(got("B") == ((4L, 500L, 400L, 0L, Some(1500000L))))
+    // C: constant group — MAD 0, zero outliers, null z
+    assert(got("C") == ((3L, 1000L, 0L, 0L, None)))
+  }
+
   test("q15: running totals are monotone per customer") {
     val r = AnalyticsExt.q15Rolling(spark, sf).collect()
     r.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rows) =>
