@@ -334,6 +334,69 @@ object TextAnalysis {
        |WHERE sample_rank <= $StratQuota
        |ORDER BY source, sample_rank""".stripMargin
 
+  /** `t16_lm_score`: corpus-bigram language-model pseudo-likelihood per
+    * document — the CCNet-style quality signal: documents whose token
+    * transitions are typical of the corpus score high, word-salad and
+    * boilerplate-mangled text score low. The "model" is the corpus itself
+    * (bigram count over prefix-occurrence count = P(w2|w1), estimated and
+    * applied in one job), so the operator is self-contained: two
+    * map-side-partial aggregations build the conditional table, the
+    * doc-bigram stream joins it on hashed string keys (AQE broadcasts the
+    * model while it fits; at web scale it hash-joins — never a cross
+    * join), and one groupBy(doc_id) folds per-transition scores into the
+    * doc verdict. Scores are floor-e6 integers of integer ratios — the
+    * libm-free discipline t10/t13 use — so the result hash-matches any
+    * engine. Per-doc outputs: transition count, mean conditional
+    * (the LM score), and the rarest transition (novelty/garbage spike). */
+  def t16LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+    // bigram OCCURRENCES per doc (t10's construction, doc_id kept)
+    val docBg = docs.select(col("doc_id"), explode(
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val bgModel = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val prefModel = docBg.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    // P(w2|w1) in floor-e6: c_bg <= c_w1 by construction, so <= 1e6
+    val scored = docBg
+      .join(bgModel, Seq("bg"))
+      .join(prefModel, Seq("w1"))
+      .withColumn("r_e6",
+        floor(col("c_bg") * lit(1000000.0) / col("c_w1")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("r_e6")).as("sum_r"), min(col("r_e6")).as("min_cond_e6"))
+      .withColumn("lm_score_e6", expr("sum_r div n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score_e6"), col("min_cond_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: toksCaseSql is declared later in this object
+  private lazy val t16OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksCaseSql AS toks FROM documents),
+       |db AS (
+       | SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM d)),
+       |bgm AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM db GROUP BY bg),
+       |pm AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM db GROUP BY w1),
+       |s AS (
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CAST(floor(c_bg * 1000000.0 / c_w1) AS BIGINT)) AS BIGINT) AS sum_r,
+       |  min(CAST(floor(c_bg * 1000000.0 / c_w1) AS BIGINT)) AS min_cond_e6
+       | FROM db JOIN bgm USING (bg) JOIN pm USING (w1) GROUP BY doc_id)
+       |SELECT doc.doc_id AS doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       | s.sum_r // s.n_bigrams AS lm_score_e6, s.min_cond_e6 AS min_cond_e6
+       |FROM documents doc LEFT JOIN s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val MinPairCount = 3 // t10: bigram must occur this often to be scored
   val TopCollocations = 50 // t10: report size
 
@@ -565,7 +628,8 @@ object TextAnalysis {
     "t11_filter_funnel" -> (t11FilterFunnel _),
     "t12_sequence_pack" -> (t12SequencePack _),
     "t13_tfidf_keywords" -> (t13TfidfKeywords _),
-    "t15_stratified_sample" -> (t15StratifiedSample _))
+    "t15_stratified_sample" -> (t15StratifiedSample _),
+    "t16_lm_score" -> (t16LmScore _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -742,6 +806,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t15_stratified_sample" -> t15OracleSql,
+    "t16_lm_score" -> t16OracleSql,
     "t13_tfidf_keywords" -> t13OracleSql,
     "t12_sequence_pack" -> t12OracleSql,
     "t10_collocations" -> t10OracleSql,

@@ -156,6 +156,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("t16: LM conditionals match hand arithmetic; bigram-less docs get " +
+    "null scores") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // model: c(a b)=3, c(b a)=1, c(b c)=1; prefixes: a->3, b->2
+    // doc1 transitions: P(b|a)=1e6, P(a|b)=5e5, P(b|a)=1e6
+    val got = TextAnalysis.t16LmScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          Option(r.getAs[java.lang.Long]("lm_score_e6")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("min_cond_e6")).map(_.toLong)))).toMap
+    assert(got(1L) == ((3L, Some(2500000L / 3), Some(500000L))))
+    assert(got(2L) == ((2L, Some(750000L), Some(500000L))))
+    assert(got(3L) == ((0L, None, None)), "no transitions -> null score")
+    // corpus sanity: scores bounded by construction, every doc present
+    val corpus = TextAnalysis.t16LmScore(spark, sf).collect()
+    assert(corpus.length == Tables.load(spark, sf, "documents").count())
+    corpus.filter(_.getAs[Long]("n_bigrams") > 0).foreach { r =>
+      val s = r.getAs[Long]("lm_score_e6")
+      assert(s >= 0 && s <= 1000000L, s"score out of range: $s")
+      assert(r.getAs[Long]("min_cond_e6") <= s)
+    }
+  }
+
   test("t10: lift matches the hand computation; threshold and order hold") {
     val r = TextAnalysis.t10Collocations(spark, collocDir).collect()
     // unigrams: new 3, york 3, the 3, cat 3, sat 3 -> n1 = 15
