@@ -152,6 +152,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_drift_check" -> (Quality.p14DriftCheck _),
     "p13_pit_join" -> (Scd2.p13PitJoin _),
     "p12_zorder_layout" -> (p12ZorderLayout _),
     "p11_snapshot_diff" -> (Merge.p11SnapshotDiff _),
@@ -167,6 +168,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p14_drift_check" -> Quality.p14Oracle,
     "p13_pit_join" -> Scd2.p13Oracle,
     "p12_zorder_layout" -> p12Oracle,
     "p11_snapshot_diff" -> Merge.p11Oracle,

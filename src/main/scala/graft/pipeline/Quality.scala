@@ -58,6 +58,74 @@ object Quality {
     bad.isEmpty
   }
 
+  /** p14 batch anchors: the two order-year cohorts being compared. */
+  val DriftYearA = 1996
+  val DriftYearB = 1997
+
+  /** `p14_drift_check`: distribution-drift audit between two ingest
+    * batches — the DQ gate that catches "this load is the wrong SHAPE"
+    * when p4's row/PK checks all pass (an upstream filter silently
+    * dropping a category, a priority enum remapped, a feed swapped).
+    * Compares the order-priority distribution of two year cohorts:
+    * per-bucket counts and floor-e6 shares, the absolute share delta,
+    * and a TOTAL row whose delta column is the L1 distance (2× total
+    * variation) — the number a gate thresholds on.
+    *
+    * Shape: ONE scan (the year predicate pushes to the parquet scan),
+    * one map-side-partial aggregate to the bucket grain, the two scalar
+    * totals broadcast back onto the bucket-sized table. Shares are
+    * floor-e6 integers BEFORE the delta/sum so every emitted number is
+    * integer arithmetic — order-independent and engine-exact. */
+  def p14DriftCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority").as("bucket"))
+      .filter(col("yr") === DriftYearA || col("yr") === DriftYearB)
+    val counts = o.groupBy(col("bucket")).agg(
+      sum(when(col("yr") === DriftYearA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("yr") === DriftYearB, 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val per = counts.crossJoin(broadcast(tot))
+      .withColumn("share_a_e6",
+        floor(col("n_a") * lit(1000000.0) / col("t_a")).cast("long"))
+      .withColumn("share_b_e6",
+        floor(col("n_b") * lit(1000000.0) / col("t_b")).cast("long"))
+      .withColumn("abs_delta_e6", abs(col("share_a_e6") - col("share_b_e6")))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        col("share_a_e6"), col("share_b_e6"), col("abs_delta_e6"))
+    per.unionByName(per.agg(
+        sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+        sum(col("share_a_e6")).as("share_a_e6"),
+        sum(col("share_b_e6")).as("share_b_e6"),
+        sum(col("abs_delta_e6")).as("abs_delta_e6"))
+      .withColumn("bucket", lit("~TOTAL"))) // sorts after the buckets
+      .orderBy(col("bucket"))
+  }
+
+  val p14Oracle: String =
+    s"""WITH o AS (
+       | SELECT year(o_orderdate) AS yr, o_orderpriority AS bucket
+       | FROM orders WHERE year(o_orderdate) IN ($DriftYearA, $DriftYearB)),
+       |c AS (
+       | SELECT bucket,
+       |  CAST(sum(CASE WHEN yr = $DriftYearA THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN yr = $DriftYearB THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       | FROM o GROUP BY bucket),
+       |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b FROM c),
+       |per AS (
+       | SELECT bucket, n_a, n_b,
+       |  CAST(floor(n_a * 1000000.0 / t_a) AS BIGINT) AS share_a_e6,
+       |  CAST(floor(n_b * 1000000.0 / t_b) AS BIGINT) AS share_b_e6,
+       |  abs(CAST(floor(n_a * 1000000.0 / t_a) AS BIGINT)
+       |    - CAST(floor(n_b * 1000000.0 / t_b) AS BIGINT)) AS abs_delta_e6
+       | FROM c CROSS JOIN t)
+       |SELECT * FROM (
+       | SELECT * FROM per
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+       |  CAST(sum(share_a_e6) AS BIGINT), CAST(sum(share_b_e6) AS BIGINT),
+       |  CAST(sum(abs_delta_e6) AS BIGINT) FROM per)
+       |ORDER BY bucket""".stripMargin
+
   val oracle: String = {
     def one(table: String, pkNullExpr: String, pkDistinctExpr: String) =
       s"""SELECT '$table' AS table_name, m.metric, m.value FROM (

@@ -487,6 +487,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(corpus.filter(col("pit_version").isNull).limit(1).count() == 1)
   }
 
+  test("p14: drift shares and the L1 total match hand arithmetic, " +
+    "including a bucket that vanishes in batch B") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift").toString
+    def o(key: Long, yr: Int, prio: String) =
+      (key, java.sql.Timestamp.valueOf(s"$yr-06-01 00:00:00"), prio)
+    // A: 2 P1, 1 P2, 1 P3 (P3 vanishes in B); B: 1 P1, 3 P2; 2090 ignored
+    Seq(o(1, 1996, "P1"), o(2, 1996, "P1"), o(3, 1996, "P2"), o(4, 1996, "P3"),
+      o(5, 1997, "P1"), o(6, 1997, "P2"), o(7, 1997, "P2"), o(8, 1997, "P2"),
+      o(9, 2090, "P9"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = Quality.p14DriftCheck(spark, dir).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("share_a_e6"), r.getAs[Long]("share_b_e6"),
+          r.getAs[Long]("abs_delta_e6")))).toMap
+    assert(!got.contains("P9"), "out-of-cohort years are excluded")
+    assert(got("P1") == ((2L, 1L, 500000L, 250000L, 250000L)))
+    assert(got("P2") == ((1L, 3L, 250000L, 750000L, 500000L)))
+    assert(got("P3") == ((1L, 0L, 250000L, 0L, 250000L)),
+      "a vanished bucket must surface with share 0, not disappear")
+    assert(got("~TOTAL") == ((4L, 4L, 1000000L, 1000000L, 1000000L)),
+      "total delta is the L1 distance")
+  }
+
   test("full DAG: sense → ingest → stage → quality → curate → archive") {
     import Runner._
     val landing = Files.createTempDirectory("graft_e2e")
