@@ -61,6 +61,26 @@ object StreamPipelines {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Declarative session aggregation via the BUILT-IN `session_window`:
+    * the engine merges overlapping [ts, ts+gap) intervals per key and
+    * finalizes a session when the watermark passes its end — same gap
+    * semantics as [[sessionize]], with Spark owning the state instead of
+    * user code. The custom fMGWS sessionizer still earns its keep where
+    * the output needs per-session ORDINALS and event-order data
+    * (session_id, duration from first/last) that a set-aggregate can't
+    * carry; this is the right form whenever plain per-session aggregates
+    * suffice — it partial-aggregates map-side like any agg and needs no
+    * JVM state objects. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       lateness: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based streaming sessionization: buffers events per user, closes a
     * session when the event-time watermark passes its last event + gap.
     * Semantics match the batch `q12_sessionize` (30 min gap) exactly once

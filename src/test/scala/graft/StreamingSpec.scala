@@ -105,6 +105,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("built-in session_window agg closes the same sessions as the " +
+    "fMGWS sessionizer on the same stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamPipelines.Ev
+    val mem = MemoryStream[Ev]
+    val out = s"mem_swin_${System.nanoTime()}"
+    val q = StreamPipelines.sessionWindowAgg(
+        mem.toDS().toDF().select(col("user_id"), col("ts"), col("value")))
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      val b = 1000L
+      // same layout as the fMGWS test: u1 {+0,+10,+20} then {+60,+65}, u2 {+5}
+      mem.addData(
+        Ev(1L, 1L, ts(b + 0), 1.0), Ev(1L, 2L, ts(b + 10), 2.0), Ev(1L, 3L, ts(b + 20), 3.0),
+        Ev(1L, 4L, ts(b + 60), 4.0), Ev(1L, 5L, ts(b + 65), 5.0),
+        Ev(2L, 6L, ts(b + 5), 7.5))
+      q.processAllAvailable()
+      mem.addData(Ev(99L, 999L, ts(b + 10000), 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table(out).collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("start").getTime / 60000L - b,
+          r.getAs[java.sql.Timestamp]("end").getTime / 60000L - b,
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // session end = last event + gap (the merged-interval invariant)
+      assert(got == Seq(
+        (1L, 0L, 50L, 3L, 6.0),
+        (1L, 60L, 95L, 2L, 9.0),
+        (2L, 5L, 35L, 1L, 7.5)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches preceding events per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
