@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   * the variance directly. Compare against BASELINE.md medians.
   *
   * Output discipline: stdout carries EXACTLY one compact JSON line (medians
-  * only, 2 decimals — the driver's tail budget; raw sweeps keep 3 in
+  * only, adaptive 2/1 decimals, basename sf tag — the driver's tail
+  * budget; raw sweeps keep 3 decimals and the full sf dir in
   * BENCH_SPREAD.json). The harness that collects the bench keeps only the
   * last ~2KB of output, and a spread object inlined into that line made it
   * longer than the capture window — the line's opening brace fell off and
@@ -78,13 +79,15 @@ object Bench {
     // a comma-decimal locale would emit malformed JSON
     def fmt(t: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-    // stdout medians carry 2 decimals: the metric line must fit the
-    // driver's 2000-char output tail, and at 69 queries the third decimal
-    // is the difference between fitting and losing the opening brace
-    // (10ms resolution is already below this VM's noise floor; the
-    // 3-decimal raw sweeps are in BENCH_SPREAD.json)
+    // stdout medians carry 2 decimals under 10s and 1 decimal above:
+    // the metric line must fit the driver's 2000-char output tail, and at
+    // 77 queries every value character counts (10ms resolution is already
+    // below this VM's noise floor; the 3-decimal raw sweeps are in
+    // BENCH_SPREAD.json). AnalyticsSpec projects the worst-case line
+    // length from the live query set and fails BEFORE an overflow.
     def fmt2(t: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
+      String.format(java.util.Locale.ROOT, if (t < 10) "%.2f" else "%.1f",
+        Double.box(t))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt2(median(v)) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, v) =>
@@ -106,7 +109,10 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] spread write failed (non-fatal): $e")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfDir"}""")
+    // sf as the dir BASENAME ("sf0.1"): the full path costs ~20 chars of
+    // the tail budget and lives in BENCH_SPREAD.json anyway
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

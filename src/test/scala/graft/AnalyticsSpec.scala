@@ -44,15 +44,20 @@ class AnalyticsSpec extends AnyFunSuite {
     // the live query set: per query `"name":NN.NNN,` plus the fixed
     // envelope. Fails BEFORE an operator addition silently overflows the
     // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
-    // render the actual line shape with worst-case 'NNN.NNN' values and
-    // the real sf-dir default, instead of estimating field widths
-    // per-query worst case mirrors Bench's 2-decimal median rendering
-    val qs = SparkEntry.benchQueries.keySet.toSeq
-      .map(n => "\"" + n + "\":123.45").mkString("{", ",", "}")
-    val sample = s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"${Bench.DefaultSfDir}"}"""
-    assert(sample.length < 1850,
-      s"projected bench line ${sample.length} chars — trim decimals or shorten " +
-        "names before the driver's 2000-char tail cuts the line's opening brace")
+    // render the actual line shape with worst-case values under Bench's
+    // ADAPTIVE rendering (%.2f under 10s -> "9.99" is the widest; %.1f
+    // above -> "99.9"), and the basename sf tag the line actually carries
+    def sample(worst: String) = {
+      val qs = SparkEntry.benchQueries.keySet.toSeq
+        .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
+      s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"sf0.1"}"""
+    }
+    assert(sample("9.99").length < 1850,
+      s"projected bench line ${sample("9.99").length} chars — trim decimals or " +
+        "shorten names before the driver's 2000-char tail cuts the opening brace")
+    // even if every median degraded past 10s (VM meltdown), the line holds
+    assert(sample("99.9").length < 1900,
+      "bench line must survive pathological 10s+ medians on every query")
   }
 
   test("q1 aggregates are internally consistent") {

@@ -124,6 +124,37 @@ class PlanSpec extends AnyFunSuite {
       s"snapshot diff should be a single keyed join:\n$p11")
   }
 
+  test("round-6 operators: no cartesian/fact-sized nested loop anywhere; " +
+    "stats rows broadcast; the PIT join is one key shuffle") {
+    Seq(
+      graft.pipeline.Scd2.p13PitJoin(spark, sf),
+      graft.operators.Behavior.q27DecayScore(spark, sf),
+      graft.operators.TextAnalysis.t15StratifiedSample(spark, sf),
+      graft.operators.TextAnalysis.t16LmScore(spark, sf),
+      Dedup.d10DedupFuzzy(spark, sf),
+      AnalyticsExt.q28AnomalyMad(spark, sf),
+      graft.pipeline.Quality.p14DriftCheck(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      }
+    // q27/p14: the global-stats row comes back as a BROADCAST nested loop
+    // of a 1-row side (the q25 two-pass shape), never a shuffle of facts
+    val q27 = plan(graft.operators.Behavior.q27DecayScore(spark, sf))
+    assert(q27.contains("Broadcast"), s"q27 stats row not broadcast:\n$q27")
+    // p13: the union+last_value PIT join must be window-based — exactly
+    // zero joins in the plan (the interval join would show one)
+    val p13 = plan(graft.pipeline.Scd2.p13PitJoin(spark, sf))
+    assert(!p13.contains("Join"), s"PIT join must be join-free (as-of union):\n$p13")
+    assert(p13.contains("Window"), s"expected the carry window in:\n$p13")
+    // t15: the sampler must aggregate (bounded heap), not sort every row
+    // of every stratum through a window rank
+    val t15 = plan(graft.operators.TextAnalysis.t15StratifiedSample(spark, sf))
+    assert(!t15.contains("RunningWindowFunction") &&
+      t15.contains("ObjectHashAggregate") || t15.contains("SortAggregate"),
+      s"t15 should run as an aggregate, not a window rank:\n$t15")
+  }
+
   test("s1: probes are broadcast; big side is scanned, not shuffled, for the join") {
     val p = plan(Similarity.s1AnnBrute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
