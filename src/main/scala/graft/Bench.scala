@@ -85,9 +85,14 @@ object Bench {
     // below this VM's noise floor; the 3-decimal raw sweeps are in
     // BENCH_SPREAD.json). AnalyticsSpec projects the worst-case line
     // length from the live query set and fails BEFORE an overflow.
-    def fmt2(t: Double): String =
-      String.format(java.util.Locale.ROOT, if (t < 10) "%.2f" else "%.1f",
-        Double.box(t))
+    // trailing zeros stripped ("0.40"->"0.4", "2.00"->"2"): valid JSON,
+    // same information, ~30 chars back on a realistic 78-query line
+    def fmt2(t: Double): String = {
+      val s = String.format(java.util.Locale.ROOT,
+        if (t < 10) "%.2f" else "%.1f", Double.box(t))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt2(median(v)) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, v) =>
@@ -112,7 +117,8 @@ object Bench {
     // sf as the dir BASENAME ("sf0.1"): the full path costs ~20 chars of
     // the tail budget and lives in BENCH_SPREAD.json anyway
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfTag"}""")
+    val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -205,6 +205,51 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** q29 grid granule (hours, as micros). */
+  val HourUs = 3600L * 1000000L
+
+  /** `q29_gap_fill`: time-grid resampling with last-observation-carried-
+    * forward — the feature-pipeline resampler that turns an irregular
+    * event stream into the dense per-entity time series models train on.
+    * Per user: hourly grid rows from the user's OWN first to last active
+    * hour (fan-out bounded by each entity's activity span — never a
+    * global calendar cross join), each carrying the hour's observation
+    * count, its last observation (deterministic (ts, event_id) tie-break),
+    * the LOCF-filled value, and a gap flag.
+    *
+    * Shape: one window pass picks each hour's closing observation, a
+    * group-sized span table explodes to the grid, one left join puts
+    * observations on the grid, and ONE ordered window per user carries
+    * values forward — O(1) fill state per row regardless of gap length.
+    * All on the user_id partitioning; values are round-2 at the
+    * observation grain so the fill copies bytes, never re-derives. */
+  def q29GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $HourUs").as("h"),
+        unix_micros(col("ts")).as("tu"), col("event_id"),
+        round(col("value"), 2).as("v"))
+    val wHour = Window.partitionBy(col("user_id"), col("h"))
+    val hob = ev
+      .withColumn("rn",
+        row_number().over(wHour.orderBy(col("tu").desc, col("event_id").desc)))
+      .withColumn("n_obs", count(lit(1)).over(wHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("n_obs"), col("v").as("obs_value"))
+    val grid = hob.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hob, Seq("user_id", "h"), "left")
+      .withColumn("filled_value", last(col("obs_value"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), col("h").as("hour_idx"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("obs_value"), col("filled_value"),
+        col("obs_value").isNull.cast("long").as("is_gap"))
+      .orderBy(col("user_id"), col("hour_idx"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** The q12 oracle's session CTE with `event_type` carried through; the
@@ -283,6 +328,29 @@ object Behavior {
          |SELECT d.day_idx AS day_idx, d.dau AS dau, w.wau_7d AS wau_7d
          |FROM dau d JOIN wau w ON w.win_day = d.day_idx
          |ORDER BY day_idx""".stripMargin,
+    "q29_gap_fill" ->
+      s"""WITH e AS (
+         | SELECT user_id, epoch_us(ts) // $HourUs AS h, epoch_us(ts) AS tu,
+         |  event_id, round(value, 2) AS v
+         | FROM events),
+         |hob AS (
+         | SELECT user_id, h, n_obs, v AS obs_value FROM (
+         |  SELECT user_id, h, v,
+         |   row_number() OVER (PARTITION BY user_id, h ORDER BY tu DESC, event_id DESC) AS rn,
+         |   count(*) OVER (PARTITION BY user_id, h) AS n_obs
+         |  FROM e) WHERE rn = 1),
+         |grid AS (
+         | SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+         | FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hob GROUP BY user_id)),
+         |j AS (
+         | SELECT g.user_id, g.h, hob.n_obs, hob.obs_value
+         | FROM grid g LEFT JOIN hob ON hob.user_id = g.user_id AND hob.h = g.h)
+         |SELECT user_id, h AS hour_idx,
+         | CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs, obs_value,
+         | last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+         | CASE WHEN obs_value IS NULL THEN 1 ELSE 0 END AS is_gap
+         |FROM j ORDER BY user_id, hour_idx""".stripMargin,
     "q27_decay_score" ->
       s"""WITH ev AS (
          | SELECT user_id,
@@ -320,5 +388,6 @@ object Behavior {
     "q21_retention_cohorts" -> (q21RetentionCohorts _),
     "q24_rolling_distinct" -> (q24RollingDistinct _),
     "q26_lateness_audit" -> (q26LatenessAudit _),
-    "q27_decay_score" -> (q27DecayScore _))
+    "q27_decay_score" -> (q27DecayScore _),
+    "q29_gap_fill" -> (q29GapFill _))
 }

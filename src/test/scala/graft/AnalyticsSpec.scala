@@ -45,19 +45,19 @@ class AnalyticsSpec extends AnyFunSuite {
     // envelope. Fails BEFORE an operator addition silently overflows the
     // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
     // render the actual line shape with worst-case values under Bench's
-    // ADAPTIVE rendering (%.2f under 10s -> "9.99" is the widest; %.1f
-    // above -> "99.9"), and the basename sf tag the line actually carries
+    // ADAPTIVE rendering (%.2f + zero-strip under 10s -> "9.99" is the
+    // widest; %.1f above -> "99.9", same width), and the basename sf tag
+    // the line actually carries. Budget: 2000-char tail minus ~85 chars
+    // for the sbt "[success] Total time..." line that lands after ours.
     def sample(worst: String) = {
       val qs = SparkEntry.benchQueries.keySet.toSeq
         .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
-      s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"sf0.1"}"""
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"sf0.1"}"""
     }
-    assert(sample("9.99").length < 1850,
-      s"projected bench line ${sample("9.99").length} chars — trim decimals or " +
-        "shorten names before the driver's 2000-char tail cuts the opening brace")
-    // even if every median degraded past 10s (VM meltdown), the line holds
-    assert(sample("99.9").length < 1900,
-      "bench line must survive pathological 10s+ medians on every query")
+    val worst = math.max(sample("9.99").length, sample("99.9").length)
+    assert(worst < 2000 - 85,
+      s"projected bench line $worst chars — trim decimals or shorten " +
+        "names before the driver's 2000-char tail cuts the opening brace")
   }
 
   test("q1 aggregates are internally consistent") {

@@ -88,6 +88,36 @@ class BehaviorSpec extends AnyFunSuite {
     assert(mx * 100 * w(0) * events.count() < Long.MaxValue / 4.0)
   }
 
+  test("q29: planted gaps fill with the LAST prior observation; spans are " +
+    "per-user; hour closers use the (ts, event_id) tie-break") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fill").toString
+    val hourNs = 3600L * 1000000000L
+    def ev(id: Long, hour: Long, offMin: Long, user: Long, v: Double) =
+      (id, hour * hourNs + offMin * 60000000000L, user, "view", v, "{}")
+    // u1: obs in hours 100 (two obs — the LATER one closes the hour,
+    // and at the same ts the higher event_id wins), gap in 101-102,
+    // obs in 103. u2: single hour 200 (no grid beyond its span).
+    Seq(
+      ev(1, 100, 10, 1, 5.0), ev(2, 100, 40, 1, 6.0), ev(3, 100, 40, 1, 7.0),
+      ev(4, 103, 0, 1, 9.0),
+      ev(5, 200, 0, 2, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Behavior.q29GapFill(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hour_idx")) ->
+        ((r.getAs[Long]("n_obs"), Option(r.getAs[java.lang.Double]("obs_value")),
+          r.getAs[Double]("filled_value"), r.getAs[Long]("is_gap")))).toMap
+    assert(got.keySet == Set((1L, 100L), (1L, 101L), (1L, 102L), (1L, 103L), (2L, 200L)),
+      s"grid must span each user's own active range only, got ${got.keySet}")
+    assert(got((1L, 100L)) == ((3L, Some(7.0), 7.0, 0L)),
+      "same-ts tie must resolve to the higher event_id")
+    assert(got((1L, 101L)) == ((0L, None, 7.0, 1L)), "gap carries hour 100's close")
+    assert(got((1L, 102L)) == ((0L, None, 7.0, 1L)))
+    assert(got((1L, 103L)) == ((1L, Some(9.0), 9.0, 0L)))
+    assert(got((2L, 200L)) == ((1L, Some(3.0), 3.0, 0L)))
+  }
+
   test("q24: wau bounds dau, matches a brute-force recount, and every " +
     "observed day reports") {
     import org.apache.spark.sql.functions._
