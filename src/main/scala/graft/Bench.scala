@@ -79,17 +79,17 @@ object Bench {
     // a comma-decimal locale would emit malformed JSON
     def fmt(t: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-    // stdout medians carry 2 decimals under 10s and 1 decimal above:
-    // the metric line must fit the driver's 2000-char output tail, and at
-    // 77 queries every value character counts (10ms resolution is already
-    // below this VM's noise floor; the 3-decimal raw sweeps are in
-    // BENCH_SPREAD.json). AnalyticsSpec projects the worst-case line
-    // length from the live query set and fails BEFORE an overflow.
-    // trailing zeros stripped ("0.40"->"0.4", "2.00"->"2"): valid JSON,
-    // same information, ~30 chars back on a realistic 78-query line
+    // stdout medians carry 2 decimals under 1s and 1 decimal above: the
+    // metric line must fit the driver's 2000-char output tail, and at 80
+    // queries every value character counts. 100ms resolution on 1s+
+    // queries is far below this VM's documented noise (single shots move
+    // ±30%; the 3-decimal raw sweeps are in BENCH_SPREAD.json).
+    // AnalyticsSpec projects the worst-case line length from the live
+    // query set and fails BEFORE an overflow. Trailing zeros stripped
+    // ("0.40"->"0.4", "2.0"->"2"): valid JSON, same information.
     def fmt2(t: Double): String = {
       val s = String.format(java.util.Locale.ROOT,
-        if (t < 10) "%.2f" else "%.1f", Double.box(t))
+        if (t < 1) "%.2f" else "%.1f", Double.box(t))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }

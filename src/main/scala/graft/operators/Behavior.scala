@@ -250,6 +250,39 @@ object Behavior {
       .orderBy(col("user_id"), col("hour_idx"))
   }
 
+  /** q30: synthetic terminal state closing every session's last event. */
+  val EndState = "~END"
+
+  /** `q30_markov`: the session Markov transition matrix — for every
+    * ordered pair of consecutive events WITHIN a session, how often does
+    * type A hand off to type B, and with what share of A's outgoing
+    * edges (floor-e6). Sessions close into a synthetic `~END` state so
+    * every event emits exactly one transition and outgoing shares sum to
+    * ~1e6 per source. This is the product-analytics "user flow" /
+    * next-step model q20's fixed funnel can't express — the funnel asks
+    * about ONE path, the matrix reports them all.
+    *
+    * Shape: one lead() window over the sessionization's existing
+    * (user_id, session_id) clustering — same partitioning q12/q20
+    * already shuffled for, so no extra exchange — then a map-side
+    * partial count to the (from, to) grain (|types|² rows at most) and
+    * a broadcast of the per-source totals. Event order ties break on
+    * (ts_us, event_id) like every session consumer. */
+  def q30Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val edges = Analytics.sessionizedEvents(spark, dir)
+      .withColumn("to_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit(EndState)))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = edges.groupBy(col("from_type")).agg(sum(col("n")).as("n_out"))
+    edges.join(broadcast(outTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        floor(col("n") * lit(1000000.0) / col("n_out")).cast("long").as("share_e6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** The q12 oracle's session CTE with `event_type` carried through; the
@@ -328,6 +361,21 @@ object Behavior {
          |SELECT d.day_idx AS day_idx, d.dau AS dau, w.wau_7d AS wau_7d
          |FROM dau d JOIN wau w ON w.win_day = d.day_idx
          |ORDER BY day_idx""".stripMargin,
+    "q30_markov" ->
+      s"""WITH $sessionCteSql,
+         |edges AS (
+         | SELECT event_type AS from_type,
+         |  COALESCE(lead(event_type) OVER (PARTITION BY user_id, session_id
+         |    ORDER BY ts_us, event_id), '$EndState') AS to_type
+         | FROM s),
+         |c AS (
+         | SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         | FROM edges GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY 1)
+         |SELECT c.from_type AS from_type, c.to_type AS to_type, c.n AS n,
+         | CAST(floor(c.n * 1000000.0 / t.n_out) AS BIGINT) AS share_e6
+         |FROM c JOIN t USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin,
     "q29_gap_fill" ->
       s"""WITH e AS (
          | SELECT user_id, epoch_us(ts) // $HourUs AS h, epoch_us(ts) AS tu,
@@ -389,5 +437,6 @@ object Behavior {
     "q24_rolling_distinct" -> (q24RollingDistinct _),
     "q26_lateness_audit" -> (q26LatenessAudit _),
     "q27_decay_score" -> (q27DecayScore _),
-    "q29_gap_fill" -> (q29GapFill _))
+    "q29_gap_fill" -> (q29GapFill _),
+    "q30_markov" -> (q30Transitions _))
 }

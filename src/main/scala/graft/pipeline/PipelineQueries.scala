@@ -152,6 +152,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_late_dim" -> (Curated.p15LateArrivingDim _),
     "p14_drift_check" -> (Quality.p14DriftCheck _),
     "p13_pit_join" -> (Scd2.p13PitJoin _),
     "p12_zorder_layout" -> (p12ZorderLayout _),
@@ -168,6 +169,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p15_late_dim" -> Curated.p15Oracle,
     "p14_drift_check" -> Quality.p14Oracle,
     "p13_pit_join" -> Scd2.p13Oracle,
     "p12_zorder_layout" -> p12Oracle,

@@ -45,17 +45,17 @@ class AnalyticsSpec extends AnyFunSuite {
     // envelope. Fails BEFORE an operator addition silently overflows the
     // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
     // render the actual line shape with worst-case values under Bench's
-    // ADAPTIVE rendering (%.2f + zero-strip under 10s -> "9.99" is the
+    // ADAPTIVE rendering (%.2f + zero-strip under 1s -> "0.99" is the
     // widest; %.1f above -> "99.9", same width), and the basename sf tag
-    // the line actually carries. Budget: 2000-char tail minus ~85 chars
+    // the line actually carries. Budget: 2000-char tail minus ~80 chars
     // for the sbt "[success] Total time..." line that lands after ours.
     def sample(worst: String) = {
       val qs = SparkEntry.benchQueries.keySet.toSeq
         .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
       s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"sf0.1"}"""
     }
-    val worst = math.max(sample("9.99").length, sample("99.9").length)
-    assert(worst < 2000 - 85,
+    val worst = math.max(sample("0.99").length, sample("99.9").length)
+    assert(worst < 2000 - 80,
       s"projected bench line $worst chars — trim decimals or shorten " +
         "names before the driver's 2000-char tail cuts the opening brace")
   }

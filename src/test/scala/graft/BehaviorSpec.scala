@@ -175,6 +175,30 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q30: every session event emits exactly one transition, outgoing " +
+    "shares close to ~1e6 per source, and ~END absorbs one edge per session") {
+    import org.apache.spark.sql.functions.col
+    val m = Behavior.q30Transitions(spark, sf).collect()
+    val nEvents = Tables.load(spark, sf, "events").count()
+    assert(m.map(_.getAs[Long]("n")).sum == nEvents,
+      "transitions must partition the events exactly (one edge per event)")
+    val nSessions = Analytics.q12Sessionize(spark, sf).count()
+    assert(m.filter(_.getAs[String]("to_type") == Behavior.EndState)
+      .map(_.getAs[Long]("n")).sum == nSessions,
+      "each session terminates exactly once")
+    assert(!m.exists(_.getAs[String]("from_type") == Behavior.EndState),
+      "~END is absorbing: no outgoing edges")
+    // per-source shares: floor-e6 values sum into (1e6 - k, 1e6] for k edges
+    m.groupBy(_.getAs[String]("from_type")).foreach { case (f, rows) =>
+      val s = rows.map(_.getAs[Long]("share_e6")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"outgoing shares of $f sum to $s")
+      val tot = rows.map(_.getAs[Long]("n")).sum
+      rows.foreach(r => assert(
+        r.getAs[Long]("share_e6") == r.getAs[Long]("n") * 1000000L / tot))
+    }
+  }
+
   test("q21: offset 0 is full retention, cohort sizes match, offsets " +
     "non-negative, rates recompute") {
     val rows = Behavior.q21RetentionCohorts(spark, sf).collect()

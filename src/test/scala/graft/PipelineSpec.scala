@@ -513,6 +513,33 @@ class PipelineSpec extends AnyFunSuite {
       "total delta is the L1 distance")
   }
 
+  test("p15: every fact survives the late-dim join; inferred members carry " +
+    "the placeholder; the arrived/late split matches the bucket rule") {
+    import org.apache.spark.sql.functions.col
+    val q = Curated.p15LateArrivingDim(spark, sf)
+    val orders = Tables.load(spark, sf, "orders")
+    assert(q.count() == orders.count(), "the join must never drop a fact")
+    val rows = q.collect()
+    // recompute each key's bucket with the same md5 rule
+    val late = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) < Curated.LateBucketMax)).toMap
+    rows.foreach { r =>
+      val isLate = late.getOrElse(r.getAs[Long]("o_custkey"), true)
+      assert(r.getAs[Long]("is_inferred") == (if (isLate) 1L else 0L))
+      if (isLate) {
+        assert(r.getAs[String]("c_name") == "INFERRED")
+        assert(r.getAs[Int]("c_nationkey") == -1)
+      } else assert(r.getAs[String]("c_name") != "INFERRED")
+    }
+    // the simulated late set must be non-vacuous in both directions
+    assert(rows.exists(_.getAs[Long]("is_inferred") == 1L))
+    assert(rows.exists(_.getAs[Long]("is_inferred") == 0L))
+  }
+
   test("full DAG: sense → ingest → stage → quality → curate → archive") {
     import Runner._
     val landing = Files.createTempDirectory("graft_e2e")

@@ -133,6 +133,9 @@ class PlanSpec extends AnyFunSuite {
       graft.operators.TextAnalysis.t16LmScore(spark, sf),
       Dedup.d10DedupFuzzy(spark, sf),
       AnalyticsExt.q28AnomalyMad(spark, sf),
+      graft.operators.Behavior.q29GapFill(spark, sf),
+      graft.operators.Behavior.q30Transitions(spark, sf),
+      graft.pipeline.Curated.p15LateArrivingDim(spark, sf),
       graft.pipeline.Quality.p14DriftCheck(spark, sf))
       .foreach { df =>
         val p = plan(df)
