@@ -116,9 +116,12 @@ object Bench {
     }
     // sf as the dir BASENAME ("sf0.1"): the full path costs ~20 chars of
     // the tail budget and lives in BENCH_SPREAD.json anyway
+    // no "reps" field on the stdout line (it rides in BENCH_SPREAD.json
+    // and BASELINE.md documents the protocol) — every envelope char is
+    // tail budget at 81 queries
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
     val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$Reps,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

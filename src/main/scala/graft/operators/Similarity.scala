@@ -92,6 +92,37 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** `s8_recall`: ANN index-quality monitoring as a first-class
+    * operator — per-probe recall of the LSH index (s2) against exact
+    * brute force (s1), the metric a production vector store tracks
+    * continuously (an index whose recall decays as the corpus drifts is
+    * silently corrupting every downstream consumer; this report is the
+    * SLO). Per probe: exact top-k size, approx candidate count, hits
+    * (exact neighbors the index recovered) and floor-e6 recall. Probes
+    * with an under-populated LSH bucket surface with recall 0..partial —
+    * exactly the rows an operator watches.
+    *
+    * Shape: both inputs are the already-scale-correct s1/s2 plans; the
+    * eval itself is a probe-grained semi-join + three probe-sized
+    * aggregates — cost is the indexes' own cost, the report adds nothing
+    * fact-sized. */
+  def s8RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1AnnBrute(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val approx = s2AnnLsh(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("probe_id")).agg(count(lit(1)).as("n_approx")),
+        Seq("probe_id"), "left")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        floor(coalesce(col("n_hit"), lit(0L)) * lit(1000000.0) / col("n_exact"))
+          .cast("long").as("recall_e6"))
+      .orderBy(col("probe_id"))
+  }
+
   val KnnBands = 16 // s5: band count (the d5 family, same 64 planes)
   val KnnPlanesPerBand = 4 // s5: planes per band
   val KnnK = 3 // s5: neighbors reported per vector
@@ -355,26 +386,44 @@ object Similarity {
          |    ORDER BY cos_e6 DESC, neighbor_id) AS rank
          | FROM mirrored)
          |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
-    "s1_ann_brute" ->
-      s"""SELECT probe_id, neighbor_id, cos_e6, rank FROM (
-         | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
-         |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
-         |  row_number() OVER (PARTITION BY p.vec_id
-         |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
-         | FROM embeddings p JOIN embeddings x ON x.vec_id != p.vec_id
-         | WHERE p.vec_id < $NumProbes)
-         |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin,
-    "s2_ann_lsh" ->
-      s"""WITH bkt AS (
-         | SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
-         |SELECT probe_id, neighbor_id, bucket, cos_e6, rank FROM (
-         | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id, p.bucket AS bucket,
-         |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
-         |  row_number() OVER (PARTITION BY p.vec_id
-         |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
-         | FROM bkt p JOIN bkt x ON x.bucket = p.bucket AND x.vec_id != p.vec_id
-         | WHERE p.vec_id < $NumProbes)
-         |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin)
+    "s1_ann_brute" -> s1OracleSql,
+    "s2_ann_lsh" -> s2OracleSql,
+    "s8_recall" ->
+      s"""WITH ex AS ($s1OracleSql),
+         |ap AS ($s2OracleSql),
+         |hits AS (
+         | SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM ex e JOIN ap a ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+         |na AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_approx FROM ap GROUP BY 1)
+         |SELECT ne.probe_id AS probe_id, ne.n_exact AS n_exact,
+         | COALESCE(na.n_approx, 0) AS n_approx, COALESCE(h.n_hit, 0) AS n_hit,
+         | CAST(floor(COALESCE(h.n_hit, 0) * 1000000.0 / ne.n_exact) AS BIGINT) AS recall_e6
+         |FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN hits h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin)
+
+  private lazy val s1OracleSql: String =
+    s"""SELECT probe_id, neighbor_id, cos_e6, rank FROM (
+       | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+       |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+       |  row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+       | FROM embeddings p JOIN embeddings x ON x.vec_id != p.vec_id
+       | WHERE p.vec_id < $NumProbes)
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
+  private lazy val s2OracleSql: String =
+    s"""WITH bkt AS (
+       | SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+       |SELECT probe_id, neighbor_id, bucket, cos_e6, rank FROM (
+       | SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id, p.bucket AS bucket,
+       |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+       |  row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+       | FROM bkt p JOIN bkt x ON x.bucket = p.bucket AND x.vec_id != p.vec_id
+       | WHERE p.vec_id < $NumProbes)
+       |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin
 
   // ------------------------------------------------- s3: k-means IVF
 
@@ -744,6 +793,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
+    "s8_recall" -> (s8RecallEval _),
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s4_ann_pq" -> (s4AnnPq _),
     "s5_knn_join" -> (s5KnnJoin _),

@@ -52,7 +52,7 @@ class AnalyticsSpec extends AnyFunSuite {
     def sample(worst: String) = {
       val qs = SparkEntry.benchQueries.keySet.toSeq
         .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
-      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"reps":${Bench.Reps},"sf":"sf0.1"}"""
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
     }
     val worst = math.max(sample("0.99").length, sample("99.9").length)
     assert(worst < 2000 - 80,

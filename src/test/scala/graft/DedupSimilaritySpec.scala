@@ -428,6 +428,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.isEmpty || hits > 0)
   }
 
+  test("s8: recall report recomputes exactly from the s1/s2 result sets — " +
+    "hits bounded, every probe present, arithmetic closes") {
+    val exact = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+    val approx = Similarity.s2AnnLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+    val rep = Similarity.s8RecallEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx"),
+          r.getAs[Long]("n_hit"), r.getAs[Long]("recall_e6")))).toMap
+    assert(rep.keySet == exact.map(_._1).toSet, "one row per probed vector")
+    val approxSet = approx.toSet
+    rep.foreach { case (p, (ne, na, nh, rec)) =>
+      val exactN = exact.filter(_._1 == p).map(_._2)
+      assert(ne == exactN.length)
+      assert(na == approx.count(_._1 == p))
+      assert(nh == exactN.count(n => approxSet((p, n))),
+        s"probe $p: hit count must be the exact∩approx overlap")
+      assert(nh <= math.min(ne, na))
+      assert(rec == nh * 1000000L / ne)
+    }
+    // conservation: total hits == |exact ∩ approx| (on this random-vector
+    // corpus single-bucket LSH recall is LOW — near-orthogonal pairs split
+    // ~50/50 per plane — and the monitor's job is precisely to report
+    // that honestly, so no recall floor is asserted here)
+    assert(rep.values.map(_._3).sum == exact.count(approxSet),
+      "hit totals must conserve across probes")
+  }
+
   test("s7: exactly k re-ranked rows per probe, hamming within [0, 64], " +
     "cosine ranks descend, and recall@5 vs s1 clears the sketch floor") {
     val s7 = Similarity.s7AnnBinary(spark, sf).collect()
