@@ -56,6 +56,31 @@ object Ingest {
     (good, rejects)
   }
 
+  /** JSON-lines twin of [[readCsvWithRejects]]: schema-on-load NDJSON
+    * ingest with malformed lines quarantined (truncated writes, non-JSON
+    * noise, type mismatches) instead of dropped or load-fatal — the same
+    * PERMISSIVE + corrupt-column pattern, because an event-bus export has
+    * the identical partial-line failure modes a CSV landing zone has.
+    * Schema is declared, never inferred: inference costs an extra full
+    * pass and silently re-types columns batch to batch. */
+  def readJsonWithRejects(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_raw_record"),
+      "schema must not predeclare _raw_record")
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_raw_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val parsed = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_raw_record")
+      .schema(withCorrupt)
+      .json(path)
+      .localCheckpoint(true)
+    val good = parsed.filter(col("_raw_record").isNull).drop("_raw_record")
+    val rejects = parsed.filter(col("_raw_record").isNotNull)
+    (good, rejects)
+  }
+
   /** Cross-engine-deterministic string rendering for audit hashing, keyed
     * by the config render hint: `money` = decimal(18,2), `ts` =
     * second-resolution timestamp, `plain` = bare cast. */

@@ -151,6 +151,19 @@ object StreamPipelines {
         col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
   }
 
+  /** Stream-static enrichment join: the continuous analog of the batch
+    * curated join (`p6`) — each micro-batch of the stream joins the
+    * STATIC dimension with ordinary batch semantics (the dim re-resolves
+    * per batch, so a dim refresh lands without restarting the query;
+    * Spark broadcasts it while it fits). Stateless — no watermark needed
+    * on either side; unknown keys keep the p15 inferred-member
+    * placeholder so the stream, like the batch path, never drops a fact. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, streamKey: String,
+                   dimKey: String): DataFrame =
+    stream.join(dim, col(streamKey) === col(dimKey), "left")
+      .withColumn("is_inferred", col(dimKey).isNull.cast("long"))
+      .drop(dimKey)
+
   /** Streaming exact dedup: drops re-deliveries of the same id, keeping
     * state only within the watermark horizon — the continuous analog of the
     * batch `d1_dedup_exact` keep-first semantics for an at-least-once

@@ -44,6 +44,29 @@ class PipelineSpec extends AnyFunSuite {
       s"rejects must preserve the raw line, got $raws")
   }
 
+  test("ingest: malformed JSON lines are quarantined with the raw line " +
+    "preserved; typed rows parse") {
+    val dir = Files.createTempDirectory("graft_jsonq")
+    val f = dir.resolve("ev.jsonl")
+    Files.writeString(f,
+      """{"id": 1, "name": "alice", "score": 9.5}
+        |not json at all
+        |{"id": 2, "name": "bob", "score": 3.25}
+        |{"id": "NaN-ish", "name": 7}
+        |{"id": 3, "name": "cara", "score"
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val (good, rejects) = Ingest.readJsonWithRejects(spark, f.toString, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "only fully-typed rows pass")
+    val raws = rejects.collect().map(_.getAs[String]("_raw_record"))
+    assert(raws.length == 3, s"all three planted bad lines quarantine, got ${raws.toSeq}")
+    assert(raws.exists(_.contains("not json at all")),
+      "raw line survives for forensics")
+  }
+
   test("config: defaults parse, drive entities, and reject typos") {
     val c = PipelineConfig.default
     assert(c.entities.map(_.name) == Seq("customer", "orders"))

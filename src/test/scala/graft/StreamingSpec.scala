@@ -140,6 +140,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join resolves dim attributes per batch " +
+    "and keeps unknown keys as inferred placeholders") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = s"mem_enrich_${System.nanoTime()}"
+    val q = StreamPipelines.enrichStream(
+        mem.toDF().toDF("event_id", "user_id", "value"), dim, "user_id", "cust_id")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      mem.addData((10L, 1L, 5.0), (11L, 2L, 6.0), (12L, 99L, 7.0))
+      q.processAllAvailable()
+      val got = spark.table(out).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[String]("tier")), r.getAs[Long]("is_inferred")))).toMap
+      assert(got(10L) == ((Some("gold"), 0L)))
+      assert(got(11L) == ((Some("silver"), 0L)))
+      assert(got(12L) == ((None, 1L)), "unknown key survives, flagged inferred")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches preceding events per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
