@@ -179,8 +179,11 @@ object Behavior {
     * float `pow(0.5, age)` sum would differ by reduction tree). The
     * decayed sum is re-based to "cents as of the reference day" by one
     * final floor-shift. Events older than [[DecayDays]] are filtered
-    * BEFORE the aggregate — at 100 TB that predicate prunes date
-    * partitions at the scan. */
+    * BEFORE the aggregate. The filter compares against the broadcast
+    * ref_day, so it cannot reach the scan in THIS one-job plan; a 100 TB
+    * deployment runs the two-job form — resolve ref_day first (trivial),
+    * inject it as a literal, and the age predicate then prunes date
+    * partitions at the scan. Same arithmetic either way. */
   def q27DecayScore(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"),
