@@ -94,6 +94,43 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentiles: seeded-random groups (dups, nulls, singletons) " +
+    "match a brute-force interpolation at p50/p95") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // duplicates on purpose (values from a small domain) + nulls + a
+    // singleton group + an all-null group
+    val rows: Seq[(String, Option[Double])] =
+      Seq.tabulate(300) { i =>
+        val g = s"g${i % 3}"
+        val v = if (rnd.nextInt(10) == 0) None
+                else Some((rnd.nextInt(50) * 25).toDouble / 100.0)
+        (g, v)
+      } ++ Seq(("solo", Some(7.25)), ("voidg", None), ("voidg", None))
+    val df = rows.toDF("grp", "v")
+    val got = graft.operators.Analytics.exactPercentiles(df, "grp",
+        Seq(("v", 0.5, "p50"), ("v", 0.95, "p95"))).collect()
+      .map(r => r.getAs[String]("grp") ->
+        ((Option(r.getAs[java.lang.Double]("p50")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("p95")).map(_.toDouble)))).toMap
+    def brute(xs: Seq[Double], p: Double): Option[Double] =
+      if (xs.isEmpty) None
+      else {
+        val s = xs.sorted
+        val pos = p * (s.length - 1)
+        val (lo, hi) = (s(pos.floor.toInt), s(pos.ceil.toInt))
+        Some(if (pos.floor == pos.ceil) lo
+             else (pos.ceil - pos) * lo + (pos - pos.floor) * hi)
+      }
+    rows.groupBy(_._1).foreach { case (g, gr) =>
+      val vs = gr.flatMap(_._2)
+      assert(got(g)._1 == brute(vs, 0.5), s"p50 mismatch in $g")
+      assert(got(g)._2 == brute(vs, 0.95), s"p95 mismatch in $g")
+    }
+    assert(got("solo") == ((Some(7.25), Some(7.25))))
+    assert(got("voidg") == ((None, None)), "all-null group yields nulls")
+  }
+
   test("q28: median/MAD/outlier arithmetic matches hand computation for " +
     "odd, even and constant (MAD=0) groups") {
     import spark.implicits._
