@@ -145,11 +145,14 @@ class PlanSpec extends AnyFunSuite {
     // of a 1-row side (the q25 two-pass shape), never a shuffle of facts
     val q27 = plan(graft.operators.Behavior.q27DecayScore(spark, sf))
     assert(q27.contains("Broadcast"), s"q27 stats row not broadcast:\n$q27")
-    // p13: the union+last_value PIT join must be window-based — exactly
-    // zero joins in the plan (the interval join would show one)
+    // p13: the conditional-carry PIT join must be window-based — exactly
+    // zero joins (the interval join would show one) and exactly ONE
+    // events scan (the as-of UNION form would show two)
     val p13 = plan(graft.pipeline.Scd2.p13PitJoin(spark, sf))
-    assert(!p13.contains("Join"), s"PIT join must be join-free (as-of union):\n$p13")
+    assert(!p13.contains("Join"), s"PIT join must be join-free:\n$p13")
     assert(p13.contains("Window"), s"expected the carry window in:\n$p13")
+    assert("Scan parquet".r.findAllIn(p13).size == 1,
+      s"PIT join must read events exactly once:\n$p13")
     // t15: the sampler must aggregate (bounded heap), not sort every row
     // of every stratum through a window rank
     val t15 = plan(graft.operators.TextAnalysis.t15StratifiedSample(spark, sf))
