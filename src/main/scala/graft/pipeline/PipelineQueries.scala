@@ -98,7 +98,10 @@ object PipelineQueries {
     * guarantee, and the spec asserts it exactly. At 100 TB the Morton key
     * is the range-partition/sort key at write time; this operator is the
     * assignment + the layout-quality audit. */
-  def p12ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+  /** The z-key assignment p12 audits and [[graft.sources.Sinks.writeZordered]]
+    * writes by: orders with lattice coords (xn, yn) and the 32-bit Morton
+    * `zkey`. Two-pass broadcast-stats shape, pure integer arithmetic. */
+  def zkeyedOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = graft.Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"),
         floor(unix_micros(col("o_orderdate").cast("timestamp")) /
@@ -117,6 +120,10 @@ object PipelineQueries {
       .withColumn("xn", expr(norm("day", "day_min", "day_max")))
       .withColumn("yn", expr(norm("cust", "cust_min", "cust_max")))
       .withColumn("zkey", expr(z))
+  }
+
+  def p12ZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    zkeyedOrders(spark, dir)
       .withColumn("bucket",
         shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZBucketBits))
       .groupBy(col("bucket"))
@@ -124,7 +131,6 @@ object PipelineQueries {
         min(col("xn")).as("x_min"), max(col("xn")).as("x_max"),
         min(col("yn")).as("y_min"), max(col("yn")).as("y_max"))
       .orderBy(col("bucket"))
-  }
 
   val p12Oracle: String = {
     val grid = 1L << ZGridBits

@@ -49,6 +49,19 @@ object Sinks {
   def readMergedSchema(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 
+  /** Z-ordered write: range-partition on the Morton key, sort each file
+    * by it, land exactly `nFiles` files — the WRITE path of the p12
+    * layout audit. Because files cover disjoint contiguous zkey ranges,
+    * file-level parquet min/max stats are tight in BOTH interleaved
+    * dimensions, so a predicate on EITHER column skips most files (the
+    * lakehouse OPTIMIZE ZORDER behavior, expressed as plain Spark
+    * primitives). Caller supplies the zkey column (e.g.
+    * `PipelineQueries.zkeyedOrders`). */
+  def writeZordered(df: DataFrame, zCol: String, dir: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
   /** Small-files compactor: rewrite a dataset into ~`targetBytes` files.
     * A streaming sink or a 1000-task write leaves thousands of small files
     * whose per-file open/footer cost dominates later scans; periodic

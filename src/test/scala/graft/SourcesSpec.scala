@@ -82,6 +82,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 500)
   }
 
+  test("z-ordered write lands disjoint zkey ranges per file with per-file " +
+    "dim spans far below the global spans (the skipping guarantee)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString + "/z"
+    val zk = graft.pipeline.PipelineQueries.zkeyedOrders(spark, sf)
+    // 64 files fix ~6 top Morton bits = 3 bits per dim: per-file spans
+    // land near global/8 in BOTH dims (8 files would constrain x by only
+    // ONE bit — the interleaving gives each dim half the fixed bits)
+    graft.sources.Sinks.writeZordered(zk, "zkey", dir, nFiles = 64)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zkey").as("z0"), max("zkey").as("z1"),
+        (max("xn") - min("xn")).as("xspan"), (max("yn") - min("yn")).as("yspan"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.length == 64, s"expected 64 files, got ${perFile.length}")
+    // disjoint, ordered zkey ranges — the range partitioning contract
+    val ranges = perFile.map(r => (r.getAs[Long]("z0"), r.getAs[Long]("z1"))).sorted
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file zkey ranges overlap: $hi >= $lo")
+    case _ => }
+    // skipping effectiveness: mean per-file span well under the global
+    // span in BOTH dims (contiguous Morton ranges localize both coords)
+    val g = zk.agg((max("xn") - min("xn")).as("gx"), (max("yn") - min("yn")).as("gy")).head
+    val (gx, gy) = (g.getAs[Long]("gx"), g.getAs[Long]("gy"))
+    val mx = perFile.map(_.getAs[Long]("xspan")).sum / perFile.length
+    val my = perFile.map(_.getAs[Long]("yspan")).sum / perFile.length
+    assert(mx * 4 < gx, s"mean x-span $mx not below a quarter of the global $gx")
+    assert(my * 4 < gy, s"mean y-span $my not below a quarter of the global $gy")
+    assert(perFile.map(_.getAs[Long]("n")).sum == zk.count())
+  }
+
   test("salted join equals plain join and spreads keys over salts") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i.toLong))
