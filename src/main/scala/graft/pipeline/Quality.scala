@@ -126,6 +126,13 @@ object Quality {
        |  CAST(sum(abs_delta_e6) AS BIGINT) FROM per)
        |ORDER BY bucket""".stripMargin
 
+  /** Fail-fast gate over [[p14DriftCheck]]'s report: true iff the L1
+    * distance (the `~TOTAL` row's delta) stays at or under `maxL1E6` —
+    * the DAG hook that stops curation when a load is the wrong shape,
+    * exactly as [[gatePasses]] stops it when a load is broken. */
+  def driftGatePasses(report: DataFrame, maxL1E6: Long): Boolean =
+    report.filter(col("bucket") === "~TOTAL" && col("abs_delta_e6") > maxL1E6).isEmpty
+
   val oracle: String = {
     def one(table: String, pkNullExpr: String, pkDistinctExpr: String) =
       s"""SELECT '$table' AS table_name, m.metric, m.value FROM (

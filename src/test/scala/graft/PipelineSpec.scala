@@ -534,6 +534,10 @@ class PipelineSpec extends AnyFunSuite {
       "a vanished bucket must surface with share 0, not disappear")
     assert(got("~TOTAL") == ((4L, 4L, 1000000L, 1000000L, 1000000L)),
       "total delta is the L1 distance")
+    // the gate thresholds exactly that total
+    val report = Quality.p14DriftCheck(spark, dir)
+    assert(!Quality.driftGatePasses(report, maxL1E6 = 999999L))
+    assert(Quality.driftGatePasses(report, maxL1E6 = 1000000L))
   }
 
   test("p15: every fact survives the late-dim join; inferred members carry " +

@@ -50,6 +50,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow trigger drains the backlog, checkpoints, stops — and " +
+    "a later run resumes past what the first consumed") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_avnow_in")
+    val ckpt = Files.createTempDirectory("graft_avnow_ck").toString
+    val sink = Files.createTempDirectory("graft_avnow_out").toString
+    def drop(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_stage2")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val parts = java.nio.file.Files.walk(tmp)
+        .filter(_.toString.endsWith(".parquet")).iterator()
+      Files.copy(parts.next, dir.resolve(name))
+    }
+    // the batch-catchup operating mode: run the STREAMING pipeline as a
+    // scheduled job — drain everything available, commit the offset
+    // checkpoint, exit. Re-running later consumes only what arrived since.
+    def runOnce(): Unit = {
+      val q = StreamPipelines.fileEventsStream(spark, dir.toString)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive, "AvailableNow must stop by itself")
+      assert(q.exception.isEmpty, s"run died: ${q.exception}")
+    }
+    drop("a.parquet", Seq((1L, ts(10), 1L, "click", 1.0), (2L, ts(20), 1L, "view", 2.0)))
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 2)
+    drop("b.parquet", Seq((3L, ts(30), 2L, "click", 3.0)))
+    runOnce()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() == 3, "second run consumes ONLY the new drop")
+    assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("windowed agg with watermark groups by hour and type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
