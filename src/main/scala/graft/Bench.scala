@@ -87,9 +87,12 @@ object Bench {
     // AnalyticsSpec projects the worst-case line length from the live
     // query set and fails BEFORE an overflow. Trailing zeros stripped
     // ("0.40"->"0.4", "2.0"->"2"): valid JSON, same information.
+    // width-capped: 100s+ medians render whole seconds so no value ever
+    // exceeds 4 chars below 10000s — the guard's worst-case model relies
+    // on this bound
     def fmt2(t: Double): String = {
       val s = String.format(java.util.Locale.ROOT,
-        if (t < 1) "%.2f" else "%.1f", Double.box(t))
+        if (t < 1) "%.2f" else if (t < 100) "%.1f" else "%.0f", Double.box(t))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }

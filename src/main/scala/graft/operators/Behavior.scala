@@ -203,10 +203,22 @@ object Behavior {
         count(lit(1)).as("n_recent"),
         min(col("age")).as("newest_age_days"),
         sum(col("w_contrib")).as("score_num"))
-      .withColumn("score_today_e2",
-        expr(s"score_num div ${1L << (DecayDays - 1)}")) // exact int div, no FP
+      // FLOOR division, not Spark's truncate-toward-zero `div`: the
+      // oracle's `//` floors, and a negative decayed sum (refunds) must
+      // land on the same integer in both engines
+      .withColumn("score_today_e2", floorDiv(col("score_num"), 1L << (DecayDays - 1)))
       .orderBy(col("user_id"))
   }
+
+  /** Integer FLOOR division of a long column by a positive constant —
+    * matches DuckDB's `//` on negative operands, where Spark's `div`
+    * truncates toward zero (the two differ by 1 on every negative
+    * non-multiple; day/hour indices of pre-epoch timestamps and negative
+    * decayed sums must floor in both engines). `c - pmod(c, d)` is an
+    * exact multiple of d, so the double division is exact for any |c|
+    * below 2^53 — far above every consumer's range. */
+  private def floorDiv(c: org.apache.spark.sql.Column, d: Long): org.apache.spark.sql.Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
 
   /** q29 grid granule (hours, as micros). */
   val HourUs = 3600L * 1000000L
@@ -229,7 +241,7 @@ object Behavior {
   def q29GapFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"),
-        expr(s"unix_micros(ts) div $HourUs").as("h"),
+        floorDiv(unix_micros(col("ts")), HourUs).as("h"),
         unix_micros(col("ts")).as("tu"), col("event_id"),
         round(col("value"), 2).as("v"))
     val wHour = Window.partitionBy(col("user_id"), col("h"))

@@ -107,8 +107,13 @@ object Similarity {
     * aggregates — cost is the indexes' own cost, the report adds nothing
     * fact-sized. */
   def s8RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    // each result feeds TWO consumers (hits + its count); checkpoint so
+    // the quadratic probe×corpus subplans run once, not twice (the
+    // shared-frame pattern d3/d10 use for shingleArrays)
     val exact = s1AnnBrute(spark, dir).select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val approx = s2AnnLsh(spark, dir).select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
     exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))

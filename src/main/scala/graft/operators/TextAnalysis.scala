@@ -352,12 +352,16 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("toks", wsTokens(col("text")))
     // bigram OCCURRENCES per doc (t10's construction, doc_id kept)
+    // docBg feeds THREE consumers (both model aggs + the scoring join)
+    // with different grouping keys, so no exchange is reusable —
+    // checkpoint to run the tokenize+explode scan once, not three times
     val docBg = docs.select(col("doc_id"), explode(
       when(size(col("toks")) >= 2,
         transform(sequence(lit(0), size(col("toks")) - 2),
           i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .localCheckpoint(true)
     val bgModel = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
     val prefModel = docBg.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
     // P(w2|w1) in floor-e6: c_bg <= c_w1 by construction, so <= 1e6

@@ -84,11 +84,16 @@ object Quality {
       sum(when(col("yr") === DriftYearA, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("yr") === DriftYearB, 1L).otherwise(0L)).as("n_b"))
     val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    // an EMPTY cohort (dead feed — the most extreme drift) gets share 0
+    // in every bucket, so each delta collapses to the other side's share
+    // and the ~TOTAL L1 maxes out at 1e6: the gate FIRES on an outage
+    // instead of dividing 0/0 (whose NaN Spark would silently cast to 0
+    // while the oracle errors)
     val per = counts.crossJoin(broadcast(tot))
-      .withColumn("share_a_e6",
-        floor(col("n_a") * lit(1000000.0) / col("t_a")).cast("long"))
-      .withColumn("share_b_e6",
-        floor(col("n_b") * lit(1000000.0) / col("t_b")).cast("long"))
+      .withColumn("share_a_e6", when(col("t_a") > 0,
+        floor(col("n_a") * lit(1000000.0) / col("t_a")).cast("long")).otherwise(0L))
+      .withColumn("share_b_e6", when(col("t_b") > 0,
+        floor(col("n_b") * lit(1000000.0) / col("t_b")).cast("long")).otherwise(0L))
       .withColumn("abs_delta_e6", abs(col("share_a_e6") - col("share_b_e6")))
       .select(col("bucket"), col("n_a"), col("n_b"),
         col("share_a_e6"), col("share_b_e6"), col("abs_delta_e6"))
@@ -113,10 +118,10 @@ object Quality {
        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b FROM c),
        |per AS (
        | SELECT bucket, n_a, n_b,
-       |  CAST(floor(n_a * 1000000.0 / t_a) AS BIGINT) AS share_a_e6,
-       |  CAST(floor(n_b * 1000000.0 / t_b) AS BIGINT) AS share_b_e6,
-       |  abs(CAST(floor(n_a * 1000000.0 / t_a) AS BIGINT)
-       |    - CAST(floor(n_b * 1000000.0 / t_b) AS BIGINT)) AS abs_delta_e6
+       |  CASE WHEN t_a > 0 THEN CAST(floor(n_a * 1000000.0 / t_a) AS BIGINT) ELSE 0 END AS share_a_e6,
+       |  CASE WHEN t_b > 0 THEN CAST(floor(n_b * 1000000.0 / t_b) AS BIGINT) ELSE 0 END AS share_b_e6,
+       |  abs(CASE WHEN t_a > 0 THEN CAST(floor(n_a * 1000000.0 / t_a) AS BIGINT) ELSE 0 END
+       |    - CASE WHEN t_b > 0 THEN CAST(floor(n_b * 1000000.0 / t_b) AS BIGINT) ELSE 0 END) AS abs_delta_e6
        | FROM c CROSS JOIN t)
        |SELECT * FROM (
        | SELECT * FROM per

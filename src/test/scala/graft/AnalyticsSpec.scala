@@ -54,7 +54,9 @@ class AnalyticsSpec extends AnyFunSuite {
         .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
       s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
     }
-    val worst = math.max(sample("0.99").length, sample("99.9").length)
+    // "9999" covers the %.0f arm: every rendered width is <= 4 chars for
+    // any median under 10000s, so these three samples bound the real line
+    val worst = Seq("0.99", "99.9", "9999").map(sample(_).length).max
     assert(worst < 2000 - 80,
       s"projected bench line $worst chars — trim decimals or shorten " +
         "names before the driver's 2000-char tail cuts the opening brace")

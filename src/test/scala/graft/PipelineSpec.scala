@@ -538,6 +538,17 @@ class PipelineSpec extends AnyFunSuite {
     val report = Quality.p14DriftCheck(spark, dir)
     assert(!Quality.driftGatePasses(report, maxL1E6 = 999999L))
     assert(Quality.driftGatePasses(report, maxL1E6 = 1000000L))
+    // dead feed: batch B empty -> shares 0, L1 maxes, the gate FIRES
+    // (0/0 must never silently become "no drift")
+    val dead = Files.createTempDirectory("graft_drift0").toString
+    Seq(o(1, 1996, "P1"), o(2, 1996, "P2"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dead/orders.parquet")
+    val deadReport = Quality.p14DriftCheck(spark, dead)
+    val tot = deadReport.collect().find(_.getAs[String]("bucket") == "~TOTAL").get
+    assert(tot.getAs[Long]("abs_delta_e6") == 1000000L,
+      "an empty cohort is maximal drift")
+    assert(!Quality.driftGatePasses(deadReport, maxL1E6 = 999999L))
   }
 
   test("p15: every fact survives the late-dim join; inferred members carry " +

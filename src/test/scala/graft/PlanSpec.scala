@@ -157,7 +157,7 @@ class PlanSpec extends AnyFunSuite {
     // of every stratum through a window rank
     val t15 = plan(graft.operators.TextAnalysis.t15StratifiedSample(spark, sf))
     assert(!t15.contains("RunningWindowFunction") &&
-      t15.contains("ObjectHashAggregate") || t15.contains("SortAggregate"),
+      (t15.contains("ObjectHashAggregate") || t15.contains("SortAggregate")),
       s"t15 should run as an aggregate, not a window rank:\n$t15")
   }
 
