@@ -118,6 +118,44 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got((2L, 200L)) == ((1L, Some(3.0), 3.0, 0L)))
   }
 
+  test("q27: negative decayed sums FLOOR like the oracle's // — never " +
+    "truncate toward zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decneg").toString
+    val dayNs = 86400L * 1000000000L
+    // one refund at age 1: value_e2 = floor(-0.01*100) = -1, weight 2^28,
+    // score_num = -2^28; floor(-2^28 / 2^29) = -1 (truncation would say 0)
+    Seq((1L, 1030L * dayNs, 7L, "view", 0.0, "{}"),
+      (2L, 1029L * dayNs, 7L, "refund", -0.01, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Behavior.q27DecayScore(spark, dir).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("score_num"), x.getAs[Long]("score_today_e2")))).toMap
+    val w28 = 1L << (Behavior.DecayDays - 2)
+    assert(r(7L) == ((-w28, -1L)),
+      s"floor(-2^28 / 2^29) must be -1, got ${r(7L)}")
+  }
+
+  test("q30: planted sessions yield the exact hand-built edge counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    def ev(id: Long, minute: Long, user: Long, typ: String) =
+      (id, minute * 60000000000L, user, typ, 1.0, "{}")
+    // u1 one session: view->click->view->~END; u2 one session: view->~END
+    Seq(ev(1, 1000, 1, "view"), ev(2, 1001, 1, "click"), ev(3, 1002, 1, "view"),
+      ev(4, 1000, 2, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Behavior.q30Transitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("share_e6")))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 333333L)),
+      ("view", Behavior.EndState) -> ((2L, 666666L)),
+      ("click", "view") -> ((1L, 1000000L))), s"got $got")
+  }
+
   test("q24: wau bounds dau, matches a brute-force recount, and every " +
     "observed day reports") {
     import org.apache.spark.sql.functions._
