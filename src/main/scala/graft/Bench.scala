@@ -79,20 +79,23 @@ object Bench {
     // a comma-decimal locale would emit malformed JSON
     def fmt(t: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-    // stdout medians carry 2 decimals under 1s and 1 decimal above: the
-    // metric line must fit the driver's 2000-char output tail, and at 80
-    // queries every value character counts. 100ms resolution on 1s+
-    // queries is far below this VM's documented noise (single shots move
-    // ±30%; the 3-decimal raw sweeps are in BENCH_SPREAD.json).
-    // AnalyticsSpec projects the worst-case line length from the live
-    // query set and fails BEFORE an overflow. Trailing zeros stripped
-    // ("0.40"->"0.4", "2.0"->"2"): valid JSON, same information.
-    // width-capped: 100s+ medians render whole seconds so no value ever
-    // exceeds 4 chars below 10000s — the guard's worst-case model relies
-    // on this bound
-    def fmt2(t: Double): String = {
+    // stdout medians carry 1 decimal under 10s and whole seconds above
+    // (capped at 999): the metric line must fit the driver's 2000-char
+    // output tail, and at 82 queries every value character counts — this
+    // rendering bounds EVERY value at 3 chars ("0.9"/"9.9"/"999"), which
+    // is what keeps the worst-case line under the window with room for
+    // future operators (the round-6 2-decimal form overflowed the
+    // projection at 82). 100ms resolution is far below this VM's
+    // documented noise (single shots move ±30%; the 3-decimal raw sweeps
+    // are in BENCH_SPREAD.json). AnalyticsSpec projects the worst-case
+    // line length from the live query set and fails BEFORE an overflow.
+    // Trailing zeros stripped ("0.4"->"0.4", "2.0"->"2"): valid JSON,
+    // same information. A median above 999s renders as 999 — by then the
+    // round is dead anyway and the spread file carries the real number.
+    def fmt2(t0: Double): String = {
+      val t = math.min(t0, 999.0)
       val s = String.format(java.util.Locale.ROOT,
-        if (t < 1) "%.2f" else if (t < 100) "%.1f" else "%.0f", Double.box(t))
+        if (t < 10) "%.1f" else "%.0f", Double.box(t))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AnalyticsExt, Behavior, Dedup, HeavyHitters, Multimodal, Similarity, TextAnalysis, TopK}
+import graft.operators.{Analytics, AnalyticsExt, Behavior, Dedup, HeavyHitters, Multimodal, Similarity, SkewJoin, TextAnalysis, TopK}
 import graft.pipeline.PipelineQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.all ++ AnalyticsExt.all ++ Behavior.all ++ PipelineQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++ TopK.all ++
-      Map("t14_heavy_hitters" -> (HeavyHitters.t14HeavyHitters _))
+      SkewJoin.all ++ Map("t14_heavy_hitters" -> (HeavyHitters.t14HeavyHitters _))
 
   /** What Bench times: [[queries]] with verification-shaped entries swapped
     * for their production twins. Today that is only q18 — the verified form
@@ -33,7 +33,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ AnalyticsExt.oracle ++ Behavior.oracle ++ PipelineQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++
-      Multimodal.oracle ++ Map("t14_heavy_hitters" -> HeavyHitters.t14Oracle)
+      Multimodal.oracle ++ SkewJoin.oracle ++
+      Map("t14_heavy_hitters" -> HeavyHitters.t14Oracle)
 
   /** Called by Verify after a query's result parquet lands. Operators whose
     * oracle SQL is built from run-derived state (s3's k-means centroids) key

@@ -84,6 +84,17 @@ object TextFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Thresholded edit distance: exact Levenshtein when
+    * `dist <= max(len_a, len_b) / den`, -1 otherwise — O(n·tau) banded DP,
+    * see [[BandedLevenshteinExpr]]. `editDistWithin(a, b, den) >= 0` is
+    * bit-equivalent to `den * levenshtein(a, b) <= greatest(length(a),
+    * length(b))` (asserted in DedupSimilaritySpec). */
+  def editDistWithin(a: Column, b: Column, den: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BandedLevenshteinExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), den))
+  }
+
   /** Chars remaining after stripping `stripPattern` — i.e. the count of
     * chars in the complementary class (DuckDB:
     * length(regexp_replace(x, pattern, '', 'g')) — note the 'g' flag,

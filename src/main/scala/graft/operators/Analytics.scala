@@ -180,10 +180,121 @@ object Analytics {
       .select(col(grp) +: col("n") +: out: _*)
   }
 
-  /** Exact interpolated percentiles per group (sort-based — see
-    * [[exactPercentiles]] for why not the `percentile()` aggregate). */
+  /** Exact interpolated percentiles per group WITHOUT a per-group total
+    * sort — the scale form of [[exactPercentiles]] for LOW-CARDINALITY
+    * groups (q10 partitions by `l_returnflag`: 3 keys, so the sort+rank
+    * window concentrates a third of the fact table in ONE task; at 100×
+    * that task is the job). This is a distributed order-statistic
+    * selection, the same range-partition/prefix-sum machinery as t12's
+    * sequence packing:
+    *
+    *  1. per-(group, column) stats: min/max/non-null count in ONE
+    *     map-side-partial agg (the two-pass broadcast-stats pattern) —
+    *     from `ne` each spec's target ranks `floor(pos)+1` / `ceil(pos)+1`
+    *     are known exactly;
+    *  2. each value maps to one of `buckets` equal-width ranges of
+    *     [min, max] — a per-row expression, no sort — and per-(group,
+    *     column, bucket) counts (≤ groups × cols × buckets rows) turn
+    *     into cumulative bases with a window over that TINY frame;
+    *  3. a target rank lands in exactly one bucket (`cum_base < rank <=
+    *     cum_base + cnt`); only rows of TARGET buckets (~1/buckets of
+    *     each group) are re-scanned, and `row_number` sorts within
+    *     (group, column, bucket) — max task ~ |group|/buckets instead of
+    *     |group|;
+    *  4. the picked rank values interpolate with the builtin's exact IEEE
+    *     sequence (same expression as [[exactPercentiles]], values cast
+    *     to double once at scan — the same cast the old plan's
+    *     decimal×double arithmetic performed implicitly).
+    *
+    * A constant-valued group (min == max) short-circuits to that value
+    * before any bucket work, so the degenerate all-one-bucket sort never
+    * runs. Cost: 3 column-pruned scans + small-frame shuffles, vs one
+    * full-data sort shuffle whose parallelism is the group count.
+    * Heavily duplicated single values still concentrate their bucket
+    * (bounded by the duplicate count; a recursive refinement pass is the
+    * general fix and is not needed for the shipped corpus).
+    * `AnalyticsExtSpec`/`PropertySpec` pin bit-parity with
+    * [[exactPercentiles]] and the builtin `percentile()`. */
+  private[graft] def exactPercentilesDistributed(
+      df: DataFrame, grp: String, specs: Seq[(String, Double, String)],
+      buckets: Int = 32): DataFrame = {
+    val valueCols = specs.map(_._1).distinct
+    // melt to (grp, tag, v): one narrow frame serves every value column
+    val melted = df.select(col(grp), explode(array(valueCols.map(v =>
+        struct(lit(v).as("tag"), col(v).cast("double").as("v"))): _*)).as("tv"))
+      .select(col(grp), col("tv.tag").as("tag"), col("tv.v").as("v"))
+    val stats = melted.groupBy(col(grp), col("tag")).agg(
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(col("v")).as("ne"), count(lit(1)).as("nrows"))
+      .localCheckpoint(true) // groups×cols rows; consumed by 4 plans below
+    // per-spec target ranks (1-based ascending among non-nulls)
+    val specLits = array(specs.map { case (v, p, a) =>
+      struct(lit(v).as("stag"), lit(p).as("p"), lit(a).as("alias"))
+    }: _*)
+    val tspec = stats.withColumn("sp", explode(specLits))
+      .filter(col("sp.stag") === col("tag") && col("ne") > 0)
+      .select(col(grp), col("tag"), col("ne"), col("mn"), col("mx"),
+        col("sp.p").as("p"), col("sp.alias").as("alias"))
+      .withColumn("pos", col("p") * (col("ne") - lit(1L)))
+      .withColumn("rank_lo", (floor(col("pos")) + 1).cast("long"))
+      .withColumn("rank_hi", (ceil(col("pos")) + 1).cast("long"))
+    val ranks = tspec.filter(col("mn") =!= col("mx")) // constant groups short-circuit
+      .select(col(grp), col("tag"),
+        explode(array_distinct(array(col("rank_lo"), col("rank_hi")))).as("rank"))
+      .distinct()
+    // equal-width range bucket — the SAME expression at both consumers
+    val bucketed = melted.filter(col("v").isNotNull)
+      .join(broadcast(stats.select(col(grp), col("tag"), col("mn"), col("mx"))),
+        Seq(grp, "tag"))
+      .filter(col("mn") =!= col("mx"))
+      .withColumn("bucket", least(lit(buckets - 1),
+        floor((col("v") - col("mn")) * buckets / (col("mx") - col("mn"))).cast("int")))
+    val cum = bucketed.groupBy(col(grp), col("tag"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("cum_base", coalesce(
+        sum(col("bc")).over(Window.partitionBy(col(grp), col("tag"))
+          .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val bucketRanks = ranks.join(cum, Seq(grp, "tag"))
+      .filter(col("rank") > col("cum_base") && col("rank") <= col("cum_base") + col("bc"))
+      .select(col(grp), col("tag"), col("bucket"), col("rank"),
+        (col("rank") - col("cum_base")).as("local_rank"))
+      .localCheckpoint(true) // ≤ 2·specs·groups rows; joined twice below
+    val wB = Window.partitionBy(col(grp), col("tag"), col("bucket")).orderBy(col("v"))
+    val picked = bucketed
+      .join(broadcast(bucketRanks.select(col(grp), col("tag"), col("bucket")).distinct()),
+        Seq(grp, "tag", "bucket"))
+      .withColumn("rn", row_number().over(wB))
+      .join(broadcast(bucketRanks),
+        Seq(grp, "tag", "bucket")) // + rank filter next line (post-join)
+      .filter(col("rn") === col("local_rank"))
+      .select(col(grp), col("tag"), col("rank"), col("v").as("rv"))
+    val lo = picked.select(col(grp), col("tag"), col("rank").as("rank_lo"), col("rv").as("lo"))
+    val hi = picked.select(col(grp), col("tag"), col("rank").as("rank_hi"), col("rv").as("hi"))
+    val perSpec = tspec
+      .join(lo, Seq(grp, "tag", "rank_lo"), "left")
+      .join(hi, Seq(grp, "tag", "rank_hi"), "left")
+      .withColumn("value",
+        when(col("mn") === col("mx"), col("mn"))
+          .when(floor(col("pos")) === ceil(col("pos")), col("lo"))
+          .otherwise((ceil(col("pos")) - col("pos")) * col("lo")
+            + (col("pos") - floor(col("pos"))) * col("hi")))
+    val pivots = specs.map { case (_, _, a) =>
+      min(when(col("alias") === a, col("value"))).as(a)
+    }
+    val wide = perSpec.groupBy(col(grp)).agg(pivots.head, pivots.tail: _*)
+    // all-null groups dropped by tspec's ne>0 re-enter with null values
+    stats.groupBy(col(grp)).agg(max(col("nrows")).as("n"))
+      .join(wide, Seq(grp), "left")
+      .select(col(grp) +: col("n") +: specs.map { case (_, _, a) => col(a) }: _*)
+  }
+
+  /** Exact interpolated percentiles per group (distributed selection — see
+    * [[exactPercentilesDistributed]]; the sort-based [[exactPercentiles]]
+    * survives as the spec's parity baseline and for high-cardinality
+    * groupings like q28's, where per-group sorts already parallelize). */
   def q10Percentiles(spark: SparkSession, dir: String): DataFrame =
-    exactPercentiles(t(spark, dir, "lineitem"), "l_returnflag", Seq(
+    exactPercentilesDistributed(t(spark, dir, "lineitem"), "l_returnflag", Seq(
       ("l_extendedprice", 0.5, "p50_price_raw"),
       ("l_extendedprice", 0.95, "p95_price_raw"),
       ("l_quantity", 0.5, "p50_qty_raw")))

@@ -286,11 +286,14 @@ object Behavior {
   def q30Transitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts_us"), col("event_id"))
+    // |types|²-row frame consumed twice (directly + via outTotals):
+    // checkpoint so the sessionization scan+window+groupBy runs once.
     val edges = Analytics.sessionizedEvents(spark, dir)
       .withColumn("to_type",
         coalesce(lead(col("event_type"), 1).over(w), lit(EndState)))
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val outTotals = edges.groupBy(col("from_type")).agg(sum(col("n")).as("n_out"))
     edges.join(broadcast(outTotals), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),

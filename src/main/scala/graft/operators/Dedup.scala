@@ -280,10 +280,13 @@ object Dedup {
     * band bucket), and the O(n·m) Levenshtein confirm runs only on those
     * pairs, on NORMALIZED text. The verdict is integer arithmetic
     * (`EditDen·dist ≤ max_len`), and the reported similarity a floor-e6
-    * ratio — both engines agree bit-for-bit. At 100 TB the confirm is the
-    * thresholded-Levenshtein variant (O(n·τ) banded DP); the shape —
-    * banded candidates, bounded confirm — is what scales, and the spec
-    * pins the no-cartesian plan. */
+    * ratio — both engines agree bit-for-bit. The confirm itself is the
+    * thresholded O(n·τ) banded DP ([[graft.functions.BandedLevenshteinExpr]],
+    * τ = max_len/[[EditDen]]) rather than the built-in's full O(n·m)
+    * matrix — per-candidate work linear in document length, the form that
+    * holds at 100 TB document sizes; `editDistWithin >= 0` is
+    * bit-equivalent to the full-DP `EditDen·levenshtein ≤ max_len`
+    * predicate (spec-pinned), and surviving distances are exact. */
   def d10DedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val arrays = shingleArrays(spark, dir).localCheckpoint(true)
     val cand = minhashCandidates(arrays)
@@ -291,10 +294,10 @@ object Dedup {
     cand
       .join(norm.select(col("doc_id").as("d1"), col("nt").as("nt1")), Seq("d1"))
       .join(norm.select(col("doc_id").as("d2"), col("nt").as("nt2")), Seq("d2"))
-      .withColumn("edit_dist", levenshtein(col("nt1"), col("nt2")).cast("long"))
+      .withColumn("edit_dist", editDistWithin(col("nt1"), col("nt2"), EditDen))
       .withColumn("max_len",
         greatest(length(col("nt1")), length(col("nt2"))).cast("long"))
-      .filter(col("edit_dist") * lit(EditDen) <= col("max_len"))
+      .filter(col("edit_dist") >= 0)
       .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
         col("edit_dist"), col("max_len"),
         when(col("max_len") === 0, lit(1000000L)).otherwise(

@@ -77,8 +77,12 @@ object Scd2 {
     *  - `pit_version` = running count of state rows at-or-before the
     *    current row (state versions number 1..n in (ts, event_id) order,
     *    so the count IS the latest version number);
-    *  - `pit_state`/`pit_value` = `last(when(state, attr), ignoreNulls)`
-    *    — the latest state row's attributes carried onto every row.
+    *  - `pit_state`/`pit_value` = `last(when(state, struct(attrs)),
+    *    ignoreNulls)` — the latest state row's attributes carried onto
+    *    every row. The carry is a STRUCT keyed on the state row itself
+    *    (non-null for every state row even when an attribute inside is
+    *    null), so a NULL-valued version is carried faithfully instead of
+    *    `ignoreNulls` skipping past it to an older version's value.
     *
     * State rows order before facts at the same instant (from-inclusive
     * `[from, to)` semantics), and a zero-width version (two changes at
@@ -99,8 +103,11 @@ object Scd2 {
         round(col("value"), 2).as("value"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("pit_version",
         when(sum(isState.cast("long")).over(w) > 0, sum(isState.cast("long")).over(w)))
-      .withColumn("pit_state", last(when(isState, col("event_type")), ignoreNulls = true).over(w))
-      .withColumn("pit_value", last(when(isState, col("value")), ignoreNulls = true).over(w))
+      .withColumn("pit_carry", last(
+        when(isState, struct(col("event_type").as("st"), col("value").as("v"))),
+        ignoreNulls = true).over(w))
+      .withColumn("pit_state", col("pit_carry.st"))
+      .withColumn("pit_value", col("pit_carry.v"))
       .filter(col("event_type") === PitFactType)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("value").as("amount"), col("pit_version"), col("pit_state"), col("pit_value"))

@@ -50,7 +50,10 @@ object Sinks {
     spark.read.option("mergeSchema", "true").parquet(dir)
 
   /** Z-ordered write: range-partition on the Morton key, sort each file
-    * by it, land exactly `nFiles` files — the WRITE path of the p12
+    * by it, land AT MOST `nFiles` files (range sampling can merge splits
+    * when distinct zkey values — or the sampler's chosen bounds — are
+    * fewer than `nFiles`; the shipped corpus lands exactly `nFiles`, and
+    * `SourcesSpec` pins that corpus-level count) — the WRITE path of the p12
     * layout audit. Because files cover disjoint contiguous zkey ranges,
     * file-level parquet min/max stats are tight in BOTH interleaved
     * dimensions, so a predicate on EITHER column skips most files (the

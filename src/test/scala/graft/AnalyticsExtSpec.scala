@@ -106,13 +106,21 @@ class AnalyticsExtSpec extends AnyFunSuite {
         val v = if (rnd.nextInt(10) == 0) None
                 else Some((rnd.nextInt(50) * 25).toDouble / 100.0)
         (g, v)
-      } ++ Seq(("solo", Some(7.25)), ("voidg", None), ("voidg", None))
+      } ++ Seq(("solo", Some(7.25)), ("voidg", None), ("voidg", None)) ++
+        Seq.fill(4)(("const", Some(5.0))) // n>1 constant: mn==mx short-circuit
     val df = rows.toDF("grp", "v")
-    val got = graft.operators.Analytics.exactPercentiles(df, "grp",
-        Seq(("v", 0.5, "p50"), ("v", 0.95, "p95"))).collect()
+    // both forms: the sorted-window baseline and q10's distributed
+    // selection (small bucket count + heavy duplicates stress multi-rank
+    // buckets and the constant-group short-circuit)
+    def run(f: => org.apache.spark.sql.DataFrame) = f.collect()
       .map(r => r.getAs[String]("grp") ->
         ((Option(r.getAs[java.lang.Double]("p50")).map(_.toDouble),
           Option(r.getAs[java.lang.Double]("p95")).map(_.toDouble)))).toMap
+    val specsPct = Seq(("v", 0.5, "p50"), ("v", 0.95, "p95"))
+    val got = run(graft.operators.Analytics.exactPercentiles(df, "grp", specsPct))
+    val gotDist = run(graft.operators.Analytics
+      .exactPercentilesDistributed(df, "grp", specsPct, buckets = 3))
+    assert(gotDist == got, "distributed selection must equal the sorted form")
     def brute(xs: Seq[Double], p: Double): Option[Double] =
       if (xs.isEmpty) None
       else {
@@ -197,5 +205,33 @@ class AnalyticsExtSpec extends AnyFunSuite {
       assert(vmin >= lo - 1 && vmax <= hi + 1,
         s"bin ${r.getAs[Long]("bin_idx")}: [$vmin,$vmax] outside [$lo,$hi]")
     }
+  }
+
+  test("q31: salted join result == plain unsalted join; the planted hot " +
+    "key genuinely carries ~30% of orders") {
+    import org.apache.spark.sql.functions._
+    def hot(c: org.apache.spark.sql.Column) =
+      when(pmod(c, lit(10)) < 3, lit(0L)).otherwise(c.cast("long"))
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        hot(col("o_custkey")).as("seg_key"))
+    val dim = Tables.load(spark, sf, "customer")
+      .select(hot(col("c_custkey")).as("seg_key"))
+      .groupBy(col("seg_key")).agg(count(lit(1)).as("n_seg_customers"))
+    val plain = orders.join(dim, Seq("seg_key"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("seg_key") === 0L, 1L).otherwise(0L)).as("n_hot_orders"),
+        sum(col("n_seg_customers")).as("sum_seg_customers"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val salted = graft.operators.SkewJoin.q31SkewJoin(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Long]("n_hot_orders"),
+          r.getAs[Long]("sum_seg_customers")))).toMap
+    assert(salted == plain, "salting must not change the join result")
+    val (tot, hotN) = (salted.values.map(_._1).sum, salted.values.map(_._2).sum)
+    assert(hotN * 10 >= tot * 2 && hotN * 10 <= tot * 4,
+      s"hot key carries $hotN/$tot — expected ~30%")
   }
 }

@@ -45,18 +45,18 @@ class AnalyticsSpec extends AnyFunSuite {
     // envelope. Fails BEFORE an operator addition silently overflows the
     // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
     // render the actual line shape with worst-case values under Bench's
-    // ADAPTIVE rendering (%.2f + zero-strip under 1s -> "0.99" is the
-    // widest; %.1f above -> "99.9", same width), and the basename sf tag
-    // the line actually carries. Budget: 2000-char tail minus ~80 chars
-    // for the sbt "[success] Total time..." line that lands after ours.
+    // ADAPTIVE rendering (%.1f + zero-strip under 10s -> "0.9"/"9.9";
+    // %.0f capped at 999 above -> "999": every value is <= 3 chars), and
+    // the basename sf tag the line actually carries. Budget: 2000-char
+    // tail minus ~80 chars for the sbt "[success] Total time..." line
+    // that lands after ours.
     def sample(worst: String) = {
       val qs = SparkEntry.benchQueries.keySet.toSeq
         .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
       s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
     }
-    // "9999" covers the %.0f arm: every rendered width is <= 4 chars for
-    // any median under 10000s, so these three samples bound the real line
-    val worst = Seq("0.99", "99.9", "9999").map(sample(_).length).max
+    // the three samples cover each fmt2 arm at its widest
+    val worst = Seq("0.9", "9.9", "999").map(sample(_).length).max
     assert(worst < 2000 - 80,
       s"projected bench line $worst chars — trim decimals or shorten " +
         "names before the driver's 2000-char tail cuts the opening brace")

@@ -92,6 +92,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("d10: banded Levenshtein == built-in full-DP on planted edges and " +
+    "on every corpus candidate pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.editDistWithin
+    val den = Dedup.EditDen
+    // edge cases: equal, empty/empty, empty/short, length-gap prune,
+    // exactly-at-threshold, just-over-threshold, unicode, transposition
+    val pairs = Seq(
+      ("", ""), ("", "ab"), ("abc", "abc"),
+      ("aaaaaaaaaa", "aaaaaaaaab"),            // dist 1, max 10, tau 2: pass
+      ("aaaaaaaaaa", "aaaaaaaabb"),            // dist 2 == tau: boundary pass
+      ("aaaaaaaaaa", "aaaaaaabbb"),            // dist 3 > tau 2: refute
+      ("abcdefghij", "abcdefghijklmno"),       // gap 5 > tau 3: length prune
+      ("café au lait", "cafe au lait"),        // unicode codepoint unit
+      ("abcdefghij", "bacdefghij"),            // transposition = 2 subs
+      ("kitten", "sitting"), ("flaw", "lawn"),
+      ("x" * 400 + "y" * 10, "x" * 400 + "z" * 10))
+    val df = pairs.toDF("a", "b")
+      .withColumn("banded", editDistWithin(col("a"), col("b"), den))
+      .withColumn("full", levenshtein(col("a"), col("b")).cast("long"))
+      .withColumn("max_len", greatest(length(col("a")), length(col("b"))).cast("long"))
+    df.collect().foreach { r =>
+      val (banded, full, maxLen) =
+        (r.getAs[Long]("banded"), r.getAs[Long]("full"), r.getAs[Long]("max_len"))
+      val within = full * den <= maxLen
+      if (within) assert(banded == full,
+        s"banded must equal full-DP when within: $r")
+      else assert(banded == -1L, s"banded must refute when over: $r")
+    }
+    // corpus: the banded verdict reproduces the full-DP verdict on every
+    // MinHash candidate pair (the exact rows d10 confirms)
+    val norm = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.normText(col("text")).as("nt"))
+    val cand = Dedup.d10DedupFuzzy(spark, sf)
+      .select(col("doc_id_1"), col("doc_id_2"), col("edit_dist"))
+    val recheck = cand
+      .join(norm.select(col("doc_id").as("doc_id_1"), col("nt").as("nt1")), Seq("doc_id_1"))
+      .join(norm.select(col("doc_id").as("doc_id_2"), col("nt").as("nt2")), Seq("doc_id_2"))
+      .withColumn("full", levenshtein(col("nt1"), col("nt2")).cast("long"))
+    assert(recheck.filter(col("edit_dist") =!= col("full")).count() == 0,
+      "surviving distances must be the exact edit distance")
+  }
+
   test("d4: simhash chunks are 16-bit and near counts consistent") {
     val r = Dedup.d4DedupSimhash(spark, sf).cache()
     assert(r.filter("c0 < 0 OR c0 > 65535 OR c1 < 0 OR c1 > 65535 OR " +

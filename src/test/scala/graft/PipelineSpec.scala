@@ -510,6 +510,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(corpus.filter(col("pit_version").isNull).limit(1).count() == 1)
   }
 
+  test("p13: a NULL-valued state version is carried faithfully, not " +
+    "skipped past to an older version's value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_pit_null").toString
+    def us(s: Long): Long = s * 1000000L
+    // v1 at t=100s has value 1.0; v2 at t=200s has value NULL. A fact in
+    // v2's window must see pit_value NULL — the naive
+    // last(when(state, value), ignoreNulls) carry would resurrect v1's 1.0.
+    Seq(
+      (1L, us(100), 1L, "signup", Some(1.0)),
+      (2L, us(200), 1L, "view", None),
+      (10L, us(150), 1L, "purchase", Some(10.0)),
+      (11L, us(250), 1L, "purchase", Some(11.0)))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select(col("event_id"), (col("ts_us") * 1000L).as("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Scd2.p13PitJoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("pit_version")).map(_.toLong),
+          Option(r.getAs[String]("pit_state")),
+          Option(r.getAs[java.lang.Double]("pit_value")).map(_.toDouble)))).toMap
+    assert(got(10L) == ((Some(1L), Some("signup"), Some(1.0))))
+    assert(got(11L) == ((Some(2L), Some("view"), None)),
+      "the NULL-valued v2 must be carried as NULL, not v1's value")
+  }
+
   test("p14: drift shares and the L1 total match hand arithmetic, " +
     "including a bucket that vanishes in batch B") {
     import spark.implicits._

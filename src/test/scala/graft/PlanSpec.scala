@@ -229,11 +229,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), s"sort-based aggregate crept in:\n$p")
   }
 
-  test("q10: exact percentiles run sort-based (window rank), not the " +
-    "map-state percentile() aggregate") {
+  test("q10: exact percentiles run as distributed selection — no " +
+    "map-state percentile() aggregate, and no fact-sized sort/window " +
+    "partitioned on the bare 3-key group column") {
     val p = plan(Analytics.q10Percentiles(spark, sf))
-    assert(p.contains("Window"), s"no window rank in:\n$p")
     assert(!p.contains("percentile("), s"map-state percentile aggregate in:\n$p")
+    // every sorted window over row data must include the range bucket in
+    // its partition spec — a window keyed on l_returnflag alone would
+    // concentrate a third of the fact table in one task
+    val rowNumbers = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p.toLowerCase).map(_.group(1)).toList
+    assert(rowNumbers.nonEmpty, s"expected the in-bucket rank window in:\n$p")
+    rowNumbers.foreach { spec =>
+      assert(spec.contains("bucket"),
+        s"rank window not bucket-partitioned ($spec) in:\n$p")
+    }
+  }
+
+  test("q31: the salted join spreads the hot key — the physical join " +
+    "carries the salt in its keys, and nothing degrades to a cartesian") {
+    val p = plan(graft.operators.SkewJoin.q31SkewJoin(spark, sf))
+    assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected the shuffled-join regime (broadcast would make the " +
+        s"skew demo vacuous) in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in:\n$p")
   }
 
   test("fused hashedShingles3 is bit-identical to array_distinct + md5Long60") {

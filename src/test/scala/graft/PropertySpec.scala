@@ -96,10 +96,16 @@ class PropertySpec extends AnyFunSuite {
       } ++ Seq(("g_single", Double.box(42.17), Double.box(1.0)),
         ("g_allnull", null, null))
     val df = rows.toDF("g", "v", "w")
+    val theSpecs = Seq(
+      ("v", 0.5, "p50"), ("v", 0.95, "p95"), ("v", 0.25, "p25"),
+      ("w", 0.5, "w50"))
     val mine = graft.operators.Analytics
-      .exactPercentiles(df, "g", Seq(
-        ("v", 0.5, "p50"), ("v", 0.95, "p95"), ("v", 0.25, "p25"),
-        ("w", 0.5, "w50")))
+      .exactPercentiles(df, "g", theSpecs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the distributed selection (q10's plan) must be bit-identical too —
+    // including a tiny bucket count that forces multi-target buckets
+    val dist = graft.operators.Analytics
+      .exactPercentilesDistributed(df, "g", theSpecs, buckets = 4)
       .collect().map(r => r.getString(0) -> r).toMap
     val builtin = df.groupBy(col("g")).agg(
       expr("percentile(v, 0.5)").as("p50"),
@@ -109,16 +115,18 @@ class PropertySpec extends AnyFunSuite {
       count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r).toMap
     assert(mine.keySet == builtin.keySet)
+    assert(dist.keySet == builtin.keySet)
     builtin.foreach { case (g, b) =>
-      val m = mine(g)
-      for (c <- Seq("p50", "p95", "p25", "w50")) {
-        assert(m.isNullAt(m.fieldIndex(c)) == b.isNullAt(b.fieldIndex(c)),
-          s"$g.$c: null-ness differs from builtin")
-        if (!b.isNullAt(b.fieldIndex(c)))
-          assert(m.getAs[Double](c) == b.getAs[Double](c),
-            s"$g.$c: ${m.getAs[Double](c)} != ${b.getAs[Double](c)} (not bit-identical)")
+      for ((label, m) <- Seq("sorted" -> mine(g), "distributed" -> dist(g))) {
+        for (c <- Seq("p50", "p95", "p25", "w50")) {
+          assert(m.isNullAt(m.fieldIndex(c)) == b.isNullAt(b.fieldIndex(c)),
+            s"$g.$c ($label): null-ness differs from builtin")
+          if (!b.isNullAt(b.fieldIndex(c)))
+            assert(m.getAs[Double](c) == b.getAs[Double](c),
+              s"$g.$c ($label): ${m.getAs[Double](c)} != ${b.getAs[Double](c)} (not bit-identical)")
+        }
+        assert(m.getAs[Long]("n") == b.getAs[Long]("n"))
       }
-      assert(m.getAs[Long]("n") == b.getAs[Long]("n"))
     }
   }
 
