@@ -325,28 +325,28 @@ object AnalyticsExt {
     * as the INTEGER `med_cents_x2 = lo+hi`; deviations are integers in
     * half-cents; MAD likewise publishes `mad_hcents_x2`. The outlier test
     * `2·ad > MadK·mad_x2` and the share/z ratios are pure integer (or
-    * integer-derived IEEE) arithmetic. Shape: two exact medians via the
-    * DISTRIBUTED selection ([[Analytics.exactPercentilesDistributed]] —
-    * `o_orderpriority` is a 5-key group, so the sorted-window form would
-    * put a fifth of the fact table in one task, the same concentration
-    * q10 shed; the documented sketch path at 100 TB remains q18's
-    * approx_percentile), with the group-sized stats rows broadcast back
-    * onto the fact scan. The selection's extra pruned scans are linear;
-    * the single-task sort it replaces is not. */
+    * integer-derived IEEE) arithmetic. Shape: two sort-based exact
+    * medians (the q10-era window machinery), each a single window per
+    * group, with the group-sized stats rows broadcast back onto the fact
+    * scan. MEASURED trade (round 7): switching both medians to
+    * [[Analytics.exactPercentilesDistributed]] (q10's plan) cost 2.4×
+    * at bench scale — the selection's extra scans buy nothing while a
+    * 5-key split of ORDERS still fits one executor's sort comfortably.
+    * The distributed form is the documented escape hatch when a group's
+    * slice outgrows a task (q10's lineitem case); the sketch path at
+    * 100 TB remains q18's approx_percentile. */
   def q28AnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "orders")
       .select(col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * lit(100)).cast("long").as("x_c"))
     // median of cents, exactly: p50 interpolation of integers is (lo+hi)/2,
     // dyadic-exact, so doubling it recovers the integer lo+hi
-    val med = Analytics.exactPercentilesDistributed(
-        base, "prio", Seq(("x_c", 0.5, "med_raw")))
+    val med = Analytics.exactPercentiles(base, "prio", Seq(("x_c", 0.5, "med_raw")))
       .select(col("prio"), col("n"),
         (col("med_raw") * 2).cast("long").as("med_x2"))
-      .localCheckpoint(true) // 5 rows; dev below is consumed by 4 plans
     val dev = base.join(broadcast(med), Seq("prio"))
       .withColumn("ad", abs(col("x_c") * 2 - col("med_x2"))) // half-cents
-    val mad = Analytics.exactPercentilesDistributed(
+    val mad = Analytics.exactPercentiles(
         dev.select(col("prio"), col("ad")), "prio", Seq(("ad", 0.5, "mad_raw")))
       .select(col("prio"), (col("mad_raw") * 2).cast("long").as("mad_x2"))
     dev.join(broadcast(mad), Seq("prio"))
