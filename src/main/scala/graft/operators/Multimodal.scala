@@ -315,15 +315,70 @@ object Multimodal {
        | CAST(list_max(pix) AS BIGINT) AS pix_max
        |FROM p ORDER BY doc_id, tile_y, tile_x""".stripMargin
 
+  /** `m5_payload_dedup`: binary-payload storage-dedup audit per modality —
+    * the multimodal face of exact dedup: identical media BYTES (re-crawled
+    * images, re-encoded copies landing bit-identical) found by content
+    * hash of the payload column itself, never by any text field, plus the
+    * per-modality accounting a storage layer acts on (dup items, largest
+    * copy group, reclaimable bytes). d1 answers "same text"; this answers
+    * "same bytes" — different normalization, different column, different
+    * consumer (blob store GC / CAS layout vs corpus curation).
+    *
+    * Shape: one narrow pass over the payload (hash + length leave the
+    * scan, bytes never shuffle), a group on (modality, digest) — the CAS
+    * key — then a modality-grained rollup. Linear, two map-side-partial
+    * aggregations, no skew (digests are uniform). The hex rendering of
+    * the payload is the digest here because the oracle must replay it
+    * engine-side; a production run swaps in `md5(content)` or xxhash and
+    * nothing else changes. */
+  def m5PayloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    val groups = mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        lower(hex(col("content"))).as("hx"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .groupBy(col("media_type"), col("hx"))
+      .agg(count(lit(1)).as("n_copies"), max(col("n_bytes")).as("n_bytes"))
+    groups.groupBy(col("media_type"))
+      .agg(
+        sum(col("n_copies")).as("n_items"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies") - 1).as("n_dup_items"),
+        max(col("n_copies")).as("max_copies"),
+        sum(col("n_copies") * col("n_bytes")).as("bytes_total"),
+        sum((col("n_copies") - 1) * col("n_bytes")).as("bytes_reclaimable"))
+      .orderBy(col("media_type"))
+  }
+
+  private val m5Oracle: String =
+    """WITH m AS (
+      | SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  repeat(md5(text), 4) AS hx
+      | FROM documents),
+      |g AS (
+      | SELECT media_type, hx, CAST(count(*) AS BIGINT) AS n_copies,
+      |  CAST(length(hx) / 2 AS BIGINT) AS n_bytes
+      | FROM m GROUP BY 1, 2)
+      |SELECT media_type,
+      | CAST(sum(n_copies) AS BIGINT) AS n_items,
+      | CAST(count(*) AS BIGINT) AS n_unique,
+      | CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_items,
+      | CAST(max(n_copies) AS BIGINT) AS max_copies,
+      | CAST(sum(n_copies * n_bytes) AS BIGINT) AS bytes_total,
+      | CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m4_image_tiles" -> m4Oracle,
     "m1_multimodal_meta" -> m1Oracle,
     "m2_frame_sample" -> m2Oracle,
-    "m3_audio_windows" -> m3Oracle)
+    "m3_audio_windows" -> m3Oracle,
+    "m5_payload_dedup" -> m5Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_audio_windows" -> (m3AudioWindows _),
-    "m4_image_tiles" -> (m4ImageTiles _))
+    "m4_image_tiles" -> (m4ImageTiles _),
+    "m5_payload_dedup" -> (m5PayloadDedup _))
 }

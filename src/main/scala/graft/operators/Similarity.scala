@@ -128,6 +128,141 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  val MmrCandN = 12 // s9: relevance candidates per probe fed to MMR
+  val MmrK = 5 // s9: diversified picks per probe
+  // s9: lambda = 0.7 as the exact rational 7/10 — the MMR score is kept
+  // as the INTEGER 10x form, 7*rel_e6 - 3*max_sim_e6, so pick order can
+  // never flip on a cross-engine ulp
+  val MmrLambdaNum = 7
+  val MmrDivNum = 3
+
+  /** `s9_mmr_rerank`: maximal-marginal-relevance re-ranking — the
+    * diversification pass a retrieval/curation pipeline runs AFTER ANN:
+    * from each probe's top-[[MmrCandN]] relevance candidates, greedily
+    * pick [[MmrK]] items maximizing `λ·rel − (1−λ)·max_sim_to_picked` —
+    * relevant results that are not near-duplicates of each other (the
+    * "10 copies of the same passage" failure of plain top-k, which is
+    * exactly what an embedding-deduped training batch or a RAG context
+    * window must avoid).
+    *
+    * Shape: the candidate stage IS s1's scan-once/rank-locally plan
+    * (probe-grained output, checkpointed — candidate and pair frames are
+    * `probes × N` and `probes × N²`, model-sized); the greedy selection
+    * unrolls into [[MmrK]] dataframe steps of window-argmax + anti-join
+    * over those tiny frames — sequential in K (inherent to MMR), each
+    * step probe-parallel, nothing fact-sized after the scan. Scores are
+    * floor-e6 integers in the 10x form, ties break on neighbor id, so
+    * the pick sequence is bit-deterministic in any engine; the oracle
+    * replays the same K steps as unrolled SQL CTEs. First pick carries
+    * `max_sim_e6 = 0` (no diversity term yet). */
+  def s9MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val relCos = cosineFast(col("pe"), col("embedding"))
+    val wRel = Window.partitionBy(col("probe_id")).orderBy(relCos.desc, col("vec_id"))
+    val cand = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(wRel))
+      .filter(col("rank") <= MmrCandN)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        floor(relCos * lit(1000000.0)).cast("long").as("rel_e6"))
+      .localCheckpoint(true) // probes × MmrCandN rows; consumed K+1 times
+    // pairwise candidate sims (probes × N² rows), both directions
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val pairs = cand.select(col("probe_id"), col("neighbor_id").as("id_a"))
+      .join(cand.select(col("probe_id"), col("neighbor_id").as("id_b")), Seq("probe_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      // the small side here is the candidate pair list, not the corpus:
+      // no broadcast hint, so the optimizer broadcasts the pairs and the
+      // embeddings table is scanned, never replicated
+      .join(ev.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(ev.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+      .select(col("probe_id"), col("id_a"), col("id_b"),
+        floor(cosineFast(col("ea"), col("eb")) * lit(1000000.0)).cast("long").as("sim_e6"))
+      .localCheckpoint(true) // consumed K-1 times
+    val wPick = Window.partitionBy(col("probe_id"))
+      .orderBy(col("mmr10_e6").desc, col("neighbor_id"))
+    val first = cand
+      .withColumn("max_sim_e6", lit(0L))
+      .withColumn("mmr10_e6", col("rel_e6") * MmrLambdaNum)
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("neighbor_id"), col("rel_e6"),
+        col("max_sim_e6"), col("mmr10_e6"), lit(1L).as("pick_rank"))
+    val selected = (2 to MmrK).foldLeft(first) { (sel, k) =>
+      val rem = cand.join(sel.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_anti")
+      val pick = rem
+        .join(pairs.select(col("probe_id"), col("id_a").as("neighbor_id"), col("id_b"), col("sim_e6")),
+          Seq("probe_id", "neighbor_id"))
+        .join(sel.select(col("probe_id"), col("neighbor_id").as("id_b")), Seq("probe_id", "id_b"))
+        .groupBy(col("probe_id"), col("neighbor_id"), col("rel_e6"))
+        .agg(max(col("sim_e6")).as("max_sim_e6"))
+        .withColumn("mmr10_e6",
+          col("rel_e6") * MmrLambdaNum - col("max_sim_e6") * MmrDivNum)
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("probe_id"), col("neighbor_id"), col("rel_e6"),
+          col("max_sim_e6"), col("mmr10_e6"), lit(k.toLong).as("pick_rank"))
+      sel.unionByName(pick)
+    }
+    selected.orderBy(col("probe_id"), col("pick_rank"))
+  }
+
+  /** s9 oracle: the same greedy unroll as SQL CTEs — candidates via s1's
+    * brute ranking widened to [[MmrCandN]], integer MMR algebra, same
+    * tie-breaks. Generated by the same loop bounds as the Spark fold. */
+  private lazy val s9OracleSql: String = {
+    val candCte =
+      s"""cand AS (
+         | SELECT probe_id, neighbor_id, rel_e6 FROM (
+         |  SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+         |   CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS rel_e6,
+         |   row_number() OVER (PARTITION BY p.vec_id
+         |     ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+         |  FROM embeddings p JOIN embeddings x ON x.vec_id != p.vec_id
+         |  WHERE p.vec_id < $NumProbes)
+         | WHERE rank <= $MmrCandN)""".stripMargin
+    val pairsCte =
+      s"""pairs AS (
+         | SELECT a.probe_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+         |  CAST(floor(${cosSql("ea.embedding", "eb.embedding")} * 1000000.0) AS BIGINT) AS sim_e6
+         | FROM cand a JOIN cand b
+         |  ON b.probe_id = a.probe_id AND b.neighbor_id != a.neighbor_id
+         | JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+         | JOIN embeddings eb ON eb.vec_id = b.neighbor_id)""".stripMargin
+    val sel1 =
+      s"""sel1 AS (
+         | SELECT probe_id, neighbor_id, rel_e6, CAST(0 AS BIGINT) AS max_sim_e6,
+         |  rel_e6 * $MmrLambdaNum AS mmr10_e6, CAST(1 AS BIGINT) AS pick_rank
+         | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |   ORDER BY rel_e6 * $MmrLambdaNum DESC, neighbor_id) AS rn FROM cand)
+         | WHERE rn = 1)""".stripMargin
+    val steps = (2 to MmrK).map { k =>
+      s"""ms$k AS (
+         | SELECT c.probe_id, c.neighbor_id, c.rel_e6, max(p.sim_e6) AS max_sim_e6
+         | FROM cand c
+         | JOIN pairs p ON p.probe_id = c.probe_id AND p.id_a = c.neighbor_id
+         | JOIN sel${k - 1} s ON s.probe_id = p.probe_id AND s.neighbor_id = p.id_b
+         | WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s2
+         |   WHERE s2.probe_id = c.probe_id AND s2.neighbor_id = c.neighbor_id)
+         | GROUP BY 1, 2, 3),
+         |pick$k AS (
+         | SELECT probe_id, neighbor_id, rel_e6, max_sim_e6,
+         |  rel_e6 * $MmrLambdaNum - max_sim_e6 * $MmrDivNum AS mmr10_e6,
+         |  CAST($k AS BIGINT) AS pick_rank
+         | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |   ORDER BY rel_e6 * $MmrLambdaNum - max_sim_e6 * $MmrDivNum DESC,
+         |    neighbor_id) AS rn FROM ms$k)
+         | WHERE rn = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $candCte,
+       |$pairsCte,
+       |$sel1,
+       |$steps
+       |SELECT probe_id, neighbor_id, rel_e6, max_sim_e6, mmr10_e6, pick_rank
+       |FROM sel$MmrK ORDER BY probe_id, pick_rank""".stripMargin
+  }
+
   val KnnBands = 16 // s5: band count (the d5 family, same 64 planes)
   val KnnPlanesPerBand = 4 // s5: planes per band
   val KnnK = 3 // s5: neighbors reported per vector
@@ -393,6 +528,7 @@ object Similarity {
          |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     "s1_ann_brute" -> s1OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
+    "s9_mmr_rerank" -> s9OracleSql,
     "s8_recall" ->
       s"""WITH ex AS ($s1OracleSql),
          |ap AS ($s2OracleSql),
@@ -803,5 +939,6 @@ object Similarity {
     "s4_ann_pq" -> (s4AnnPq _),
     "s5_knn_join" -> (s5KnnJoin _),
     "s7_ann_binary" -> (s7AnnBinary _),
-    "s6_cluster_assign" -> (s6ClusterAssign _))
+    "s6_cluster_assign" -> (s6ClusterAssign _),
+    "s9_mmr_rerank" -> (s9MmrRerank _))
 }

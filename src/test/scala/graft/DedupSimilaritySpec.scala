@@ -136,6 +136,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "surviving distances must be the exact edit distance")
   }
 
+  test("s9: MMR picks are a diverse subset of the candidate set — " +
+    "Scala greedy recompute matches the dataframe unroll exactly") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.s9MmrRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("pick_rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("rel_e6"),
+          r.getAs[Long]("max_sim_e6"), r.getAs[Long]("mmr10_e6")))).toMap
+    // per probe: exactly MmrK picks, ranks contiguous, neighbors distinct
+    val byProbe = got.keys.groupBy(_._1)
+    byProbe.foreach { case (p, ks) =>
+      assert(ks.map(_._2).toSet == (1L to Similarity.MmrK).toSet, s"ranks of $p")
+      val ids = ks.toSeq.map(got(_)._1)
+      assert(ids.distinct.size == ids.size, s"repeated pick in probe $p")
+    }
+    // independent greedy recompute from raw vectors (plain Scala)
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    byProbe.keys.foreach { p =>
+      val pe = vecs(p)
+      // candidate stage: top-N by raw cosine — recompute ranks on e6
+      // floors is NOT identical to raw-double ranking in theory, so rank
+      // with the same double ordering
+      def cosRaw(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val cand = vecs.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, cosRaw(pe, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.MmrCandN)
+        .map { case (id, _) => id -> cosE6(pe, vecs(id)) }
+      var selected = List.empty[Long]
+      (1 to Similarity.MmrK).foreach { k =>
+        val scored = cand.filterNot { case (id, _) => selected.contains(id) }
+          .map { case (id, rel) =>
+            val ms = if (selected.isEmpty) 0L
+              else selected.map(s => cosE6(vecs(id), vecs(s))).max
+            (id, rel, ms, rel * Similarity.MmrLambdaNum - ms * Similarity.MmrDivNum)
+          }
+        val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+        assert(got((p, k.toLong)) == ((best._1, best._2, best._3, best._4)),
+          s"probe $p pick $k: got ${got((p, k.toLong))}, want $best")
+        selected ::= best._1
+      }
+    }
+  }
+
   test("d4: simhash chunks are 16-bit and near counts consistent") {
     val r = Dedup.d4DedupSimhash(spark, sf).cache()
     assert(r.filter("c0 < 0 OR c0 > 65535 OR c1 < 0 OR c1 > 65535 OR " +

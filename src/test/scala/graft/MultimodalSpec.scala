@@ -76,6 +76,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(quiet > 0 && quiet < m3.length, s"quiet=$quiet of ${m3.length}")
   }
 
+  test("m5: payload-dedup accounting closes — planted identical texts " +
+    "share a payload, per-modality items total the corpus, bytes balance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_m5").toString
+    // doc_ids 0,3,6 are all 'image' (id % 3 == 0); two share a text so
+    // their payloads are byte-identical; 1 ('audio') is unique
+    Seq((0L, "same text"), (3L, "same text"), (6L, "other text"),
+        (1L, "audio text"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Multimodal.m5PayloadDedup(spark, dir).collect()
+      .map(r => r.getAs[String]("media_type") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("n_dup_items"), r.getAs[Long]("max_copies"),
+          r.getAs[Long]("bytes_total"), r.getAs[Long]("bytes_reclaimable")))).toMap
+    assert(got("image") == ((3L, 2L, 1L, 2L, 192L, 64L)),
+      s"image accounting: ${got("image")}")
+    assert(got("audio") == ((1L, 1L, 0L, 1L, 64L, 0L)))
+    assert(!got.contains("video"))
+    // corpus: items total the documents table, bytes arithmetic closes
+    val corpus = graft.operators.Multimodal.m5PayloadDedup(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(corpus.map(_.getAs[Long]("n_items")).sum == nDocs)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("n_items") - r.getAs[Long]("n_unique")
+        == r.getAs[Long]("n_dup_items"))
+      assert(r.getAs[Long]("bytes_total") == r.getAs[Long]("n_items") * 64L)
+      assert(r.getAs[Long]("bytes_reclaimable")
+        == r.getAs[Long]("n_dup_items") * 64L)
+    }
+  }
+
   test("m4: four tiles per image doc, and each tile's bytes/stats agree " +
     "with a direct 2D gather from the payload") {
     val m4 = Multimodal.m4ImageTiles(spark, sf).collect()

@@ -246,6 +246,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s9: the MMR unroll joins only probe-grained frames — no " +
+    "cartesian/nested-loop anywhere in the K-step plan") {
+    val p = plan(Similarity.s9MmrRerank(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q31: the salted join spreads the hot key — the physical join " +
     "carries the salt in its keys, and nothing degrades to a cartesian") {
     val p = plan(graft.operators.SkewJoin.q31SkewJoin(spark, sf))
