@@ -188,6 +188,11 @@ object Similarity {
       .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
       .select(col("probe_id"), col("neighbor_id"), col("rel_e6"),
         col("max_sim_e6"), col("mmr10_e6"), lit(1L).as("pick_rank"))
+      .localCheckpoint(true)
+    // each step references the running selection THREE times (anti-join,
+    // max-sim join, union); checkpointing the probes×k-row frame per step
+    // keeps the K-step plan flat — without it the lineage re-executes
+    // prior steps ~3^K times
     val selected = (2 to MmrK).foldLeft(first) { (sel, k) =>
       val rem = cand.join(sel.select(col("probe_id"), col("neighbor_id")),
         Seq("probe_id", "neighbor_id"), "left_anti")
@@ -202,7 +207,7 @@ object Similarity {
         .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
         .select(col("probe_id"), col("neighbor_id"), col("rel_e6"),
           col("max_sim_e6"), col("mmr10_e6"), lit(k.toLong).as("pick_rank"))
-      sel.unionByName(pick)
+      sel.unionByName(pick).localCheckpoint(true)
     }
     selected.orderBy(col("probe_id"), col("pick_rank"))
   }
