@@ -65,13 +65,13 @@ object TextAnalysis {
       .withColumn("toks", wsTokens(col("text")))
       .withColumn("_stop_cnt", stopCount(col("toks"), stopwords("en")))
       .withColumn("_uniq_cnt", size(array_distinct(col("toks"))))
-      .withColumn("_punct_cnt", strippedLength(col("text"), "[A-Za-z0-9\\s]"))
+      .withColumn("_punct_cnt", regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")))
     val nToks = greatest(size(col("toks")), lit(1)).cast("double")
     val nChars = greatest(length(col("text")), lit(1)).cast("double")
     val stopRatio = col("_stop_cnt").cast("double") / nToks
     val uniqRatio = col("_uniq_cnt").cast("double") / nToks
     val punctRatio = col("_punct_cnt").cast("double") / nChars
-    val digitRatio = strippedLength(col("text"), "[^0-9]").cast("double") / nChars
+    val digitRatio = regexp_count(col("text"), lit("[0-9]")).cast("double") / nChars
     val lenNorm = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
     // floor-truncated micros (x1e6) integers: IEEE arithmetic is identical
     // in Spark and DuckDB so floor(x*1e6) is bit-stable, whereas decimal
@@ -106,7 +106,7 @@ object TextAnalysis {
       .withColumns(langs.map(l =>
         s"score_$l" -> stopCount(col("toks"), stopwords(l)).cast("long")).toMap)
       .withColumn("score_zh_chars",
-        strippedLength(col("text"), "[^\\x{4e00}-\\x{9fff}]").cast("long"))
+        regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long"))
     val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
     // preference order breaks ties deterministically: de < en < es < fr.
     // coalesce takes the FIRST language hitting the max — same semantics as
@@ -222,9 +222,9 @@ object TextAnalysis {
     Tables.load(spark, dir, "documents")
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-        size(regexp_extract_all(col("text"), lit(LongIdRe), lit(0))).cast("long").as("n_long_ids"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(LongIdRe)).cast("long").as("n_long_ids"),
         md5(redacted).as("redacted_md5"))
   }
 
@@ -502,8 +502,8 @@ object TextAnalysis {
       .withColumn("toks", wsTokens(col("text")))
       .withColumn("_n", size(col("toks")))
       .withColumn("_len", length(col("text")))
-      .withColumn("_alpha", strippedLength(col("text"), "[^A-Za-z]"))
-      .withColumn("_digit", strippedLength(col("text"), "[^0-9]"))
+      .withColumn("_alpha", regexp_count(col("text"), lit("[A-Za-z]")))
+      .withColumn("_digit", regexp_count(col("text"), lit("[0-9]")))
       .withColumn("_stop", stopCount(col("toks"), stopwords("en")))
       .withColumn("_n3", greatest(col("_n") - 2, lit(0)))
       .withColumn("_d3", size(shingles3FromToks(col("toks"))))
