@@ -324,19 +324,22 @@ object Multimodal {
     * "same bytes" — different normalization, different column, different
     * consumer (blob store GC / CAS layout vs corpus curation).
     *
-    * Shape: one narrow pass over the payload (hash + length leave the
+    * Shape: one narrow pass over the payload (digest + length leave the
     * scan, bytes never shuffle), a group on (modality, digest) — the CAS
-    * key — then a modality-grained rollup. Linear, two map-side-partial
-    * aggregations, no skew (digests are uniform). The hex rendering of
-    * the payload is the digest here because the oracle must replay it
-    * engine-side; a production run swaps in `md5(content)` or xxhash and
-    * nothing else changes. */
+    * key, a constant-width 32-char md5 — then a modality-grained rollup.
+    * Linear, two map-side-partial aggregations, no skew (digests are
+    * uniform). The digest domain is the payload's lowercase-hex rendering
+    * (hashed map-side inside the scan projection, so the 2x-width hex
+    * string exists only transiently per row and never reaches the
+    * exchange) because the oracle engine's `md5` is VARCHAR-only; a
+    * production run hashes the raw bytes (`md5(content)`/xxhash) and
+    * nothing else changes — either way only 32 bytes per row shuffle. */
   def m5PayloadDedup(spark: SparkSession, dir: String): DataFrame = {
     val groups = mediaTable(spark, dir)
       .select(col("doc_id"), col("media_type"),
-        lower(hex(col("content"))).as("hx"),
+        md5(lower(hex(col("content")))).as("digest"),
         length(col("content")).cast("long").as("n_bytes"))
-      .groupBy(col("media_type"), col("hx"))
+      .groupBy(col("media_type"), col("digest"))
       .agg(count(lit(1)).as("n_copies"), max(col("n_bytes")).as("n_bytes"))
     groups.groupBy(col("media_type"))
       .agg(
@@ -356,8 +359,8 @@ object Multimodal {
       |  repeat(md5(text), 4) AS hx
       | FROM documents),
       |g AS (
-      | SELECT media_type, hx, CAST(count(*) AS BIGINT) AS n_copies,
-      |  CAST(length(hx) / 2 AS BIGINT) AS n_bytes
+      | SELECT media_type, md5(hx) AS digest, CAST(count(*) AS BIGINT) AS n_copies,
+      |  CAST(max(length(hx)) / 2 AS BIGINT) AS n_bytes
       | FROM m GROUP BY 1, 2)
       |SELECT media_type,
       | CAST(sum(n_copies) AS BIGINT) AS n_items,

@@ -424,4 +424,35 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.isNullAt(1), "fused cosine must match (null)")
     assert(math.abs(rows.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("m5: no payload-width column crosses any exchange — the CAS key is " +
+    "a constant-width digest, the bytes die in the scan projection") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // At bench scale a shuffle exchange sits between the partial and final
+    // aggregates; its payload is exactly the partial aggregate's output
+    // (and its keys the aggregate's grouping). At single-partition test
+    // scale Spark elides the exchange entirely, so pin the aggregate
+    // boundaries instead — the contract is identical: nothing
+    // payload-width may outlive the scan projection.
+    val exec = graft.operators.Multimodal.m5PayloadDedup(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    val aggs = exec.collect { case h: HashAggregateExec => h }
+    assert(aggs.nonEmpty, s"expected hash aggregates in m5:\n${exec.treeString}")
+    // the CAS key is the constant-width digest, never the payload/hex
+    assert(aggs.exists(_.groupingExpressions.exists(_.name == "digest")),
+      s"no digest-keyed aggregate in:\n${exec.treeString}")
+    aggs.foreach { h =>
+      val names = (h.groupingExpressions ++ h.output).map(_.name.toLowerCase)
+      assert(!names.exists(n => n.contains("content") || n == "hx" || n.contains("text")),
+        s"payload-width column crosses an aggregate boundary: ${names.mkString(",")}")
+      h.output.foreach { a =>
+        assert(a.dataType != org.apache.spark.sql.types.BinaryType,
+          s"binary column ${a.name} outlives the scan")
+      }
+    }
+  }
 }
