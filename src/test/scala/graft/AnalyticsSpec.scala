@@ -50,13 +50,16 @@ class AnalyticsSpec extends AnyFunSuite {
     // the basename sf tag the line actually carries. Budget: 2000-char
     // tail minus ~80 chars for the sbt "[success] Total time..." line
     // that lands after ours.
+    // envelope includes the round-8 validity verdict at its widest form
+    // (env_throttled:false); the >999s clamp renders in-band as the
+    // 2-char per-query sentinel -1, never as an extra envelope field
     def sample(worst: String) = {
       val qs = SparkEntry.benchQueries.keySet.toSeq
         .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
-      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.1","env_throttled":false}"""
     }
-    // the three samples cover each fmt2 arm at its widest
-    val worst = Seq("0.9", "9.9", "999").map(sample(_).length).max
+    // the four samples cover each fmt2 arm at its widest
+    val worst = Seq("0.9", "9.9", "999", "-1").map(sample(_).length).max
     assert(worst < 2000 - 80,
       s"projected bench line $worst chars — trim decimals or shorten " +
         "names before the driver's 2000-char tail cuts the opening brace")

@@ -218,6 +218,28 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("banded levenshtein == builtin under the d10 threshold rule on " +
+    "random unicode strings (multi-byte and astral included)") {
+    import graft.functions.BandedLevenshteinExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // alphabet spans 1-, 2-, 3- and 4-byte UTF-8 sequences so the
+    // byte-cursor decode path is exercised at every width; a small
+    // alphabet keeps real distances frequent (a large one makes every
+    // pair max-distance and vacuously refuted)
+    val alphabet = Vector("a", "b", "c", "é", "中", "𝄞", "🦀")
+    val genStr = Gen.chooseNum(0, 200).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(alphabet)).map(_.mkString))
+    check(Prop.forAll(genStr, genStr, Gen.chooseNum(1, 10)) {
+      (a: String, b: String, den: Int) =>
+        val expr = BandedLevenshteinExpr(Literal(a), Literal(b), den)
+        val banded = expr.computeDist(UTF8String.fromString(a), UTF8String.fromString(b))
+        val lev = UTF8String.fromString(a).levenshteinDistance(UTF8String.fromString(b)).toLong
+        val maxLen = math.max(a.codePointCount(0, a.length), b.codePointCount(0, b.length))
+        banded == (if (den * lev <= maxLen) lev else -1L)
+    })
+  }
+
   test("hash-split buckets partition the id space deterministically") {
     check(Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id: Long =>
       def split(x: Long): String = {
