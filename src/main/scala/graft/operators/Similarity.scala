@@ -145,9 +145,11 @@ object Similarity {
     * exactly what an embedding-deduped training batch or a RAG context
     * window must avoid).
     *
-    * Shape: the candidate stage IS s1's scan-once/rank-locally plan
-    * (probe-grained output, checkpointed — candidate and pair frames are
-    * `probes × N` and `probes × N²`, model-sized); the greedy selection
+    * Shape: the candidate stage is pluggable (any `(probe_id,
+    * neighbor_id, rel_e6)` frame — the verified default is s1's
+    * scan-once/rank-locally plan via [[s9BruteCandidates]]; s2/s4/s7
+    * shortlists feed the same overload); candidate and pair frames are
+    * `probes × N` and `probes × N²`, model-sized, checkpointed; the greedy selection
     * unrolls into [[MmrK]] dataframe steps of window-argmax + anti-join
     * over those tiny frames — sequential in K (inherent to MMR), each
     * step probe-parallel, nothing fact-sized after the scan. Scores are
@@ -155,17 +157,37 @@ object Similarity {
     * the pick sequence is bit-deterministic in any engine; the oracle
     * replays the same K steps as unrolled SQL CTEs. First pick carries
     * `max_sim_e6 = 0` (no diversity term yet). */
-  def s9MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+  def s9MmrRerank(spark: SparkSession, dir: String): DataFrame =
+    s9MmrRerank(spark, dir, s9BruteCandidates(spark, dir))
+
+  /** The default (verified) candidate stage: s1's brute broadcast-probe
+    * scan widened to [[MmrCandN]] — probe-grained output in the
+    * `(probe_id, neighbor_id, rel_e6)` contract [[s9MmrRerank]] takes. */
+  def s9BruteCandidates(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val probes = e.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val relCos = cosineFast(col("pe"), col("embedding"))
     val wRel = Window.partitionBy(col("probe_id")).orderBy(relCos.desc, col("vec_id"))
-    val cand = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("rank", row_number().over(wRel))
       .filter(col("rank") <= MmrCandN)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         floor(relCos * lit(1000000.0)).cast("long").as("rel_e6"))
+  }
+
+  /** MMR over ANY candidate source: `candidates` is a probe-grained
+    * `(probe_id, neighbor_id, rel_e6)` frame — s1's brute top-N by
+    * default, but s2/s4/s7 shortlists plug in unchanged, which is MMR's
+    * whole pitch (the diversification pass AFTER whichever ANN produced
+    * the shortlist). Only neighbor ids and e6 relevance cross the
+    * boundary; the pairwise-similarity stage re-fetches vectors from the
+    * embeddings table itself, so a candidate source never has to carry
+    * floats. */
+  def s9MmrRerank(spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+    val e = emb(spark, dir)
+    val cand = candidates
+      .select(col("probe_id"), col("neighbor_id"), col("rel_e6"))
       .localCheckpoint(true) // probes × MmrCandN rows; consumed K+1 times
     // pairwise candidate sims (probes × N² rows), both directions
     val ev = e.select(col("vec_id"), col("embedding"))
@@ -727,14 +749,23 @@ object Similarity {
     * broadcast centroid literals — at scale the cell id is the partition
     * key); probes search their top-NProbe cells. The oracle receives the
     * identical final centroids as injected literals, so results hash-match. */
-  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    s3AnnIvf(spark, dir, NProbe)
+
+  /** s3 with an explicit `nprobe` — the recall dial real IVF exposes:
+    * more probed cells recover more cross-boundary neighbors at linearly
+    * more candidate work (the spec asserts recall@k vs s1 is monotone in
+    * `nprobe`; s8 is the operator that monitors the trade in production).
+    * [[NProbe]] stays the verified default the oracle replays. */
+  def s3AnnIvf(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
     val (cents, data) = kmeansWithData(spark, dir)
     val e = data
       .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
     val scored = scoredCells(cents, col("_cos"))
-    // data: top-1 cell; probes: top-NProbe cells (sorted desc = reverse of
+    // data: top-1 cell; probes: top-nprobe cells (sorted desc = reverse of
     // the ascending struct sort), primary cell kept for the output column
-    val topCells = slice(reverse(array_sort(scored)), 1, NProbe)
+    val topCells = slice(reverse(array_sort(scored)), 1, nprobe)
     val assigned = e.select(col("vec_id"), col("embedding"),
       element_at(topCells, 1).getField("cid").as("cell"))
     val probes = e.filter(col("vec_id") < NumProbes)
