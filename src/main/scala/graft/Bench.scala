@@ -33,9 +33,10 @@ import org.apache.spark.sql.SparkSession
   * from the artifact alone.
   *
   * Output discipline: stdout carries EXACTLY one compact JSON line (medians
-  * only, adaptive 2/1 decimals, basename sf tag — the driver's tail
-  * budget; raw sweeps keep 3 decimals and the full sf dir in
-  * BENCH_SPREAD.json). The harness that collects the bench keeps only the
+  * only, adaptive 2/1 decimals, basename sf tag, and since round 8
+  * per-query keys shortened to their unique `<family><number>` prefix —
+  * the driver's tail budget; raw sweeps keep 3 decimals, FULL query
+  * names and the full sf dir in BENCH_SPREAD.json). The harness that collects the bench keeps only the
   * last ~2KB of output, and a spread object inlined into that line made it
   * longer than the capture window — the line's opening brace fell off and
   * the JSON never parsed (BENCH_r04/r05 `"parsed": null`). The spread now
@@ -141,7 +142,17 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt2(median(v)) }
+    // stdout keys are the unique `<family><number>` prefix ("q10", "t16",
+    // "p16" — the form the driver contract's own example uses): at 85
+    // queries the full names alone overflow the 2000-char tail the driver
+    // parses the line from. Full names live in BENCH_SPREAD.json (same
+    // order, no budget) and BASELINE.md documents the mapping; uniqueness
+    // is asserted here AND projected in AnalyticsSpec so a colliding
+    // future name fails the suite, not the round.
+    def shortName(n: String): String = n.takeWhile(_ != '_')
+    require(named.map(n => shortName(n._1)).distinct.size == named.size,
+      "short bench keys collide — rename the query or extend shortName")
+    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(median(v)) }
       .mkString("{", ",", "}")
     def spreadObj(rs: Seq[(String, Seq[Double])]): String = rs.map { case (k, v) =>
       "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")

@@ -198,9 +198,11 @@ object Analytics {
     *     into cumulative bases with a window over that TINY frame;
     *  3. a target rank lands in exactly one bucket (`cum_base < rank <=
     *     cum_base + cnt`); only rows of TARGET buckets (~1/buckets of
-    *     each group) are re-scanned, and `row_number` sorts within
-    *     (group, column, bucket) — max task ~ |group|/buckets instead of
-    *     |group|;
+    *     each group) are re-scanned, collapsed to DISTINCT values with
+    *     counts in a map-side-combinable aggregate, and the rank is
+    *     located in the cumulative counts of the sorted distinct values
+    *     — the per-bucket window sees one row per distinct value, so max
+    *     task ~ |distinct values in bucket|, never |rows in bucket|;
     *  4. the picked rank values interpolate with the builtin's exact IEEE
     *     sequence (same expression as [[exactPercentiles]], values cast
     *     to double once at scan — the same cast the old plan's
@@ -209,12 +211,15 @@ object Analytics {
     * A constant-valued group (min == max) short-circuits to that value
     * before any bucket work, so the degenerate all-one-bucket sort never
     * runs. Cost: 3 column-pruned scans + small-frame shuffles, vs one
-    * full-data sort shuffle whose parallelism is the group count.
-    * Heavily duplicated single values still concentrate their bucket
-    * (bounded by the duplicate count; a recursive refinement pass is the
-    * general fix and is not needed for the shipped corpus).
-    * `AnalyticsExtSpec`/`PropertySpec` pin bit-parity with
-    * [[exactPercentiles]] and the builtin `percentile()`. */
+    * full-data sort shuffle whose parallelism is the group count. A
+    * heavily duplicated single value no longer concentrates its bucket:
+    * duplicates collapse in the distinct-value aggregate (step 3) before
+    * any window sees them, closing the round-7 form's one documented
+    * residual — the pathological remaining shape is a bucket with many
+    * DISTINCT values, which equal-width ranges bound by value density
+    * and a recursive refinement pass would subdivide (not needed at any
+    * shipped scale). `AnalyticsExtSpec`/`PropertySpec` pin bit-parity
+    * with [[exactPercentiles]] and the builtin `percentile()`. */
   private[graft] def exactPercentilesDistributed(
       df: DataFrame, grp: String, specs: Seq[(String, Double, String)],
       buckets: Int = 32): DataFrame = {
@@ -260,14 +265,25 @@ object Analytics {
       .select(col(grp), col("tag"), col("bucket"), col("rank"),
         (col("rank") - col("cum_base")).as("local_rank"))
       .localCheckpoint(true) // ≤ 2·specs·groups rows; joined twice below
+    // in-bucket selection over DISTINCT values, not rows: duplicates
+    // collapse in a map-side-combinable count aggregate BEFORE the only
+    // per-bucket window, so a heavily-duplicated value (the documented
+    // residual of the round-7 form — 40% of a group equal to one value
+    // concentrates 40% of its rows in one bucket's sort task) costs one
+    // row in the window regardless of its multiplicity; the rank is
+    // located in the cumulative counts of the sorted distinct values
     val wB = Window.partitionBy(col(grp), col("tag"), col("bucket")).orderBy(col("v"))
     val picked = bucketed
       .join(broadcast(bucketRanks.select(col(grp), col("tag"), col("bucket")).distinct()),
         Seq(grp, "tag", "bucket"))
-      .withColumn("rn", row_number().over(wB))
+      .groupBy(col(grp), col("tag"), col("bucket"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", coalesce(
+        sum(col("c")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .join(broadcast(bucketRanks),
-        Seq(grp, "tag", "bucket")) // + rank filter next line (post-join)
-      .filter(col("rn") === col("local_rank"))
+        Seq(grp, "tag", "bucket")) // + rank-in-range filter next line
+      .filter(col("local_rank") > col("cum") &&
+        col("local_rank") <= col("cum") + col("c"))
       .select(col(grp), col("tag"), col("rank"), col("v").as("rv"))
     val lo = picked.select(col(grp), col("tag"), col("rank").as("rank_lo"), col("rv").as("lo"))
     val hi = picked.select(col(grp), col("tag"), col("rank").as("rank_hi"), col("rv").as("hi"))

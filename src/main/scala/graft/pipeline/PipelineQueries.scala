@@ -157,7 +157,112 @@ object PipelineQueries {
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** p16 geometry: the top [[ZFileBits]] Morton bits simulate the current
+    * small-file layout (2^10 = up to 1024 files), [[CompactBins]] is the
+    * target output-file count, [[RowBytes]] the per-row size estimate of
+    * the listing. */
+  val ZFileBits = 10
+  val CompactBins = 16
+  val RowBytes = 128L
+
+  /** `p16_compaction_plan`: small-file compaction planning — the OPTIMIZE
+    * bin-packing half of the lakehouse layout story (p12 assigns the
+    * z-order; THIS op plans which small files merge into which
+    * target-size output file). Files are packed in z-key order — not
+    * first-fit-decreasing — because preserving curve locality is the
+    * point of the layout: consecutive cells merge, so every output file
+    * still spans a contiguous z-range and file-level min/max skipping
+    * keeps working after compaction (FFD would interleave distant cells
+    * and destroy exactly what p12 bought).
+    *
+    * Shape: the input is a FILE LISTING (one row per z-cell with rows +
+    * estimated bytes) — metadata-sized, never the data; the planner is
+    * one distributed exclusive prefix-sum over it in z order (t12's
+    * range-partition machinery: per-range totals → broadcast base
+    * offsets → in-range running sum, byte-identical at any partition
+    * count) and one integer division: `bin = cum_before div target`,
+    * `target = ceil(total/CompactBins)` in exact integer arithmetic.
+    * Greedy-by-offset guarantees at most [[CompactBins]] bins, each
+    * within one file of the target, and monotone-in-z assignment (bins
+    * are contiguous z-ranges) — all three asserted in `PipelineSpec`.
+    * At 100 TB the listing is millions of rows where the data is
+    * billions: the plan costs seconds and no data moves until the
+    * rewrite executes it. */
+  def p16CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the "current files": per-z-cell row counts from the z-keyed table
+    // (a real lakehouse reads its manifest; the cells stand in for files)
+    val files = zkeyedOrders(spark, dir)
+      .withColumn("zcell",
+        shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * lit(RowBytes))
+      .localCheckpoint(true) // metadata-sized; consumed by total + ranges
+    val tot = files.agg(sum(col("bytes")).as("total"))
+    val ordered = files.repartitionByRange(col("zcell"))
+      .sortWithinPartitions(col("zcell"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ordered.groupBy(col("rid")).agg(sum(col("bytes")).as("rtot"))
+      .withColumn("base", coalesce(sum(col("rtot")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("rid"), col("base"))
+    val wRun = Window.partitionBy(col("rid")).orderBy(col("zcell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ordered.join(broadcast(offsets), Seq("rid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_before",
+        col("base") + coalesce(sum(col("bytes")).over(wRun), lit(0L)))
+      .withColumn("target", expr(s"(total + ${CompactBins - 1}) div $CompactBins"))
+      .withColumn("bin", expr("cum_before div target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("bytes")).as("bytes"),
+        min(col("zcell")).as("z_lo"), max(col("zcell")).as("z_hi"))
+      .orderBy(col("bin"))
+  }
+
+  val p16Oracle: String = {
+    val grid = 1L << ZGridBits
+    s"""WITH o AS (
+       | SELECT o_orderkey, epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  o_custkey AS cust
+       | FROM orders),
+       |s AS (SELECT min(day) AS day_min, max(day) AS day_max,
+       |  min(cust) AS cust_min, max(cust) AS cust_max FROM o),
+       |g AS (
+       | SELECT ((day - day_min) * $grid) // (day_max - day_min + 1) AS xn,
+       |  ((cust - cust_min) * $grid) // (cust_max - cust_min + 1) AS yn
+       | FROM o CROSS JOIN s),
+       |z AS (
+       | SELECT CAST(list_sum(list_transform(range(0, 16), i ->
+       |    (((xn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER)))
+       |    + (((yn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER) + 1))))
+       |   AS BIGINT) AS zkey
+       | FROM g),
+       |files AS (
+       | SELECT zkey >> ${2 * ZGridBits - ZFileBits} AS zcell,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) * $RowBytes AS BIGINT) AS bytes
+       | FROM z GROUP BY 1),
+       |t AS (SELECT sum(bytes) AS total FROM files),
+       |a AS (
+       | SELECT zcell, n_rows, bytes,
+       |  COALESCE(sum(bytes) OVER (ORDER BY zcell
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |  (total + ${CompactBins - 1}) // $CompactBins AS target
+       | FROM files CROSS JOIN t)
+       |SELECT CAST(cum_before // target AS BIGINT) AS bin,
+       | CAST(count(*) AS BIGINT) AS n_files,
+       | CAST(sum(n_rows) AS BIGINT) AS n_rows, CAST(sum(bytes) AS BIGINT) AS bytes,
+       | min(zcell) AS z_lo, max(zcell) AS z_hi
+       |FROM a GROUP BY 1 ORDER BY bin""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_compaction_plan" -> (p16CompactionPlan _),
     "p15_late_dim" -> (Curated.p15LateArrivingDim _),
     "p14_drift_check" -> (Quality.p14DriftCheck _),
     "p13_pit_join" -> (Scd2.p13PitJoin _),
@@ -175,6 +280,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p16_compaction_plan" -> p16Oracle,
     "p15_late_dim" -> Curated.p15Oracle,
     "p14_drift_check" -> Quality.p14Oracle,
     "p13_pit_join" -> Scd2.p13Oracle,

@@ -52,10 +52,15 @@ class AnalyticsSpec extends AnyFunSuite {
     // that lands after ours.
     // envelope includes the round-8 validity verdict at its widest form
     // (env_throttled:false); the >999s clamp renders in-band as the
-    // 2-char per-query sentinel -1, never as an extra envelope field
+    // 2-char per-query sentinel -1, never as an extra envelope field.
+    // Keys are Bench's short `<family><number>` prefixes — project their
+    // uniqueness here too, so a name collision fails the suite before it
+    // makes the metric line ambiguous.
+    val shorts = SparkEntry.benchQueries.keySet.toSeq.map(_.takeWhile(_ != '_'))
+    assert(shorts.distinct.size == shorts.size,
+      s"short bench keys collide: ${shorts.diff(shorts.distinct).distinct}")
     def sample(worst: String) = {
-      val qs = SparkEntry.benchQueries.keySet.toSeq
-        .map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
+      val qs = shorts.map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
       s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.1","env_throttled":false}"""
     }
     // the four samples cover each fmt2 arm at its widest

@@ -628,4 +628,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.forall(_.status == Succeeded))
     assert(gate)
   }
+
+  test("p16: compaction plan packs z-contiguous files into at most " +
+    "CompactBins bins, each within one file of target, nothing lost") {
+    import org.apache.spark.sql.functions._
+    val files = PipelineQueries.zkeyedOrders(spark, sf)
+      .withColumn("zcell", shiftrightunsigned(col("zkey"),
+        2 * PipelineQueries.ZGridBits - PipelineQueries.ZFileBits))
+      .groupBy(col("zcell")).agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totalBytes = files.values.map(_ * PipelineQueries.RowBytes).sum
+    val maxFile = files.values.map(_ * PipelineQueries.RowBytes).max
+    val target = (totalBytes + PipelineQueries.CompactBins - 1) /
+      PipelineQueries.CompactBins
+    val plan = PipelineQueries.p16CompactionPlan(spark, sf).collect()
+    // at most CompactBins bins (ceil target guarantees the index bound)
+    assert(plan.length <= PipelineQueries.CompactBins, s"${plan.length} bins")
+    // conservation: every file, row and byte lands in exactly one bin
+    assert(plan.map(_.getAs[Long]("n_files")).sum == files.size)
+    assert(plan.map(_.getAs[Long]("bytes")).sum == totalBytes)
+    assert(plan.map(_.getAs[Long]("n_rows")).sum == files.values.sum)
+    // greedy-by-offset bound: a bin exceeds target only by the tail of
+    // its last straddling file
+    plan.foreach { b =>
+      assert(b.getAs[Long]("bytes") < target + maxFile,
+        s"bin ${b.getAs[Long]("bin")} overpacked: ${b.getAs[Long]("bytes")}")
+    }
+    // z-locality: bins are contiguous, non-overlapping z-ranges in order
+    val ranges = plan.sortBy(_.getAs[Long]("bin"))
+      .map(b => (b.getAs[Long]("z_lo"), b.getAs[Long]("z_hi")))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, h1), (l2, _)) =>
+        assert(h1 < l2, s"bin z-ranges overlap: $h1 >= $l2")
+      case _ =>
+    }
+  }
 }

@@ -234,16 +234,25 @@ class PlanSpec extends AnyFunSuite {
     "partitioned on the bare 3-key group column") {
     val p = plan(Analytics.q10Percentiles(spark, sf))
     assert(!p.contains("percentile("), s"map-state percentile aggregate in:\n$p")
-    // every sorted window over row data must include the range bucket in
-    // its partition spec — a window keyed on l_returnflag alone would
-    // concentrate a third of the fact table in one task
-    val rowNumbers = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
-      .findAllMatchIn(p.toLowerCase).map(_.group(1)).toList
-    assert(rowNumbers.nonEmpty, s"expected the in-bucket rank window in:\n$p")
-    rowNumbers.foreach { spec =>
+    // every sorted window must include the range bucket in its partition
+    // spec — a window keyed on l_returnflag alone would concentrate a
+    // third of the fact table in one task. Since round 8 the in-bucket
+    // selection is a cumulative-count sum over DISTINCT values (a
+    // row_number would rank raw rows, re-admitting the duplicated-value
+    // pathology), so the pin covers every windowed sort, whatever the
+    // ranking function.
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p.toLowerCase).map(_.group(1))
+      // only sorted (per-bucket) windows matter; the cum_base window over
+      // the groups×cols×buckets counts frame is tiny by construction
+      .filter(_.contains("asc nulls first")).toList
+    assert(winSpecs.nonEmpty, s"expected the in-bucket selection window in:\n$p")
+    winSpecs.foreach { spec =>
       assert(spec.contains("bucket"),
-        s"rank window not bucket-partitioned ($spec) in:\n$p")
+        s"selection window not bucket-partitioned ($spec) in:\n$p")
     }
+    assert(!p.toLowerCase.contains("row_number() windowspecdefinition"),
+      s"raw-row rank window re-appeared (duplicates would re-concentrate):\n$p")
   }
 
   test("s9: the MMR unroll joins only probe-grained frames — no " +
