@@ -530,7 +530,8 @@ object Similarity {
        |  ORDER BY cos DESC, vec_id) AS rank FROM r)
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
-  private val staticOracle: Map[String, String] = Map(
+  private lazy val staticOracle: Map[String, String] = Map(
+    "s10_nn_descent" -> s10OracleSql,
     "s7_ann_binary" -> s7OracleSql,
     "s5_knn_join" ->
       s"""WITH sigs AS (
@@ -967,6 +968,141 @@ object Similarity {
        |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------- s10: NN-descent
+
+  val NndK = 5 // s10: output neighbors per vector
+  val NndSearchK = 15 // s10: internal search degree (the convergence dial)
+  val NndIters = 2 // s10: refinement iterations in the verified form
+
+  /** `s10_nn_descent`: corpus-wide kNN-graph construction by iterative
+    * LOCAL refinement — the NN-descent idea (Dong et al.: a vector's
+    * true neighbors are overwhelmingly found among its current
+    * neighbors' neighbors), which is how kNN graphs actually get built
+    * at 100 TB: never a global candidate structure, just k-sized
+    * adjacency exchanged along existing edges. Each iteration expands
+    * candidates one hop through the UNDIRECTED current graph (forward ∪
+    * reverse edges — reverse links are what make convergence fast),
+    * scores exactly once by fused cosine, and keeps the top
+    * [[NndSearchK]]; per vector that is ≤ (2k')²+k' candidates per
+    * iteration, so an iteration is O(n·k'²) with every shuffle k'-sized
+    * per key — no n² anywhere, nothing resembling a global sort. The
+    * INTERNAL degree k' = [[NndSearchK]] deliberately exceeds the output
+    * [[NndK]]: it is the convergence dial (measured on the sf0.001
+    * corpus, recall@5 after 2 rounds is 0.32 at k'=5 but 0.98 at k'=15 —
+    * a sparse working graph fragments into local optima; the NN-descent
+    * paper's sampling parameter trades the same axis). The seed is
+    * deterministic md5 pseudo-random ids (the d8/t5 hash convention —
+    * NN-descent's famous property is convergence from an arbitrary
+    * start); a production run seeds from the s2/s7 sketch families to
+    * cut iterations, exactly like s9 consumes any shortlist. Recall@5
+    * vs brute force is spec-asserted to IMPROVE monotonically across
+    * iterations (candidates always include the incumbent graph, so
+    * per-vector neighbor quality can only rise) and to clear 0.9 in the
+    * verified form. Ranks tie-break on (cos desc, id) —
+    * bit-deterministic in any engine; the oracle replays the identical
+    * seed and both hops as unrolled CTEs. */
+  def s10NnDescent(spark: SparkSession, dir: String): DataFrame =
+    s10NnDescentIter(spark, dir, NndIters)
+
+  /** [[s10NnDescent]] with an explicit iteration count — the spec's
+    * convergence-curve hook (T=0 scores the raw seed). */
+  def s10NnDescentIter(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // scanned by every iteration's two scoring joins
+    val nTot = e.agg(count(lit(1)).as("n_tot"))
+    val seed = e.select(col("vec_id"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("j", explode(array((1 to NndSearchK).map(lit(_)): _*)))
+      .withColumn("neighbor_id",
+        graft.functions.TextFunctions.md5Long60(
+          concat(col("vec_id").cast("string"), lit(":"), col("j").cast("string")))
+          % col("n_tot"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+      .distinct() // md5 collisions mod n may repeat a neighbor
+    val wK = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    // one exact-cosine scoring pass + top-k' cut; both sides fetch vectors
+    // from the checkpointed table — candidates carry only ids
+    def scoreTopK(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosineFast(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= NndSearchK)
+      .select(col("vec_id"), col("neighbor_id"), col("cos"), col("rank"))
+    val scored = (1 to iters).foldLeft(scoreTopK(seed)) { (nn, _) =>
+      // candidate expansion one hop through the undirected graph:
+      // checkpoint per iteration keeps the lineage flat (the s9 pattern)
+      val und = nn.select(col("vec_id"), col("neighbor_id"))
+        .unionByName(nn.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id")))
+        .distinct()
+        .localCheckpoint(true)
+      val hop = und.select(col("vec_id"), col("neighbor_id").as("mid"))
+        .join(und.select(col("vec_id").as("mid"), col("neighbor_id").as("cand")),
+          Seq("mid"))
+        .filter(col("cand") =!= col("vec_id"))
+        .select(col("vec_id"), col("cand").as("neighbor_id"))
+      scoreTopK(hop.unionByName(nn.select(col("vec_id"), col("neighbor_id")))
+        .distinct())
+        .localCheckpoint(true)
+    }
+    // the working graph holds k' neighbors; the OUTPUT is its top-NndK
+    // slice (ranks 1..k of the k'-ranked list are the same rows a re-rank
+    // of the top-k would produce)
+    scored
+      .filter(col("rank") <= NndK)
+      .select(col("vec_id"), col("neighbor_id"),
+        floor(col("cos") * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** s10 oracle: the identical seed and [[NndIters]] expansion/score/cut
+    * rounds as unrolled CTEs — same stride arithmetic, same undirected
+    * hop, same (cos desc, id) tie-break. Generated by the same loop
+    * bounds as the Spark fold. */
+  private lazy val s10OracleSql: String = {
+    val md5Seed = "CAST(('0x' || substr(md5(vec_id || ':' || j), 1, 15)) AS BIGINT)" +
+      " % (SELECT count(*) FROM embeddings)"
+    val seedCte =
+      s"""nn0 AS (
+         | SELECT DISTINCT vec_id, $md5Seed AS neighbor_id
+         | FROM embeddings CROSS JOIN range(1, ${NndSearchK + 1}) t(j)
+         | WHERE $md5Seed <> vec_id)""".stripMargin
+    def scoreCte(src: String, out: String): String =
+      s"""${out}_s AS (
+         | SELECT c.vec_id, c.neighbor_id,
+         |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         | FROM $src c JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |$out AS (
+         | SELECT vec_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM ${out}_s)
+         | WHERE rank <= $NndSearchK)""".stripMargin
+    def hopCte(nn: String, out: String): String =
+      s"""${out}_u AS (
+         | SELECT vec_id, neighbor_id FROM $nn
+         | UNION SELECT neighbor_id, vec_id FROM $nn),
+         |$out AS (
+         | SELECT DISTINCT a.vec_id, b.neighbor_id
+         | FROM ${out}_u a JOIN ${out}_u b ON b.vec_id = a.neighbor_id
+         | WHERE b.neighbor_id <> a.vec_id
+         | UNION SELECT vec_id, neighbor_id FROM $nn)""".stripMargin
+    val rounds = (1 to NndIters).map { i =>
+      hopCte(s"g${i - 1}", s"c$i") + ",\n" + scoreCte(s"c$i", s"g$i")
+    }.mkString(",\n")
+    s"""WITH $seedCte,
+       |${scoreCte("nn0", "g0")},
+       |$rounds
+       |SELECT vec_id, neighbor_id,
+       | CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6,
+       | CAST(rank AS BIGINT) AS rank
+       |FROM g$NndIters WHERE rank <= $NndK ORDER BY vec_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -976,5 +1112,6 @@ object Similarity {
     "s5_knn_join" -> (s5KnnJoin _),
     "s7_ann_binary" -> (s7AnnBinary _),
     "s6_cluster_assign" -> (s6ClusterAssign _),
+    "s10_nn_descent" -> (s10NnDescent _),
     "s9_mmr_rerank" -> (s9MmrRerank _))
 }

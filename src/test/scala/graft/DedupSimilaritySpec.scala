@@ -402,6 +402,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r1 >= 0.70, f"single-cell recall floor: $r1%.3f")
   }
 
+  test("s10: NN-descent recall vs exact kNN improves monotonically from " +
+    "the trivial seed and the verified form clears the floor") {
+    // exact ground truth: per-vector top-k by (cos desc, id), plain Scala
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cosRaw(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = vecs.map { case (v, ev) =>
+      v -> vecs.toSeq.filter(_._1 != v)
+        .map { case (u, eu) => (u, cosRaw(ev, eu)) }
+        .sortBy { case (u, c) => (-c, u) }.take(Similarity.NndK)
+        .map(_._1).toSet
+    }
+    def recall(iters: Int): Double = {
+      val got = Similarity.s10NnDescentIter(spark, sf, iters)
+        .select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = truth.map { case (v, t) => got.getOrElse(v, Set.empty).count(t) }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val r0 = recall(0); val r1 = recall(1); val r2 = recall(2)
+    info(f"recall@${Similarity.NndK}: seed $r0%.3f, 1 iter $r1%.3f, 2 iters $r2%.3f")
+    // candidates always include the incumbent graph, so per-vector
+    // quality is non-decreasing in iterations by construction
+    assert(r0 <= r1 && r1 <= r2, f"recall not monotone: $r0%.3f / $r1%.3f / $r2%.3f")
+    assert(r2 > r0, "refinement must actually improve on the random seed")
+    // measured on the deterministic corpus: 0.01 → 0.83 → 0.98 at
+    // k'=15; the verified 2-iteration form must stay a usable kNN graph
+    assert(r2 >= 0.9, f"verified-form recall floor: $r2%.3f")
+  }
+
   test("s3 oracle publishes only after its result materializes, keyed by dir") {
     // building the s3 plan trains k-means (pending state per dir) but must
     // NOT publish an oracle — the result it describes does not exist yet
