@@ -188,16 +188,21 @@ object PipelineQueries {
     * At 100 TB the listing is millions of rows where the data is
     * billions: the plan costs seconds and no data moves until the
     * rewrite executes it. */
-  def p16CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the "current files": per-z-cell row counts from the z-keyed table
-    // (a real lakehouse reads its manifest; the cells stand in for files)
-    val files = zkeyedOrders(spark, dir)
+  /** The "current files" listing p16 plans over: per-z-cell row counts
+    * from the z-keyed table (a real lakehouse reads its manifest; the
+    * cells stand in for files). Exposed un-checkpointed so `PlanSpec`
+    * can pin the scan pruning the checkpoint would otherwise hide. */
+  def p16FileListing(spark: SparkSession, dir: String): DataFrame =
+    zkeyedOrders(spark, dir)
       .withColumn("zcell",
         shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
       .groupBy(col("zcell"))
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("bytes", col("n_rows") * lit(RowBytes))
+
+  def p16CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = p16FileListing(spark, dir)
       .localCheckpoint(true) // metadata-sized; consumed by total + ranges
     val tot = files.agg(sum(col("bytes")).as("total"))
     val ordered = files.repartitionByRange(col("zcell"))

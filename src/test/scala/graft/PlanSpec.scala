@@ -434,6 +434,29 @@ class PlanSpec extends AnyFunSuite {
     assert(math.abs(rows.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("p16: the compaction planner reads only the two layout dims — " +
+    "order keys are pruned from the scan, and nothing plans a cartesian") {
+    // the listing is what touches parquet (the planner itself runs over
+    // its checkpoint); pin the pruning on the listing's own plan
+    val lp = plan(graft.pipeline.PipelineQueries.p16FileListing(spark, sf))
+    assert(lp.contains("ReadSchema"), s"no scan in the listing plan:\n$lp")
+    val read = lp.substring(lp.indexOf("ReadSchema")).takeWhile(_ != '\n')
+    assert(read.contains("o_orderdate") && read.contains("o_custkey"),
+      s"layout dims missing from scan: $read")
+    assert(!read.contains("o_orderkey") && !read.contains("o_totalprice"),
+      s"planner reads columns it never uses: $read")
+    // the planner's broadcast sides are the tiny stats/offsets frames;
+    // nothing may degrade to a cartesian
+    val p = plan(graft.pipeline.PipelineQueries.p16CompactionPlan(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("s10: the NN-descent rounds never plan a cartesian — candidates " +
+    "move as id pairs and vectors are fetched by key join only") {
+    val p = plan(graft.operators.Similarity.s10NnDescentIter(spark, sf, 1))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("m5: no payload-width column crosses any exchange — the CAS key is " +
     "a constant-width digest, the bytes die in the scan projection") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
