@@ -200,12 +200,22 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("bytes", col("n_rows") * lit(RowBytes))
 
-  def p16CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+  def p16CompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    p16CompactionPlanRanged(spark, dir, 0)
+
+  /** [[p16CompactionPlan]] with an explicit range count (0 = session
+    * default) — the spec's partition-invariance hook: the prefix sum is
+    * exact integer arithmetic whatever the range bounds, so any cluster
+    * width must produce byte-identical plans (t12's guarantee, asserted
+    * the same way). */
+  def p16CompactionPlanRanged(spark: SparkSession, dir: String, ranges: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val files = p16FileListing(spark, dir)
       .localCheckpoint(true) // metadata-sized; consumed by total + ranges
     val tot = files.agg(sum(col("bytes")).as("total"))
-    val ordered = files.repartitionByRange(col("zcell"))
+    val ordered =
+      (if (ranges > 0) files.repartitionByRange(ranges, col("zcell"))
+       else files.repartitionByRange(col("zcell")))
       .sortWithinPartitions(col("zcell"))
       .withColumn("rid", spark_partition_id())
       .localCheckpoint(true)

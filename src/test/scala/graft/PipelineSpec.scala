@@ -663,5 +663,13 @@ class PipelineSpec extends AnyFunSuite {
         assert(h1 < l2, s"bin z-ranges overlap: $h1 >= $l2")
       case _ =>
     }
+    // partition invariance: the exact-integer prefix sum makes the plan
+    // independent of where the range bounds land (t12's guarantee)
+    val at3 = PipelineQueries.p16CompactionPlanRanged(spark, sf, 3)
+      .collect().map(_.toSeq).toSeq
+    val at7 = PipelineQueries.p16CompactionPlanRanged(spark, sf, 7)
+      .collect().map(_.toSeq).toSeq
+    assert(at3 == at7, "compaction plan depends on the range count")
+    assert(at3 == plan.map(_.toSeq).toSeq, "ranged form diverges from default")
   }
 }
