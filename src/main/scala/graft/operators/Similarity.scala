@@ -1035,11 +1035,14 @@ object Similarity {
     val scored = (1 to iters).foldLeft(scoreTopK(seed)) { (nn, _) =>
       // candidate expansion one hop through the undirected graph:
       // checkpoint per iteration keeps the lineage flat (the s9 pattern)
+      // no checkpoint here: the hop consumes `und` on both sides of its
+      // self-join, but the two branches are the identical subplan over
+      // the already-checkpointed `nn`, so ReuseExchange shares one
+      // execution — a materialization would only add block-manager churn
       val und = nn.select(col("vec_id"), col("neighbor_id"))
         .unionByName(nn.select(col("neighbor_id").as("vec_id"),
           col("vec_id").as("neighbor_id")))
         .distinct()
-        .localCheckpoint(true)
       val hop = und.select(col("vec_id"), col("neighbor_id").as("mid"))
         .join(und.select(col("vec_id").as("mid"), col("neighbor_id").as("cand")),
           Seq("mid"))
