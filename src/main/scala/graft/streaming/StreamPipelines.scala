@@ -164,6 +164,37 @@ object StreamPipelines {
       .withColumn("is_inferred", col(dimKey).isNull.cast("long"))
       .drop(dimKey)
 
+  /** Streaming Misra-Gries candidates: t14's EXACT batch aggregator
+    * ([[graft.operators.HeavyHitters.MisraGriesAgg]]) run as a streaming
+    * aggregate — the mergeable-summaries property that lets Spark run it
+    * map-side-partial in batch is the same property that makes it a
+    * valid incremental streaming state (each micro-batch merges into the
+    * running summary). Arrival order changes the summary's counters,
+    * NEVER the guarantee: every token with true frequency > n/k is in
+    * the candidate set, whatever order and batching the stream delivered
+    * (asserted in `StreamingSpec` by replaying a corpus in shuffled
+    * chunks against the batch t14 truth). The finish step emits the
+    * sorted candidate array; like batch t14, a downstream exact recount
+    * turns candidates into verdicts. */
+  class MgCandidatesAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Array[String]] {
+    private val inner = new graft.operators.HeavyHitters.MisraGriesAgg(k)
+    override def zero: Map[String, Long] = inner.zero
+    override def reduce(b: Map[String, Long], t: String): Map[String, Long] = inner.reduce(b, t)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = inner.merge(a, b)
+    override def finish(b: Map[String, Long]): Array[String] = b.keys.toArray.sorted
+    override def bufferEncoder = inner.bufferEncoder
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** The streaming candidate pass: one global summary over a token
+    * stream (`complete` output — the summary is k-bounded model-sized
+    * state, the one shape where complete mode is right). */
+  def mgCandidateStream(tokens: Dataset[String],
+                        k: Int = graft.operators.HeavyHitters.MgK): DataFrame =
+    tokens.select(new MgCandidatesAgg(k).toColumn.name("candidates")).toDF()
+
   /** Streaming exact dedup: drops re-deliveries of the same id, keeping
     * state only within the watermark horizon — the continuous analog of the
     * batch `d1_dedup_exact` keep-first semantics for an at-least-once

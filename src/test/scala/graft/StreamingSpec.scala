@@ -308,4 +308,39 @@ class StreamingSpec extends AnyFunSuite {
     apply(Seq((1L, "a2", 2L, 3L), (3L, "c1", 1L, 4L)).toDF("k", "v", "ver", "tie"), 1L)
     assert(snapshot() == committed, "torn v2 not recovered from pre-batch state")
   }
+
+  test("streaming Misra-Gries candidates cover every batch heavy hitter " +
+    "whatever the arrival order and batching") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val k = graft.operators.HeavyHitters.MgK
+    val toks = graft.Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("w"))
+      .as[String].collect().toSeq
+    val n = toks.size
+    // ground truth = t14's contract: tokens with exact freq > n/k
+    val exactHeavy = toks.groupBy(identity)
+      .collect { case (t, g) if g.size.toLong * k > n => t }.toSet
+    assert(exactHeavy.nonEmpty, "corpus must have heavy hitters for the test to bite")
+    // adversarial delivery: shuffled order, uneven micro-batches
+    val shuffled = new scala.util.Random(42).shuffle(toks)
+    val chunks = Seq(
+      shuffled.take(n / 7),
+      shuffled.slice(n / 7, n / 2),
+      shuffled.drop(n / 2))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = s"mem_mg_${System.nanoTime()}"
+    val q = StreamPipelines.mgCandidateStream(mem.toDS(), k)
+      .writeStream.format("memory").queryName(out).outputMode("complete").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val cands = spark.table(out).select(col("candidates"))
+        .as[Array[String]].head().toSet
+      assert(cands.size <= k - 1, s"summary overflows its bound: ${cands.size}")
+      val missed = exactHeavy.diff(cands)
+      assert(missed.isEmpty,
+        s"MG guarantee violated under streaming delivery — missing: $missed")
+    } finally q.stop()
+  }
 }
