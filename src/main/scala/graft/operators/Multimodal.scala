@@ -371,7 +371,82 @@ object Multimodal {
       | CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** m6 mix weights: image 3 : audio 2 : video 1, scale 6 (their lcm) —
+    * the per-modality stride `K_m = scale / W_m` is exact integer. */
+  val MixWeights: Seq[(String, Int)] = Seq(("image", 3), ("audio", 2), ("video", 1))
+  val MixScale = 6
+
+  /** `m6_mix_manifest`: deterministic ratio-targeted modality interleave —
+    * the data-MIXING step of a multimodal training pipeline (the batch
+    * stream must honor the 3:2:1 image/audio/video recipe in every
+    * prefix, not just in aggregate, or a training run sees modality
+    * bursts). Stride scheduling in exact integers: each modality ranks
+    * its items in deterministic md5 shuffle order, item r of modality m
+    * gets mix key `r · (scale/W_m)` — sorting by (key, modality, doc_id)
+    * yields a global order whose every prefix tracks the target ratios
+    * to within one item per modality while all modalities have supply
+    * (spec-asserted exactly, up to the measured exhaustion horizon).
+    *
+    * Shape: one narrow scan; per-modality ranks are 3-key-partitioned
+    * windows; the GLOBAL sequence number is t12's distributed prefix sum
+    * (range-partition by the mix key, per-range counts → broadcast base
+    * offsets → in-range row_number) — the manifest is corpus-sized, so
+    * the naive single-task `Window.orderBy` never appears and any
+    * cluster width yields the byte-identical manifest. */
+  def m6MixManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stride = MixWeights.foldLeft(lit(null).cast("long")) { case (acc, (m, w)) =>
+      when(col("media_type") === m, lit((MixScale / w).toLong)).otherwise(acc)
+    }
+    val wMod = Window.partitionBy(col("media_type"))
+      .orderBy(col("shuf"), col("doc_id"))
+    val keyed = mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        md5(col("doc_id").cast("string")).as("shuf"))
+      .withColumn("r", row_number().over(wMod).cast("long"))
+      .withColumn("mix_key", col("r") * stride)
+      .select(col("doc_id"), col("media_type"), col("r"), col("mix_key"))
+    // distributed global sequence over (mix_key, media_type, doc_id)
+    val ordered = keyed
+      .repartitionByRange(col("mix_key"), col("media_type"), col("doc_id"))
+      .sortWithinPartitions(col("mix_key"), col("media_type"), col("doc_id"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ordered.groupBy(col("rid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("rid"), col("base"))
+    val wRun = Window.partitionBy(col("rid"))
+      .orderBy(col("mix_key"), col("media_type"), col("doc_id"))
+    ordered.join(broadcast(offsets), Seq("rid"))
+      .withColumn("seq", (col("base") + row_number().over(wRun)).cast("long"))
+      .select(col("seq"), col("doc_id"), col("media_type"), col("r"), col("mix_key"))
+      .orderBy(col("seq"))
+  }
+
+  private val m6Oracle: String = {
+    val strideCase = MixWeights.map { case (m, w) =>
+      s"WHEN '$m' THEN ${MixScale / w}"
+    }.mkString("CASE media_type ", " ", " END")
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  md5(CAST(doc_id AS VARCHAR)) AS shuf
+       | FROM documents),
+       |k AS (
+       | SELECT doc_id, media_type,
+       |  CAST(row_number() OVER (PARTITION BY media_type ORDER BY shuf, doc_id) AS BIGINT) AS r
+       | FROM m),
+       |x AS (
+       | SELECT doc_id, media_type, r, r * ($strideCase) AS mix_key FROM k)
+       |SELECT CAST(row_number() OVER (ORDER BY mix_key, media_type, doc_id) AS BIGINT) AS seq,
+       | doc_id, media_type, r, CAST(mix_key AS BIGINT) AS mix_key
+       |FROM x ORDER BY seq""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "m6_mix_manifest" -> m6Oracle,
     "m4_image_tiles" -> m4Oracle,
     "m1_multimodal_meta" -> m1Oracle,
     "m2_frame_sample" -> m2Oracle,
@@ -383,5 +458,6 @@ object Multimodal {
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_audio_windows" -> (m3AudioWindows _),
     "m4_image_tiles" -> (m4ImageTiles _),
-    "m5_payload_dedup" -> (m5PayloadDedup _))
+    "m5_payload_dedup" -> (m5PayloadDedup _),
+    "m6_mix_manifest" -> (m6MixManifest _))
 }

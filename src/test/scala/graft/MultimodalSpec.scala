@@ -165,4 +165,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(b1.sameElements(b2))
     assert(b1.forall { case (_, bk) => bk >= 0 && bk < 256 })
   }
+
+  test("m6: every manifest prefix tracks the 3:2:1 mix to within one " +
+    "item per modality until a modality exhausts, and seq is a total order") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.m6MixManifest(spark, sf)
+      .select(col("seq"), col("media_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // seq is the contiguous 1..n total order
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    val weights = Multimodal.MixWeights.toMap
+    val wSum = weights.values.sum
+    val supply = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // horizon: the first L at which some modality's stride demand
+    // outruns its supply
+    val horizon = weights.map { case (m, w) =>
+      supply(m).toLong * wSum / w
+    }.min.toInt
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rows.take(horizon).zipWithIndex.foreach { case ((_, m), i) =>
+      counts(m) += 1
+      val l = i + 1
+      weights.foreach { case (mod, w) =>
+        val target = l.toDouble * w / wSum
+        assert(math.abs(counts(mod) - target) <= weights.size,
+          s"prefix $l: $mod at ${counts(mod)} vs target $target")
+      }
+    }
+  }
 }
