@@ -858,6 +858,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d9_dedup_chunks" -> d9OracleSql,
+    "d11_dedup_eval" -> d11Oracle,
     "d1_dedup_exact" ->
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
@@ -1037,7 +1038,53 @@ object Dedup {
        |FROM sim s LEFT JOIN near ON s.doc_id = near.doc_id""".stripMargin
   }
 
+  /** `d11_dedup_eval`: candidate-stage quality monitoring for the
+    * near-dup pipeline — s8's recall-SLO idea applied to dedup. The LSH
+    * band candidates (d3's stage 1) are scored against the exact-confirm
+    * truth (d2's full prefix-join pairs): `recall_e6` = truth pairs the
+    * bands caught (missed dupes survive dedup — the quality risk);
+    * `precision_e6` = candidates that confirm (wasted confirm work — the
+    * cost dial; band count/width trades one against the other). One
+    * 1-row report; both inputs are the already-scale-correct d2/d3
+    * frames sharing ONE checkpointed shingle-array table, and the eval
+    * adds only pair-keyed semi-joins and count aggregates — nothing
+    * fact-sized beyond what d2 itself does. Division guards are NULLs,
+    * mirrored as NULLIF in the oracle. */
+  def d11DedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    val truth = jaccardPairs(arrays, None, alreadyCheckpointed = true)
+      .select(col("doc_id_1"), col("doc_id_2")).localCheckpoint(true)
+    val cand = minhashCandidates(arrays).localCheckpoint(true)
+    val hits = cand.join(truth,
+      cand("d1") === truth("doc_id_1") && cand("d2") === truth("doc_id_2"),
+      "left_semi")
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    def ratio(num: Column, den: Column) =
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(floor(num * lit(1000000.0) / den).cast("long"))
+    n(truth, "n_truth").crossJoin(n(cand, "n_cand")).crossJoin(n(hits, "n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        ratio(col("n_hit"), col("n_cand")).as("precision_e6"),
+        ratio(col("n_hit"), col("n_truth")).as("recall_e6"))
+  }
+
+  // lazy: referenced by the `oracle` map declared ABOVE this definition
+  private lazy val d11Oracle: String =
+    s"""WITH $shinglesCte,
+       |$minhashCandCte,
+       |truth AS (SELECT doc_id_1, doc_id_2 FROM (${jaccardSelectSql("")})),
+       |h AS (
+       | SELECT count(*) AS n_hit FROM cand c
+       | JOIN truth t ON c.cd1 = t.doc_id_1 AND c.cd2 = t.doc_id_2)
+       |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       | CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | CAST(floor(n_hit * 1000000.0 / NULLIF((SELECT count(*) FROM cand), 0)) AS BIGINT) AS precision_e6,
+       | CAST(floor(n_hit * 1000000.0 / NULLIF((SELECT count(*) FROM truth), 0)) AS BIGINT) AS recall_e6
+       |FROM h""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_dedup_eval" -> (d11DedupEval _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram" -> ((s: SparkSession, d: String) => d2DedupNgram(s, d)),
     "d3_dedup_minhash" -> (d3DedupMinhash _),

@@ -402,6 +402,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r1 >= 0.70, f"single-cell recall floor: $r1%.3f")
   }
 
+  test("d11: the dedup eval closes against its own pipeline — truth is " +
+    "d2's pair count, hits are exactly d3's confirmed pairs, arithmetic exact") {
+    val r = Dedup.d11DedupEval(spark, sf).collect().head
+    val nTruth = r.getAs[Long]("n_truth")
+    val nCand = r.getAs[Long]("n_cand")
+    val nHit = r.getAs[Long]("n_hit")
+    assert(nTruth == Dedup.d2DedupNgram(spark, sf).count(),
+      "truth must be d2's confirmed pair set")
+    // d3 IS confirm(candidates), so its output count equals the hit count
+    assert(nHit == Dedup.d3DedupMinhash(spark, sf).count(),
+      "hits must be exactly d3's confirmed pairs")
+    assert(nHit <= nCand && nHit <= nTruth)
+    assert(r.getAs[Long]("precision_e6") ==
+      math.floor(nHit * 1000000.0 / nCand).toLong)
+    assert(r.getAs[Long]("recall_e6") ==
+      math.floor(nHit * 1000000.0 / nTruth).toLong)
+    // the shipped band geometry must actually be a high-recall candidate
+    // stage on this corpus (d3's spec already pins pair-level equality
+    // with d2; this is the aggregate view of the same fact)
+    assert(r.getAs[Long]("recall_e6") >= 900000L,
+      s"LSH candidate recall collapsed: ${r.getAs[Long]("recall_e6")}")
+  }
+
   test("s10: NN-descent recall vs exact kNN improves monotonically from " +
     "the trivial seed and the verified form clears the floor") {
     // exact ground truth: per-vector top-k by (cos desc, id), plain Scala
