@@ -94,21 +94,31 @@ object Bench {
     // jstack showed a RUNNABLE executor thread accruing ~26% CPU while the
     // guest sat 97% idle) — recording both makes that diagnosis mechanical
     // from BENCH_SPREAD.json alone instead of requiring a live jstack
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // the cpu column is diagnostics — it must never be able to kill the
+    // bench (non-HotSpot JVMs may not implement the com.sun interface;
+    // an unsupported platform returns -1 from getProcessCpuTime). A rep
+    // whose cpu reads unsupported records -1, explicitly distinct from a
+    // true 0 (which would mimic the starvation signature being diagnosed).
+    val cpuNow: () => Long =
+      try {
+        val b = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        if (b.getProcessCpuTime < 0) () => -1L else () => b.getProcessCpuTime
+      } catch { case _: Throwable => () => -1L }
+    def cpuDelta(c0: Long, c1: Long): Double =
+      if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
     // Reps interleaved sweeps: sweep r times every query once, in name order
     val bySweep = (1 to Reps).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val c0 = osBean.getProcessCpuTime
+        val c0 = cpuNow()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
             throw new RuntimeException(s"bench query $name failed", e)
         }
-        name -> ((System.nanoTime() - t0) / 1e9,
-                 (osBean.getProcessCpuTime - c0) / 1e9)
+        name -> ((System.nanoTime() - t0) / 1e9, cpuDelta(c0, cpuNow()))
       }
     }
     def reps(name: String, part: ((Double, Double)) => Double): Seq[Double] =
@@ -152,6 +162,11 @@ object Bench {
     def shortName(n: String): String = n.takeWhile(_ != '_')
     require(named.map(n => shortName(n._1)).distinct.size == named.size,
       "short bench keys collide — rename the query or extend shortName")
+    // the gate must never silently compute from nothing: a renamed or
+    // dropped canary is a hard error, not a vacuously-clean verdict
+    require(CanaryFloor.keySet.subsetOf(named.map(_._1).toSet),
+      s"canary queries missing from benchQueries: " +
+        s"${CanaryFloor.keySet.diff(named.map(_._1).toSet)}")
     val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(median(v)) }
       .mkString("{", ",", "}")
     def spreadObj(rs: Seq[(String, Seq[Double])]): String = rs.map { case (k, v) =>

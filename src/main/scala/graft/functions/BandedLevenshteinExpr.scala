@@ -59,10 +59,20 @@ case class BandedLevenshteinExpr(left: Expression, right: Expression, den: Int)
     cnt
   }
 
-  /** Decode the (well-formed) UTF-8 code point starting at byte `off`. */
+  /** Decode the UTF-8 code point starting at byte `off`. A multi-byte
+    * sequence truncated at the string's end decodes as U+FFFD instead of
+    * reading past `numBytes()` — Spark never validates StringType bytes
+    * (a binary column cast to string can carry anything), and
+    * `getByte` past the end is an unchecked off-heap read: the result
+    * would be nondeterministic adjacent memory, not just a wrong
+    * character. Interior malformed bytes still decode bitwise (garbage
+    * in, deterministic garbage out), which is all the distance contract
+    * needs. */
   private def codePointAt(u: UTF8String, off: Int): Int = {
     val b0 = u.getByte(off)
-    UTF8String.numBytesForFirstByte(b0) match {
+    val len = UTF8String.numBytesForFirstByte(b0)
+    if (off + len > u.numBytes()) return 0xFFFD // truncated tail sequence
+    len match {
       case 1 => b0 & 0x7f
       case 2 => ((b0 & 0x1f) << 6) | (u.getByte(off + 1) & 0x3f)
       case 3 => ((b0 & 0x0f) << 12) | ((u.getByte(off + 1) & 0x3f) << 6) |

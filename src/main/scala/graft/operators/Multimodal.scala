@@ -387,23 +387,51 @@ object Multimodal {
     * to within one item per modality while all modalities have supply
     * (spec-asserted exactly, up to the measured exhaustion horizon).
     *
-    * Shape: one narrow scan; per-modality ranks are 3-key-partitioned
-    * windows; the GLOBAL sequence number is t12's distributed prefix sum
-    * (range-partition by the mix key, per-range counts → broadcast base
-    * offsets → in-range row_number) — the manifest is corpus-sized, so
-    * the naive single-task `Window.orderBy` never appears and any
-    * cluster width yields the byte-identical manifest. */
+    * Shape: one narrow scan; BOTH orders are t12's distributed prefix
+    * sum — the per-modality shuffle ranks (range-partition by (modality,
+    * shuffle key), per-(range, modality) counts → broadcast per-modality
+    * base offsets → in-range windows; a bare partitionBy(media_type)
+    * window would buffer a third of the corpus in one sort task) and the
+    * global sequence number (range-partition by the mix key, same
+    * machinery) — the manifest is corpus-sized, so no single-task or
+    * modality-task window appears anywhere and any cluster width yields
+    * the byte-identical manifest. An unweighted media_type raises
+    * instead of silently keying null (nulls would sort an unweighted
+    * burst to the manifest front). */
   def m6MixManifest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stride = MixWeights.foldLeft(lit(null).cast("long")) { case (acc, (m, w)) =>
+    // unknown modality = raise, never a silent null key (nulls would sort
+    // to the manifest FRONT as an unweighted burst — the exact invariant
+    // violation this operator exists to prevent)
+    val stride = MixWeights.foldLeft(
+      raise_error(concat(lit("m6: unweighted media_type "), col("media_type")))
+        .cast("long")) { case (acc, (m, w)) =>
       when(col("media_type") === m, lit((MixScale / w).toLong)).otherwise(acc)
     }
-    val wMod = Window.partitionBy(col("media_type"))
-      .orderBy(col("shuf"), col("doc_id"))
-    val keyed = mediaTable(spark, dir)
+    // per-modality shuffle ranks, DISTRIBUTED: a bare
+    // Window.partitionBy(media_type) would buffer a third of the corpus
+    // in one sort task — the same t12 range-partition/prefix-count
+    // machinery the global seq uses below computes r with per-range
+    // windows instead (per-(range, modality) counts → broadcast base
+    // offsets keyed by modality → in-range row_number)
+    val shuffled = mediaTable(spark, dir)
       .select(col("doc_id"), col("media_type"),
         md5(col("doc_id").cast("string")).as("shuf"))
-      .withColumn("r", row_number().over(wMod).cast("long"))
+      .repartitionByRange(col("media_type"), col("shuf"), col("doc_id"))
+      .sortWithinPartitions(col("media_type"), col("shuf"), col("doc_id"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true)
+    val modOffsets = shuffled.groupBy(col("rid"), col("media_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mbase", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("media_type")).orderBy(col("rid"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("rid"), col("media_type"), col("mbase"))
+    val wModRun = Window.partitionBy(col("rid"), col("media_type"))
+      .orderBy(col("shuf"), col("doc_id"))
+    val keyed = shuffled.join(broadcast(modOffsets), Seq("rid", "media_type"))
+      .withColumn("r", (col("mbase") + row_number().over(wModRun)).cast("long"))
       .withColumn("mix_key", col("r") * stride)
       .select(col("doc_id"), col("media_type"), col("r"), col("mix_key"))
     // distributed global sequence over (mix_key, media_type, doc_id)
