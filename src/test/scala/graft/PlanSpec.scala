@@ -457,6 +457,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("m6: every manifest window is range-slot-partitioned — a bare " +
+    "modality- or globally-partitioned window would buffer corpus-scale " +
+    "rows in one sort task") {
+    val p = plan(graft.operators.Multimodal.m6MixManifest(spark, sf))
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p.toLowerCase).map(_.group(1)).toList
+    assert(winSpecs.nonEmpty, s"expected the prefix-sum windows in:\n$p")
+    winSpecs.foreach { spec =>
+      // rid-partitioned running sums and the rid-count base-offset
+      // windows are fine (per-range or range-count-sized); anything else
+      // re-admits the single-task pathology
+      assert(spec.contains("rid"),
+        s"window not partitioned by the range slot ($spec) in:\n$p")
+    }
+  }
+
   test("m5: no payload-width column crosses any exchange — the CAS key is " +
     "a constant-width digest, the bytes die in the scan projection") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
