@@ -1004,15 +1004,13 @@ object Similarity {
   def s10NnDescent(spark: SparkSession, dir: String): DataFrame =
     s10NnDescentIter(spark, dir, NndIters)
 
-  /** [[s10NnDescent]] with an explicit iteration count — the spec's
-    * convergence-curve hook (T=0 scores the raw seed). */
-  def s10NnDescentIter(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true) // scanned by every iteration's two scoring joins
+  /** The default deterministic md5 pseudo-random seed graph —
+    * `(vec_id, neighbor_id)` pairs in the contract the refinement
+    * overload takes. */
+  def s10RandomSeed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"))
     val nTot = e.agg(count(lit(1)).as("n_tot"))
-    val seed = e.select(col("vec_id"))
-      .crossJoin(broadcast(nTot))
+    e.crossJoin(broadcast(nTot))
       .withColumn("j", explode(array((1 to NndSearchK).map(lit(_)): _*)))
       .withColumn("neighbor_id",
         graft.functions.TextFunctions.md5Long60(
@@ -1021,6 +1019,31 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("vec_id"))
       .select(col("vec_id"), col("neighbor_id"))
       .distinct() // md5 collisions mod n may repeat a neighbor
+  }
+
+  /** [[s10NnDescent]] with an explicit iteration count — the spec's
+    * convergence-curve hook (T=0 scores the raw seed). */
+  def s10NnDescentIter(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    s10NnDescentFrom(spark, dir, s10RandomSeed(spark, dir), iters)
+
+  /** NN-descent over ANY seed graph: `seedPairs` is a `(vec_id,
+    * neighbor_id)` frame — the md5 pseudo-random seed by default, an
+    * s2/s7 sketch shortlist UNIONED with it for a warm start (the same
+    * pluggable-stage contract as s9's candidates). The seed must COVER
+    * the corpus: refinement only ever expands along existing edges, so a
+    * probe-only shortlist alone strands every unseeded vector in a tiny
+    * subgraph (measured: s7's 50 probe edges alone reach 0.09 probe
+    * recall after a round where the covering seed reaches 0.81 — warm
+    * edges AUGMENT coverage, they do not replace it; spec-asserted). */
+  def s10NnDescentFrom(spark: SparkSession, dir: String, seedPairs: DataFrame,
+                       iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // scanned by every iteration's two scoring joins
+    val seed = seedPairs
+      .select(col("vec_id"), col("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .distinct() // a duplicated seed edge would double-rank in the cut
     val wK = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
     // one exact-cosine scoring pass + top-k' cut; both sides fetch vectors
     // from the checkpointed table — candidates carry only ids

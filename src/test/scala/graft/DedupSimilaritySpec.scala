@@ -459,6 +459,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // measured on the deterministic corpus: 0.01 → 0.83 → 0.98 at
     // k'=15; the verified 2-iteration form must stay a usable kNN graph
     assert(r2 >= 0.9, f"verified-form recall floor: $r2%.3f")
+    // the seed stage is pluggable: explicit random seed == default
+    // bit-for-bit, and warm-seeding from s7's sketch shortlist must buy
+    // at least what the cold md5 seed gets from the same iteration count
+    val explicit = Similarity.s10NnDescentFrom(spark, sf,
+      Similarity.s10RandomSeed(spark, sf), Similarity.NndIters)
+      .collect().map(_.toSeq).toSeq
+    assert(explicit ==
+      Similarity.s10NnDescent(spark, sf).collect().map(_.toSeq).toSeq,
+      "explicit random seed must reproduce the default")
+    import org.apache.spark.sql.functions.col
+    // warm start = s7's sketch shortlist UNIONED with the covering random
+    // seed (a probe-only shortlist ALONE strands the unseeded corpus —
+    // measured 0.09 vs 0.81 probe recall — which is why the contract says
+    // warm edges augment coverage, never replace it)
+    val s7seed = Similarity.s7AnnBinary(spark, sf)
+      .select(col("probe_id").as("vec_id"), col("neighbor_id"))
+    val warmSeed = s7seed.unionByName(Similarity.s10RandomSeed(spark, sf))
+    val warm = Similarity.s10NnDescentFrom(spark, sf, warmSeed, 1)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cold1 = Similarity.s10NnDescentIter(spark, sf, 1)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // per-probe recall after ONE round: the sketch's good initial edges
+    // must not lose to the cold seed on the vectors they cover
+    val probes = s7seed.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    def probeRecall(g: Map[Long, Set[Long]]) =
+      probes.toSeq.map(v => g.getOrElse(v, Set.empty).count(truth(v))).sum.toDouble /
+        probes.toSeq.map(v => truth(v).size).sum
+    val rw = probeRecall(warm); val rc = probeRecall(cold1)
+    info(f"probe recall after 1 round: warm(s7+random) $rw%.3f vs cold $rc%.3f")
+    assert(rw >= rc - 0.05,
+      f"warm s7 seeding should not lose to the cold seed: $rw%.3f vs $rc%.3f")
   }
 
   test("s3 oracle publishes only after its result materializes, keyed by dir") {
