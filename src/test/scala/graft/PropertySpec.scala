@@ -240,6 +240,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("stride scheduling: every prefix of the m6 mix order tracks the " +
+    "weight recipe within one item per stream, for random weights and " +
+    "supplies, up to the exhaustion horizon") {
+    // pure-arithmetic replica of m6's rule: item r of stream m keys at
+    // r * (scale / w_m); global order = sort by (key, stream, r)
+    check(Prop.forAll(
+      Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k, Gen.chooseNum(1, 6))),
+      Gen.chooseNum(5, 200)) { (weights: List[Int], supplyBase: Int) =>
+      val scale = weights.product * 2 // any common multiple works
+      val supply = weights.indices.map(m => supplyBase + m * 7)
+      val items = for {
+        m <- weights.indices
+        r <- 1 to supply(m)
+      } yield (r.toLong * (scale / weights(m)), m, r)
+      val ordered = items.sorted
+      val wSum = weights.sum
+      val horizon = weights.indices
+        .map(m => supply(m).toLong * wSum / weights(m)).min.toInt
+      val counts = Array.fill(weights.size)(0L)
+      ordered.take(math.min(horizon, ordered.size)).zipWithIndex.forall {
+        case ((_, m, _), i) =>
+          counts(m) += 1
+          val l = i + 1
+          weights.indices.forall { mod =>
+            math.abs(counts(mod) - l.toDouble * weights(mod) / wSum) <=
+              weights.size
+          }
+      }
+    })
+  }
+
   test("hash-split buckets partition the id space deterministically") {
     check(Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id: Long =>
       def split(x: Long): String = {
