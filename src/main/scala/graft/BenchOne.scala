@@ -25,6 +25,7 @@ object BenchOne {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceBoundedWindowWarning()
     val fn = if (name.startsWith("verified:")) SparkEntry.queries(name.stripPrefix("verified:"))
              else SparkEntry.benchQueries(name)
     val rt = Runtime.getRuntime

@@ -14,6 +14,25 @@ object GraftSession {
     tune(SparkSession.builder().master(s"local[$cores]"), shufflePartitions)
       .getOrCreate()
 
+  /** Silence WindowExec's "No Partition Defined" warning — HARNESS MAINS
+    * ONLY (Bench/BenchOne/Verify call this; library code never does).
+    *
+    * The engine's distributed prefix sums end in one deliberate
+    * single-partition window over a #partitions- or rule-table-sized
+    * frame (m6/t11/t12/p16, SURVEY §5 "distributed prefix sums"); the
+    * frames cannot grow with data, which `PlanSpec`'s global
+    * bounded-input pin enforces structurally. A literal partition key
+    * would state the intent in-plan but does not survive Spark 4's
+    * `EliminateWindowPartitions` (foldable keys are stripped), so the
+    * warning fires on every run — dozens of identical lines that bury
+    * real warnings in the bench tail. Scoped to the one logger; every
+    * other WARN still surfaces. */
+  def silenceBoundedWindowWarning(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // non-log4j2 backend: keep the noise
+
   /** Apply engine defaults to any builder (cluster or local). */
   def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder = b
     .config("spark.sql.extensions", "graft.GraftExtensions")

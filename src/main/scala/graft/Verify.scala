@@ -16,6 +16,7 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceBoundedWindowWarning()
     try run(spark, sfDir, outDir, only)
     finally spark.stop()
   }

@@ -384,8 +384,11 @@ object Multimodal {
     * its items in deterministic md5 shuffle order, item r of modality m
     * gets mix key `r · (scale/W_m)` — sorting by (key, modality, doc_id)
     * yields a global order whose every prefix tracks the target ratios
-    * to within one item per modality while all modalities have supply
-    * (spec-asserted exactly, up to the measured exhaustion horizon).
+    * to within `MixWeights.size` items per modality while all modalities
+    * have supply (the bound MultimodalSpec/PropertySpec assert, up to
+    * the measured exhaustion horizon: a prefix cut mid-key-group can
+    * hold at most one not-yet-balanced item per modality sharing the
+    * boundary key, hence the |modalities| slack).
     *
     * Shape: one narrow scan; BOTH orders are t12's distributed prefix
     * sum — the per-modality shuffle ranks (range-partition by (modality,
@@ -440,6 +443,12 @@ object Multimodal {
       .sortWithinPartitions(col("mix_key"), col("media_type"), col("doc_id"))
       .withColumn("rid", spark_partition_id())
       .localCheckpoint(true)
+    // deliberately unpartitioned: the frame is rid-grained (#partitions
+    // rows, can never grow with data) — one partition IS the design.
+    // A literal partition key would not survive the optimizer
+    // (EliminateWindowPartitions strips foldable keys), so the shape is
+    // enforced by PlanSpec's global bounded-input pin and the WindowExec
+    // warning is silenced per-logger in the Bench/Verify harness mains.
     val offsets = ordered.groupBy(col("rid")).agg(count(lit(1)).as("cnt"))
       .withColumn("base", coalesce(sum(col("cnt")).over(
         Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),

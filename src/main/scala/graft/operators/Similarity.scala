@@ -1006,7 +1006,18 @@ object Similarity {
 
   /** The default deterministic md5 pseudo-random seed graph —
     * `(vec_id, neighbor_id)` pairs in the contract the refinement
-    * overload takes. */
+    * overload takes.
+    *
+    * ASSUMES CONTIGUOUS IDS: `md5 % n_tot` lands on a real vector only
+    * because the shipped corpus ids are dense 0..n-1 (the oracle makes
+    * the identical assumption, so parity holds regardless). On a sparse
+    * id space the dangling seed edges would be dropped by the scoring
+    * join, thinning effective seed degree below [[NndSearchK]] and
+    * weakening the coverage contract [[s10NnDescentFrom]] documents — a
+    * production corpus with arbitrary ids maps the hash to a rank
+    * instead (`row_number() over (order by vec_id)` once, joined by
+    * rank), which this seed's pluggable contract already allows without
+    * touching the refinement. */
   def s10RandomSeed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"))
     val nTot = e.agg(count(lit(1)).as("n_tot"))

@@ -523,6 +523,9 @@ object TextAnalysis {
     }
     val total = drops.agg(sum(col("n")).as("n_total"))
     import org.apache.spark.sql.expressions.Window
+    // deliberately unpartitioned: the frame is the 6-row rule table — one
+    // partition IS the design (PlanSpec's global pin asserts the input is
+    // rule-grained; the harness mains silence WindowExec's warning)
     val wPrev = Window.orderBy(col("rule_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
     rulesDf
@@ -575,6 +578,8 @@ object TextAnalysis {
         .localCheckpoint(true)
     // per-range totals -> exclusive base offsets; range-count rows, so the
     // unpartitioned window is bounded by cluster parallelism, not data
+    // (PlanSpec's global pin asserts the input grain; the harness mains
+    // silence WindowExec's single-partition warning)
     val offsets = ordered.groupBy(col("rid")).agg(sum(col("n_toks")).as("tot"))
       .withColumn("base", coalesce(sum(col("tot")).over(
         Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

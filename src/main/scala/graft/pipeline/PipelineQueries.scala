@@ -219,6 +219,9 @@ object PipelineQueries {
       .sortWithinPartitions(col("zcell"))
       .withColumn("rid", spark_partition_id())
       .localCheckpoint(true)
+    // deliberately unpartitioned: rid-grained frame (#ranges rows) — one
+    // partition IS the design (PlanSpec's global pin asserts the grain;
+    // the harness mains silence WindowExec's single-partition warning)
     val offsets = ordered.groupBy(col("rid")).agg(sum(col("bytes")).as("rtot"))
       .withColumn("base", coalesce(sum(col("rtot")).over(
         Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),

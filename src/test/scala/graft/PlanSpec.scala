@@ -473,6 +473,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("global: every unpartitioned window in every query reads a " +
+    "bounded (aggregate- or literal-table-grained) frame — the " +
+    "suite-wide form of the m6/t12/p16 prefix-sum pins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window => LWindow}
+    // An unpartitioned Window over a fact-sized input is the single-task
+    // global sort pathology SURVEY §5 bans. The engine's sanctioned uses
+    // are the distributed prefix sums' base-offset steps, whose inputs
+    // are ALWAYS collapsed first: every scan-rooted path below the
+    // window passes through an Aggregate with a small grouping key
+    // (rid / (rid, modality) / fail_idx / group dims — the output is
+    // group-count-sized, not row-count-sized), and literal rule tables
+    // are bounded by construction. Enforced over EVERY bench query so a
+    // future operator cannot quietly re-admit the pathology. (A literal
+    // partition key cannot carry this intent in-plan: Spark 4's
+    // EliminateWindowPartitions strips foldable keys, which is why the
+    // pin is on the input grain, not the partition spec.)
+    def boundedGrain(p: LogicalPlan): Boolean = p match {
+      // an aggregate collapses the subtree to group grain; the engine's
+      // base-offset frames group by at most 2 small keys
+      case a: Aggregate => a.groupingExpressions.size <= 2
+      case l: LocalRelation => l.data.size <= 64 // literal rule tables
+      case leaf if leaf.children.isEmpty => false // a raw scan leaked in
+      case other => other.children.forall(boundedGrain)
+    }
+    val offenders = SparkEntry.benchQueries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !boundedGrain(w.child) =>
+            s"$name: ${w.windowExpressions.map(_.sql).mkString(", ")}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"fact-sized unpartitioned windows in:\n${offenders.mkString("\n")}")
+  }
+
   test("m5: no payload-width column crosses any exchange — the CAS key is " +
     "a constant-width digest, the bytes die in the scan projection") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
