@@ -658,6 +658,101 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- d12
+
+  /** `d12_semantic_dedup`: per-cluster embedding dedup — the SemDeDup
+    * shape (the published semantic-dedup pipeline for pretraining
+    * corpora: k-means-partition the embedding space, then compare ONLY
+    * within each cluster). This is the operator that CONSUMES the
+    * partition s6 materializes: the same deterministic k-means model and
+    * fused-cosineMatrix assignment (shared via
+    * [[Similarity.kmeansWithData]]/[[Similarity.assignCells]] — one
+    * training per run), a cell-keyed self-equi-join for candidate pairs
+    * (pairs can only form inside a cell, so pair work is Σ|cell|² —
+    * bounded by the model's cell geometry, never a corpus cross join;
+    * the cell count k is the published dial that caps it at scale, and
+    * the join is an equi-join AQE skew-splits if a cell runs hot),
+    * exact-cosine confirm at the d5 threshold, then the shared d6
+    * connected-component core with min-vec_id keeper election.
+    *
+    * vs d7 (LSH-banded near-dup clusters): the bands can MISS true pairs
+    * (d11 measures exactly that); within a cell d12 is exhaustive, so
+    * every same-cell d5 pair is found by construction (spec-pinned) plus
+    * any the banding dropped. The trade is the SemDeDup one — recall 1
+    * inside a cell, zero across cells — and the output keeps the cell
+    * column so a consumer sees which partition vouched for each group.
+    *
+    * Output: one row per corpus vector (the keep/drop manifest): cell,
+    * dup_group (CC label; self for singletons), is_keeper, group_size. */
+  def d12SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, data) = Similarity.kmeansWithData(spark, dir)
+    // consumed three times (both pair sides + the output spine): one
+    // materialized assignment pass, the cosineMatrix never re-runs
+    val asg = Similarity.assignCells(data, cents)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .localCheckpoint(true)
+    val cosE6 = floor(VectorFunctions.cosineFast(col("ea"), col("eb"))
+      * lit(1000000.0)).cast("long")
+    // cell equi-join: both sides shuffle ONCE by cell (vector bytes move
+    // once per side); the pair expansion happens inside the join, so no
+    // per-pair vector fetch and no candidate table carrying embeddings
+    val pairs = asg.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(asg.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb")),
+        Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosE6.as("cos_e6"))
+      .filter(col("cos_e6") >= (CosineTau * 1e6).toLong)
+    val cc = connectedComponents(pairs.select(col("a"), col("b")), "d12")
+    asg.select(col("vec_id"), col("cell"))
+      .join(cc.select(col("v").as("vec_id"), col("l").as("grp")), Seq("vec_id"), "left")
+      .withColumn("dup_group", coalesce(col("grp"), col("vec_id")))
+      .withColumn("is_keeper",
+        when(col("dup_group") === col("vec_id"), 1L).otherwise(0L))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("dup_group"))))
+      .select(col("vec_id"), col("cell"), col("dup_group"),
+        col("is_keeper"), col("group_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** d12 oracle: the final centroids as injected VALUES literals (same
+    * rn=1 argmax assignment as the s6 oracle), within-cell pairs at the
+    * d5 threshold, transitive closure via the same recursive reach as
+    * d6/d7, left-joined back onto the full assignment. */
+  private def d12OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    def cosSql(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+         |  * sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))))""".stripMargin
+    s"""WITH RECURSIVE cents(cid, cent) AS (VALUES
+       |  ${Similarity.centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+       |p AS (
+       | SELECT x.vec_id AS a, y.vec_id AS b
+       | FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+       | WHERE floor(${cosSql("ea.embedding", "eb.embedding")} * 1000000.0)
+       |   >= ${(CosineTau * 1e6).toLong}),
+       |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |reach(v, l) AS (
+       | SELECT DISTINCT a, a FROM edges
+       | UNION
+       | SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v),
+       |cc AS (SELECT v, min(l) AS grp FROM reach GROUP BY v)
+       |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+       | coalesce(cc.grp, s.vec_id) AS dup_group,
+       | CAST(CASE WHEN coalesce(cc.grp, s.vec_id) = s.vec_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper,
+       | count(*) OVER (PARTITION BY coalesce(cc.grp, s.vec_id)) AS group_size
+       |FROM asg s LEFT JOIN cc ON cc.v = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d8
 
   /** Batch membership for d8: stable 0-99 md5 bucket of doc_id (the same
@@ -856,7 +951,18 @@ object Dedup {
        |WHERE p.c * 1.0 / (n1.n + n2.n - p.c) >= $JaccardTau
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** d12's entry appears only once its result has materialized (the s3
+    * convention: Verify calls `SparkEntry.markMaterialized` →
+    * [[Similarity.confirmD12Materialized]]); otherwise d12 degrades to
+    * the driver's rows-only check rather than shipping an oracle built
+    * from a model no result used. */
+  def oracle: Map[String, String] =
+    staticOracle ++ (Similarity.confirmedD12Model match {
+      case Some(cents) => Map("d12_semantic_dedup" -> d12OracleSql(cents))
+      case None => Map.empty
+    })
+
+  private val staticOracle: Map[String, String] = Map(
     "d9_dedup_chunks" -> d9OracleSql,
     "d11_dedup_eval" -> d11Oracle,
     "d1_dedup_exact" ->
@@ -1094,5 +1200,6 @@ object Dedup {
     "d7_embed_clusters" -> ((s: SparkSession, d: String) => d7EmbedClusters(s, d)),
     "d8_dedup_incremental" -> (d8DedupIncremental _),
     "d9_dedup_chunks" -> (d9DedupChunks _),
-    "d10_dedup_fuzzy" -> (d10DedupFuzzy _))
+    "d10_dedup_fuzzy" -> (d10DedupFuzzy _),
+    "d12_semantic_dedup" -> (d12SemanticDedup _))
 }

@@ -442,12 +442,8 @@ object Similarity {
     * including tie-breaks (min cid on equal cosine, min vec_id on equal
     * rank cosine). */
   private def s3OracleSql(cents: Seq[(Long, Array[Long])]): String = {
-    val centRows = cents.map { case (cid, c) =>
-      "(" + cid + ", " + c.map(s => (s.toDouble / KmScale).toString)
-        .mkString("[", ", ", "]") + ")"
-    }.mkString(",\n  ")
     s"""WITH cents(cid, cent) AS (VALUES
-       |  $centRows),
+       |  ${centroidRowsSql(cents)}),
        |scored AS (
        | SELECT e.vec_id, e.embedding, c.cid,
        |  row_number() OVER (PARTITION BY e.vec_id
@@ -481,6 +477,9 @@ object Similarity {
       case _ => Map.empty
     }) ++ (confirmedS6.toMap match {
       case one if one.size == 1 => Map("s6_cluster_assign" -> s6OracleSql(one.head._2))
+      case _ => Map.empty
+    }) ++ (confirmedS11.toMap match {
+      case one if one.size == 1 => Map("s11_index_delta" -> s11OracleSql(one.head._2))
       case _ => Map.empty
     })
 
@@ -647,14 +646,29 @@ object Similarity {
     * long form of the embedding — flooring runs once here, not once per
     * Lloyd iteration; every iteration's aggregate job and the final assign
     * pass all read this one materialization (on a real cluster: reliable
-    * checkpoint / table round-trip). */
-  private def kmeansWithData(spark: SparkSession, dir: String): (Seq[(Long, Array[Long])], DataFrame) = {
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+    * checkpoint / table round-trip).
+    * (private[operators]: d12's per-cluster dedup consumes the same model
+    * and data table — one training per run, not one per consumer.) */
+  private[graft] def kmeansWithData(spark: SparkSession, dir: String): (Seq[(Long, Array[Long])], DataFrame) = {
+    val r = kmeansOver(emb(spark, dir))
+    pendingCentroids.put(dir, r._1)
+    r
+  }
+
+  /** The Lloyd loop over ANY (vec_id, embedding) frame — the full corpus
+    * for s3/s4/s6/d12, the already-indexed corpus slice for s11 (whose
+    * model must PREDATE the incoming batch to make the delta-update
+    * non-vacuous). Init = the NumCells lowest vec_ids of the input
+    * (orderBy + limit: on the dense-id full corpus this is exactly the
+    * historical `vec_id < NumCells` init, and it stays deterministic on
+    * any slice). */
+  private def kmeansOver(e0: DataFrame): (Seq[(Long, Array[Long])], DataFrame) = {
+    val e = e0.select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
           x => floor(x.cast("double") * KmScale).cast("long")).as("f"))
       .localCheckpoint(true)
-    var cents: Seq[(Long, Array[Long])] = e.filter(col("vec_id") < NumCells)
-      .orderBy(col("vec_id")).select(col("vec_id"), col("f")).collect().toSeq
+    var cents: Seq[(Long, Array[Long])] = e
+      .orderBy(col("vec_id")).limit(NumCells).select(col("vec_id"), col("f")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val sums = (0 until Dim).map(i => sum(element_at(col("f"), i + 1)).as(s"s$i"))
     for (_ <- 1 to KmIters) {
@@ -672,9 +686,34 @@ object Similarity {
       }.toMap
       cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
-    pendingCentroids.put(dir, cents)
     (cents, e.select(col("vec_id"), col("embedding")))
   }
+
+  /** Max-cosine cell assignment of ANY (vec_id, embedding) frame under a
+    * trained model — the one fused cosineMatrix pass s6 materializes,
+    * shared with d12's per-cluster dedup and s11's batch delta (the
+    * consumers SURVEY sells s6's partition to). Tie-break: max cosine,
+    * then min cid — identical to s3's data-side assignment. Emits
+    * (vec_id, embedding, cell, cell_cos_e6); the embedding rides along
+    * because every consumer immediately needs it (confirm cosines) and
+    * re-fetching by id would re-shuffle what is already in hand. */
+  private[graft] def assignCells(data: DataFrame,
+                                     cents: Seq[(Long, Array[Long])]): DataFrame =
+    data
+      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
+      .withColumn("_best", array_max(scoredCells(cents, col("_cos"))))
+      .select(col("vec_id"), col("embedding"),
+        col("_best").getField("cid").cast("long").as("cell"),
+        floor(col("_best").getField("cos") * lit(1000000.0)).cast("long").as("cell_cos_e6"))
+
+  /** The centroid model as DuckDB VALUES rows (exact double round-trip
+    * via Double.toString) — shared by every model-injecting oracle
+    * (s3/s6 here, d12 in Dedup, s11 below). */
+  private[operators] def centroidRowsSql(cents: Seq[(Long, Array[Long])]): String =
+    cents.map { case (cid, c) =>
+      "(" + cid + ", " + c.map(s => (s.toDouble / KmScale).toString)
+        .mkString("[", ", ", "]") + ")"
+    }.mkString(",\n  ")
 
   /** k-means models keyed by the dir they were trained on. The training is
     * fully deterministic (fixed init, fixed-point arithmetic), so an entry
@@ -707,6 +746,22 @@ object Similarity {
   def confirmS6Materialized(dir: String): Unit =
     pendingCentroids.get(dir).foreach(cs => confirmedS6.put(dir, cs))
 
+  /** d12's twin (the model is the same pendingCentroids memo the
+    * per-cluster dedup assigned with; confirmed separately like s6). The
+    * confirmed model is read back by `Dedup.oracle` to generate d12's
+    * SQL — the map lives here beside its siblings, the consumer there. */
+  private val confirmedD12 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmD12Materialized(dir: String): Unit =
+    pendingCentroids.get(dir).foreach(cs => confirmedD12.put(dir, cs))
+
+  private[operators] def confirmedD12Model: Option[Seq[(Long, Array[Long])]] =
+    confirmedD12.toMap match {
+      case one if one.size == 1 => Some(one.head._2)
+      case _ => None
+    }
+
   /** `s6_cluster_assign`: corpus-wide cluster assignment — every vector's
     * max-cosine cell from the deterministic k-means model, with its cosine
     * to the chosen centroid. This is the corpus-CURATION face of the s3
@@ -717,24 +772,17 @@ object Similarity {
     * Tie-break = max cosine then min cid, identical to s3's assignment. */
   def s6ClusterAssign(spark: SparkSession, dir: String): DataFrame = {
     val (cents, data) = kmeansWithData(spark, dir)
-    val e = data
-      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
-      .withColumn("_best", array_max(scoredCells(cents, col("_cos"))))
-    e.select(col("vec_id"),
-        col("_best").getField("cid").cast("long").as("cluster_id"),
-        floor(col("_best").getField("cos") * lit(1000000.0)).cast("long").as("cos_e6"))
+    assignCells(data, cents)
+      .select(col("vec_id"), col("cell").as("cluster_id"),
+        col("cell_cos_e6").as("cos_e6"))
       .orderBy(col("vec_id"))
   }
 
   /** s6 oracle: assignment-only slice of the s3 oracle over the same
     * injected centroid literals. */
   private def s6OracleSql(cents: Seq[(Long, Array[Long])]): String = {
-    val centRows = cents.map { case (cid, c) =>
-      "(" + cid + ", " + c.map(s => (s.toDouble / KmScale).toString)
-        .mkString("[", ", ", "]") + ")"
-    }.mkString(",\n  ")
     s"""WITH cents(cid, cent) AS (VALUES
-       |  $centRows),
+       |  ${centroidRowsSql(cents)}),
        |scored AS (
        | SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cent")} AS cos,
        |  row_number() OVER (PARTITION BY e.vec_id
@@ -743,6 +791,113 @@ object Similarity {
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
        | CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
        |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // ------------------------------------------- s11: incremental ANN indexing
+
+  /** s11 batch membership: the d8/t5 stable md5-bucket convention on
+    * vec_id — bucket >= [[Dedup.NewBucketMin]] (20%) plays the freshly
+    * embedded batch, the rest the already-indexed corpus. A real store
+    * swaps this for a snapshot/date predicate, exactly like d8. */
+  private def isNewVec(c: Column): Column =
+    graft.functions.TextFunctions.md5Long60(c.cast("string")) % 100 >= Dedup.NewBucketMin
+
+  private val pendingS11 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS11 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS11Materialized(dir: String): Unit =
+    pendingS11.get(dir).foreach(cs => confirmedS11.put(dir, cs))
+
+  /** Test hooks for the s11 exactness pin (package-private): the batch
+    * membership predicate and a fresh corpus-slice model — the spec
+    * replays the union-equals-one-pass invariant from the raw pieces. */
+  private[graft] def s11IsNewVec(c: Column): Column = isNewVec(c)
+  private[graft] def s11CorpusModel(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    kmeansOver(emb(spark, dir).filter(!isNewVec(col("vec_id"))))._1
+
+  /** `s11_index_delta`: incremental ANN indexing — d8's daily-batch shape
+    * applied to the embedding store. The index model (s3/s6's k-means
+    * centroids) is trained on the ALREADY-INDEXED corpus only, so it
+    * predates the batch the way a production store's does; the incoming
+    * batch is assigned to those FIXED cells in one broadcast-model
+    * cosineMatrix pass and then deduped/ranked against ONLY the corpus
+    * postings of its own cells — a cell-keyed equi-join, so the daily
+    * cost is (batch × touched-cell postings), never batch × corpus and
+    * never a corpus rescan (at scale the corpus side is the stored
+    * cell-partitioned index table and partition pruning reads just the
+    * batch's cells). Per batch vector: its cell (where the delta-update
+    * files it), its centroid cosine, its nearest corpus neighbor within
+    * the cell, and a d5-threshold dup verdict — the keep/merge decision
+    * an embedding-store ingest makes. The update is exact, not an
+    * approximation of a rebuild: assignment is per-row under a fixed
+    * model, so batch∪corpus assignments ≡ the one-pass assignment of
+    * everything (spec-pinned bit-for-bit), the s3-invariant analog of
+    * d8's "today's work is proportional to today's batch".
+    *
+    * A batch vector whose cell holds no corpus vector keeps null
+    * neighbor columns and is_dup = 0 (first tenant of a new region of
+    * space — filed, nothing to dedup against). */
+  def s11IndexDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (cents, corpusData) = kmeansOver(e.filter(!isNewVec(col("vec_id"))))
+    pendingS11.put(dir, cents)
+    val corpusIdx = assignCells(corpusData, cents) // at scale: the stored index
+    // batch is consumed twice (nn probe + output spine) — checkpoint the
+    // small side, not the corpus
+    val batch = assignCells(
+      e.filter(isNewVec(col("vec_id"))).select(col("vec_id"), col("embedding")),
+      cents).localCheckpoint(true)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("_cos").desc, col("nn_id"))
+    val nn = batch.select(col("vec_id"), col("cell"), col("embedding").as("be"))
+      .join(corpusIdx.select(col("cell"), col("vec_id").as("nn_id"),
+        col("embedding").as("ce")), Seq("cell"))
+      .withColumn("_cos", cosineFast(col("be"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"),
+        floor(col("_cos") * lit(1000000.0)).cast("long").as("nn_cos_e6"))
+    batch.select(col("vec_id"), col("cell"), col("cell_cos_e6"))
+      .join(nn, Seq("vec_id"), "left")
+      .withColumn("is_dup",
+        when(col("nn_cos_e6") >= (Dedup.CosineTau * 1e6).toLong, 1L).otherwise(0L))
+      .select(col("vec_id"), col("cell"), col("cell_cos_e6"),
+        col("nn_id"), col("nn_cos_e6"), col("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s11 oracle: the corpus-trained centroids as injected literals; both
+    * slices assigned by the same rn=1 argmax, the batch's nearest
+    * corpus neighbor restricted to its cell, d8's bucket SQL for batch
+    * membership. */
+  private def s11OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    def isNewSql(x: String) =
+      s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= ${Dedup.NewBucketMin}"
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cent")} AS cos,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, embedding, cid AS cell, cos FROM scored WHERE rn = 1),
+       |b AS (SELECT * FROM asg WHERE ${isNewSql("vec_id")}),
+       |corp AS (SELECT * FROM asg WHERE NOT (${isNewSql("vec_id")})),
+       |nn AS (
+       | SELECT vec_id, nn_id, nn_cos FROM (
+       |  SELECT b.vec_id, c.vec_id AS nn_id, ${cosSql("b.embedding", "c.embedding")} AS nn_cos,
+       |   row_number() OVER (PARTITION BY b.vec_id
+       |     ORDER BY ${cosSql("b.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+       |  FROM b JOIN corp c ON b.cell = c.cell)
+       | WHERE rn = 1)
+       |SELECT b.vec_id, CAST(b.cell AS BIGINT) AS cell,
+       | CAST(floor(b.cos * 1000000.0) AS BIGINT) AS cell_cos_e6,
+       | nn.nn_id, CAST(floor(nn.nn_cos * 1000000.0) AS BIGINT) AS nn_cos_e6,
+       | CAST(CASE WHEN floor(nn.nn_cos * 1000000.0) >= ${(Dedup.CosineTau * 1e6).toLong}
+       |   THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM b LEFT JOIN nn ON nn.vec_id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
   }
 
   /** `s3_ann_ivf`: inverted-file ANN with data-derived k-means centroids.
@@ -1150,5 +1305,6 @@ object Similarity {
     "s7_ann_binary" -> (s7AnnBinary _),
     "s6_cluster_assign" -> (s6ClusterAssign _),
     "s10_nn_descent" -> (s10NnDescent _),
-    "s9_mmr_rerank" -> (s9MmrRerank _))
+    "s11_index_delta" -> (s11IndexDelta _),
+    "s9_mmr_rerank" -> ((s: SparkSession, d: String) => s9MmrRerank(s, d)))
 }

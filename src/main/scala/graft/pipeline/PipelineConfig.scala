@@ -26,12 +26,25 @@ final case class EntityConfig(
     pk: Seq[String],
     hashCols: Seq[(String, String)]) // (column, render hint: plain|money|ts)
 
+/** One declarative per-column expectation: inclusive integer bounds in
+  * the metric's own exact unit (`min_cents`/`max_cents` in cents,
+  * `null_rate_e6` floor-e6, `n_distinct` a count); `None` = unbounded on
+  * that side. Integer bounds are the p14 discipline: a verdict can never
+  * flip on a cross-engine ulp. */
+final case class Expectation(table: String, column: String, metric: String,
+                             lo: Option[Long], hi: Option[Long])
+
+object Expectation {
+  val Metrics: Set[String] = Set("min_cents", "max_cents", "null_rate_e6", "n_distinct")
+}
+
 final case class PipelineConfig(
     entities: Seq[EntityConfig],
     retries: Int,
     retryDelayMs: Long,
     stageTimeoutMs: Long,
-    notifyEmail: Option[String]) {
+    notifyEmail: Option[String],
+    expectations: Seq[Expectation]) {
   def entity(name: String): EntityConfig =
     entities.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no entity '$name' in config"))
@@ -73,6 +86,21 @@ object PipelineConfig {
       |entity.orders.pokeIntervalMs=100
       |entity.orders.pk=o_orderkey
       |entity.orders.hashCols=o_orderkey,o_custkey,o_orderstatus,o_totalprice:money,o_orderdate:ts,o_orderpriority
+      |
+      |# per-column expectation suite (p17): table.column.metric:lo:hi,
+      |# inclusive integer bounds in the metric's exact unit (cents / e6 /
+      |# counts), empty side = unbounded — the value-bound generalization
+      |# of the reference's COUNT(*)>0 checks
+      |pipeline.expectations=orders.o_totalprice.min_cents:0:,\
+      |orders.o_totalprice.max_cents::60000000,\
+      |orders.o_orderstatus.n_distinct:1:3,\
+      |orders.o_orderdate.null_rate_e6::0,\
+      |customer.c_acctbal.min_cents:-100000:,\
+      |customer.c_nationkey.n_distinct:1:25,\
+      |lineitem.l_quantity.min_cents:100:,\
+      |lineitem.l_quantity.max_cents::5000,\
+      |lineitem.l_discount.max_cents::10,\
+      |lineitem.l_shipdate.null_rate_e6::0
       |""".stripMargin
 
   def default: PipelineConfig = fromStream(
@@ -118,11 +146,33 @@ object PipelineConfig {
         pk = list(get(s"entity.$n.pk")),
         hashCols = hashCols)
     }
+    // expectation spec: table.column.metric:lo:hi — both bound slots
+    // always present (`::` = unbounded hi and lo would be a tautology a
+    // config reviewer should see spelled out, so at least one side must
+    // be given), values integer in the metric's own unit
+    val expectations = opt("pipeline.expectations").toSeq
+      .flatMap(list).map { spec =>
+        spec.split(":", -1) match {
+          case Array(path, lo, hi) =>
+            val parts = path.split("\\.")
+            require(parts.length == 3,
+              s"pipeline.expectations: bad path '$path' (want table.column.metric)")
+            require(Expectation.Metrics.contains(parts(2)),
+              s"pipeline.expectations: unknown metric '${parts(2)}' on $path")
+            def side(s: String) = if (s.isEmpty) None else Some(s.toLong)
+            val e = Expectation(parts(0), parts(1), parts(2), side(lo), side(hi))
+            require(e.lo.isDefined || e.hi.isDefined,
+              s"pipeline.expectations: $path has no bound on either side")
+            e
+          case _ => throw new IllegalArgumentException(
+            s"pipeline.expectations: bad spec '$spec' (want table.column.metric:lo:hi)")
+        }
+      }
     // unknown keys under entity./pipeline. are config typos — fail loudly
     val known = names.flatMap(n => Seq("table", "pattern", "sensorTimeoutMs",
       "pokeIntervalMs", "pk", "hashCols").map(s => s"entity.$n.$s")).toSet ++
       Set("pipeline.entities", "pipeline.retries", "pipeline.retryDelayMs",
-        "pipeline.stageTimeoutMs", "notifications.email")
+        "pipeline.stageTimeoutMs", "notifications.email", "pipeline.expectations")
     val unknown = props.stringPropertyNames().asScala.filterNot(known.contains)
     require(unknown.isEmpty, s"pipeline config: unknown keys ${unknown.mkString(", ")}")
     PipelineConfig(
@@ -133,6 +183,7 @@ object PipelineConfig {
       // "no timeout": config files written before this key existed must
       // still get hang protection (set 0 explicitly to disable)
       stageTimeoutMs = opt("pipeline.stageTimeoutMs").map(_.toLong).getOrElse(7200000L),
-      notifyEmail = opt("notifications.email"))
+      notifyEmail = opt("notifications.email"),
+      expectations = expectations)
   }
 }

@@ -280,6 +280,8 @@ object PipelineQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_expectation_suite" ->
+      ((s: SparkSession, d: String) => Quality.p17ExpectationSuite(s, d)),
     "p16_compaction_plan" -> (p16CompactionPlan _),
     "p15_late_dim" -> (Curated.p15LateArrivingDim _),
     "p14_drift_check" -> (Quality.p14DriftCheck _),
@@ -298,6 +300,8 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p17_expectation_suite" ->
+      Quality.p17Oracle(PipelineConfig.default.expectations),
     "p16_compaction_plan" -> p16Oracle,
     "p15_late_dim" -> Curated.p15Oracle,
     "p14_drift_check" -> Quality.p14Oracle,

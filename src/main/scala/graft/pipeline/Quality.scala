@@ -58,6 +58,112 @@ object Quality {
     bad.isEmpty
   }
 
+  /** `p17_expectation_suite`: per-column VALUE-bound DQ checks — the
+    * expectation-suite generalization of the reference's
+    * `BigQueryCheckOperator` stage that p4's row/PK counts only begin
+    * (real pipelines gate on value bounds: a price that goes negative, a
+    * discount over 10%, an enum that grew a 4th value, a date column
+    * suddenly nullable — all pass p4 and all poison curation). One row
+    * per configured expectation (`pipeline.expectations` — bounds are a
+    * CONFIG change like the reference's yaml, not code): observed value,
+    * inclusive integer bounds, is_pass verdict.
+    *
+    * Shape: one scan per distinct table computes ALL of that table's
+    * raw aggregates map-side-partial (min/max/null-count/distinct in a
+    * single agg — the p4 pattern); the report explodes from the 1-row
+    * aggregate, so nothing row-sized survives the scan. Every observed
+    * value is exact-integer (cents / floor-e6 / counts — the p14
+    * discipline): a verdict can never flip on a cross-engine ulp. An
+    * EMPTY table yields null observations and is_pass = 0 on every one
+    * of its rows: a dead feed fails the value gate loudly rather than
+    * vacuously passing it. */
+  def p17ExpectationSuite(spark: SparkSession, dir: String): DataFrame =
+    p17ExpectationSuite(spark, dir, PipelineConfig.default.expectations)
+
+  def p17ExpectationSuite(spark: SparkSession, dir: String,
+                          exps: Seq[Expectation]): DataFrame = {
+    require(exps.nonEmpty, "p17: empty expectation suite")
+    exps.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, es0) =>
+      val es = es0.toSeq
+      val aggs = es.zipWithIndex.map { case (e, i) =>
+        e.metric match {
+          case "min_cents" => floor(min(col(e.column)) * 100).cast("long").as(s"v$i")
+          case "max_cents" => floor(max(col(e.column)) * 100).cast("long").as(s"v$i")
+          case "n_distinct" => countDistinct(col(e.column)).as(s"v$i")
+          case "null_rate_e6" =>
+            sum(when(col(e.column).isNull, 1L).otherwise(0L)).as(s"v$i")
+          case m => throw new IllegalArgumentException(s"p17: unknown metric '$m'")
+        }
+      }
+      val agg = Tables.load(spark, dir, t)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val rows = es.zipWithIndex.map { case (e, i) =>
+        val observed = e.metric match {
+          case "null_rate_e6" => when(col("n_rows") > 0,
+            floor(col(s"v$i") * lit(1000000.0) / col("n_rows")).cast("long"))
+          case _ => col(s"v$i")
+        }
+        def bound(o: Option[Long]) =
+          o.map(v => lit(v).cast("long")).getOrElse(lit(null).cast("long"))
+        val inBounds = Seq(e.lo.map(l => observed >= l), e.hi.map(h => observed <= h))
+          .flatten.reduce(_ && _)
+        struct(
+          lit(e.table).as("table_name"), lit(e.column).as("column_name"),
+          lit(e.metric).as("metric"), bound(e.lo).as("lo"), bound(e.hi).as("hi"),
+          observed.as("observed"),
+          when(observed.isNull, 0L).otherwise(when(inBounds, 1L).otherwise(0L))
+            .as("is_pass"))
+      }
+      agg.select(explode(array(rows: _*)).as("x")).select(col("x.*"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("column_name"), col("metric"))
+  }
+
+  /** Fail-fast gate over [[p17ExpectationSuite]]'s report: true iff every
+    * expectation holds — the third DAG hook beside [[gatePasses]] (broken
+    * load) and [[driftGatePasses]] (wrong-shape load): wrong-VALUE load. */
+  def expectationGatePasses(report: DataFrame): Boolean =
+    report.filter(col("is_pass") === 0).isEmpty
+
+  /** p17 oracle from the same expectation config: per-table one-scan
+    * aggregates, LATERAL VALUES unpivot (the p4 pattern), identical
+    * integer/guard arithmetic. */
+  def p17Oracle(exps: Seq[Expectation]): String = {
+    val tables = exps.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, es0) =>
+      val es = es0.toSeq
+      val aggSql = es.zipWithIndex.map { case (e, i) =>
+        e.metric match {
+          case "min_cents" => s"CAST(floor(min(${e.column}) * 100) AS BIGINT) AS v$i"
+          case "max_cents" => s"CAST(floor(max(${e.column}) * 100) AS BIGINT) AS v$i"
+          case "n_distinct" => s"CAST(count(DISTINCT ${e.column}) AS BIGINT) AS v$i"
+          case "null_rate_e6" =>
+            s"CAST(sum(CASE WHEN ${e.column} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+        }
+      }.mkString(",\n  ")
+      val rowsSql = es.zipWithIndex.map { case (e, i) =>
+        val obs = e.metric match {
+          case "null_rate_e6" =>
+            s"CASE WHEN t.n_rows > 0 THEN CAST(floor(t.v$i * 1000000.0 / t.n_rows) AS BIGINT) END"
+          case _ => s"t.v$i"
+        }
+        def b(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+        val checks = (e.lo.map(l => s"($obs) >= $l") ++ e.hi.map(h => s"($obs) <= $h"))
+          .mkString(" AND ")
+        s"""('${e.table}', '${e.column}', '${e.metric}',
+           |  CAST(${b(e.lo)} AS BIGINT), CAST(${b(e.hi)} AS BIGINT), $obs,
+           |  CAST(CASE WHEN ($obs) IS NULL THEN 0 WHEN $checks THEN 1 ELSE 0 END AS BIGINT))""".stripMargin
+      }.mkString(",\n ")
+      s"""SELECT m.* FROM (
+         | SELECT count(*) AS n_rows,
+         |  $aggSql
+         | FROM $t) t,
+         | LATERAL (VALUES
+         | $rowsSql) AS m(table_name, column_name, metric, lo, hi, observed, is_pass)""".stripMargin
+    }
+    tables.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY table_name, column_name, metric")
+  }
+
   /** p14 batch anchors: the two order-year cohorts being compared. */
   val DriftYearA = 1996
   val DriftYearB = 1997

@@ -298,6 +298,78 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "d5 must not be all-pairs")
   }
 
+  test("d12: the semantic-dedup manifest is total, components never span " +
+    "cells, keepers are group minima, and every same-cell d5 pair is " +
+    "grouped together (within-cell exhaustive beats the banding)") {
+    import org.apache.spark.sql.functions._
+    val r = Dedup.d12SemanticDedup(spark, sf).cache()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(r.count() == n) // one manifest row per corpus vector
+    // pairs form only inside a cell, so a component lives in exactly one
+    assert(r.groupBy("dup_group").agg(countDistinct("cell").as("nc"))
+      .filter("nc > 1").count() == 0)
+    // exactly one keeper per group and it is the min vec_id = the label
+    r.groupBy("dup_group")
+      .agg(min("vec_id").as("mn"), sum("is_keeper").as("nk"),
+        count(lit(1)).as("sz"), max("group_size").as("gs"), min("group_size").as("gs2"))
+      .collect().foreach { row =>
+        assert(row.getAs[Long]("mn") == row.getAs[Long]("dup_group"))
+        assert(row.getAs[Long]("nk") == 1L)
+        assert(row.getAs[Long]("gs") == row.getAs[Long]("sz") &&
+          row.getAs[Long]("gs2") == row.getAs[Long]("sz"))
+      }
+    // the banded pipeline's same-cell pairs are a SUBSET of what the
+    // exhaustive within-cell pass groups — d12 may only find more
+    val asg1 = r.select(col("vec_id").as("vec_id_1"),
+      col("cell").as("c1"), col("dup_group").as("g1"))
+    val asg2 = r.select(col("vec_id").as("vec_id_2"),
+      col("cell").as("c2"), col("dup_group").as("g2"))
+    val d5SameCell = Dedup.d5DedupEmbed(spark, sf)
+      .join(asg1, Seq("vec_id_1")).join(asg2, Seq("vec_id_2"))
+      .filter("c1 = c2").cache()
+    assert(d5SameCell.count() > 0, "vacuous: no same-cell d5 pair in the corpus")
+    assert(d5SameCell.filter("g1 != g2").count() == 0)
+    assert(r.filter("group_size > 1").count() > 0) // non-vacuous groups
+    d5SameCell.unpersist(); r.unpersist()
+  }
+
+  test("s11: the delta update is exact — batch∪corpus assignment equals " +
+    "the one-pass assignment under the same corpus-trained model, and " +
+    "verdicts recompute from a brute within-cell pass") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.s11CorpusModel(spark, sf)
+    val isNew = Similarity.s11IsNewVec(col("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "cell_cos_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val onePass = rows(Similarity.assignCells(e, cents))
+    val merged = rows(Similarity.assignCells(e.filter(!isNew), cents)
+      .unionByName(Similarity.assignCells(e.filter(isNew), cents)))
+    assert(onePass == merged) // the index-delta invariant, bit for bit
+    val r = Similarity.s11IndexDelta(spark, sf).cache()
+    val nNew = e.filter(isNew).count()
+    assert(r.count() == nNew && nNew > 0) // exactly the batch, nothing else
+    // nn verdicts close against an independent brute within-cell recompute
+    val corpusAsg = Similarity.assignCells(e.filter(!isNew), cents)
+      .select(col("cell"), col("embedding").as("ce"))
+    val batchAsg = Similarity.assignCells(e.filter(isNew), cents)
+      .select(col("vec_id"), col("cell"), col("embedding").as("be"))
+    val best = batchAsg.join(corpusAsg, Seq("cell"))
+      .withColumn("ce6", floor(graft.functions.VectorFunctions
+        .cosineFast(col("be"), col("ce")) * lit(1000000.0)).cast("long"))
+      .groupBy("vec_id").agg(max("ce6").as("best_e6"))
+    assert(r.join(best, Seq("vec_id"), "left")
+      .filter("nn_cos_e6 IS NOT NULL AND nn_cos_e6 != best_e6").count() == 0)
+    // dup verdict is exactly the d5 threshold on the best neighbor
+    val tau = (Dedup.CosineTau * 1e6).toLong
+    assert(r.filter(s"is_dup = 1 AND (nn_cos_e6 IS NULL OR nn_cos_e6 < $tau)").count() == 0)
+    assert(r.filter(s"is_dup = 0 AND nn_cos_e6 >= $tau").count() == 0)
+    assert(r.filter("is_dup = 1").count() > 0, "vacuous: no dup in the batch")
+    r.unpersist()
+  }
+
   test("d6/d7 fed a pre-materialized pair table match the standalone runs") {
     def key(rows: Array[org.apache.spark.sql.Row], id: String) = rows.map(r =>
       (r.getAs[Long](id), r.getAs[Long]("cluster_id"),

@@ -473,6 +473,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d12/s11: the per-cluster dedup and the index delta never plan a " +
+    "cartesian — pair/probe candidates form only inside cell equi-joins") {
+    Seq(Dedup.d12SemanticDedup(spark, sf),
+        graft.operators.Similarity.s11IndexDelta(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"quadratic join in:\n$p")
+    }
+  }
+
   test("global: every unpartitioned window in every query reads a " +
     "bounded (aggregate- or literal-table-grained) frame — the " +
     "suite-wide form of the m6/t12/p16 prefix-sum pins") {
