@@ -28,10 +28,20 @@ object GraftSession {
     * real warnings in the bench tail. Scoped to the one logger; every
     * other WARN still surfaces. */
   def silenceBoundedWindowWarning(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // non-log4j2 backend: keep the noise
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
+      // Bench's between-query blocking unpersist of localCheckpoint blocks
+      // is deliberate (the frames are fully consumed); every unpersist
+      // emits a "cannot be recomputed after unpersisting" WARN per RDD
+      // that would otherwise dominate the driver-output tail the metric
+      // line must survive in — same budget problem as the WindowExec wall
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () } // non-log4j2 backend: keep the noise
 
   /** Apply engine defaults to any builder (cluster or local). */
   def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder = b

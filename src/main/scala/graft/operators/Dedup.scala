@@ -666,8 +666,9 @@ object Dedup {
     * within each cluster). This is the operator that CONSUMES the
     * partition s6 materializes: the same deterministic k-means model and
     * fused-cosineMatrix assignment (shared via
-    * [[Similarity.kmeansWithData]]/[[Similarity.assignCells]] — one
-    * training per run), a cell-keyed self-equi-join for candidate pairs
+    * [[Similarity.kmeansWithData]]/[[Similarity.assignCells]] — the
+    * shared code path retrains per call, deterministically bit-identical,
+    * so each query stays self-contained), a cell-keyed self-equi-join for candidate pairs
     * (pairs can only form inside a cell, so pair work is Σ|cell|² —
     * bounded by the model's cell geometry, never a corpus cross join;
     * the cell count k is the published dial that caps it at scale, and

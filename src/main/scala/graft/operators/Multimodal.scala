@@ -383,12 +383,15 @@ object Multimodal {
     * bursts). Stride scheduling in exact integers: each modality ranks
     * its items in deterministic md5 shuffle order, item r of modality m
     * gets mix key `r · (scale/W_m)` — sorting by (key, modality, doc_id)
-    * yields a global order whose every prefix tracks the target ratios
-    * to within `MixWeights.size` items per modality while all modalities
-    * have supply (the bound MultimodalSpec/PropertySpec assert, up to
-    * the measured exhaustion horizon: a prefix cut mid-key-group can
-    * hold at most one not-yet-balanced item per modality sharing the
-    * boundary key, hence the |modalities| slack).
+    * yields a global order whose prefixes track the target ratios while
+    * all modalities have supply. For the SHIPPED 3:2:1 recipe with its
+    * alphabetical tie-break the worst per-modality deviation is 5/6 of
+    * an item (the schedule period is `scale`=6; max residue |c − L·w/6|
+    * over a period is 5/6), so MultimodalSpec asserts the ±1 bound up to
+    * the measured exhaustion horizon; for ARBITRARY weights a prefix cut
+    * mid-key-group can hold one not-yet-balanced item per modality
+    * sharing the boundary key, which is the looser ±|modalities| bound
+    * PropertySpec asserts.
     *
     * Shape: one narrow scan; BOTH orders are t12's distributed prefix
     * sum — the per-modality shuffle ranks (range-partition by (modality,

@@ -647,8 +647,14 @@ object Similarity {
     * Lloyd iteration; every iteration's aggregate job and the final assign
     * pass all read this one materialization (on a real cluster: reliable
     * checkpoint / table round-trip).
-    * (private[operators]: d12's per-cluster dedup consumes the same model
-    * and data table — one training per run, not one per consumer.) */
+    * (private[graft]: d12's per-cluster dedup consumes the same CODE PATH
+    * and — training being fully deterministic — the bit-identical model.
+    * Each caller still pays its own Lloyd loop: queries stay
+    * self-contained so Bench's per-query timings never depend on which
+    * consumer ran first, and the data half of the pair is a localCheckpoint
+    * Bench's between-query unpersist would invalidate if memoized across
+    * queries. `pendingCentroids` below is the oracle-publication ledger,
+    * not a training memo.) */
   private[graft] def kmeansWithData(spark: SparkSession, dir: String): (Seq[(Long, Array[Long])], DataFrame) = {
     val r = kmeansOver(emb(spark, dir))
     pendingCentroids.put(dir, r._1)

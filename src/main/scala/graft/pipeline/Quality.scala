@@ -101,6 +101,11 @@ object Quality {
         val observed = e.metric match {
           case "null_rate_e6" => when(col("n_rows") > 0,
             floor(col(s"v$i") * lit(1000000.0) / col("n_rows")).cast("long"))
+          // countDistinct of an empty table is 0, not null — ungated, an
+          // n_distinct expectation with only a hi bound would vacuously
+          // PASS on a dead feed; the n_rows guard makes EVERY metric null
+          // out (and thus fail) uniformly on an empty table
+          case "n_distinct" => when(col("n_rows") > 0, col(s"v$i"))
           case _ => col(s"v$i")
         }
         def bound(o: Option[Long]) =
@@ -144,6 +149,7 @@ object Quality {
         val obs = e.metric match {
           case "null_rate_e6" =>
             s"CASE WHEN t.n_rows > 0 THEN CAST(floor(t.v$i * 1000000.0 / t.n_rows) AS BIGINT) END"
+          case "n_distinct" => s"CASE WHEN t.n_rows > 0 THEN t.v$i END"
           case _ => s"t.v$i"
         }
         def b(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")

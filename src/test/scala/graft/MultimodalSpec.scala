@@ -188,7 +188,11 @@ class MultimodalSpec extends AnyFunSuite {
       val l = i + 1
       weights.foreach { case (mod, w) =>
         val target = l.toDouble * w / wSum
-        assert(math.abs(counts(mod) - target) <= weights.size,
+        // the 3:2:1 stride schedule's true worst case is 5/6 of an item
+        // (period scale=6, alphabetical tie-break) — assert the tight ±1
+        // bound the docstring states; PropertySpec keeps ±|modalities|
+        // for arbitrary weights
+        assert(math.abs(counts(mod) - target) <= 1.0,
           s"prefix $l: $mod at ${counts(mod)} vs target $target")
       }
     }
