@@ -1169,25 +1169,45 @@ object Similarity {
     * `(vec_id, neighbor_id)` pairs in the contract the refinement
     * overload takes.
     *
-    * ASSUMES CONTIGUOUS IDS: `md5 % n_tot` lands on a real vector only
-    * because the shipped corpus ids are dense 0..n-1 (the oracle makes
-    * the identical assumption, so parity holds regardless). On a sparse
-    * id space the dangling seed edges would be dropped by the scoring
-    * join, thinning effective seed degree below [[NndSearchK]] and
-    * weakening the coverage contract [[s10NnDescentFrom]] documents — a
-    * production corpus with arbitrary ids maps the hash to a rank
-    * instead (`row_number() over (order by vec_id)` once, joined by
-    * rank), which this seed's pluggable contract already allows without
-    * touching the refinement. */
+    * ID-SPACE-SAFE: the hash picks a RANK, not an id — `md5 % n_tot`
+    * indexes the corpus's 0-based vec_id order, and a rank join maps it
+    * back to the real vec_id, so every seed edge lands on a real vector
+    * whether ids are dense 0..n-1 or arbitrarily sparse (on a dense
+    * corpus rank k IS vec_id k, so the output is bit-identical to the
+    * historical direct-id form; the oracle does the same rank
+    * indirection). Without this, gappy ids would dangle seed edges that
+    * the scoring join silently drops, thinning effective seed degree
+    * below [[NndSearchK]] and weakening the coverage contract
+    * [[s10NnDescentFrom]] documents. The rank itself is t12's
+    * DISTRIBUTED prefix sum (range partition → per-range counts →
+    * broadcast base offsets → in-range row_number) — never a single-task
+    * global window. */
   def s10RandomSeed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"))
     val nTot = e.agg(count(lit(1)).as("n_tot"))
+    // 0-based dense rank over vec_id, distributed (the t12 machinery);
+    // checkpointed so the offsets pass and the rank join see one
+    // consistent range partitioning
+    val ordered = e.repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ordered.groupBy(col("rid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("rid"), col("base"))
+    val wRk = Window.partitionBy(col("rid")).orderBy(col("vec_id"))
+    val ranks = ordered.join(broadcast(offsets), Seq("rid"))
+      .withColumn("rk", (col("base") + row_number().over(wRk) - 1).cast("long"))
+      .select(col("rk"), col("vec_id").as("neighbor_id"))
     e.crossJoin(broadcast(nTot))
       .withColumn("j", explode(array((1 to NndSearchK).map(lit(_)): _*)))
-      .withColumn("neighbor_id",
+      .withColumn("rk",
         graft.functions.TextFunctions.md5Long60(
           concat(col("vec_id").cast("string"), lit(":"), col("j").cast("string")))
           % col("n_tot"))
+      .join(ranks, Seq("rk"))
       .filter(col("neighbor_id") =!= col("vec_id"))
       .select(col("vec_id"), col("neighbor_id"))
       .distinct() // md5 collisions mod n may repeat a neighbor
@@ -1262,13 +1282,20 @@ object Similarity {
     * hop, same (cos desc, id) tie-break. Generated by the same loop
     * bounds as the Spark fold. */
   private lazy val s10OracleSql: String = {
-    val md5Seed = "CAST(('0x' || substr(md5(vec_id || ':' || j), 1, 15)) AS BIGINT)" +
+    val md5Seed = "CAST(('0x' || substr(md5(e.vec_id || ':' || j), 1, 15)) AS BIGINT)" +
       " % (SELECT count(*) FROM embeddings)"
+    // the hash picks a 0-based RANK in vec_id order; the rank join maps
+    // it to the real id (identity on the dense corpus) — mirror of the
+    // Spark side's id-space-safe seed
     val seedCte =
-      s"""nn0 AS (
-         | SELECT DISTINCT vec_id, $md5Seed AS neighbor_id
-         | FROM embeddings CROSS JOIN range(1, ${NndSearchK + 1}) t(j)
-         | WHERE $md5Seed <> vec_id)""".stripMargin
+      s"""rks AS (
+         | SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk
+         | FROM embeddings),
+         |nn0 AS (
+         | SELECT DISTINCT e.vec_id, r.vec_id AS neighbor_id
+         | FROM embeddings e CROSS JOIN range(1, ${NndSearchK + 1}) t(j)
+         |  JOIN rks r ON r.rk = $md5Seed
+         | WHERE r.vec_id <> e.vec_id)""".stripMargin
     def scoreCte(src: String, out: String): String =
       s"""${out}_s AS (
          | SELECT c.vec_id, c.neighbor_id,

@@ -569,6 +569,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"warm s7 seeding should not lose to the cold seed: $rw%.3f vs $rc%.3f")
   }
 
+  test("s10: the seed is id-space-safe — on a gappy vec_id space every " +
+    "seed edge lands on a real vector (full degree) and refinement still " +
+    "clears the recall floor") {
+    import org.apache.spark.sql.functions.col
+    // sparse ids: vec_id -> vec_id*7+3 (order-preserving, 6-wide gaps) —
+    // the shape of a production corpus after deletes/shard-assigned ids
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s10_gappy").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") * 7L + 3L)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val ids = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val n = ids.length
+    // Scala replica of the seed rule: md5Long60(id:j) % n picks a RANK in
+    // vec_id order, mapped back to the real id; self-edges dropped
+    def md5Long60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = (for {
+      id <- ids.toSeq
+      j <- 1 to Similarity.NndSearchK
+      nbr = ids((md5Long60(s"$id:$j") % n).toInt)
+      if nbr != id
+    } yield (id, nbr)).toSet
+    val got = Similarity.s10RandomSeed(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"seed mismatch on gappy ids: ${got.size} edges vs expected ${expected.size}")
+    // the set equality above is the no-thinning proof: the gappy corpus
+    // gets exactly the edges the hash prescribes, none dropped. The
+    // degree bound below only sanity-checks the hash's INTRINSIC
+    // collision loss (15 draws mod this tiny corpus lose ~3 edges to
+    // birthday collisions + the self filter — identical on dense ids)
+    val minDeg = expected.groupBy(_._1).values.map(_.size).min
+    assert(minDeg >= Similarity.NndSearchK - 4,
+      s"seed degree collapsed to $minDeg — not a usable covering seed")
+    // the coverage contract survives: the verified 2-iteration form on
+    // the gappy corpus still builds a usable kNN graph
+    val vecs = spark.read.parquet(s"$tmp/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cosRaw(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = vecs.map { case (v, ev) =>
+      v -> vecs.toSeq.filter(_._1 != v)
+        .map { case (u, eu) => (u, cosRaw(ev, eu)) }
+        .sortBy { case (u, c) => (-c, u) }.take(Similarity.NndK)
+        .map(_._1).toSet
+    }
+    val gotNn = Similarity.s10NnDescentIter(spark, tmp, Similarity.NndIters)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = truth.map { case (v, t) => gotNn.getOrElse(v, Set.empty).count(t) }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    info(f"gappy-id recall@${Similarity.NndK}: $recall%.3f")
+    assert(recall >= 0.9, f"recall contract broke on sparse ids: $recall%.3f")
+  }
+
   test("s3 oracle publishes only after its result materializes, keyed by dir") {
     // building the s3 plan trains k-means (pending state per dir) but must
     // NOT publish an oracle — the result it describes does not exist yet
