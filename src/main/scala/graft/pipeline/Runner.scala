@@ -37,6 +37,64 @@ object Runner {
   /** No-op failure hook (the default). */
   val noFailureHook: (String, Throwable) => Unit = (_, _) => ()
 
+  /** Overlap policy for NAMED pipeline runs — the analog of the
+    * reference's `max_active_runs=1`
+    * (/root/reference/dags/pipeline_orchestration_dag.py:70): Airflow
+    * never lets two runs of one DAG execute concurrently, because the
+    * stages write shared outputs (staging tables, archive moves) that
+    * interleaved runs would corrupt. */
+  sealed trait OverlapPolicy
+  /** A second run of the same pipeline WAITS for the active one to finish
+    * (Airflow's queued dagrun), then runs. FIFO-fair. */
+  case object QueueRun extends OverlapPolicy
+  /** A second run of the same pipeline fails immediately with
+    * [[ConcurrentRunException]] — for schedulers that treat an overlap as
+    * the error it usually is (the previous tick overran its interval). */
+  case object FailFast extends OverlapPolicy
+
+  final class ConcurrentRunException(msg: String) extends RuntimeException(msg)
+
+  /** One lock per pipeline name, created on first use and retained (names
+    * are config-sized, never data-sized). ReentrantLock: a stage that
+    * launches a nested run of its OWN pipeline on the same thread
+    * re-enters rather than deadlocking. */
+  private val activePipelines =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def withRunLock[T](pipeline: String, policy: OverlapPolicy)(body: => T): T = {
+    val lock = activePipelines.computeIfAbsent(pipeline,
+      _ => new java.util.concurrent.locks.ReentrantLock(true))
+    policy match {
+      case QueueRun => lock.lock()
+      case FailFast =>
+        if (!lock.tryLock())
+          throw new ConcurrentRunException(
+            s"pipeline '$pipeline' already has an active run (max_active_runs=1)")
+    }
+    try body finally lock.unlock()
+  }
+
+  /** [[run]] guarded by `pipeline`'s non-overlap lock: concurrent runs of
+    * the same name serialize (QueueRun) or fail fast; different names
+    * never block each other. */
+  def run(pipeline: String, policy: OverlapPolicy, stages: Seq[Stage],
+          onFailure: (String, Throwable) => Unit): Seq[StageResult] =
+    withRunLock(pipeline, policy)(run(stages, onFailure))
+
+  def run(pipeline: String, policy: OverlapPolicy, stages: Seq[Stage]): Seq[StageResult] =
+    run(pipeline, policy, stages, noFailureHook)
+
+  /** [[runParallel]] under the same per-name guard: stages within one run
+    * still parallelize; RUNS of one pipeline never overlap. */
+  def runParallel(pipeline: String, policy: OverlapPolicy, stages: Seq[Stage],
+                  parallelism: Int,
+                  onFailure: (String, Throwable) => Unit): Seq[StageResult] =
+    withRunLock(pipeline, policy)(runParallel(stages, parallelism, onFailure))
+
+  def runParallel(pipeline: String, policy: OverlapPolicy,
+                  stages: Seq[Stage]): Seq[StageResult] =
+    runParallel(pipeline, policy, stages, 4, noFailureHook)
+
   /** Thrown when a timed-out stage body refuses to die: retrying would
     * run two attempts CONCURRENTLY against the same outputs, so this
     * failure is never retried. */

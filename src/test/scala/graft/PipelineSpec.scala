@@ -279,6 +279,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(as < be && bs < ae, "independent stages did not run concurrently")
   }
 
+  test("runner: concurrent runs of one named pipeline serialize under " +
+    "QueueRun, fail fast under FailFast, and never block other pipelines " +
+    "— the reference's max_active_runs=1") {
+    import Runner._
+    // two QueueRun runs of the same name: stage bodies track concurrent
+    // occupancy; the guard must keep it at 1 even though each RUN uses
+    // runParallel internally
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    def body(): Unit = {
+      val a = active.incrementAndGet()
+      maxActive.updateAndGet(m => math.max(m, a))
+      Thread.sleep(40)
+      active.decrementAndGet()
+    }
+    def stages = Seq(Stage("s1")(body _), Stage("s2", Seq("s1"))(body _))
+    val threads = (1 to 2).map(_ => new Thread(() =>
+      Runner.runParallel("etl_daily", QueueRun, stages)))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(maxActive.get() == 1,
+      s"two QueueRun runs of one pipeline interleaved (max active ${maxActive.get()})")
+    // FailFast: while a run holds the name, a second invocation throws —
+    // and a DIFFERENT pipeline name is not blocked
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => Runner.run("etl_daily", QueueRun, Seq(
+      Stage("hold")(() => { started.countDown(); release.await() }))))
+    holder.start(); started.await()
+    try {
+      intercept[ConcurrentRunException] {
+        Runner.run("etl_daily", FailFast, Seq(Stage("s")(() => ())))
+      }
+      val other = Runner.run("etl_hourly", FailFast, Seq(Stage("s")(() => ())))
+      assert(other.head.status == Succeeded,
+        "an unrelated pipeline was blocked by another name's run")
+    } finally { release.countDown(); holder.join() }
+    // the lock releases on completion: a fresh FailFast run now succeeds
+    val after = Runner.run("etl_daily", FailFast, Seq(Stage("s")(() => ())))
+    assert(after.head.status == Succeeded)
+  }
+
   test("runner: a hung stage times out, fires the hook, and skips " +
     "dependents — sequential and parallel") {
     import Runner._
