@@ -484,38 +484,148 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("global: every unpartitioned window in every query reads a " +
-    "bounded (aggregate- or literal-table-grained) frame — the " +
-    "suite-wide form of the m6/t12/p16 prefix-sum pins") {
+    "bounded (aggregate- or literal-table-grained) frame, and every " +
+    "cartesian/nested-loop join carries a bounded side — the suite-wide " +
+    "forms of the m6/t12/p16 prefix-sum and d2/q23/d12 join pins") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // --- window pin -----------------------------------------------------
     // An unpartitioned Window over a fact-sized input is the single-task
     // global sort pathology SURVEY §5 bans. The engine's sanctioned uses
     // are the distributed prefix sums' base-offset steps, whose inputs
     // are ALWAYS collapsed first: every scan-rooted path below the
-    // window passes through an Aggregate with a small grouping key
-    // (rid / (rid, modality) / fail_idx / group dims — the output is
-    // group-count-sized, not row-count-sized), and literal rule tables
-    // are bounded by construction. Enforced over EVERY bench query so a
-    // future operator cannot quietly re-admit the pathology. (A literal
-    // partition key cannot carry this intent in-plan: Spark 4's
+    // window passes through an Aggregate grouped by a RANGE-SLOT key
+    // (rid, optionally a modality/rule-index refinement — output is
+    // slot-count-sized, bounded by cluster parallelism, never by data),
+    // and literal rule tables are bounded by construction. The grouping
+    // KEYS are allowlisted, not just counted: a future operator grouping
+    // by a row-grain key (doc_id, event_id) and then windowing
+    // unpartitioned would pass a size-only check while re-admitting the
+    // pathology. Enforced over EVERY bench query. (A literal partition
+    // key cannot carry this intent in-plan: Spark 4's
     // EliminateWindowPartitions strips foldable keys, which is why the
     // pin is on the input grain, not the partition spec.)
+    // rid/media_type/fail_idx: range-slot keys (parallelism-bounded);
+    // r_name/n_name: DIM-table keys (cardinality = the broadcast dim's
+    // row count, data-independent — q19's ratio-to-report grain). A
+    // row-grain key (doc_id, event_id, o_orderkey) is NOT here and a
+    // computed key's grain is unknowable, so both fail closed.
+    val slotKeys = Set("rid", "media_type", "fail_idx", "rule_idx",
+      "r_name", "n_name")
     def boundedGrain(p: LogicalPlan): Boolean = p match {
-      // an aggregate collapses the subtree to group grain; the engine's
-      // base-offset frames group by at most 2 small keys
-      case a: Aggregate => a.groupingExpressions.size <= 2
+      // a global aggregate collapses to ONE row; a grouped aggregate is
+      // bounded only when every key is a known slot-grained attribute
+      case a: Aggregate =>
+        a.groupingExpressions.forall {
+          case att: Attribute => slotKeys.contains(att.name)
+          case _ => false // a computed key's grain is unknowable here
+        }
       case l: LocalRelation => l.data.size <= 64 // literal rule tables
       case leaf if leaf.children.isEmpty => false // a raw scan leaked in
       case other => other.children.forall(boundedGrain)
     }
+    // --- join pin -------------------------------------------------------
+    // CartesianProduct / BroadcastNestedLoopJoin are quadratic unless one
+    // side is provably tiny. The engine's sanctioned shape is the
+    // broadcast-1-row-stats join (q25/q27/p14/t13/d11...): a global
+    // aggregate (or a <=64-row literal) on the broadcast side. Anything
+    // else — a fact-sized BNLJ from a lost equi-key or a raw BETWEEN —
+    // fails here for every bench query, generalizing the per-query pins.
+    // a probe-prefix filter (`vec_id < NumProbes`-style: an attribute
+    // bounded above by a small literal) pins a probe-set side the way
+    // s1/s4/s7 build theirs — linear scan x bounded probes, the
+    // sanctioned brute-force/shortlist shape
+    def probeFiltered(p: SparkPlan): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual, Literal}
+      def small(l: Literal): Boolean = l.value match {
+        case v: java.lang.Integer => v <= 1024
+        case v: java.lang.Long => v <= 1024L
+        case _ => false
+      }
+      p.expressions.exists(_.exists {
+        case LessThan(_: Attribute, l: Literal) => small(l)
+        case LessThanOrEqual(_: Attribute, l: Literal) => small(l)
+        case _ => false
+      })
+    }
+    def boundedRows(p: SparkPlan): Boolean = p match {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case h: SortAggregateExec => h.groupingExpressions.isEmpty
+      case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
+      case l: LocalTableScanExec => l.rows.size <= 64
+      case f: org.apache.spark.sql.execution.FilterExec if probeFiltered(f) => true
+      case s: org.apache.spark.sql.execution.FileSourceScanExec if probeFiltered(s) => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedRows)
+    }
     val offenders = SparkEntry.benchQueries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        fn(spark, sf).queryExecution.optimizedPlan.collect {
+        val qe = fn(spark, sf).queryExecution
+        val windowOffenders = qe.optimizedPlan.collect {
           case w: LWindow if w.partitionSpec.isEmpty && !boundedGrain(w.child) =>
-            s"$name: ${w.windowExpressions.map(_.sql).mkString(", ")}"
+            s"$name: unpartitioned window ${w.windowExpressions.map(_.sql).mkString(", ")}"
         }
+        val exec = qe.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+        val joinOffenders = exec.collect {
+          case j: CartesianProductExec
+            if !boundedRows(j.left) && !boundedRows(j.right) =>
+            s"$name: CartesianProduct with no bounded side"
+          case j: BroadcastNestedLoopJoinExec
+            if !boundedRows(j.left) && !boundedRows(j.right) =>
+            s"$name: BroadcastNestedLoopJoin with no bounded side"
+        }
+        windowOffenders ++ joinOffenders
     }
     assert(offenders.isEmpty,
-      s"fact-sized unpartitioned windows in:\n${offenders.mkString("\n")}")
+      s"scale-unsafe plan shapes in:\n${offenders.mkString("\n")}")
+  }
+
+  test("p17: exactly one pruned scan per configured table, and every " +
+    "explode rides the 1-row aggregate — nothing row-sized survives " +
+    "any scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exps = graft.pipeline.PipelineConfig.default.expectations
+    val df = graft.pipeline.Quality.p17ExpectationSuite(spark, sf)
+    // every report row explodes from a ONE-row (global) aggregate — the
+    // shape the docstring promises; a Generate over row-grain input
+    // would mean per-row work survived the aggregate
+    def oneRowGrain(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(oneRowGrain)
+    }
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected the explode-from-aggregate shape")
+    gens.foreach(g => assert(oneRowGrain(g.child),
+      s"explode input is not 1-row-aggregate-grained:\n${g.child.treeString}"))
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = exec.collect { case s: FileSourceScanExec => s }
+    val tables = exps.map(_.table).distinct.sorted
+    assert(scans.size == tables.size,
+      s"expected ${tables.size} scans (one per table), got ${scans.size}")
+    // each scan serves exactly one table and reads ONLY that table's
+    // expectation columns (all metrics of a table share its single scan)
+    val byTable = tables.map { t =>
+      t -> scans.filter(_.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet")))
+    }.toMap
+    byTable.foreach { case (t, ss) =>
+      assert(ss.size == 1, s"table $t scanned ${ss.size} times")
+      val want = exps.filter(_.table == t).map(_.column).toSet
+      val read = ss.head.requiredSchema.fieldNames.toSet
+      assert(read == want, s"$t scan reads $read, expectations need $want")
+    }
   }
 
   test("m5: no payload-width column crosses any exchange — the CAS key is " +
