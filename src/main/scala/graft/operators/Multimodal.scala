@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -465,6 +465,135 @@ object Multimodal {
       .orderBy(col("seq"))
   }
 
+  /** m7 planted-anomaly buckets (the d8/t5 md5-bucket convention, two
+    * INDEPENDENT salts so caption- and media-side anomalies overlap
+    * naturally): captions exist for cap-bucket < [[CapBucketMax]], with a
+    * STALE recorded digest in [[StaleBucketMin]]..CapBucketMax-1 (the
+    * caption was authored against a since-re-encoded v1 payload); media
+    * exists for med-bucket < [[MedBucketMax]], with a truncated re-upload
+    * DUPLICATE below [[DupBucketMax]]. */
+  val CapBucketMax = 90
+  val StaleBucketMin = 80
+  val MedBucketMax = 95
+  val DupBucketMax = 5
+
+  /** `m7_pair_audit`: cross-modal pairing integrity — the data-loading
+    * audit every paired-modality corpus (image+caption, audio+transcript)
+    * needs before t12 packs it: a training pair is only as good as the
+    * JOIN that binds its sides, and real pair stores drift (captions
+    * written for payloads that were later re-encoded, uploads that never
+    * got captions, double uploads). One row per pair key seen on either
+    * side: caption/media presence, media copy count, distinct payload
+    * digests, and whether the digest the caption was AUTHORED against
+    * still matches any stored payload (m5's CAS digest as the pairing
+    * fingerprint). Verdict precedence: no_caption → no_media →
+    * dup_media → digest_mismatch → ok.
+    *
+    * Scale: payload bytes die in the media scan's projection (only the
+    * constant-width digest + length survive — the m5 shape, plan-pinned);
+    * the caption side never touches payloads at all (it recomputes the
+    * authored digest from its own text — the registry it models stores
+    * one). ONE pair_key equi-join (caption side is key-unique, so no
+    * fan-out) and one map-side-partial aggregate to the key grain; at
+    * 100 TB both sides hash-partition by pair_key and AQE handles a hot
+    * key. All verdict inputs are exact integers. */
+  def m7PairAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    val docs = Tables.load(spark, dir, "documents")
+    // caption registry: pair_key + the payload digest the caption was
+    // authored against (stale slice records the digest of the 16-byte v1
+    // payload the re-encode replaced)
+    val cap = docs
+      .withColumn("cbkt", md5Long60(concat(col("doc_id").cast("string"), lit(":cap"))) % 100)
+      .filter(col("cbkt") < CapBucketMax)
+      .select(col("doc_id").as("pair_key"),
+        when(col("cbkt") >= StaleBucketMin, md5(md5(col("text"))))
+          .otherwise(md5(repeat(md5(col("text")), 4))).as("want_digest"))
+    // media store: digest + length leave the scan, payload bytes do not;
+    // the dup slice carries a truncated (32-byte) re-upload beside the
+    // original — same pair key, different bytes, different digest
+    val med0 = mediaTable(spark, dir)
+      .withColumn("mbkt", md5Long60(concat(col("doc_id").cast("string"), lit(":med"))) % 100)
+    def medRows(df: DataFrame, content: Column): DataFrame = df.select(
+      col("doc_id").as("pair_key"), col("media_type"),
+      md5(lower(hex(content))).as("digest"),
+      length(content).cast("long").as("n_bytes"))
+    val med = medRows(med0.filter(col("mbkt") < MedBucketMax), col("content"))
+      .unionByName(medRows(med0.filter(col("mbkt") < DupBucketMax),
+        expr("substring(content, 1, 32)")))
+    val joined = cap.join(med, Seq("pair_key"), "full_outer")
+    joined.groupBy(col("pair_key"))
+      .agg(
+        max(col("media_type")).as("media_type"),
+        max(when(col("want_digest").isNotNull, 1L).otherwise(0L)).as("n_captions"),
+        count(col("digest")).as("n_media"),
+        countDistinct(col("digest")).as("n_digests"),
+        coalesce(sum(col("n_bytes")), lit(0L)).as("media_bytes"),
+        max(when(col("digest") === col("want_digest"), 1L).otherwise(0L)).as("any_match"))
+      .withColumn("digest_match",
+        when(col("n_captions") === 0 || col("n_media") === 0, lit(null).cast("long"))
+          .otherwise(col("any_match")))
+      .withColumn("status",
+        when(col("n_captions") === 0, "no_caption")
+          .when(col("n_media") === 0, "no_media")
+          .when(col("n_media") > 1, "dup_media")
+          .when(col("digest_match") === 0, "digest_mismatch")
+          .otherwise("ok"))
+      .select(col("pair_key"), col("media_type"), col("n_captions"),
+        col("n_media"), col("n_digests"), col("media_bytes"),
+        col("digest_match"), col("status"))
+      .orderBy(col("pair_key"))
+  }
+
+  /** m7 oracle: same buckets, same hex-domain digest algebra —
+    * `lower(hex(unhex(repeat(md5(text),4)))) = repeat(md5(text),4)`, so
+    * the stored digest is `md5(repeat(md5(text),4))` and the truncated
+    * re-upload's is `md5(repeat(md5(text),2))`. */
+  private val m7Oracle: String = {
+    def bkt(salt: String) =
+      s"CAST(('0x' || substr(md5(doc_id || ':$salt'), 1, 15)) AS BIGINT) % 100"
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  text, ${bkt("cap")} AS cbkt, ${bkt("med")} AS mbkt
+       | FROM documents),
+       |cap AS (
+       | SELECT doc_id AS pair_key,
+       |  CASE WHEN cbkt >= $StaleBucketMin THEN md5(md5(text))
+       |       ELSE md5(repeat(md5(text), 4)) END AS want_digest
+       | FROM d WHERE cbkt < $CapBucketMax),
+       |med AS (
+       | SELECT doc_id AS pair_key, media_type,
+       |  md5(repeat(md5(text), 4)) AS digest, CAST(64 AS BIGINT) AS n_bytes
+       | FROM d WHERE mbkt < $MedBucketMax
+       | UNION ALL
+       | SELECT doc_id, media_type, md5(repeat(md5(text), 2)), 32
+       | FROM d WHERE mbkt < $DupBucketMax),
+       |g AS (
+       | SELECT pair_key,
+       |  max(media_type) AS media_type,
+       |  max(CASE WHEN want_digest IS NOT NULL THEN 1 ELSE 0 END) AS n_captions,
+       |  count(digest) AS n_media,
+       |  count(DISTINCT digest) AS n_digests,
+       |  coalesce(sum(n_bytes), 0) AS media_bytes,
+       |  max(CASE WHEN digest = want_digest THEN 1 ELSE 0 END) AS any_match
+       | FROM cap FULL OUTER JOIN med USING (pair_key)
+       | GROUP BY pair_key)
+       |SELECT pair_key, media_type,
+       | CAST(n_captions AS BIGINT) AS n_captions,
+       | CAST(n_media AS BIGINT) AS n_media,
+       | CAST(n_digests AS BIGINT) AS n_digests,
+       | CAST(media_bytes AS BIGINT) AS media_bytes,
+       | CAST(CASE WHEN n_captions = 0 OR n_media = 0 THEN NULL
+       |      ELSE any_match END AS BIGINT) AS digest_match,
+       | CASE WHEN n_captions = 0 THEN 'no_caption'
+       |      WHEN n_media = 0 THEN 'no_media'
+       |      WHEN n_media > 1 THEN 'dup_media'
+       |      WHEN any_match = 0 THEN 'digest_mismatch'
+       |      ELSE 'ok' END AS status
+       |FROM g ORDER BY pair_key""".stripMargin
+  }
+
   private val m6Oracle: String = {
     val strideCase = MixWeights.map { case (m, w) =>
       s"WHEN '$m' THEN ${MixScale / w}"
@@ -491,7 +620,8 @@ object Multimodal {
     "m1_multimodal_meta" -> m1Oracle,
     "m2_frame_sample" -> m2Oracle,
     "m3_audio_windows" -> m3Oracle,
-    "m5_payload_dedup" -> m5Oracle)
+    "m5_payload_dedup" -> m5Oracle,
+    "m7_pair_audit" -> m7Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
@@ -499,5 +629,6 @@ object Multimodal {
     "m3_audio_windows" -> (m3AudioWindows _),
     "m4_image_tiles" -> (m4ImageTiles _),
     "m5_payload_dedup" -> (m5PayloadDedup _),
-    "m6_mix_manifest" -> (m6MixManifest _))
+    "m6_mix_manifest" -> (m6MixManifest _),
+    "m7_pair_audit" -> (m7PairAudit _))
 }

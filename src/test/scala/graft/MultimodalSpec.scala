@@ -166,6 +166,91 @@ class MultimodalSpec extends AnyFunSuite {
     assert(b1.forall { case (_, bk) => bk >= 0 && bk < 256 })
   }
 
+  test("m7: pair-audit verdicts match an exact Scala replica of the " +
+    "planted anomalies, and every status is non-vacuous on the corpus") {
+    import org.apache.spark.sql.functions.col
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(id: Long, salt: String): Long =
+      java.lang.Long.parseLong(md5Hex(s"$id:$salt").substring(0, 15), 16) % 100
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // replica: caption registry (with the stale-digest slice), media
+    // store (with the truncated re-upload slice), then the verdict rule
+    val expected = docs.flatMap { case (id, text) =>
+      val cb = bkt(id, "cap"); val mb = bkt(id, "med")
+      val hasCap = cb < Multimodal.CapBucketMax
+      val want = if (cb >= Multimodal.StaleBucketMin) md5Hex(md5Hex(text))
+                 else md5Hex(md5Hex(text) * 4)
+      val medDigests =
+        (if (mb < Multimodal.MedBucketMax) Seq(md5Hex(md5Hex(text) * 4)) else Seq.empty) ++
+        (if (mb < Multimodal.DupBucketMax) Seq(md5Hex(md5Hex(text) * 2)) else Seq.empty)
+      if (!hasCap && medDigests.isEmpty) None
+      else {
+        val nMedia = medDigests.size
+        val status =
+          if (!hasCap) "no_caption"
+          else if (nMedia == 0) "no_media"
+          else if (nMedia > 1) "dup_media"
+          else if (!medDigests.contains(want)) "digest_mismatch"
+          else "ok"
+        Some(id -> (if (hasCap) 1L else 0L, nMedia.toLong,
+          medDigests.distinct.size.toLong, status))
+      }
+    }.toMap
+    val got = Multimodal.m7PairAudit(spark, sf)
+      .select(col("pair_key"), col("n_captions"), col("n_media"),
+        col("n_digests"), col("status")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got == expected, {
+      val diff = (expected.keySet ++ got.keySet)
+        .filter(k => expected.get(k) != got.get(k)).take(5)
+      s"verdict mismatch on keys $diff: expected ${diff.map(expected.get)}, got ${diff.map(got.get)}"
+    })
+    // each planted anomaly class actually fires on the shipped corpus —
+    // a vacuous status would mean the audit never exercises its rule
+    val statuses = expected.values.map(_._4).toSet
+    assert(statuses == Set("ok", "no_caption", "no_media", "dup_media", "digest_mismatch"),
+      s"vacuous or unknown statuses: $statuses")
+  }
+
+  test("m7: payload bytes die in the media scan — only constant-width " +
+    "digests cross the join and aggregate (the m5 contract)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = Multimodal.m7PairAudit(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    // no binary column and no payload-width hex rendering may cross a
+    // DATA-MOVING operator (exchange, join, aggregate, sort): the digest
+    // is computed in the scan-side projection and is all that travels.
+    // (The projection itself outputs the synthetic `content` it derives —
+    // at a real deployment that IS the scan column — so narrow Projects
+    // are exempt, movement is not.)
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val movers = exec.collect {
+      case n: Exchange => n
+      case n: BaseJoinExec => n
+      case n: BaseAggregateExec => n
+      case n: SortExec => n
+    }
+    assert(movers.nonEmpty, s"expected join/aggregate nodes in:\n$exec")
+    movers.foreach { node =>
+      node.output.foreach { a =>
+        assert(a.dataType != org.apache.spark.sql.types.BinaryType,
+          s"binary ${a.name} crosses ${node.nodeName}")
+        assert(!a.name.toLowerCase.contains("content"),
+          s"payload column ${a.name} crosses ${node.nodeName}")
+      }
+    }
+  }
+
   test("m6: every manifest prefix tracks the 3:2:1 mix to within one " +
     "item per modality until a modality exhausts, and seq is a total order") {
     import org.apache.spark.sql.functions._
