@@ -66,18 +66,49 @@ object Bench {
     * least-throttled round-7 in-suite readings, so a clean suite run
     * stays below the gate.
     *
-    * SCOPE: the floors are absolute wall-clock seconds measured on the
-    * baseline host (BASELINE.md's round-8 capture machine). The gate is
-    * only meaningful there — on a legitimately slower machine every run
-    * would read `env_throttled:true`, which is the honest verdict for
-    * "these numbers are not comparable to BASELINE.md rows" but must
-    * not be read as a code regression. A reader re-hosting the bench
-    * re-floors the three canaries from `BenchOne` solo medians first. */
-  val CanaryFloor: Map[String, Double] = Map(
+    * The floors are DATA, not code: read at startup from BASELINE.md's
+    * `## Canary floors` table (the same artifact the per-query bars live
+    * in), so the gate is always calibrated to whatever host the baseline
+    * rows were captured on — re-hosting the bench means re-flooring the
+    * artifact (BenchOne solo medians × ~1.7 in-suite margin), never
+    * recompiling, and floors can never drift out of sync with the rows
+    * they guard. [[FallbackFloor]] (the historical baseline-host values)
+    * applies only when the artifact is missing or unparseable — e.g. the
+    * bench run from a bare classes dir — and says so on stderr. */
+  val FallbackFloor: Map[String, Double] = Map(
     "q1_pricing_summary" -> 0.65,
     "q6_forecast_revenue" -> 0.35,
     "p1_ingest_raw" -> 0.30)
   val CanaryFactor = 1.5
+
+  /** Parse the `## Canary floors` table from BASELINE.md (cwd). Returns
+    * the fallback (with a stderr note) if the file or table is absent,
+    * malformed, or names a different canary set — the gate must never
+    * silently compute from half an artifact. */
+  def canaryFloors(): Map[String, Double] =
+    try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("BASELINE.md"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      import scala.jdk.CollectionConverters._
+      val ls = lines.asScala.toVector
+      val start = ls.indexWhere(_.trim.startsWith("## Canary floors"))
+      if (start < 0) throw new IllegalStateException("no '## Canary floors' section")
+      val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|.*$""".r
+      val floors = ls.drop(start + 1)
+        .takeWhile(l => !l.trim.startsWith("## "))
+        .collect { case row(name, v) => name -> v.toDouble }
+        .toMap
+      if (floors.keySet != FallbackFloor.keySet)
+        throw new IllegalStateException(
+          s"canary table names ${floors.keySet}, expected ${FallbackFloor.keySet}")
+      floors
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] BASELINE.md canary floors unavailable " +
+          s"($e); using compiled fallback — gate calibration may not match this host")
+        FallbackFloor
+    }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -189,9 +220,10 @@ object Bench {
       "short bench keys collide — rename the query or extend shortName")
     // the gate must never silently compute from nothing: a renamed or
     // dropped canary is a hard error, not a vacuously-clean verdict
-    require(CanaryFloor.keySet.subsetOf(named.map(_._1).toSet),
+    val canaryFloor = canaryFloors()
+    require(canaryFloor.keySet.subsetOf(named.map(_._1).toSet),
       s"canary queries missing from benchQueries: " +
-        s"${CanaryFloor.keySet.diff(named.map(_._1).toSet)}")
+        s"${canaryFloor.keySet.diff(named.map(_._1).toSet)}")
     val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(median(v)) }
       .mkString("{", ",", "}")
     def spreadObj(rs: Seq[(String, Seq[Double])]): String = rs.map { case (k, v) =>
@@ -209,7 +241,7 @@ object Bench {
     // the canary gate: a majority of the three trivial canaries over
     // CanaryFactor× their clean floors means the environment, not the
     // code, set this run's numbers
-    val throttledCanaries = CanaryFloor.count { case (name, floor) =>
+    val throttledCanaries = canaryFloor.count { case (name, floor) =>
       results.find(_._1 == name).exists(r => median(r._2) > CanaryFactor * floor)
     }
     val envThrottled = throttledCanaries >= 2
