@@ -15,15 +15,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as long nanos and surface a microsecond timestamp
-    // (matching DuckDB, whose TIMESTAMP truncates nanos to micros).
+    // events.ts has shipped in two physical encodings across testdata
+    // generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    // reader rejects — read as long nanos via the legacy conf) and plain
+    // TIMESTAMP(MICROS) without timezone (which Spark reads as
+    // TIMESTAMP_NTZ). Normalize BOTH to a session-UTC TimestampType so
+    // every downstream `unix_micros(ts)` sees the same epoch micros
+    // DuckDB's `epoch_us(ts)` computes from the naive wall time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer div: ts is ~1e18, float division would lose microseconds
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        // integer div: ts is ~1e18 nanos, float division would lose micros
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // naive wall time -> instant under the session's UTC zone: epoch
+        // micros equal DuckDB's epoch_us of the same naive value
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 }

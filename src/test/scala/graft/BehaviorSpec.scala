@@ -36,8 +36,8 @@ class BehaviorSpec extends AnyFunSuite {
     "purchase BEFORE the first view does not count as depth 3") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
-    // ts as long NANOS — the real events.parquet is TIMESTAMP(NANOS),
-    // which Tables.load reads via nanosAsLong and rescales itself
+    // ts as long NANOS — one of the events.ts encodings Tables.load
+    // normalizes (SourcesSpec pins all three against each other)
     def ev(id: Long, minute: Long, user: Long, typ: String) =
       (id, minute * 60000000000L, user, typ, 1.0, "{}")
     // user 1: purchase(+1) view(+2) click(+3) -> reaches view+click, NOT purchase

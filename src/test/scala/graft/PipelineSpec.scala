@@ -528,8 +528,8 @@ class PipelineSpec extends AnyFunSuite {
       (13L, us(301), 1L, "purchase", 13.0), // open current version
       (14L, us(200), 3L, "purchase", 14.0)) // key with no dimension rows
       .toDF("event_id", "ts_us", "user_id", "event_type", "value")
-      // testdata events.ts is parquet TIMESTAMP(NANOS) surfaced via
-      // nanosAsLong — plant the same shape so Tables.load's div holds
+      // long-nanos events.ts encoding (Tables.load normalizes it; the
+      // cross-encoding equivalence is pinned in SourcesSpec)
       .select(col("event_id"), (col("ts_us") * 1000L).as("ts"), col("user_id"),
         col("event_type"), col("value"), org.apache.spark.sql.functions.lit("{}").as("props"))
       .write.parquet(s"$dir/events.parquet")

@@ -30,6 +30,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(json.contains("\"p9_date_dim\""))
   }
 
+  test("Tables.load normalizes every shipped events.ts encoding to the " +
+    "same UTC instant: long nanos, TIMESTAMP_NTZ micros, TIMESTAMP micros") {
+    // The driver's testdata has shipped events.ts as parquet
+    // TIMESTAMP(NANOS) (rounds 1-10, read via nanosAsLong as LongType)
+    // and as timezone-less TIMESTAMP(MICROS) (round 11+, read as
+    // TIMESTAMP_NTZ). Round 11's bench/verify broke on the switch; this
+    // pin makes the loader's contract — identical epoch micros from any
+    // encoding — a suite failure instead of a lost round.
+    val base = Files.createTempDirectory("graft_ts_enc").toString
+    val rows = Seq(
+      (1L, 1704067207179575L, 1L, "view", 1.5, "{}"),
+      (2L, 1704067432824425L, 2L, "click", 2.5, "{}"))
+    import spark.implicits._
+    val us = rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    def cols(tsExpr: org.apache.spark.sql.Column) = Seq(
+      col("event_id"), tsExpr.as("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    // encoding 1: long nanos (vectorized reader rejects TIMESTAMP(NANOS),
+    // so the loader sees LongType via nanosAsLong — plant the long directly)
+    us.select(cols(col("ts_us") * 1000L): _*)
+      .write.parquet(s"$base/nanos/events.parquet")
+    // encoding 2: naive micros — TIMESTAMP_NTZ on read
+    us.select(cols(timestamp_micros(col("ts_us")).cast("timestamp_ntz")): _*)
+      .write.parquet(s"$base/ntz/events.parquet")
+    // encoding 3: UTC-adjusted micros — TimestampType on read, left as-is
+    us.select(cols(timestamp_micros(col("ts_us"))): _*)
+      .write.parquet(s"$base/ltz/events.parquet")
+    val got = Seq("nanos", "ntz", "ltz").map { enc =>
+      val df = Tables.load(spark, s"$base/$enc", "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$enc: loader must surface a session-zoned timestamp")
+      enc -> df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }.toMap
+    val want = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { case (enc, m) =>
+      assert(m == want, s"$enc: epoch micros drifted from the planted values")
+    }
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString + "/orders"
     Sinks.writeDatePartitioned(Tables.load(spark, sf, "orders"), "o_orderdate", dir)
