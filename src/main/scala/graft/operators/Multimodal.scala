@@ -614,6 +614,102 @@ object Multimodal {
        |FROM x ORDER BY seq""".stripMargin
   }
 
+  /** m8 planted-corruption buckets (the d8/t5 md5-bucket convention, two
+    * INDEPENDENT salts): payloads in trunc-bucket < [[TruncBucketMax]]
+    * are stored short (first 3 of 4 frames — a partial write); otherwise
+    * payloads in rot-bucket < [[RotBucketMax]] have frame 2 zeroed in
+    * place (a dead sector: same length, different bytes). The plant's
+    * own precedence (truncation wins) keeps the two classes disjoint. */
+  val TruncBucketMax = 4
+  val RotBucketMax = 4
+
+  /** `m8_scrub_audit`: CAS storage scrub — the integrity sweep every
+    * content-addressed blob store runs continuously (the registry half of
+    * m7's pairing audit turned on the STORE itself): re-derive each stored
+    * payload's digest and length and compare them to what the object
+    * registry recorded at write time. Detects the two silent-corruption
+    * classes a scrubber exists for: short reads (partial write/truncated
+    * replica — length drifts) and bitrot (dead sector, in-place flip —
+    * length intact, digest drifts). Verdict precedence per object:
+    * short_read → bitrot → ok; report at (media_type, status) grain with
+    * item and byte accounting.
+    *
+    * Scale: the payload dies in the store scan's projection — only the
+    * constant-width digest + length cross the join (the m5/m7 contract,
+    * plan-pinned); the registry side is thin metadata (key, digest,
+    * length) and never touches payloads. ONE doc_id equi-join (both
+    * sides key-unique, so no fan-out; hash-partitioned at scale, AQE
+    * broadcasts while the registry fits) and one map-side-partial
+    * aggregate down to the ≤ |modalities|·|statuses| report grain. */
+  def m8ScrubAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    def bkt(salt: String): Column =
+      md5Long60(concat(col("doc_id").cast("string"), lit(salt))) % 100
+    // the object store: payloads with the planted corruption applied,
+    // collapsed to (digest, length) inside the scan projection
+    val stored = mediaTable(spark, dir)
+      .withColumn("stored",
+        when(bkt(":m8t") < TruncBucketMax,
+          expr(s"substring(content, 1, ${3 * FrameBytes})"))
+          .when(bkt(":m8z") < RotBucketMax,
+            concat(expr(s"substring(content, 1, ${2 * FrameBytes})"),
+              unhex(repeat(lit("00"), FrameBytes)),
+              expr(s"substring(content, ${3 * FrameBytes + 1}, $FrameBytes)")))
+          .otherwise(col("content")))
+      .select(col("doc_id"), col("media_type"),
+        md5(lower(hex(col("stored")))).as("digest"),
+        length(col("stored")).cast("long").as("n_bytes"))
+    // the object registry: digest + length recorded at write time
+    // (re-derived here from the same deterministic source the synthetic
+    // payloads come from; a deployment reads the stored registry table)
+    val registry = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(repeat(md5(col("text")), 4)).as("want_digest"),
+        lit(64L).as("want_bytes"))
+    stored.join(registry, Seq("doc_id"))
+      .withColumn("status",
+        when(col("n_bytes") =!= col("want_bytes"), "short_read")
+          .when(col("digest") =!= col("want_digest"), "bitrot")
+          .otherwise("ok"))
+      .groupBy(col("media_type"), col("status"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("stored_bytes"),
+        sum(col("want_bytes")).as("expected_bytes"))
+      .orderBy(col("media_type"), col("status"))
+  }
+
+  /** m8 oracle: same buckets, same hex-domain digest algebra as m5/m7 —
+    * the truncated store is `repeat(md5(text),3)` (3 of 4 frames), the
+    * zeroed store splices 32 '0' hex chars over frame 2. */
+  private val m8Oracle: String = {
+    def bkt(salt: String) =
+      s"CAST(('0x' || substr(md5(doc_id || ':$salt'), 1, 15)) AS BIGINT) % 100"
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  repeat(md5(text), 4) AS m, ${bkt("m8t")} AS tbkt, ${bkt("m8z")} AS zbkt
+       | FROM documents),
+       |s AS (
+       | SELECT doc_id, media_type, m,
+       |  CASE WHEN tbkt < $TruncBucketMax THEN substr(m, 1, ${3 * FrameBytes * 2})
+       |       WHEN zbkt < $RotBucketMax THEN substr(m, 1, ${2 * FrameBytes * 2}) || repeat('00', $FrameBytes) || substr(m, ${3 * FrameBytes * 2 + 1}, ${FrameBytes * 2})
+       |       ELSE m END AS sh
+       | FROM d),
+       |i AS (
+       | SELECT media_type,
+       |  CASE WHEN length(sh) // 2 <> 64 THEN 'short_read'
+       |       WHEN md5(sh) <> md5(m) THEN 'bitrot'
+       |       ELSE 'ok' END AS status,
+       |  CAST(length(sh) // 2 AS BIGINT) AS n_bytes
+       | FROM s)
+       |SELECT media_type, status,
+       | CAST(count(*) AS BIGINT) AS n_items,
+       | CAST(sum(n_bytes) AS BIGINT) AS stored_bytes,
+       | CAST(count(*) * 64 AS BIGINT) AS expected_bytes
+       |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "m6_mix_manifest" -> m6Oracle,
     "m4_image_tiles" -> m4Oracle,
@@ -621,7 +717,8 @@ object Multimodal {
     "m2_frame_sample" -> m2Oracle,
     "m3_audio_windows" -> m3Oracle,
     "m5_payload_dedup" -> m5Oracle,
-    "m7_pair_audit" -> m7Oracle)
+    "m7_pair_audit" -> m7Oracle,
+    "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
@@ -630,5 +727,6 @@ object Multimodal {
     "m4_image_tiles" -> (m4ImageTiles _),
     "m5_payload_dedup" -> (m5PayloadDedup _),
     "m6_mix_manifest" -> (m6MixManifest _),
-    "m7_pair_audit" -> (m7PairAudit _))
+    "m7_pair_audit" -> (m7PairAudit _),
+    "m8_scrub_audit" -> (m8ScrubAudit _))
 }

@@ -481,6 +481,9 @@ object Similarity {
     }) ++ (confirmedS11.toMap match {
       case one if one.size == 1 => Map("s11_index_delta" -> s11OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS12.toMap match {
+      case one if one.size == 1 => Map("s12_index_drift" -> s12OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -1328,6 +1331,182 @@ object Similarity {
        |FROM g$NndIters WHERE rank <= $NndK ORDER BY vec_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------ s12: index drift monitor
+
+  private val pendingS12 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS12 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS12Materialized(dir: String): Unit =
+    pendingS12.get(dir).foreach(cs => confirmedS12.put(dir, cs))
+
+  /** Drift cosine between two fixed-point vectors, mirroring the oracle's
+    * `cosSql` shape exactly: elementwise double products summed in index
+    * order, `dot / (sqrt(na) * sqrt(nb))`, e6 floor. Both inputs are
+    * e6-floored integers, so the /KmScale doubles are the same values the
+    * oracle's VALUES literal / mean CTE renders. */
+  private def driftCosE6(a: Array[Long], b: Array[Long]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble / KmScale
+      val y = b(i).toDouble / KmScale
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+  }
+
+  /** `s12_index_drift`: index-staleness monitoring — the REBUILD-decision
+    * dial that completes the index lifecycle (build s3/s4/s6, monitor
+    * recall s8, grow incrementally s11): as batches accumulate under
+    * s11's fixed model, the cells drift away from the data they file.
+    * Per cell, against the model trained on the already-indexed corpus
+    * slice (s11's convention — the model PREDATES the 20% batch): member
+    * and new-arrival counts, the worst member fit (min cosine to the
+    * centroid — an exact integer min, never an order-fragile mean), the
+    * cosine between the stored centroid and the cell's RECOMPUTED mean
+    * (one Lloyd step's worth of drift, in the same fixed-point arithmetic
+    * training uses), and how many members would change cells if the means
+    * replaced the model today (`n_moved` — the reassignment churn a
+    * rebuild would actually cause). Cells no vector chooses are absent —
+    * they hold nothing, so they have nothing to report (their would-be
+    * mean falls back to the stored centroid in the reassignment model).
+    *
+    * Scale: the s6 shape twice — two fused cosineMatrix scans over
+    * broadcast models (assign under the stored model, re-rank under the
+    * recomputed means) with ONE corpus-sized localCheckpoint between;
+    * the per-cell component sums are one map-side-partial aggregate and
+    * only model-sized rows (NumCells × Dim longs) ever reach the driver,
+    * the MLlib pattern. No joins except NumCells-row broadcasts. */
+  def s12IndexDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val (cents, _) = kmeansOver(e.filter(!isNewVec(col("vec_id"))))
+    pendingS12.put(dir, cents)
+    val withCos = e.select(col("vec_id"), col("embedding"),
+        isNewVec(col("vec_id")).cast("long").as("is_new"))
+      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
+    val best = array_max(scoredCells(cents, col("_cos")))
+    // consumed twice (stats aggregate + reassignment pass): checkpoint the
+    // assignment, recompute the transient fixed-point projection inside
+    // the one aggregate that needs it
+    val assigned = withCos.select(col("vec_id"), col("embedding"), col("is_new"),
+        best.getField("cid").as("cell"),
+        floor(best.getField("cos") * lit(1000000.0)).cast("long").as("cos_e6"))
+      .localCheckpoint(true)
+    val sums = (0 until Dim).map(i => sum(element_at(col("f"), i + 1)).as(s"s$i"))
+    val aggCols = Seq(sum(col("is_new")).as("n_new"),
+      min(col("cos_e6")).as("min_member_cos_e6")) ++ sums
+    val statRows = assigned
+      .withColumn("f", transform(col("embedding"),
+        x => floor(x.cast("double") * KmScale).cast("long")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), aggCols: _*)
+      .collect()
+    // recomputed means (exact: e6-floored components, floor-div by count —
+    // matching floor(s/n) in the oracle, == floorDiv for these magnitudes)
+    val means: Map[Long, Array[Long]] = statRows.map { r =>
+      val n = r.getAs[Long]("n_members")
+      r.getAs[Long]("cell") -> (0 until Dim)
+        .map(i => math.floor(r.getAs[Long](s"s$i").toDouble / n).toLong).toArray
+    }.toMap
+    val model2 = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    val moved = assigned
+      .withColumn("_cos2", cosineMatrix(col("embedding"), centroidMatrix(model2)))
+      .withColumn("cell2",
+        array_max(scoredCells(model2, col("_cos2"))).getField("cid"))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("cell2") =!= col("cell"), 1L).otherwise(0L)).as("n_moved"))
+    val oldByCell = cents.toMap
+    val spine = statRows.toSeq.map { r =>
+      val cell = r.getAs[Long]("cell")
+      (cell, r.getAs[Long]("n_members"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("min_member_cos_e6"), driftCosE6(oldByCell(cell), means(cell)))
+    }.toDF("cell", "n_members", "n_new", "min_member_cos_e6", "drift_cos_e6")
+    spine.join(moved, Seq("cell"))
+      .select(col("cell"), col("n_members"), col("n_new"),
+        col("min_member_cos_e6"), col("drift_cos_e6"), col("n_moved"))
+      .orderBy(col("cell"))
+  }
+
+  /** Spec hook: the corpus-slice model + per-cell recomputed means the
+    * report is built from, for independent replay. */
+  private[graft] def s12ModelAndMeans(spark: SparkSession, dir: String)
+    : (Seq[(Long, Array[Long])], Map[Long, Array[Long]]) = {
+    val e = emb(spark, dir)
+    val (cents, _) = kmeansOver(e.filter(!isNewVec(col("vec_id"))))
+    val withCos = e.select(col("vec_id"), col("embedding"))
+      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
+    val rows = withCos.select(
+        array_max(scoredCells(cents, col("_cos"))).getField("cid").as("cell"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * KmScale).cast("long")).as("f"))
+      .collect().map(r => r.getAs[Long]("cell") -> r.getSeq[Long](1).toArray)
+    val means = rows.groupBy(_._1).map { case (cell, vs) =>
+      val n = vs.length
+      cell -> (0 until Dim).map(i =>
+        math.floor(vs.map(_._2(i)).sum.toDouble / n).toLong).toArray
+    }
+    (cents, means)
+  }
+
+  /** s12 oracle: the corpus-trained model as injected literals; the means,
+    * drift cosines and reassignment recomputed IN SQL from the raw
+    * embeddings (floor-div integer component sums — the model is the only
+    * injected state, everything the operator derives is re-derived). */
+  private def s12OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    def isNewSql(x: String) =
+      s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= ${Dedup.NewBucketMin}"
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cent")} AS cos,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (
+       | SELECT vec_id, embedding, cid AS cell, cos,
+       |  CASE WHEN ${isNewSql("vec_id")} THEN 1 ELSE 0 END AS is_new
+       | FROM scored WHERE rn = 1),
+       |stat AS (
+       | SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(is_new) AS BIGINT) AS n_new,
+       |  CAST(min(floor(cos * 1000000.0)) AS BIGINT) AS min_member_cos_e6
+       | FROM asg GROUP BY cell),
+       |comp AS (
+       | SELECT cell, ix.i,
+       |  sum(CAST(floor(CAST(embedding[ix.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s
+       | FROM asg, (SELECT unnest(generate_series(1, $Dim)) AS i) ix
+       | GROUP BY cell, ix.i),
+       |means AS (
+       | SELECT comp.cell,
+       |  list(CAST(floor(CAST(comp.s AS DOUBLE) / stat.n_members) AS BIGINT) / 1000000.0
+       |    ORDER BY ix_order) AS mean
+       | FROM (SELECT cell, i AS ix_order, s FROM comp) comp
+       |  JOIN stat USING (cell)
+       | GROUP BY comp.cell),
+       |model2 AS (
+       | SELECT c.cid, c.cent, COALESCE(m.mean, c.cent) AS cent2
+       | FROM cents c LEFT JOIN means m ON m.cell = c.cid),
+       |drift AS (
+       | SELECT cid AS cell,
+       |  CAST(floor(${cosSql("cent", "cent2")} * 1000000.0) AS BIGINT) AS drift_cos_e6
+       | FROM model2),
+       |re AS (
+       | SELECT a.vec_id, a.cell, m.cid AS cell2,
+       |  row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ${cosSql("a.embedding", "m.cent2")} DESC, m.cid) AS rn
+       | FROM asg a CROSS JOIN model2 m),
+       |mv AS (
+       | SELECT cell,
+       |  CAST(sum(CASE WHEN cell2 <> cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       | FROM re WHERE rn = 1 GROUP BY cell)
+       |SELECT s.cell, s.n_members, s.n_new, s.min_member_cos_e6,
+       | d.drift_cos_e6, mv.n_moved
+       |FROM stat s JOIN drift d USING (cell) JOIN mv USING (cell)
+       |ORDER BY s.cell""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -1339,5 +1518,6 @@ object Similarity {
     "s6_cluster_assign" -> (s6ClusterAssign _),
     "s10_nn_descent" -> (s10NnDescent _),
     "s11_index_delta" -> (s11IndexDelta _),
+    "s12_index_drift" -> (s12IndexDrift _),
     "s9_mmr_rerank" -> ((s: SparkSession, d: String) => s9MmrRerank(s, d)))
 }

@@ -639,6 +639,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("kw_rank"))
   }
 
+  /** t17 window geometry: 32-token chunks every 24 tokens — an 8-token
+    * overlap so no boundary-spanning span is lost to the cut. Real
+    * deployments size these to the model context; the stride < window
+    * relation is what the operator is about. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** `t17_context_chunks`: sliding-window chunking of long documents —
+    * the SPLITTING half of the sequence-budget story whose CONCAT half is
+    * t12 (pack short docs into bins): embedding/RAG indexing and
+    * long-document pretraining both consume fixed-size overlapping
+    * windows, not whole documents. Each doc's token sequence yields
+    * windows of [[ChunkTokens]] every [[ChunkStride]] tokens (overlap =
+    * window − stride, so a span crossing a cut survives whole in the next
+    * window); the final window is the short tail remainder, never an
+    * empty or fully-redundant one. Per chunk: token span, char count, an
+    * md5 fingerprint of the space-joined window (what a downstream embed
+    * or dedup stage keys on — the chunk itself is reconstructable from
+    * (doc_id, tok_start), so only constant-width rows leave the scan).
+    * Zero-token docs emit no chunks (same rule as t12's tape).
+    *
+    * Scale: one narrow documents scan with a per-doc fan-out bounded by
+    * n_tokens/stride — no shuffle, no join, no window function; the
+    * chunk text exists only transiently inside the scan projection. The
+    * trailing orderBy is the deterministic verification tail. */
+  def t17ContextChunks(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      // ceil((n - W)/S) + 1 tail-aligned windows; a doc at or under one
+      // window is exactly one chunk
+      .withColumn("nc", when(col("n") <= ChunkTokens, lit(1L))
+        .otherwise(expr(
+          s"(n - $ChunkTokens + $ChunkStride - 1) div $ChunkStride + 1")))
+    base
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("nc") - 1)))
+      .withColumn("tok_start", col("chunk_id") * ChunkStride)
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("toks"), (col("tok_start") + 1).cast("int"), lit(ChunkTokens))))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        (least(col("n"), col("tok_start") + ChunkTokens) - col("tok_start"))
+          .as("n_tokens"),
+        length(col("chunk_text")).cast("long").as("n_chars"),
+        md5(col("chunk_text")).as("fp"),
+        when(col("chunk_id") === col("nc") - 1, 1L).otherwise(0L).as("is_last"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
@@ -654,7 +703,8 @@ object TextAnalysis {
     "t12_sequence_pack" -> (t12SequencePack _),
     "t13_tfidf_keywords" -> (t13TfidfKeywords _),
     "t15_stratified_sample" -> (t15StratifiedSample _),
-    "t16_lm_score" -> (t16LmScore _))
+    "t16_lm_score" -> (t16LmScore _),
+    "t17_context_chunks" -> (t17ContextChunks _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -829,7 +879,36 @@ object TextAnalysis {
        |SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, term, tf, df, weight_e6
        |FROM r WHERE kw_rank <= $TopKeywords ORDER BY doc_id, kw_rank""".stripMargin
 
+  /** t17 oracle: same trim/split parity as t12, DuckDB list slicing
+    * (1-based inclusive, end-clipped like Spark's `slice`). */
+  private val t17OracleSql: String = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    s"""WITH n AS (
+       | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM (
+       |  SELECT doc_id, $toksCaseSql AS toks FROM documents)
+       | WHERE len(toks) > 0),
+       |c AS (
+       | SELECT doc_id, toks, n,
+       |  CASE WHEN n <= $w THEN 1 ELSE (n - $w + ${s - 1}) // $s + 1 END AS nc
+       | FROM n),
+       |e AS (
+       | SELECT doc_id, toks, n, nc, unnest(range(nc)) AS chunk_id FROM c),
+       |x AS (
+       | SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $s AS BIGINT) AS tok_start,
+       |  array_to_string(toks[chunk_id*$s+1 : chunk_id*$s+$w], ' ') AS chunk_text,
+       |  n, nc
+       | FROM e)
+       |SELECT doc_id, chunk_id, tok_start,
+       | CAST(least(n, tok_start + $w) - tok_start AS BIGINT) AS n_tokens,
+       | CAST(length(chunk_text) AS BIGINT) AS n_chars,
+       | md5(chunk_text) AS fp,
+       | CAST(CASE WHEN chunk_id = nc - 1 THEN 1 ELSE 0 END AS BIGINT) AS is_last
+       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t17_context_chunks" -> t17OracleSql,
     "t15_stratified_sample" -> t15OracleSql,
     "t16_lm_score" -> t16OracleSql,
     "t13_tfidf_keywords" -> t13OracleSql,

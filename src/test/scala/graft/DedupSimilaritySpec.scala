@@ -871,4 +871,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size >= 0.25,
       s"recall@5 $hits/${brute.size} below 4x the random-shortlist rate")
   }
+
+  test("s12: drift report conserves the corpus, matches an independent " +
+    "mean/drift recompute, and both drift and churn are non-vacuous") {
+    import org.apache.spark.sql.functions.col
+    val report = Similarity.s12IndexDrift(spark, sf).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("min_member_cos_e6"), r.getAs[Long]("drift_cos_e6"),
+          r.getAs[Long]("n_moved"))).toMap
+    val (cents, means) = Similarity.s12ModelAndMeans(spark, sf)
+    val cids = cents.map(_._1).toSet
+    assert(report.keySet.subsetOf(cids), "report invents a cell")
+    // conservation: every vector is a member of exactly one cell; the new
+    // slice is the d8/t5 md5 bucket recounted independently
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(report.values.map(_._1).sum == nVecs)
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nNew = Tables.load(spark, sf, "embeddings").select("vec_id").collect()
+      .map(_.getLong(0))
+      .count(id => java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 15), 16)
+        % 100 >= Dedup.NewBucketMin)
+    assert(report.values.map(_._2).sum == nNew.toLong)
+    // drift recompute: the report's cosine between stored centroid and
+    // recomputed mean, replayed with the same fixed-point → double math
+    def cosE6(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble / 1000000L; val y = b(i).toDouble / 1000000L
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    val centMap = cents.toMap
+    report.foreach { case (cell, (_, _, _, drift, _)) =>
+      assert(means.contains(cell), s"cell $cell has members but no mean")
+      assert(drift == cosE6(centMap(cell), means(cell)), s"drift of cell $cell")
+    }
+    // non-vacuous: the 20% batch actually drifted the means off the stored
+    // centroids (drift < 1.0 everywhere), and a rebuild would actually
+    // move vectors (churn > 0 somewhere); per-cell churn stays bounded by
+    // membership and every cosine is a valid e6 floor
+    report.values.foreach { case (n, nNewC, minCos, drift, moved) =>
+      assert(drift < 1000000L && drift > 0L)
+      assert(moved >= 0L && moved <= n)
+      assert(minCos >= -1000000L && minCos <= 1000000L)
+      assert(nNewC <= n)
+    }
+    assert(report.values.map(_._5).sum > 0L, "reassignment churn is vacuous")
+  }
 }

@@ -251,6 +251,83 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m8: scrub verdicts match an exact Scala replica of the planted " +
+    "corruption, every status is non-vacuous, and byte accounting balances") {
+    import org.apache.spark.sql.functions.col
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(id: Long, salt: String): Long =
+      java.lang.Long.parseLong(md5Hex(s"$id:$salt").substring(0, 15), 16) % 100
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // replica: apply the plant's own precedence (truncation wins), then
+    // the scrubber's verdict rule, then aggregate to the report grain
+    val items = docs.map { case (id, text) =>
+      val mt = Seq("image", "audio", "video")((id % 3).toInt)
+      val m = md5Hex(text) * 4
+      val sh =
+        if (bkt(id, "m8t") < Multimodal.TruncBucketMax) m.substring(0, 96)
+        else if (bkt(id, "m8z") < Multimodal.RotBucketMax)
+          m.substring(0, 64) + "00" * 16 + m.substring(96, 128)
+        else m
+      val status =
+        if (sh.length / 2 != 64) "short_read"
+        else if (md5Hex(sh) != md5Hex(m)) "bitrot"
+        else "ok"
+      (mt, status, sh.length / 2L)
+    }
+    val expected = items.groupBy(t => (t._1, t._2)).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._3).sum, vs.length * 64L)
+    }
+    val got = Multimodal.m8ScrubAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected, s"report mismatch: expected $expected, got $got")
+    // each corruption class fires on the shipped corpus — a vacuous
+    // status would mean the scrubber never exercises its rule — and ok
+    // items dominate (the plant corrupts ~8%, not the corpus)
+    val byStatus = items.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStatus.keySet == Set("ok", "short_read", "bitrot"),
+      s"vacuous or unknown statuses: ${byStatus.keySet}")
+    assert(byStatus("ok") > byStatus("short_read") + byStatus("bitrot"))
+    // short reads lose exactly one 16-byte frame each; everything else
+    // stores its full 64 bytes
+    val (sn, sb, _) = expected(expected.keySet.filter(_._2 == "short_read").head)
+    assert(sb == sn * 48L)
+  }
+
+  test("m8: payload bytes die in the store scan — only constant-width " +
+    "digests cross the join and aggregate (the m5/m7 contract)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = Multimodal.m8ScrubAudit(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val movers = exec.collect {
+      case n: Exchange => n
+      case n: BaseJoinExec => n
+      case n: BaseAggregateExec => n
+      case n: SortExec => n
+    }
+    assert(movers.nonEmpty, s"expected join/aggregate nodes in:\n$exec")
+    movers.foreach { node =>
+      node.output.foreach { a =>
+        assert(a.dataType != org.apache.spark.sql.types.BinaryType,
+          s"binary ${a.name} crosses ${node.nodeName}")
+        // "stored" exact: the payload column; stored_bytes is the BIGINT sum
+        assert(!a.name.toLowerCase.contains("content") &&
+          a.name.toLowerCase != "stored",
+          s"payload column ${a.name} crosses ${node.nodeName}")
+      }
+    }
+  }
+
   test("m6: every manifest prefix tracks the 3:2:1 mix to within one " +
     "item per modality until a modality exhausts, and seq is a total order") {
     import org.apache.spark.sql.functions._

@@ -321,6 +321,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(total == sorted.map(_.getAs[Long]("n_toks")).sum)
   }
 
+  test("t17: window layout, tail handling and fingerprints match a " +
+    "hand-computed chunking; every corpus token lands in some chunk") {
+    import org.apache.spark.sql.functions.col
+    val W = TextAnalysis.ChunkTokens
+    val S = TextAnalysis.ChunkStride
+    assert(W == 32 && S == 24, "spec arithmetic assumes the shipped geometry")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    import spark.implicits._
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // 5 → 1 chunk; 32 → 1 (exactly one window); 33 → 2 (one-token tail
+    // forces a second window); 80 → 3 (last window lands exactly on the
+    // end); 81 → 4; 0 tokens → no chunks at all
+    Seq((1L, doc(5)), (2L, doc(32)), (3L, doc(33)), (4L, doc(80)),
+      (5L, doc(81)), (6L, "   "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t17ContextChunks(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("fp"), r.getAs[Long]("is_last")))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L, 5L), "zero-token doc chunked")
+    assert(byDoc.map { case (d, cs) => d -> cs.length } ==
+      Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // spans: starts stride apart from 0; sizes min(n, start+W) - start;
+    // is_last exactly on the final window
+    for ((d, n) <- Seq(1L -> 5, 2L -> 32, 3L -> 33, 4L -> 80, 5L -> 81);
+         (c, i) <- byDoc(d).zipWithIndex) {
+      assert(c._3 == i.toLong * S, s"doc $d chunk $i start")
+      assert(c._4 == math.min(n.toLong, c._3 + W) - c._3, s"doc $d chunk $i size")
+      assert((c._6 == 1L) == (i == byDoc(d).length - 1), s"doc $d chunk $i is_last")
+    }
+    // fingerprint is md5 of the space-joined window slice
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val c81 = byDoc(5L)(3)
+    assert(c81._5 == md5Hex((73 to 81).map(i => s"w$i").mkString(" ")),
+      "tail window must carry exactly the last 9 tokens")
+    // coverage on the real corpus: per doc, windows start at 0, advance by
+    // exactly the stride, and the last one ends at the doc's token count
+    // (== every token index is inside at least one window)
+    val corpus = TextAnalysis.t17ContextChunks(spark, sf)
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        col("n_tokens"), col("is_last")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(corpus.exists(_._2.length > 1), "corpus never exercises multi-chunk docs")
+    val nToks = TextAnalysis.t1TextStats(spark, sf)
+      .select(col("doc_id"), col("n_ws_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.foreach { case (d, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L)
+      sorted.zipWithIndex.foreach { case (c, i) => assert(c._3 == i.toLong * S) }
+      assert(sorted.last._3 + sorted.last._4 == nToks(d),
+        s"doc $d: chunks end at ${sorted.last._3 + sorted.last._4}, tokens ${nToks(d)}")
+    }
+  }
+
   test("t11: each rule catches its planted doc; funnel arithmetic closes") {
     val r = TextAnalysis.t11FilterFunnel(spark, funnelDir).collect()
       .sortBy(_.getAs[Long]("rule_idx"))
