@@ -280,6 +280,8 @@ object PipelineQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_fk_audit" ->
+      ((s: SparkSession, d: String) => Quality.p18FkAudit(s, d)),
     "p17_expectation_suite" ->
       ((s: SparkSession, d: String) => Quality.p17ExpectationSuite(s, d)),
     "p16_compaction_plan" -> (p16CompactionPlan _),
@@ -300,6 +302,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p18_fk_audit" -> Quality.p18Oracle,
     "p17_expectation_suite" ->
       Quality.p17Oracle(PipelineConfig.default.expectations),
     "p16_compaction_plan" -> p16Oracle,

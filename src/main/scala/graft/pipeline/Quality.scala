@@ -250,6 +250,103 @@ object Quality {
   def driftGatePasses(report: DataFrame, maxL1E6: Long): Boolean =
     report.filter(col("bucket") === "~TOTAL" && col("abs_delta_e6") > maxL1E6).isEmpty
 
+  /** p18 FK edges: (child table, fk column, parent table, pk column) —
+    * the star schema's referential spine, config-shaped like p4's table
+    * list and p17's expectation suite. */
+  val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"))
+
+  /** Parent keys whose p18 md5 bucket is at or above this are treated as
+    * not yet loaded (the d8/t5/p15 bucket convention): a 3% slice that
+    * makes the orphan rule non-vacuous on the shipped corpus, the way a
+    * partial dim load makes it non-vacuous in production. */
+  val FkParentDropMin = 97
+
+  /** `p18_fk_audit`: cross-table referential-integrity audit — the FK
+    * half of the DQ story p4's per-table metrics can't see (a table can
+    * pass every row/PK check and still point at parents that are not
+    * there: a partial dim load, an out-of-order ingest, a fat-fingered
+    * backfill). Per configured edge: child rows, null FKs, ORPHANS
+    * (non-null FK with no parent — every orphan silently vanishes from
+    * the curated inner join, p15's late-dim problem caught at audit
+    * time), distinct FK values, parents present/matched/unused, and the
+    * max fan-out (children per parent — the join-explosion early
+    * warning). All counts exact integers.
+    *
+    * Scale: the child side collapses to (fk, count) in a map-side-partial
+    * aggregate BEFORE any join — the join input is distinct-key-sized,
+    * never row-sized; the parent side is its key column only. One
+    * full-outer equi-join per edge (AQE broadcasts dim-sized parents,
+    * hash-joins fact-sized ones) feeding a 1-row aggregate; the report
+    * is |edges| rows. */
+  def p18FkAudit(spark: SparkSession, dir: String): DataFrame =
+    p18FkAudit(spark, dir, FkEdges)
+
+  def p18FkAudit(spark: SparkSession, dir: String,
+                 edges: Seq[(String, String, String, String)]): DataFrame = {
+    require(edges.nonEmpty, "p18: empty FK edge list")
+    import graft.functions.TextFunctions.md5Long60
+    edges.map { case (child, fk, parent, pk) =>
+      val childAgg = Tables.load(spark, dir, child)
+        .groupBy(col(fk).as("ck")).agg(count(lit(1)).as("cnt"))
+      val par = Tables.load(spark, dir, parent)
+        .filter(md5Long60(concat(col(pk).cast("string"), lit(":p18"))) % 100
+          < FkParentDropMin)
+        .select(col(pk).as("pk2"))
+      childAgg.join(par, col("ck") === col("pk2"), "full_outer")
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_child"),
+          coalesce(sum(when(col("cnt").isNotNull && col("ck").isNull,
+            col("cnt"))), lit(0L)).as("n_null_fk"),
+          coalesce(sum(when(col("ck").isNotNull && col("pk2").isNull,
+            col("cnt"))), lit(0L)).as("n_orphan"),
+          count(when(col("cnt").isNotNull && col("ck").isNotNull, lit(1)))
+            .as("n_distinct_fk"),
+          count(col("pk2")).as("n_parents"),
+          count(when(col("cnt").isNotNull && col("pk2").isNotNull, lit(1)))
+            .as("n_matched_parents"),
+          count(when(col("cnt").isNull && col("pk2").isNotNull, lit(1)))
+            .as("n_unused_parents"),
+          coalesce(max(when(col("pk2").isNotNull, col("cnt"))), lit(0L))
+            .as("max_fanout"))
+        .select(lit(s"$child.$fk->$parent.$pk").as("edge"), col("n_child"),
+          col("n_null_fk"), col("n_orphan"), col("n_distinct_fk"),
+          col("n_parents"), col("n_matched_parents"),
+          col("n_unused_parents"), col("max_fanout"))
+    }.reduce(_ unionAll _).orderBy(col("edge"))
+  }
+
+  /** Fail-fast gate over [[p18FkAudit]]'s report: true iff no edge
+    * carries a null FK and every edge's orphan count stays at or under
+    * `maxOrphans` — the fourth DAG hook beside [[gatePasses]],
+    * [[driftGatePasses]] and `expectationGatePasses`. */
+  def fkGatePasses(report: DataFrame, maxOrphans: Long = 0L): Boolean =
+    report.filter(col("n_null_fk") > 0 || col("n_orphan") > maxOrphans).isEmpty
+
+  val p18Oracle: String = {
+    def bkt(pk: String) =
+      s"CAST(('0x' || substr(md5(CAST($pk AS VARCHAR) || ':p18'), 1, 15)) AS BIGINT) % 100"
+    FkEdges.map { case (child, fk, parent, pk) =>
+      s"""SELECT '$child.$fk->$parent.$pk' AS edge,
+         | CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_child,
+         | CAST(coalesce(sum(CASE WHEN cnt IS NOT NULL AND ck IS NULL THEN cnt END), 0) AS BIGINT) AS n_null_fk,
+         | CAST(coalesce(sum(CASE WHEN ck IS NOT NULL AND pk2 IS NULL THEN cnt END), 0) AS BIGINT) AS n_orphan,
+         | CAST(count(CASE WHEN cnt IS NOT NULL AND ck IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct_fk,
+         | CAST(count(pk2) AS BIGINT) AS n_parents,
+         | CAST(count(CASE WHEN cnt IS NOT NULL AND pk2 IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched_parents,
+         | CAST(count(CASE WHEN cnt IS NULL AND pk2 IS NOT NULL THEN 1 END) AS BIGINT) AS n_unused_parents,
+         | CAST(coalesce(max(CASE WHEN pk2 IS NOT NULL THEN cnt END), 0) AS BIGINT) AS max_fanout
+         |FROM (SELECT $fk AS ck, count(*) AS cnt FROM $child GROUP BY 1) c
+         | FULL OUTER JOIN (SELECT $pk AS pk2 FROM $parent
+         |   WHERE ${bkt(pk)} < $FkParentDropMin) p ON c.ck = p.pk2""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY edge")
+  }
+
   val oracle: String = {
     def one(table: String, pkNullExpr: String, pkDistinctExpr: String) =
       s"""SELECT '$table' AS table_name, m.metric, m.value FROM (

@@ -579,6 +579,56 @@ class PipelineSpec extends AnyFunSuite {
       "the NULL-valued v2 must be carried as NULL, not v1's value")
   }
 
+  test("p18: FK audit metrics match a hand-replayed planted edge (null " +
+    "FKs, orphans, fan-out, unused parents) and the gate thresholds " +
+    "orphans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_fk").toString
+    // parent: nation keys 1..10; the audit itself drops the >= 97 md5
+    // bucket, so replay the same rule here rather than assuming survival
+    (1 to 10).map(k => (k, s"N$k", k)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    // child: key 1 referenced 3x (fan-out), 999 an always-orphan, one
+    // null FK, keys 2/3 once each; parents 4..10 unreferenced
+    Seq(Some(1), Some(1), Some(1), Some(2), Some(3), Some(999), None)
+      .zipWithIndex.map { case (k, i) => (i.toLong, s"C$i", k, 0.0, "SEG") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dropped(k: Int): Boolean =
+      java.lang.Long.parseLong(md5Hex(s"$k:p18").substring(0, 15), 16) % 100 >=
+        Quality.FkParentDropMin
+    val parents = (1 to 10).filterNot(dropped).toSet
+    val refs = Seq(1, 1, 1, 2, 3, 999)
+    val r = Quality.p18FkAudit(spark, dir,
+      Seq(("customer", "c_nationkey", "nation", "n_nationkey"))).collect()(0)
+    assert(r.getAs[String]("edge") == "customer.c_nationkey->nation.n_nationkey")
+    assert(r.getAs[Long]("n_child") == 7L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+    assert(r.getAs[Long]("n_orphan") == refs.count(k => !parents(k)).toLong)
+    assert(r.getAs[Long]("n_distinct_fk") == 4L) // 1, 2, 3, 999
+    assert(r.getAs[Long]("n_parents") == parents.size.toLong)
+    assert(r.getAs[Long]("n_matched_parents") ==
+      refs.distinct.count(parents).toLong)
+    assert(r.getAs[Long]("n_unused_parents") ==
+      parents.count(p => !refs.contains(p)).toLong)
+    assert(r.getAs[Long]("max_fanout") ==
+      (if (parents(1)) 3L else refs.distinct.filter(parents)
+        .map(k => refs.count(_ == k)).max.toLong))
+    // the gate: null FKs always fail; orphans fail at 0 tolerance and
+    // pass once the threshold absorbs them
+    val report = Quality.p18FkAudit(spark, sf)
+    assert(!Quality.fkGatePasses(report), "planted 3% parent drop must trip")
+    assert(Quality.fkGatePasses(report, maxOrphans = 1000000L))
+    // every audit rule is exercised somewhere on the shipped corpus
+    val corpus = report.collect()
+    assert(corpus.map(_.getAs[Long]("n_orphan")).sum > 0)
+    assert(corpus.map(_.getAs[Long]("n_unused_parents")).sum > 0)
+    assert(corpus.forall(_.getAs[Long]("max_fanout") >= 1L))
+  }
+
   test("p14: drift shares and the L1 total match hand arithmetic, " +
     "including a bucket that vanishes in batch B") {
     import spark.implicits._
