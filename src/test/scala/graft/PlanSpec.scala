@@ -483,6 +483,65 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("p18: every FK edge joins the KEY-GRAINED child aggregate, never " +
+    "row-grain child rows — the collapse-before-join contract") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val exec = graft.pipeline.Quality.p18FkAudit(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    val joins = exec.collect { case j: BaseJoinExec => j }
+    assert(joins.size == graft.pipeline.Quality.FkEdges.size,
+      s"expected one join per FK edge in:\n${exec.treeString}")
+    joins.foreach { j =>
+      // the side carrying the per-key child count must have collapsed
+      // through a grouped aggregate below the join; the parent side is
+      // key-unique by construction (its PK column only)
+      val childSide = Seq(j.left, j.right).find(_.output.exists(_.name == "cnt"))
+      assert(childSide.isDefined, s"no child-count side under ${j.nodeName}")
+      val grouped = childSide.get.collect {
+        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+      }
+      assert(grouped.nonEmpty,
+        s"child side reaches ${j.nodeName} at row grain:\n${childSide.get.treeString}")
+    }
+  }
+
+  test("t17: chunking is one narrow scan — no join, aggregate or window, " +
+    "and the only exchange is the deterministic orderBy tail") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = graft.operators.TextAnalysis.t17ContextChunks(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    assert(exec.collect { case j: BaseJoinExec => j }.isEmpty, "join leaked in")
+    assert(exec.collect { case a: BaseAggregateExec => a }.isEmpty, "aggregate leaked in")
+    assert(exec.collect { case w: WindowExec => w }.isEmpty, "window leaked in")
+    // AQE materializes the orderBy's range exchange lazily, so inputPlan
+    // may show the global Sort with its exchange not yet inserted — the
+    // pin is that NOTHING ELSE shuffles: any exchange present must be the
+    // range sort's, never a hash repartition
+    val ex = exec.collect { case e: Exchange => e }
+    assert(ex.size <= 1, s"extra shuffles in:\n${exec.treeString}")
+    ex.foreach { e =>
+      assert(e.isInstanceOf[ShuffleExchangeExec] &&
+        e.asInstanceOf[ShuffleExchangeExec].outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        "the only allowed exchange is the orderBy range sort")
+    }
+    assert(exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.size == 1, "the deterministic orderBy tail is missing")
+  }
+
   test("global: every unpartitioned window in every query reads a " +
     "bounded (aggregate- or literal-table-grained) frame, and every " +
     "cartesian/nested-loop join carries a bounded side — the suite-wide " +

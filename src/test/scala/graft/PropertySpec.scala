@@ -282,4 +282,29 @@ class PropertySpec extends AnyFunSuite {
       split(id) == split(id) && Set("train", "val", "test").contains(split(id))
     })
   }
+
+  test("t17 window count: for every token count the sliding-window layout " +
+    "covers all tokens, starts stride-apart, and never emits a redundant " +
+    "tail window") {
+    val W = graft.operators.TextAnalysis.ChunkTokens
+    val S = graft.operators.TextAnalysis.ChunkStride
+    check(Prop.forAll(Gen.chooseNum(1, 5000)) { n =>
+      val nc = if (n <= W) 1L else (n - W + S - 1).toLong / S + 1
+      val starts = (0L until nc).map(_ * S)
+      val ends = starts.map(s => math.min(n.toLong, s + W))
+      // full coverage: windows start at 0 and chain without gaps (stride
+      // < window, so consecutive windows overlap), ending at n
+      starts.head == 0L &&
+        ends.last == n.toLong &&
+        starts.zip(ends).sliding(2).forall {
+          case Seq((_, e1), (s2, _)) => s2 < e1 // overlap, no gap
+          case _ => true
+        } &&
+        // no redundant window: the last window's start is still inside
+        // the tokens (it contributes at least one new token), and one
+        // fewer window would leave a tail uncovered
+        starts.last < n.toLong &&
+        (nc == 1L || (nc - 2) * S + W < n)
+    })
+  }
 }
