@@ -559,6 +559,29 @@ object Similarity {
     "s1_ann_brute" -> s1OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "s9_mmr_rerank" -> s9OracleSql,
+    "s13_rank_fusion" ->
+      s"""WITH l AS ($s2OracleSql),
+         |b AS ($s7OracleSql),
+         |f AS (
+         | SELECT COALESCE(l.probe_id, b.probe_id) AS probe_id,
+         |  COALESCE(l.neighbor_id, b.neighbor_id) AS neighbor_id,
+         |  l.rank AS lsh_rank, b.rank AS bin_rank
+         | FROM l FULL OUTER JOIN b
+         |  ON l.probe_id = b.probe_id AND l.neighbor_id = b.neighbor_id),
+         |s AS (
+         | SELECT probe_id, neighbor_id, lsh_rank, bin_rank,
+         |  COALESCE(1000000 // ($RrfK + lsh_rank), 0)
+         |   + COALESCE(1000000 // ($RrfK + bin_rank), 0) AS score_e6,
+         |  (CASE WHEN lsh_rank IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN bin_rank IS NOT NULL THEN 1 ELSE 0 END) AS n_sources
+         | FROM f),
+         |r AS (
+         | SELECT *, row_number() OVER (PARTITION BY probe_id
+         |   ORDER BY score_e6 DESC, neighbor_id) AS fused_rank FROM s)
+         |SELECT probe_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+         | neighbor_id, CAST(score_e6 AS BIGINT) AS score_e6,
+         | lsh_rank, bin_rank, CAST(n_sources AS BIGINT) AS n_sources
+         |FROM r WHERE fused_rank <= $FusedK ORDER BY probe_id, fused_rank""".stripMargin,
     "s8_recall" ->
       s"""WITH ex AS ($s1OracleSql),
          |ap AS ($s2OracleSql),
@@ -1331,6 +1354,49 @@ object Similarity {
        |FROM g$NndIters WHERE rank <= $NndK ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** RRF constant (the k in 1/(k+rank)) — the published default that
+    * keeps any single source from dominating the fusion. */
+  val RrfK = 60
+  val FusedK = 5
+
+  /** `s13_rank_fusion`: reciprocal-rank fusion of two ANN shortlists —
+    * the HYBRID-retrieval merge every production search stack runs when
+    * it holds more than one index (here the s2 LSH-bucket index and the
+    * s7 binary-sketch index; in a deployment, dense + sparse or old +
+    * new index generations during a migration). RRF needs only ranks —
+    * no score calibration across heterogeneous indexes — and the score
+    * is EXACT integer arithmetic: `floor(1e6/(k+rank))` per source,
+    * summed (each term an integer div, so the fusion can never flip on a
+    * float ulp). Per probe: top-[[FusedK]] by fused score with each
+    * source's rank and a source-coverage count; a candidate only one
+    * index surfaced still competes (its missing term is 0).
+    *
+    * Scale: both sources are the already-scale-correct s2/s7 plans; the
+    * fusion itself touches only probe-grained shortlists (probes × k
+    * rows per source) — one equi-join on (probe, neighbor), one
+    * probe-partitioned window, nothing fact-sized beyond what the
+    * sources already do. */
+  def s13RankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = s2AnnLsh(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("lsh_rank"))
+    val bin = s7AnnBinary(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("bin_rank"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_e6").desc, col("neighbor_id"))
+    lsh.join(bin, Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("score_e6",
+        coalesce(expr(s"1000000 div ($RrfK + lsh_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + bin_rank)"), lit(0L)))
+      .withColumn("n_sources",
+        when(col("lsh_rank").isNotNull, 1L).otherwise(0L) +
+          when(col("bin_rank").isNotNull, 1L).otherwise(0L))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= FusedK)
+      .select(col("probe_id"), col("fused_rank"), col("neighbor_id"),
+        col("score_e6"), col("lsh_rank"), col("bin_rank"), col("n_sources"))
+      .orderBy(col("probe_id"), col("fused_rank"))
+  }
+
   // ------------------------------------------------ s12: index drift monitor
 
   private val pendingS12 =
@@ -1519,5 +1585,6 @@ object Similarity {
     "s10_nn_descent" -> (s10NnDescent _),
     "s11_index_delta" -> (s11IndexDelta _),
     "s12_index_drift" -> (s12IndexDrift _),
+    "s13_rank_fusion" -> (s13RankFusion _),
     "s9_mmr_rerank" -> ((s: SparkSession, d: String) => s9MmrRerank(s, d)))
 }

@@ -872,6 +872,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"recall@5 $hits/${brute.size} below 4x the random-shortlist rate")
   }
 
+  test("s13: fused ranking replays exactly from the s2/s7 shortlists, " +
+    "and single- and dual-source candidates both compete") {
+    import org.apache.spark.sql.functions.col
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select(col("probe_id"), col("neighbor_id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = ranks(Similarity.s2AnnLsh(spark, sf))
+    val bin = ranks(Similarity.s7AnnBinary(spark, sf))
+    val k = Similarity.RrfK
+    val expected = (lsh.keySet ++ bin.keySet).groupBy(_._1).flatMap {
+      case (probe, pairs) =>
+        val scored = pairs.toSeq.map { key =>
+          val s = lsh.get(key).map(r => 1000000L / (k + r)).getOrElse(0L) +
+            bin.get(key).map(r => 1000000L / (k + r)).getOrElse(0L)
+          (key._2, s, lsh.get(key), bin.get(key))
+        }.sortBy { case (nb, s, _, _) => (-s, nb) }.take(Similarity.FusedK)
+        scored.zipWithIndex.map { case ((nb, s, lr, br), i) =>
+          (probe, i + 1L) -> ((nb, s, lr, br,
+            lr.size.toLong + br.size.toLong))
+        }
+    }
+    val got = Similarity.s13RankFusion(spark, sf).collect().map { r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("fused_rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("score_e6"),
+          Option(r.getAs[java.lang.Long]("lsh_rank")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("bin_rank")).map(_.toLong),
+          r.getAs[Long]("n_sources")))
+    }.toMap
+    assert(got == expected, {
+      val diff = (expected.keySet ++ got.keySet)
+        .filter(x => expected.get(x) != got.get(x)).take(3)
+      s"fusion mismatch at $diff: expected ${diff.map(expected.get)}, got ${diff.map(got.get)}"
+    })
+    // the fusion is non-vacuous in both regimes: candidates the indexes
+    // AGREE on and candidates only one index surfaced both reach the
+    // fused top-k somewhere
+    val srcCounts = got.values.map(_._5).toSet
+    assert(srcCounts.contains(2L), "no dual-source candidate won")
+    assert(srcCounts.contains(1L), "no single-source candidate won")
+  }
+
   test("s12: drift report conserves the corpus, matches an independent " +
     "mean/drift recompute, and both drift and churn are non-vacuous") {
     import org.apache.spark.sql.functions.col
