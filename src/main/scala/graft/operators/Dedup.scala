@@ -952,6 +952,81 @@ object Dedup {
        |WHERE p.c * 1.0 / (n1.n + n2.n - p.c) >= $JaccardTau
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  /** d13 sweep thresholds (e6): from the operating floor [[JaccardTau]]
+    * up to exact-shingle duplicates. Prefix-filter candidate recall is
+    * only guaranteed for pairs at or above [[JaccardTau]], so the sweep
+    * tunes UPWARD from the floor — the direction threshold tuning
+    * actually runs (start permissive, tighten until the dup rate and
+    * manual spot-checks agree). */
+  val SweepTausE6: Seq[Long] = Seq(800000L, 850000L, 900000L, 950000L, 1000000L)
+
+  /** `d13_threshold_sweep`: the τ-tuning curve for near-dup dedup — dup
+    * pair count, affected-doc count and keep-min drop count at each
+    * candidate threshold, all from ONE pair computation (d11 monitors the
+    * CANDIDATE stage's quality; this sweeps the CONFIRM stage's dial).
+    * Production dedup picks τ from exactly this curve: too low and
+    * distinct documents merge, too high and boilerplate variants survive;
+    * the knee shows up as the pair count's drop-off between thresholds.
+    * `n_dropped_keepmin` is the yield of the pairwise keep-min rule (docs
+    * appearing as the larger id of any qualifying pair) — an upper bound
+    * on what d6's transitive clustering would remove at that τ.
+    *
+    * Scale: the pair table is d2's bounded-candidate output (pairs ≪
+    * corpus, checkpointed once); the sweep is a ≤|taus|× explode of THAT
+    * table, two map-side-partial aggregates, and a |taus|-row report —
+    * re-running the confirm join per threshold would cost |taus|× the
+    * candidate work for identical output. */
+  def d13ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = jaccardPairs(shingleArrays(spark, dir), None).localCheckpoint(true)
+    val hit = pairs.select(col("doc_id_1"), col("doc_id_2"), col("jaccard_e6"),
+        explode(array(SweepTausE6.map(lit): _*)).as("tau_e6"))
+      .filter(col("jaccard_e6") >= col("tau_e6"))
+    val byTau = hit.groupBy(col("tau_e6")).agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("doc_id_2")).as("n_dropped_keepmin"))
+    val docs = hit
+      .select(col("tau_e6"),
+        explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
+      .distinct()
+      .groupBy(col("tau_e6")).agg(count(lit(1)).as("n_docs"))
+    // every configured τ reports a row even when no pair qualifies — a
+    // silent missing row reads as "not measured", not "zero dups"
+    SweepTausE6.toDF("tau_e6")
+      .join(byTau, Seq("tau_e6"), "left")
+      .join(docs, Seq("tau_e6"), "left")
+      .select(col("tau_e6"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_dropped_keepmin"), lit(0L)).as("n_dropped_keepmin"))
+      .orderBy(col("tau_e6"))
+  }
+
+  private lazy val d13Oracle: String = {
+    val tauValues = SweepTausE6.map(t => s"($t)").mkString(", ")
+    s"""WITH $shinglesCte,
+       |p AS (${jaccardSelectSql("")}),
+       |taus(tau_e6) AS (VALUES $tauValues),
+       |hit AS (
+       | SELECT t.tau_e6, p.doc_id_1, p.doc_id_2
+       | FROM p JOIN taus t ON p.jaccard_e6 >= t.tau_e6),
+       |byt AS (
+       | SELECT tau_e6, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT doc_id_2) AS BIGINT) AS n_dropped_keepmin
+       | FROM hit GROUP BY 1),
+       |d AS (
+       | SELECT tau_e6, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+       |  SELECT tau_e6, doc_id_1 AS doc_id FROM hit
+       |  UNION ALL SELECT tau_e6, doc_id_2 FROM hit)
+       | GROUP BY 1)
+       |SELECT CAST(t.tau_e6 AS BIGINT) AS tau_e6,
+       | COALESCE(b.n_pairs, 0) AS n_pairs,
+       | COALESCE(d.n_docs, 0) AS n_docs,
+       | COALESCE(b.n_dropped_keepmin, 0) AS n_dropped_keepmin
+       |FROM taus t LEFT JOIN byt b USING (tau_e6) LEFT JOIN d USING (tau_e6)
+       |ORDER BY tau_e6""".stripMargin
+  }
+
   /** d12's entry appears only once its result has materialized (the s3
     * convention: Verify calls `SparkEntry.markMaterialized` →
     * [[Similarity.confirmD12Materialized]]); otherwise d12 degrades to
@@ -966,6 +1041,7 @@ object Dedup {
   private val staticOracle: Map[String, String] = Map(
     "d9_dedup_chunks" -> d9OracleSql,
     "d11_dedup_eval" -> d11Oracle,
+    "d13_threshold_sweep" -> d13Oracle,
     "d1_dedup_exact" ->
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
@@ -1202,5 +1278,6 @@ object Dedup {
     "d8_dedup_incremental" -> (d8DedupIncremental _),
     "d9_dedup_chunks" -> (d9DedupChunks _),
     "d10_dedup_fuzzy" -> (d10DedupFuzzy _),
-    "d12_semantic_dedup" -> (d12SemanticDedup _))
+    "d12_semantic_dedup" -> (d12SemanticDedup _),
+    "d13_threshold_sweep" -> (d13ThresholdSweep _))
 }

@@ -872,6 +872,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"recall@5 $hits/${brute.size} below 4x the random-shortlist rate")
   }
 
+  test("d13: the sweep's floor row equals d2 exactly, the curve is " +
+    "monotone in tau, and empty thresholds zero-fill") {
+    import org.apache.spark.sql.functions.col
+    val rows = Dedup.d13ThresholdSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("tau_e6"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped_keepmin")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Dedup.SweepTausE6,
+      "every configured threshold must report a row")
+    // the floor row is d2's operating point — same pairs, same docs
+    val d2 = Dedup.d2DedupNgram(spark, sf)
+      .select(col("doc_id_1"), col("doc_id_2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val floor = rows.head
+    assert(floor._2 == d2.length.toLong)
+    assert(floor._3 == d2.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    assert(floor._4 == d2.map(_._2).distinct.length.toLong)
+    // tightening tau can only shrink every statistic
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._2 <= lo._2 && hi._3 <= lo._3 && hi._4 <= lo._4,
+          s"curve not monotone between ${lo._1} and ${hi._1}")
+      case _ => ()
+    }
+    rows.foreach { case (tau, nPairs, nDocs, nDropped) =>
+      assert(nDocs <= 2 * nPairs, s"tau $tau: more docs than pair slots")
+      assert(nDropped <= nDocs, s"tau $tau: dropped more than affected")
+      if (nPairs == 0) assert(nDocs == 0 && nDropped == 0,
+        s"tau $tau: empty threshold must zero-fill")
+    }
+    // non-vacuous on the shipped corpus: the floor finds dups AND at
+    // least one tightening step actually shrinks the curve
+    assert(floor._2 > 0)
+    assert(rows.last._2 < floor._2)
+  }
+
   test("s13: fused ranking replays exactly from the s2/s7 shortlists, " +
     "and single- and dual-source candidates both compete") {
     import org.apache.spark.sql.functions.col
