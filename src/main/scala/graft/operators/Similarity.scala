@@ -1495,8 +1495,12 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
-  /** Spec hook: the corpus-slice model + per-cell recomputed means the
-    * report is built from, for independent replay. */
+  /** TEST-ONLY hook (package-private, s11CorpusModel's sibling — never on
+    * a query path): the corpus-slice model + per-cell recomputed means,
+    * for the spec's independent replay. The per-vector collect here is
+    * DELIBERATE: the spec's mean recompute must share no aggregation code
+    * with the operator it checks, so it folds the assignments driver-side
+    * at spec scale instead of reusing s12's distributed component sums. */
   private[graft] def s12ModelAndMeans(spark: SparkSession, dir: String)
     : (Seq[(Long, Array[Long])], Map[Long, Array[Long]]) = {
     val e = emb(spark, dir)
