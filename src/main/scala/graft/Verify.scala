@@ -65,6 +65,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .filterNot { case (k, _) => failed(k) }
+      // a null/blank oracle is a registration bug (e.g. a strict val read
+      // before initialization) — withhold THAT entry with a loud note
+      // instead of NPEing the whole dump (the no-throw contract above)
+      .filterNot { case (k, v) =>
+        val bad = v == null || v.trim.isEmpty
+        if (bad) System.err.println(s"[verify] $k oracle is null/blank — withheld")
+        bad
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     failed.toSet

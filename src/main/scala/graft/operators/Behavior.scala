@@ -318,7 +318,12 @@ object Behavior {
       |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       | FROM e)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // lazy: entries interpolate vals declared LATER in this object
+  // (AttrWindowUs and q32Oracle live beside their operator at the bottom);
+  // a strict map would bake their still-default values in at init — the
+  // oracle is only read at Verify-dump time, well after init
+  lazy val oracle: Map[String, String] = Map(
+    "q32_attribution" -> q32Oracle,
     "q20_funnel_steps" ->
       s"""WITH $sessionCteSql,
          |t1 AS (
@@ -449,7 +454,89 @@ object Behavior {
         |   / count(*)) AS BIGINT) AS late_share_e6
         |FROM e GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
 
+  /** q32 lookback: a purchase is credited to the latest non-purchase
+    * touch within this many microseconds (6 h — hours, not days, is the
+    * grain real click-to-convert attribution runs at, and on this corpus
+    * it leaves a non-vacuous unattributed bucket). */
+  val AttrWindowUs: Long = 6L * 3600L * 1000000L
+
+  /** `q32_attribution`: last-touch revenue attribution — the marketing
+    * analytics staple q20's fixed funnel can't express (the funnel asks
+    * "did the ordered steps happen"; attribution asks "which touch gets
+    * CREDIT for each conversion"): every purchase is credited to the
+    * user's latest preceding non-purchase event IF it falls inside the
+    * [[AttrWindowUs]] lookback, else to the `~NONE` bucket (a conversion
+    * with no recent touch is a finding, not a row to drop — same
+    * philosophy as p15's inferred members and d13's zero-fill). Report
+    * per attributed type: conversions, revenue (exact cents), floor-e6
+    * share of all conversions.
+    *
+    * Shape: the q13/p13 carry-window machinery pointed at event-to-event
+    * attribution — ONE scan, ONE user-key shuffle, an O(1)-state
+    * `last(ignoreNulls)` over the strictly-preceding frame (a
+    * simultaneous touch attributes by the (ts, event_id) total order,
+    * deterministic); the per-type rollup is a map-side-partial aggregate
+    * to ≤|event-types| rows and the share denominator rides the
+    * sanctioned broadcast-1-row-stats join. The naive formulation — a
+    * per-purchase interval self-join against all prior events — never
+    * appears (it explodes quadratically in touch density); the interval
+    * form exists only in the oracle's semantics. */
+  def q32Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100).cast("long").as("value_cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = ev
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("ts_us").as("t"), col("event_type").as("ty"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("att_type",
+        when(col("touch").isNotNull &&
+          col("touch.t") >= col("ts_us") - AttrWindowUs, col("touch.ty"))
+          .otherwise(lit("~NONE")))
+    val totals = attributed.agg(count(lit(1)).as("n_total"))
+    attributed.groupBy(col("att_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value_cents")).as("revenue_cents"))
+      .crossJoin(broadcast(totals))
+      .withColumn("share_e6",
+        floor(col("n_purchases") * lit(1000000.0) / col("n_total")).cast("long"))
+      .select(col("att_type"), col("n_purchases"), col("revenue_cents"),
+        col("share_e6"))
+      .orderBy(col("att_type"))
+  }
+
+  // lazy: referenced by the `oracle` map declared ABOVE this definition —
+  // a strict val would still be null at the map's initialization
+  private lazy val q32Oracle: String =
+    s"""WITH e AS (
+       | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |  CAST(floor(value * 100) AS BIGINT) AS value_cents
+       | FROM events),
+       |t AS (
+       | SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+       |    THEN struct_pack(t := ts_us, ty := event_type) END IGNORE NULLS)
+       |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       | FROM e),
+       |p AS (
+       | SELECT CASE WHEN touch IS NOT NULL AND touch.t >= ts_us - $AttrWindowUs
+       |   THEN touch.ty ELSE '~NONE' END AS att_type, value_cents
+       | FROM t WHERE event_type = 'purchase'),
+       |g AS (
+       | SELECT att_type, CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(sum(value_cents) AS BIGINT) AS revenue_cents
+       | FROM p GROUP BY 1)
+       |SELECT att_type, n_purchases, revenue_cents,
+       | CAST(floor(n_purchases * 1000000.0 / (SELECT count(*) FROM p)) AS BIGINT) AS share_e6
+       |FROM g ORDER BY att_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_attribution" -> (q32Attribution _),
     "q20_funnel_steps" -> (q20FunnelSteps _),
     "q21_retention_cohorts" -> (q21RetentionCohorts _),
     "q24_rolling_distinct" -> (q24RollingDistinct _),

@@ -32,6 +32,50 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q32: last-touch credit respects the lookback cap, the strict " +
+    "(ts, event_id) precedence, carry across purchases, and the ~NONE " +
+    "bucket; shares floor against the purchase total") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    def ev(id: Long, second: Long, user: Long, typ: String, v: Double) =
+      (id, second * 1000000000L, user, typ, v, "{}") // long NANOS encoding
+    val h = 3600L
+    Seq(
+      // user 1: view then purchase 1h later -> view credited;
+      // click then purchase 7h later -> outside the 6h cap -> ~NONE
+      ev(1, 1000, 1, "view", 0.0), ev(2, 1000 + h, 1, "purchase", 10.0),
+      ev(3, 100000, 1, "click", 0.0), ev(4, 100000 + 7 * h, 1, "purchase", 20.0),
+      // user 2: purchase with no prior touch at all -> ~NONE
+      ev(5, 500, 2, "purchase", 30.0),
+      // user 3: view at the SAME instant, smaller event_id -> counts as
+      // strictly preceding under the (ts, event_id) total order
+      ev(6, 2000, 3, "view", 0.0), ev(7, 2000, 3, "purchase", 40.0),
+      // user 4: one view, then TWO purchases inside the cap — the carry
+      // must survive the intervening purchase (purchases never clobber
+      // the last non-purchase touch)
+      ev(8, 5000, 4, "view", 0.0),
+      ev(9, 5000 + h, 4, "purchase", 50.0), ev(10, 5000 + 2 * h, 4, "purchase", 60.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Behavior.q32Attribution(spark, dir).collect()
+      .map(r => r.getAs[String]("att_type") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Long]("share_e6")))).toMap
+    // 6 purchases total: view gets 4 (1000, 6000 cents... ids 2,7,9,10),
+    // ~NONE gets 2 (ids 4,5); click credited nothing -> no click row
+    assert(got.keySet == Set("view", "~NONE"))
+    assert(got("view") == ((4L, 1000L + 4000L + 5000L + 6000L, 666666L)))
+    assert(got("~NONE") == ((2L, 2000L + 3000L, 333333L)))
+    // non-vacuous on the shipped corpus: attributed and unattributed
+    // buckets both present, shares sum to <= 1e6 (floor loss only)
+    val corpus = Behavior.q32Attribution(spark, sf).collect()
+      .map(r => r.getAs[String]("att_type") -> r.getAs[Long]("share_e6")).toMap
+    assert(corpus.contains("~NONE") && corpus.size > 1)
+    val s = corpus.values.sum
+    assert(s <= 1000000L && s > 1000000L - corpus.size)
+  }
+
   test("q20: step order is enforced in time, not just presence — a " +
     "purchase BEFORE the first view does not count as depth 3") {
     import spark.implicits._
