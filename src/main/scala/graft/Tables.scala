@@ -23,7 +23,19 @@ object Tables {
     // every downstream `unix_micros(ts)` sees the same epoch micros
     // DuckDB's `epoch_us(ts)` computes from the naive wall time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    // date-typed re-encode guard (the o_orderdate/l_shipdate analog of the
+    // events.ts normalization below): these columns have always shipped as
+    // timezone-less TIMESTAMP(MICROS); should a generation re-encode one
+    // as DATE, surface the identical TIMESTAMP_NTZ (naive midnight) the
+    // engine reads today — DuckDB's epoch_us treats a DATE the same way,
+    // so both sides keep computing the same epoch micros
+    val df = df0.schema.fields.foldLeft(df0) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.DateType)
+        acc.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+      else acc
+    }
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}

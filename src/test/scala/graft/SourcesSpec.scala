@@ -71,6 +71,31 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.load normalizes a DATE-re-encoded date column to the " +
+    "TIMESTAMP_NTZ midnight the engine reads today") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_date_enc").toString
+    val rows = Seq((1L, "2024-03-05"), (2L, "1997-11-30"))
+    val src = rows.toDF("o_orderkey", "d")
+    // twin encodings of the same calendar day
+    src.select(col("o_orderkey"),
+        to_timestamp(col("d")).cast("timestamp_ntz").as("o_orderdate"))
+      .write.parquet(s"$base/ntz/orders.parquet")
+    src.select(col("o_orderkey"), to_date(col("d")).as("o_orderdate"))
+      .write.parquet(s"$base/date/orders.parquet")
+    val got = Seq("ntz", "date").map { enc =>
+      val df = Tables.load(spark, s"$base/$enc", "orders")
+      assert(df.schema("o_orderdate").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType,
+        s"$enc: loader must surface TIMESTAMP_NTZ")
+      enc -> df.select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }.toMap
+    assert(got("ntz") == got("date"),
+      "DATE and TIMESTAMP_NTZ encodings must read identically")
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString + "/orders"
     Sinks.writeDatePartitioned(Tables.load(spark, sf, "orders"), "o_orderdate", dir)
