@@ -1027,6 +1027,108 @@ object Dedup {
        |ORDER BY tau_e6""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d14
+
+  /** d14 gram width in tokens. 8 matches d9's expected CDC chunk length
+    * ([[ChunkMod]]) so the two operators probe the same granularity from
+    * opposite directions (content-defined boundaries vs every offset). */
+  val GramToks = 8
+  /** Minimal reported verbatim run, in tokens — the "memorized passage"
+    * threshold. The exact-substring dedup literature uses 50 BPE tokens
+    * on web documents; 20 is that dial scaled to this corpus's ~54-token
+    * documents. */
+  val MinRunToks = 20L
+  /** Grams present in more documents than this are boilerplate (license
+    * headers, navigation chrome) — d9's [[MaxChunkDf]] rationale at gram
+    * granularity: dropping them bounds posting-list fan-out. */
+  val MaxGramDf = 50L
+
+  /** `d14_substring_dedup`: EXACT substring-level dedup — every maximal
+    * verbatim token run of >= [[MinRunToks]] tokens shared by a document
+    * pair, with its start offset in both documents (1-based token index).
+    * This is the suffix-array dedup shape ("find every long verbatim
+    * overlap, wherever it starts") re-expressed as Spark relational
+    * algebra: d9's CDC chunks detect copied passages only when at least
+    * [[MinSharedChunks]] whole chunks land inside the overlap — an
+    * overlap that straddles chunk boundaries (no interior boundary token)
+    * is invisible to d9 no matter how long it is, but shows up here at
+    * every gram offset (spec plants exactly that case).
+    *
+    * Shape: tokenize once → [[GramToks]]-token gram fingerprint at EVERY
+    * start position (60-bit md5, constant-width — the raw text never
+    * enters the join) → posting-bounded equi-join on gram hash restricted
+    * to grams in 2..[[MaxGramDf]] docs (singletons can't pair and are
+    * pruned BEFORE the join; hotter grams are boilerplate — fan-out per
+    * gram is bounded, never all-pairs) → gaps-and-islands coalescing of
+    * consecutive matched positions at a fixed offset difference
+    * (`pos_1 - row_number` is constant exactly on a consecutive run) into
+    * maximal runs; a run of g consecutive shared grams is g+K-1 verbatim
+    * shared tokens.
+    *
+    * Scale: the only shuffles are the gram-hash groupBy/join (key-grained,
+    * posting-bounded) and the run window, whose partition is a (doc pair,
+    * offset) match list — bounded by the pair's shared-gram count, never
+    * corpus-sized. A suffix array would find runs shorter than
+    * [[GramToks]] too; those are below any dedup threshold, so the gram
+    * quantization loses nothing at [[MinRunToks]] >= [[GramToks]]. */
+  def d14SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) < GramToks, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - GramToks + 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(GramToks)))))).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        md5Long60(col("gram")).as("h"))
+      .localCheckpoint(true) // 3 consumers below; tokenize+gram runs once
+    val eligible = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= MaxGramDf)
+      .select(col("h"))
+    val posting = grams.join(eligible, Seq("h"))
+    val matches = posting
+      .select(col("h"), col("doc_id").as("doc_id_1"), col("pos").as("pos_1"))
+      .join(posting.select(col("h"), col("doc_id").as("doc_id_2"), col("pos").as("pos_2")), Seq("h"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .withColumn("diff", col("pos_1") - col("pos_2"))
+    val wRun = Window.partitionBy(col("doc_id_1"), col("doc_id_2"), col("diff"))
+      .orderBy(col("pos_1"))
+    matches
+      .withColumn("island", col("pos_1") - row_number().over(wRun))
+      .groupBy(col("doc_id_1"), col("doc_id_2"), col("diff"), col("island"))
+      .agg(min(col("pos_1")).as("start_1"), min(col("pos_2")).as("start_2"),
+        (count(lit(1)) + GramToks - 1).as("run_toks"))
+      .filter(col("run_toks") >= MinRunToks)
+      .select(col("doc_id_1"), col("doc_id_2"), col("start_1"), col("start_2"), col("run_toks"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"), col("start_1"), col("start_2"))
+  }
+
+  private lazy val d14OracleSql: String = {
+    val grams = s"list_transform(range(1, greatest(len(toks) - $GramToks + 2, 1)), " +
+      s"i -> array_to_string(list_slice(toks, i, i + $GramToks - 1), ' '))"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (
+       | SELECT doc_id, CAST(generate_subscripts($grams, 1) AS BIGINT) AS pos,
+       |  CAST(('0x' || substr(md5(unnest($grams)), 1, 15)) AS BIGINT) AS h
+       | FROM t),
+       |el AS (SELECT h FROM g GROUP BY h
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxGramDf),
+       |m AS (
+       | SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+       | FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+       | WHERE a.h IN (SELECT h FROM el)),
+       |r AS (
+       | SELECT d1, d2, p1, p2, p1 - p2 AS diff,
+       |  p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS island
+       | FROM m)
+       |SELECT d1 AS doc_id_1, d2 AS doc_id_2, CAST(min(p1) AS BIGINT) AS start_1,
+       | CAST(min(p2) AS BIGINT) AS start_2,
+       | CAST(count(*) + $GramToks - 1 AS BIGINT) AS run_toks
+       |FROM r GROUP BY d1, d2, diff, island
+       |HAVING count(*) + $GramToks - 1 >= $MinRunToks
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** d12's entry appears only once its result has materialized (the s3
     * convention: Verify calls `SparkEntry.markMaterialized` →
     * [[Similarity.confirmD12Materialized]]); otherwise d12 degrades to
@@ -1041,6 +1143,7 @@ object Dedup {
   private val staticOracle: Map[String, String] = Map(
     "d9_dedup_chunks" -> d9OracleSql,
     "d11_dedup_eval" -> d11Oracle,
+    "d14_substring_dedup" -> d14OracleSql,
     "d13_threshold_sweep" -> d13Oracle,
     "d1_dedup_exact" ->
       """SELECT doc_id,
@@ -1279,5 +1382,6 @@ object Dedup {
     "d9_dedup_chunks" -> (d9DedupChunks _),
     "d10_dedup_fuzzy" -> (d10DedupFuzzy _),
     "d12_semantic_dedup" -> (d12SemanticDedup _),
-    "d13_threshold_sweep" -> (d13ThresholdSweep _))
+    "d13_threshold_sweep" -> (d13ThresholdSweep _),
+    "d14_substring_dedup" -> (d14SubstringDedup _))
 }

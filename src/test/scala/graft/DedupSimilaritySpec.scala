@@ -731,6 +731,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       expectedShared.toLong * 1000000L / math.min(c0.size, c1.size))
   }
 
+  test("d14: a boundary-straddling verbatim passage is invisible to d9 " +
+    "(zero shared CDC chunks) but d14 reports it at exact offsets/length") {
+    import spark.implicits._
+    def md5_60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // 24 tokens, none of which closes a CDC chunk (md5 % ChunkMod != 0):
+    // no boundary fires inside the passage, so in each host the chunk
+    // containing it extends into that host's own junk — the chunk
+    // fingerprints differ, d9 sees ZERO shared chunks no matter how long
+    // the verbatim copy is. d14 probes every gram offset and needs no
+    // boundary luck.
+    val passage = (0 until 2000).iterator.map(i => s"w$i")
+      .filter(t => md5_60(t) % Dedup.ChunkMod != 0).take(24).toSeq
+    assert(passage.forall(t => md5_60(t) % Dedup.ChunkMod != 0))
+    // host-specific junk; different lengths so start_1 != start_2
+    val doc0 = (Seq("alpha", "beta", "gamma") ++ passage ++
+      Seq("omega", "omicron")).mkString(" ")
+    val doc1 = (Seq("delta", "epsilon", "zeta", "eta", "theta") ++ passage ++
+      Seq("psi", "phi", "chi")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d14").toString
+    Seq((0L, doc0, "s"), (1L, doc1, "s"),
+      (2L, "totally unrelated words only present here never shared", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.d9DedupChunks(spark, dir).collect().isEmpty,
+      "premise: the straddling passage must yield no shared chunk for d9")
+    val runs = Dedup.d14SubstringDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Long]("start_1"), r.getAs[Long]("start_2"),
+        r.getAs[Long]("run_toks")))
+    // the 24-token passage: 24-8+1 = 17 consecutive shared grams at one
+    // offset difference -> one maximal run of 17+8-1 = 24 tokens starting
+    // at token 4 of doc0 (after 3 junk tokens) and token 6 of doc1
+    assert(runs.toSeq == Seq((0L, 1L, 4L, 6L, 24L)))
+  }
+
   test("s6: every vector assigned to its argmax centroid (recomputed " +
     "independently), assignment deterministic, oracle gated per dir") {
     val r = Similarity.s6ClusterAssign(spark, sf).collect()
