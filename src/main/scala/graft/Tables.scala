@@ -14,6 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The columns that have shipped with DATE semantics (naive midnight
+    * timestamps) across testdata generations — the only ones the DATE
+    * re-encode guard in [[load]] may retype. A DATE column outside this
+    * set is NEW information (a schema change, not a re-encode) and must
+    * surface as itself, not be silently rewritten. */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  val KnownDateCols: Map[String, Set[String]] = Map(
+    "orders" -> Set("o_orderdate"),
+    "lineitem" -> Set("l_shipdate", "l_commitdate", "l_receiptdate"))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts has shipped in two physical encodings across testdata
     // generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
@@ -29,12 +40,21 @@ object Tables {
     // timezone-less TIMESTAMP(MICROS); should a generation re-encode one
     // as DATE, surface the identical TIMESTAMP_NTZ (naive midnight) the
     // engine reads today — DuckDB's epoch_us treats a DATE the same way,
-    // so both sides keep computing the same epoch micros
+    // so both sides keep computing the same epoch micros. Scoped to
+    // KnownDateCols: a DATE column we have never seen is a schema CHANGE
+    // and must not be silently retyped; it is logged and kept as-is.
+    val known = KnownDateCols.getOrElse(name, Set.empty)
     val df = df0.schema.fields.foldLeft(df0) { (acc, f) =>
-      if (f.dataType == org.apache.spark.sql.types.DateType)
+      if (f.dataType == org.apache.spark.sql.types.DateType && known(f.name)) {
+        log.warn(
+          s"Tables.load: $name.${f.name} arrived DATE-encoded; normalizing to timestamp_ntz")
         acc.withColumn(f.name,
           org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
-      else acc
+      } else if (f.dataType == org.apache.spark.sql.types.DateType) {
+        log.warn(
+          s"Tables.load: UNEXPECTED DATE column $name.${f.name} — new schema, NOT normalized")
+        acc
+      } else acc
     }
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr}

@@ -431,6 +431,12 @@ object Similarity {
       s"(CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Squared L2 norm of a list column — [[driftCosE6]]'s zero-norm guard
+    * needs the same test SQL-side (0/0 must become the defined 0, not a
+    * NaN whose BIGINT cast errors in DuckDB). */
+  private def normSql(a: String): String =
+    s"list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
@@ -1419,7 +1425,13 @@ object Similarity {
       val y = b(i).toDouble / KmScale
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    // a zero-norm side has no direction: define drift cosine as 0 (max
+    // drift) instead of NaN — floor(NaN).toLong silently yields 0 here
+    // while the oracle's CAST(floor(NaN) AS BIGINT) errors, so without
+    // the explicit rule (mirrored in s12OracleSql) a degenerate cell
+    // would produce divergent failure modes instead of a clean compare
+    if (na == 0.0 || nb == 0.0) 0L
+    else math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
   }
 
   /** `s12_index_drift`: index-staleness monitoring — the REBUILD-decision
@@ -1560,7 +1572,8 @@ object Similarity {
        | FROM cents c LEFT JOIN means m ON m.cell = c.cid),
        |drift AS (
        | SELECT cid AS cell,
-       |  CAST(floor(${cosSql("cent", "cent2")} * 1000000.0) AS BIGINT) AS drift_cos_e6
+       |  CASE WHEN ${normSql("cent")} = 0 OR ${normSql("cent2")} = 0 THEN CAST(0 AS BIGINT)
+       |   ELSE CAST(floor(${cosSql("cent", "cent2")} * 1000000.0) AS BIGINT) END AS drift_cos_e6
        | FROM model2),
        |re AS (
        | SELECT a.vec_id, a.cell, m.cid AS cell2,

@@ -288,15 +288,29 @@ object Quality {
     p18FkAudit(spark, dir, FkEdges)
 
   def p18FkAudit(spark: SparkSession, dir: String,
-                 edges: Seq[(String, String, String, String)]): DataFrame = {
+                 edges: Seq[(String, String, String, String)]): DataFrame =
+    p18FkAudit(spark, dir, edges, simulatePartialParentLoad = true)
+
+  /** `simulatePartialParentLoad = true` (the verified-query form) drops
+    * the 3% [[FkParentDropMin]] parent bucket so the orphan rule is
+    * non-vacuous on the shipped corpus — which means [[fkGatePasses]] at
+    * its default `maxOrphans = 0` ALWAYS fails on that form (the spec
+    * asserts it trips). A DAG caller gating real data must pass `false`
+    * here: the audit then sees the parents as loaded, and the default
+    * zero-orphan gate means what it says. */
+  def p18FkAudit(spark: SparkSession, dir: String,
+                 edges: Seq[(String, String, String, String)],
+                 simulatePartialParentLoad: Boolean): DataFrame = {
     require(edges.nonEmpty, "p18: empty FK edge list")
     import graft.functions.TextFunctions.md5Long60
     edges.map { case (child, fk, parent, pk) =>
       val childAgg = Tables.load(spark, dir, child)
         .groupBy(col(fk).as("ck")).agg(count(lit(1)).as("cnt"))
-      val par = Tables.load(spark, dir, parent)
-        .filter(md5Long60(concat(col(pk).cast("string"), lit(":p18"))) % 100
-          < FkParentDropMin)
+      val parAll = Tables.load(spark, dir, parent)
+      val par = (if (simulatePartialParentLoad)
+          parAll.filter(md5Long60(concat(col(pk).cast("string"), lit(":p18"))) % 100
+            < FkParentDropMin)
+        else parAll)
         .select(col(pk).as("pk2"))
       childAgg.join(par, col("ck") === col("pk2"), "full_outer")
         .agg(
@@ -324,7 +338,11 @@ object Quality {
   /** Fail-fast gate over [[p18FkAudit]]'s report: true iff no edge
     * carries a null FK and every edge's orphan count stays at or under
     * `maxOrphans` — the fourth DAG hook beside [[gatePasses]],
-    * [[driftGatePasses]] and `expectationGatePasses`. */
+    * [[driftGatePasses]] and `expectationGatePasses`. The default
+    * `maxOrphans = 0` is meaningful only on an UN-planted report
+    * (`p18FkAudit(..., simulatePartialParentLoad = false)`): the
+    * verified-query form plants a 3% parent drop precisely so this gate
+    * trips on it (spec-asserted). */
   def fkGatePasses(report: DataFrame, maxOrphans: Long = 0L): Boolean =
     report.filter(col("n_null_fk") > 0 || col("n_orphan") > maxOrphans).isEmpty
 
