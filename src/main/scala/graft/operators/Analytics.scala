@@ -260,11 +260,25 @@ object Analytics {
         sum(col("bc")).over(Window.partitionBy(col(grp), col("tag"))
           .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    val bucketRanks = ranks.join(cum, Seq(grp, "tag"))
+    val bucketRanksPlan = ranks.join(cum, Seq(grp, "tag"))
       .filter(col("rank") > col("cum_base") && col("rank") <= col("cum_base") + col("bc"))
       .select(col(grp), col("tag"), col("bucket"), col("rank"),
         (col("rank") - col("cum_base")).as("local_rank"))
-      .localCheckpoint(true) // ≤ 2·specs·groups rows; joined twice below
+    // ≤ 2·specs·groups rows (tiny by this operator's low-cardinality-grp
+    // contract) consumed by two broadcast joins below. Collected and
+    // re-planted as a LocalRelation rather than localCheckpoint'd:
+    // broadcasting a checkpointed frame builds its hashed relation under
+    // UNKNOWN stats, and the resulting ~4 MiB preallocation rode in every
+    // downstream task binary via the materialized stage plan (the bench
+    // log's "Broadcasting large task binary" wall). A LocalRelation has
+    // exact stats, so the broadcast relation — and the task binaries —
+    // stay rank-table-sized. Driver footprint is the statistics class
+    // (like the k-means centroids), never fact-sized.
+    val bucketRanks = {
+      import scala.jdk.CollectionConverters._
+      val sess = df.sparkSession
+      sess.createDataFrame(bucketRanksPlan.collect().toSeq.asJava, bucketRanksPlan.schema)
+    }
     // in-bucket selection over DISTINCT values, not rows: duplicates
     // collapse in a map-side-combinable count aggregate BEFORE the only
     // per-bucket window, so a heavily-duplicated value (the documented
