@@ -688,6 +688,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // ---------------------------------------------------------------- t18
+
+  /** t18 hashed-feature-space size — DSIR's hashed-n-gram dimensionality
+    * dial, scaled to this corpus (bigram occurrences ≈ 50/doc). */
+  val ImpBuckets = 4096L
+  /** The target-domain rule: sources whose numeric id is ≡ 0 (mod 5) —
+    * the "curated slice" convention (same source-id arithmetic family as
+    * t9's rate policy): 4 of the 20 shipped sources, so the target is a
+    * real minority domain, not half the corpus. */
+  val ImpTargetMod = 5L
+
+  /** `t18_importance_weights`: DSIR-style data selection for domain
+    * matching — per-document importance weights from hashed-n-gram
+    * frequency ratios between a TARGET domain and the RAW corpus ("Data
+    * Selection for Language Models via Importance Resampling" re-expressed
+    * in this engine's exact-integer idiom). t9 picks per-source RATES and
+    * t15 per-source QUOTAS; t18 scores individual DOCUMENTS by how
+    * target-like their content is, the knob that upsamples in-domain text
+    * wherever it lives.
+    *
+    * Features are word bigrams (every occurrence, not distinct — DSIR
+    * weights are frequency ratios) hashed into [[ImpBuckets]] buckets by
+    * the shared 60-bit md5. Per bucket, Laplace-smoothed occurrence
+    * probabilities under target and raw give an integer ratio
+    * `ratio_e6 = ((n_t+1)(T_r+B)·1e6) div ((n_r+1)(T_t+B))`; a document's
+    * weight is the MEAN ratio of its bigrams (`div`, floor semantics) —
+    * the log-free monotone surrogate of DSIR's log-likelihood-ratio sum,
+    * chosen so Spark and DuckDB compute bit-identical BIGINTs end to end.
+    * Docs with no bigram carry a null weight (nothing measured, not
+    * "weight 0"). `is_target` rides along so the result is
+    * self-describing (target docs should skew high — spec-asserted).
+    *
+    * Scale: one tokenize scan feeds three aggregates — bucket stats
+    * ([[ImpBuckets]] rows), a 1-row total, and the per-doc sum; the model
+    * (bucket ratio table) is broadcast back, never shuffled with facts.
+    * All pair-free: cost is O(corpus bigrams) + doc-count-sized output. */
+  def t18ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val isTarget =
+      coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L)) % ImpTargetMod === 0
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), wsTokens(col("text")).as("toks"))
+    val grams = docs
+      .select(col("doc_id"), when(isTarget, 1L).otherwise(0L).as("is_target"),
+        explode(when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+          .as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        (md5Long60(col("gram")) % ImpBuckets).as("b"))
+      .localCheckpoint(true) // 3 consumers: bucket stats, totals, per-doc sum
+    val totals = grams.agg(count(lit(1)).as("tr"), sum(col("is_target")).as("tt"))
+    val ratios = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_r"), sum(col("is_target")).as("n_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"((n_t + 1) * (tr + $ImpBuckets) * 1000000) div ((n_r + 1) * (tt + $ImpBuckets))")
+        .as("ratio_e6"))
+    val perDoc = grams.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("ratio_e6")).as("rsum"))
+    docs.select(col("doc_id"), when(isTarget, 1L).otherwise(0L).as("is_target"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("n_grams") > 0, expr("rsum div n_grams")).otherwise(lit(null: String).cast("long"))
+          .as("weight_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
     "t2_text_quality" -> (t2TextQuality _),
@@ -704,7 +773,8 @@ object TextAnalysis {
     "t13_tfidf_keywords" -> (t13TfidfKeywords _),
     "t15_stratified_sample" -> (t15StratifiedSample _),
     "t16_lm_score" -> (t16LmScore _),
-    "t17_context_chunks" -> (t17ContextChunks _))
+    "t17_context_chunks" -> (t17ContextChunks _),
+    "t18_importance_weights" -> (t18ImportanceWeights _))
 
   private val t5OracleSql: String =
     """SELECT source, split, count(*) AS n_docs FROM (
@@ -794,6 +864,33 @@ object TextAnalysis {
       | CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
       |   < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM r GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  /** t18: the same bigram hash space, smoothing and div arithmetic as the
+    * Spark plan, BIGINT end to end. */
+  private val t18OracleSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  CASE WHEN COALESCE(CAST(NULLIF(regexp_extract(source, '(\\d+)', 1), '') AS BIGINT), 0)
+       |    % $ImpTargetMod = 0 THEN 1 ELSE 0 END AS is_target,
+       |  $toksCaseSql AS toks
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, is_target,
+       |  CAST(('0x' || substr(md5(unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1]))), 1, 15)) AS BIGINT) % $ImpBuckets AS b
+       | FROM t),
+       |tot AS (SELECT count(*) AS tr, sum(is_target) AS tt FROM g),
+       |ratio AS (
+       | SELECT b, ((n_t + 1) * (tr + $ImpBuckets) * 1000000) // ((n_r + 1) * (tt + $ImpBuckets)) AS ratio_e6
+       | FROM (SELECT b, count(*) AS n_r, sum(is_target) AS n_t FROM g GROUP BY b), tot),
+       |pd AS (
+       | SELECT doc_id, count(*) AS n_grams, sum(ratio_e6) AS rsum
+       | FROM g JOIN ratio USING (b) GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.is_target AS BIGINT) AS is_target,
+       | CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       | CAST(CASE WHEN pd.n_grams > 0 THEN pd.rsum // pd.n_grams END AS BIGINT) AS weight_e6
+       |FROM t LEFT JOIN pd USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 
   // same lift op tree as the Spark plan: (c12/n2) / ((c1/n1) * (c2/n1))
   private val t10OracleSql: String =
@@ -920,6 +1017,7 @@ object TextAnalysis {
     "t7_pii_redact" -> t7OracleSql,
     "t8_repetition" -> t8OracleSql,
     "t9_source_mix" -> t9OracleSql,
+    "t18_importance_weights" -> t18OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
          | CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,

@@ -380,6 +380,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t18: weights replay an independent recompute; a planted target-" +
+    "vocabulary doc outscores an off-domain one; gramless docs are null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_t18").toString
+    // src0/src5 are target (id % 5 == 0), src1/src2 raw-only. The target
+    // docs share a distinctive vocabulary; doc 3 (raw) REUSES it, doc 4
+    // uses its own — DSIR's whole point is that 3 must outscore 4.
+    Seq(
+      (0L, "solar flux telemetry calibration drift report", "src0"),
+      (1L, "solar flux telemetry calibration drift report", "src5"),
+      (2L, "solar flux telemetry calibration nominal pass", "src10"),
+      (3L, "solar flux telemetry calibration drift alarm", "src1"),
+      (4L, "cheap deals buy now limited offer click here", "src2"),
+      (5L, "one", "src3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t18ImportanceWeights(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.size == 6, "one row per document, total")
+    // independent recompute in plain Scala: same bigrams, hash, smoothing
+    def md5_60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Seq(
+      0L -> ("solar flux telemetry calibration drift report", true),
+      1L -> ("solar flux telemetry calibration drift report", true),
+      2L -> ("solar flux telemetry calibration nominal pass", true),
+      3L -> ("solar flux telemetry calibration drift alarm", false),
+      4L -> ("cheap deals buy now limited offer click here", false),
+      5L -> ("one", false))
+    val B = TextAnalysis.ImpBuckets
+    val grams = docs.flatMap { case (id, (txt, tgt)) =>
+      txt.split("\\s+").toSeq.sliding(2).filter(_.size == 2)
+        .map(w => (id, tgt, md5_60(w.mkString(" ")) % B)).toSeq
+    }
+    val tr = grams.size.toLong
+    val tt = grams.count(_._2).toLong
+    val byB = grams.groupBy(_._3)
+    val ratio = byB.map { case (b, g) =>
+      b -> ((g.count(_._2) + 1L) * (tr + B) * 1000000L) / ((g.size + 1L) * (tt + B))
+    }
+    docs.foreach { case (id, (txt, tgt)) =>
+      val gs = grams.filter(_._1 == id)
+      val row = r(id)
+      assert(row.getAs[Long]("is_target") == (if (tgt) 1L else 0L))
+      assert(row.getAs[Long]("n_grams") == gs.size.toLong, s"doc $id n_grams")
+      if (gs.isEmpty) assert(row.isNullAt(row.fieldIndex("weight_e6")),
+        s"doc $id must carry null weight")
+      else assert(row.getAs[Long]("weight_e6") ==
+        gs.map(g => ratio(g._3)).sum / gs.size, s"doc $id weight")
+    }
+    // the discriminative property: in-domain raw doc ≫ off-domain raw doc
+    assert(r(3L).getAs[Long]("weight_e6") > r(4L).getAs[Long]("weight_e6"),
+      "target-vocabulary raw doc must outscore the off-domain doc")
+  }
+
   test("t11: each rule catches its planted doc; funnel arithmetic closes") {
     val r = TextAnalysis.t11FilterFunnel(spark, funnelDir).collect()
       .sortBy(_.getAs[Long]("rule_idx"))
