@@ -803,6 +803,14 @@ object Dedup {
     val best = m.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("other").as("best_match_id"),
         col("jaccard_e6").as("best_jaccard_e6"))
+    // Known cosmetic artifact: this query's stages log "Broadcasting
+    // large task binary (~4 MiB)" — a broadcast relation built over the
+    // checkpointed shingle frame carries an unknown-stats preallocation
+    // into the stage plan (same Spark-internal mechanism the q10
+    // LocalRelation fix removed; here every candidate frame is
+    // batch-sized, not statistics-sized, so the collect-and-replant
+    // route would break the no-fact-collect rule for a constant 4 MiB
+    // of per-stage traffic that does not grow with data).
     docs(spark, dir).select(col("doc_id")).filter(isNewDoc(col("doc_id")))
       .join(agg, Seq("doc_id"), "left")
       .join(best, Seq("doc_id"), "left")
