@@ -497,8 +497,12 @@ object TextAnalysis {
     * first-failing rule, and the funnel arithmetic runs on the 7-row
     * result (the single-partition window is over the RULE table, bounded
     * forever — never over documents). */
-  def t11FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** The t11 rule chain as a per-document verdict: the input documents
+    * frame plus a `fail_idx` column (0 = survives every rule, else the
+    * FIRST failing rule's index) — the seam [[t11FilterFunnel]] audits
+    * through and the corpus pipeline's filter stage keeps by. */
+  private[graft] def withFirstFail(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .withColumn("toks", wsTokens(col("text")))
       .withColumn("_n", size(col("toks")))
       .withColumn("_len", length(col("text")))
@@ -515,7 +519,24 @@ object TextAnalysis {
         .when(col("_stop") < MinStopwords, 5) // too few stopwords
         .when(col("_d3") * 20 < col("_n3") * 19, 6) // dup-3gram ratio > 0.05
         .otherwise(0)
-    val drops = docs.select(firstFail.as("fail_idx"))
+    docs.withColumn("fail_idx", firstFail)
+  }
+
+  /** The documents that survive the whole t11 rule chain, original
+    * columns only — the corpus-pipeline filter stage's output. */
+  def filterKept(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+    withFirstFail(src).filter(col("fail_idx") === 0)
+      .select(src.columns.map(col): _*)
+  }
+
+  /** The t5 split rule on any id column (train/val/test by stable md5
+    * bucket) — shared with the corpus pipeline's split stage. */
+  def splitOf(idCol: Column): Column = splitCol(idCol)
+
+  def t11FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withFirstFail(Tables.load(spark, dir, "documents"))
+    val drops = docs.select(col("fail_idx"))
       .groupBy(col("fail_idx")).agg(count(lit(1)).as("n"))
     val rulesDf = {
       import spark.implicits._

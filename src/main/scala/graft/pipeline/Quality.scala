@@ -195,6 +195,15 @@ object Quality {
     val counts = o.groupBy(col("bucket")).agg(
       sum(when(col("yr") === DriftYearA, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("yr") === DriftYearB, 1L).otherwise(0L)).as("n_b"))
+    driftReport(counts)
+  }
+
+  /** The p14 share/delta arithmetic over ANY pre-bucketed count table
+    * `(bucket, n_a, n_b)` — the generic seam the corpus pipeline's
+    * source-mix drift gate reuses (same floor-e6 integers, same empty-
+    * cohort max-out rule, same `~TOTAL` L1 row [[driftGatePasses]]
+    * thresholds on). */
+  def driftReport(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     // an EMPTY cohort (dead feed — the most extreme drift) gets share 0
     // in every bucket, so each delta collapses to the other side's share

@@ -763,4 +763,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(at3 == at7, "compaction plan depends on the range count")
     assert(at3 == plan.map(_.toSeq).toSeq, "ranged form diverges from default")
   }
+
+  test("corpus pipeline: the full ingest→filter→dedup→decontaminate→" +
+    "split→pack chain runs green through the DAG runner with all four " +
+    "gates, and each handoff shrinks or holds the corpus") {
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("graft_corpus").toString
+    val results = CorpusPipeline.run(spark, sf, work)
+    val status = results.map(r => r.name -> r.status).toMap
+    assert(status.size == 10)
+    results.foreach(r => assert(r.status == Runner.Succeeded,
+      s"stage ${r.name}: ${r.status}"))
+    def count(sub: String): Long =
+      spark.read.parquet(s"$work/$sub/documents.parquet").count()
+    val raw = Tables.load(spark, sf, "documents").count()
+    val filtered = count("filtered")
+    val deduped = count("deduped")
+    val clean = count("clean")
+    val train = count("train")
+    assert(raw >= filtered && filtered >= deduped && deduped >= clean &&
+      clean >= train, s"handoffs must shrink: $raw/$filtered/$deduped/$clean/$train")
+    assert(train > 0, "an empty train split means the chain ate the corpus")
+    // the filter stage applied exactly the t11 verdict: kept == rule-chain
+    // survivors from the raw corpus
+    val expectKept = graft.operators.TextAnalysis.filterKept(spark, sf).count()
+    assert(filtered == expectKept)
+    // every train doc is train-split by the t5 rule
+    val offSplit = spark.read.parquet(s"$work/train/documents.parquet")
+      .filter(graft.operators.TextAnalysis.splitOf(col("doc_id")) =!= "train")
+      .count()
+    assert(offSplit == 0L)
+    // the packed output exists, is non-empty, and covers every train doc
+    val packed = spark.read.parquet(s"$work/packed.parquet")
+    assert(packed.count() == train, "t12 packs one row per train document")
+  }
+
+  test("corpus pipeline: a corpus that fails a DQ gate fail-fasts — the " +
+    "gate stage Fails, every build stage is Skipped, nothing is written") {
+    import spark.implicits._
+    val bad = Files.createTempDirectory("graft_corpus_bad").toString
+    val work = Files.createTempDirectory("graft_corpus_badwork").toString
+    // duplicate doc_id: passes file sensing, fails gate_quality's pk_dups
+    Seq((1L, "a perfectly ordinary document body here", "en", "src0", 38L),
+      (1L, "a second body under the SAME id", "en", "src1", 31L),
+      (2L, "another fine document", "en", "src2", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$bad/documents.parquet")
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$bad/embeddings.parquet")
+    var hookFired = List.empty[String]
+    val results = CorpusPipeline.run(spark, bad, work,
+      onFailure = (stage, _) => hookFired ::= stage)
+    val status = results.map(r => r.name -> r.status).toMap
+    assert(status("sense") == Runner.Succeeded)
+    assert(status("gate_quality").isInstanceOf[Runner.Failed])
+    // independent gates still ran (Airflow semantics: only dependents skip)
+    assert(status("gate_fk") == Runner.Succeeded)
+    Seq("filter", "dedup", "gate_drift", "decontaminate", "split", "pack")
+      .foreach(s => assert(status(s).isInstanceOf[Runner.Skipped], s))
+    assert(hookFired.contains("gate_quality"), "onFailure hook must fire")
+    assert(!Files.exists(Paths.get(s"$work/filtered")), "skipped stages must not write")
+  }
 }
