@@ -204,6 +204,57 @@ object StreamPipelines {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** File-source embeddings ingest — the daily-crawl vector drop as a
+    * stream (same declared-schema + glob-filter contract as
+    * [[fileEventsStream]]). `maxFilesPerTrigger` > 0 bounds each
+    * micro-batch (the knob that keeps per-batch delta cost flat when a
+    * backlog of drops accumulates). */
+  def fileEmbeddingsStream(spark: SparkSession, dir: String,
+                           maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("pathGlobFilter", "*.parquet")
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(dir)
+  }
+
+  /** Streaming index maintenance — s11's batch delta run as a continuous
+    * stage: every micro-batch of arriving vectors is assigned to the
+    * FIXED broadcast model's cells (the model PREDATES the stream, s11's
+    * convention) and appended to the index state dir. Per-batch cost is
+    * batch × model — the d8/s11 "today's work is proportional to today's
+    * batch" invariant in streaming form — and because per-row argmax
+    * under a fixed model is batch-decomposition-invariant, the
+    * accumulated state is bit-identical to the one-shot batch assignment
+    * of everything that ever arrived (spec-asserted), no matter how the
+    * file drops were micro-batched. Rebuild pressure is s12's dial; this
+    * stage only files arrivals, exactly like a production vector store's
+    * ingest path. */
+  def indexDeltaSink(spark: SparkSession, stream: DataFrame, stateDir: String,
+                     cents: Seq[(Long, Array[Long])])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    new java.io.File(stateDir).mkdirs()
+    stream.writeStream.outputMode(OutputMode.Append()).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        indexDeltaBatch(spark, stateDir, cents)(batch.toDF(), batchId)
+    }
+  }
+
+  /** One micro-batch of [[indexDeltaSink]] — public so replay semantics
+    * are testable outside a live stream (the [[upsertBatch]] pattern).
+    * foreachBatch is at-least-once; this body is idempotent per
+    * (batch, batchId): the output dir is deterministic in the batchId and
+    * overwritten whole, so a replayed batch replaces its own previous
+    * attempt instead of double-filing its vectors. */
+  def indexDeltaBatch(spark: SparkSession, stateDir: String,
+                      cents: Seq[(Long, Array[Long])])
+                     (batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Similarity
+      .assignCells(batch.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("cell"), col("cell_cos_e6"))
+      .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+
   /** How many superseded upsert-state versions to retain for recovery;
     * older version dirs are deleted after each successful batch write. */
   val UpsertKeepVersions = 2

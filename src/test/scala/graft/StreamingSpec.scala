@@ -343,4 +343,59 @@ class StreamingSpec extends AnyFunSuite {
         s"MG guarantee violated under streaming delivery — missing: $missed")
     } finally q.stop()
   }
+
+  test("streaming index maintenance: micro-batched delta filing equals the " +
+    "one-shot batch assignment exactly; batch replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // hand-made fixed model: two axis-aligned centroids (e6 fixed-point,
+    // dim 2) — the model predates the stream, s11's convention
+    val cents = Seq(10L -> Array(1000000L, 0L), 20L -> Array(0L, 1000000L))
+    val in = Files.createTempDirectory("graft_idx_in")
+    val state = Files.createTempDirectory("graft_idx_state").toString
+    val ckpt = Files.createTempDirectory("graft_idx_ck").toString
+    def drop(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val tmp = Files.createTempDirectory("graft_idx_stage")
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val parts = java.nio.file.Files.walk(tmp)
+        .filter(_.toString.endsWith(".parquet")).iterator()
+      Files.copy(parts.next, in.resolve(name))
+    }
+    val vecs = Seq(
+      1L -> Array(0.9f, 0.1f), 2L -> Array(0.2f, 0.8f),
+      3L -> Array(0.7f, 0.6f), 4L -> Array(-0.5f, 0.9f))
+    drop("a.parquet", vecs.take(2))
+    drop("b.parquet", vecs.drop(2))
+    // maxFilesPerTrigger=1 forces one micro-batch per drop — the point is
+    // batch-decomposition invariance, so MAKE it decompose
+    val q = StreamPipelines.indexDeltaSink(spark,
+        StreamPipelines.fileEmbeddingsStream(spark, in.toString, maxFilesPerTrigger = 1),
+        state, cents)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive && q.exception.isEmpty, s"stream died: ${q.exception}")
+    val batchDirs = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getName).sorted
+    assert(batchDirs.length >= 2, s"expected multiple micro-batches, got $batchDirs")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("cell_cos_e6"))).sortBy(_._1).toSeq
+    val streamed = key(spark.read.parquet(s"$state/b*")
+      .select("vec_id", "cell", "cell_cos_e6").collect())
+    // the invariant: accumulated streaming state == one-shot assignment
+    val oneShot = key(graft.operators.Similarity.assignCells(
+        vecs.toDF("vec_id", "embedding"), cents)
+      .select("vec_id", "cell", "cell_cos_e6").collect())
+    assert(streamed == oneShot, "micro-batching changed the filed index")
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 4L), "every vector filed once")
+    // at-least-once replay: re-running batch 0 with its own id overwrites
+    // its previous attempt — state unchanged
+    StreamPipelines.indexDeltaBatch(spark, state, cents)(
+      vecs.take(2).toDF("vec_id", "embedding"), 0L)
+    val replayed = key(spark.read.parquet(s"$state/b*")
+      .select("vec_id", "cell", "cell_cos_e6").collect())
+    assert(replayed == streamed, "replay double-filed or altered vectors")
+  }
 }
