@@ -614,6 +614,110 @@ object Multimodal {
        |FROM x ORDER BY seq""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m9
+
+  /** m9 bin width, in encoder tokens — the multimodal training-sequence
+    * budget (the m-family analog of t12's [[TextAnalysis.BinTokens]],
+    * sized to the synthetic items' 2-7 token costs so bins hold mixed
+    * modality runs). */
+  val MediaBinToks = 25L
+
+  /** Per-modality encoder-token cost of an item with payload length
+    * `len`: each modality's NATURAL grain count — m4's tile count for
+    * images, m3's overlapping-window count for audio, m2's sampled-frame
+    * count for video (truncated blobs cost what their extractor would
+    * actually emit, down to 0). The spec pins these against the real
+    * extractors' per-doc row counts, so the packer can never drift from
+    * what the encoders consume. */
+  private def costToks: Column =
+    when(col("media_type") === "image",
+      when(col("len") >= ImgW * ImgH, lit((TilesX * TilesY).toLong)).otherwise(0L))
+    .when(col("media_type") === "audio",
+      when(col("len") >= WinBytes,
+        expr(s"(len - $WinBytes) div $HopBytes + 1")).otherwise(0L))
+    .otherwise(
+      when(col("len") >= FrameBytes,
+        expr(s"(len div $FrameBytes + ${FrameStride - 1}) div $FrameStride"))
+        .otherwise(0L))
+
+  /** `m9_pack_interleaved`: modality-aware sequence packing — the step
+    * that turns the ratio-balanced multimodal stream into fixed-budget
+    * training sequences (the vision-language analog of t12: interleaved
+    * image/audio/video corpora train on sequences where an image costs
+    * its tile count, audio its window count, video its sampled frames —
+    * not one "row" each). Items are laid on one token tape in m6's
+    * ratio-controlled interleave order (so every bin inherits the 3:2:1
+    * recipe's local balance), each item's tape offset is an EXCLUSIVE
+    * PREFIX SUM of the preceding costs, and `bin_first`/`bin_last`
+    * bracket the [[MediaBinToks]]-token bins the item lands in (items
+    * straddle bin boundaries, GPT-pretraining style — t12's rule).
+    *
+    * Scale: the manifest order is m6's already-distributed machinery;
+    * the cost prefix sum is t12's range-partition/per-range-total/
+    * broadcast-base shape over the seq key — no single-task window
+    * anywhere, any partition count yields the byte-identical packing.
+    * Payloads never move: the cost needs only the payload LENGTH, which
+    * dies in the scan projection. */
+  def m9PackInterleaved(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = mediaTable(spark, dir)
+      .select(col("doc_id"), length(col("content")).cast("long").as("len"))
+    val items = m6MixManifest(spark, dir)
+      .join(lens, Seq("doc_id"))
+      .withColumn("cost_toks", costToks)
+    val ranged = items
+      .repartitionByRange(col("seq"))
+      .sortWithinPartitions(col("seq"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true) // feeds the range totals AND the output pass
+    // rid-grained frame (#partitions rows): the sanctioned unpartitioned
+    // prefix-sum base step, same as m6/t12/p16
+    val offs = ranged.groupBy(col("rid")).agg(sum(col("cost_toks")).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("rid"), col("base"))
+    val wRun = Window.partitionBy(col("rid")).orderBy(col("seq"))
+    ranged.join(broadcast(offs), Seq("rid"))
+      .withColumn("tape_off", col("base") + coalesce(
+        sum(col("cost_toks")).over(wRun.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("seq"), col("doc_id"), col("media_type"), col("cost_toks"),
+        col("tape_off"),
+        expr(s"tape_off div $MediaBinToks").as("bin_first"),
+        // a zero-cost item (fully truncated blob) occupies no tokens:
+        // it "lands" at its offset without advancing the tape
+        expr(s"greatest(tape_off, tape_off + cost_toks - 1) div $MediaBinToks")
+          .as("bin_last"))
+      .orderBy(col("seq"))
+  }
+
+  // lazy: declared after the oracle map in source order, so a strict val
+  // would still be null when the map initializes
+  private lazy val m9Oracle: String = {
+    val costCase =
+      s"""CASE media_type
+         |  WHEN 'image' THEN CASE WHEN len >= ${ImgW * ImgH} THEN ${TilesX * TilesY} ELSE 0 END
+         |  WHEN 'audio' THEN CASE WHEN len >= $WinBytes THEN (len - $WinBytes) // $HopBytes + 1 ELSE 0 END
+         |  ELSE CASE WHEN len >= $FrameBytes THEN (len // $FrameBytes + ${FrameStride - 1}) // $FrameStride ELSE 0 END
+         | END""".stripMargin
+    s"""WITH man AS (
+       |$m6Oracle),
+       |lenj AS (SELECT doc_id, len(repeat(md5(text), 4)) // 2 AS len FROM documents),
+       |c AS (
+       | SELECT man.seq, man.doc_id, man.media_type, CAST($costCase AS BIGINT) AS cost_toks
+       | FROM man JOIN lenj USING (doc_id)),
+       |o AS (
+       | SELECT *, CAST(COALESCE(sum(cost_toks) OVER (ORDER BY seq
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tape_off
+       | FROM c)
+       |SELECT seq, doc_id, media_type, cost_toks, tape_off,
+       | tape_off // $MediaBinToks AS bin_first,
+       | greatest(tape_off, tape_off + cost_toks - 1) // $MediaBinToks AS bin_last
+       |FROM o ORDER BY seq""".stripMargin
+  }
+
+
   /** m8 planted-corruption buckets (the d8/t5 md5-bucket convention, two
     * INDEPENDENT salts): payloads in trunc-bucket < [[TruncBucketMax]]
     * are stored short (first 3 of 4 frames — a partial write); otherwise
@@ -712,6 +816,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "m6_mix_manifest" -> m6Oracle,
+    "m9_pack_interleaved" -> m9Oracle,
     "m4_image_tiles" -> m4Oracle,
     "m1_multimodal_meta" -> m1Oracle,
     "m2_frame_sample" -> m2Oracle,
@@ -721,6 +826,7 @@ object Multimodal {
     "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_pack_interleaved" -> (m9PackInterleaved _),
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_audio_windows" -> (m3AudioWindows _),

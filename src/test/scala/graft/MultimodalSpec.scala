@@ -359,4 +359,47 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("m9: the tape closes exactly, bins bracket each item, the order is " +
+    "m6's manifest, and every cost equals its extractor's real row count") {
+    val rows = Multimodal.m9PackInterleaved(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("media_type"), r.getAs[Long]("cost_toks"),
+        r.getAs[Long]("tape_off"), r.getAs[Long]("bin_first"),
+        r.getAs[Long]("bin_last"))).sortBy(_._1)
+    val B = Multimodal.MediaBinToks
+    // tape closure: first offset 0, each next = prev + prev's cost
+    assert(rows.head._5 == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._5 == a._5 + a._4,
+        s"tape tears between seq ${a._1} and ${b._1}")
+      case _ =>
+    }
+    // bin bracketing
+    rows.foreach { r =>
+      assert(r._6 == r._5 / B)
+      assert(r._7 == math.max(r._5, r._5 + r._4 - 1) / B)
+      assert(r._4 > 0, s"doc ${r._2}: full payloads must never cost 0")
+    }
+    // the packing order IS m6's manifest order
+    val manifest = Multimodal.m6MixManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("doc_id"))).sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq == manifest.toSeq)
+    // cost_toks == the REAL extractor's per-doc row count — the packer
+    // budgets exactly what the encoders will consume
+    def perDoc(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    val frames = perDoc(Multimodal.m2FrameSample(spark, sf))
+    val wins = perDoc(Multimodal.m3AudioWindows(spark, sf))
+    val tiles = perDoc(Multimodal.m4ImageTiles(spark, sf))
+    rows.foreach { r =>
+      val expected = r._3 match {
+        case "video" => frames(r._2)
+        case "audio" => wins(r._2)
+        case "image" => tiles(r._2)
+      }
+      assert(r._4 == expected, s"doc ${r._2} (${r._3}): cost ${r._4} != extractor $expected")
+    }
+  }
 }
