@@ -417,6 +417,29 @@ object TextAnalysis {
        |FROM documents doc LEFT JOIN s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** t19: t16's scores as a CTE (its own ORDER BY is legal there), the
+    * identical rank/bucket integer arithmetic over the ascending
+    * (score, doc_id) order. */
+  private lazy val t19OracleSql: String =
+    s"""WITH t16 AS (
+       |$t16OracleSql),
+       |sc AS (
+       | SELECT t16.doc_id, d.source, t16.lm_score_e6
+       | FROM t16 JOIN documents d USING (doc_id) WHERE t16.n_bigrams > 0),
+       |r AS (
+       | SELECT doc_id, source, lm_score_e6,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY lm_score_e6, doc_id) AS BIGINT) AS rank_in_source,
+       |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_scored
+       | FROM sc),
+       |v AS (
+       | SELECT *, ((n_scored - rank_in_source) * 3) // n_scored AS bucket FROM r)
+       |SELECT d.doc_id, d.source, v.lm_score_e6, v.rank_in_source, v.n_scored,
+       | v.bucket,
+       | CAST(CASE WHEN v.bucket <= 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM documents d LEFT JOIN v USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val MinPairCount = 3 // t10: bigram must occur this often to be scored
   val TopCollocations = 50 // t10: report size
 
@@ -778,8 +801,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- t19
+
+  /** `t19_perplexity_prune`: LM-score-bucketed corpus pruning — the
+    * CCNet head/middle/tail policy on t16's corpus-bigram scores: within
+    * each source, scored documents split into three near-equal buckets by
+    * score rank (0 = head, most in-distribution; 2 = tail), and the
+    * shipped policy keeps head+middle — the standard perplexity filter
+    * between raw crawl and training corpus. Bucket arithmetic is exact
+    * integer over the ascending (score, doc_id) rank:
+    * `bucket = ((n - rank) * 3) div n`, so bucket sizes differ by at most
+    * one and ties break on doc_id, never on engine sort order. Docs with
+    * no bigram carry null score/bucket and are NOT kept (nothing
+    * measured — the conservative side of the gate, t16's null rule).
+    *
+    * Scale: t16's own plans plus a per-source rank computed with the
+    * t12/m6 distributed machinery (range-partition by (source, score,
+    * doc_id), per-(range, source) counts → broadcast per-source base
+    * offsets → in-range windows) — a bare `partitionBy(source)` window
+    * would buffer the largest source in ONE sort task, exactly the
+    * pathology the global PlanSpec pin bans. The bucket/keep verdict is
+    * a per-row expression on the rank. */
+  def t19PerplexityPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val scored = t16LmScore(spark, dir)
+      .filter(col("n_bigrams") > 0)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lm_score_e6"))
+    val ranged = scored
+      .repartitionByRange(col("source"), col("lm_score_e6"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("lm_score_e6"), col("doc_id"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true) // feeds offsets, per-source totals AND ranks
+    // (rid, source)-grained frame: the sanctioned bounded prefix-sum base
+    val offs = ranged.groupBy(col("rid"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("sbase", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("rid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rid"), col("source"), col("sbase"))
+    val nPer = ranged.groupBy(col("source")).agg(count(lit(1)).as("n_scored"))
+    val wRun = Window.partitionBy(col("rid"), col("source"))
+      .orderBy(col("lm_score_e6"), col("doc_id"))
+    val verdicts = ranged.join(broadcast(offs), Seq("rid", "source"))
+      .withColumn("rank_in_source", (col("sbase") + row_number().over(wRun)).cast("long"))
+      .join(broadcast(nPer), Seq("source"))
+      .withColumn("bucket", expr("((n_scored - rank_in_source) * 3) div n_scored"))
+      .select(col("doc_id"), col("lm_score_e6"), col("rank_in_source"),
+        col("n_scored"), col("bucket"))
+    docs.join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lm_score_e6"),
+        col("rank_in_source"), col("n_scored"), col("bucket"),
+        when(col("bucket") <= 1, 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> (t1TextStats _),
+    "t19_perplexity_prune" -> (t19PerplexityPrune _),
     "t2_text_quality" -> (t2TextQuality _),
     "t3_lang_id" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
@@ -1039,6 +1119,7 @@ object TextAnalysis {
     "t8_repetition" -> t8OracleSql,
     "t9_source_mix" -> t9OracleSql,
     "t18_importance_weights" -> t18OracleSql,
+    "t19_perplexity_prune" -> t19OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
          | CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,

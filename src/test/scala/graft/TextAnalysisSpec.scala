@@ -439,6 +439,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       "target-vocabulary raw doc must outscore the off-domain doc")
   }
 
+  test("t19: per-source terciles are balanced within one, the keep cut is " +
+    "head+middle, heads outscore tails, and unscored docs are dropped") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.t19PerplexityPrune(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        Option(r.get(r.fieldIndex("lm_score_e6"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("bucket"))).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("is_kept")))
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == total, "one verdict row per document, total")
+    val scored = rows.filter(_._4.isDefined)
+    assert(scored.nonEmpty, "corpus must exercise the scored path")
+    // unscored docs: null bucket, never kept
+    rows.filter(_._4.isEmpty).foreach { r =>
+      assert(r._5 == 0L, s"doc ${r._1}: unscored but kept")
+    }
+    scored.groupBy(_._2).foreach { case (src, docs) =>
+      val byBucket = docs.groupBy(_._4.get).view.mapValues(_.length).toMap
+      val sizes = (0L to 2L).map(b => byBucket.getOrElse(b, 0))
+      // near-equal terciles: the exact-integer formula bounds the spread
+      if (docs.length >= 3)
+        assert(sizes.max - sizes.min <= 1, s"$src terciles $sizes")
+      // keep cut = head+middle exactly
+      docs.foreach(d => assert((d._5 == 1L) == (d._4.get <= 1L), s"$src ${d._1}"))
+      // every head score >= every tail score (rank monotonicity)
+      for (h <- docs.filter(_._4.get == 0L); t <- docs.filter(_._4.get == 2L))
+        assert(h._3.get >= t._3.get, s"$src: head ${h._1} under tail ${t._1}")
+    }
+  }
+
   test("t11: each rule catches its planted doc; funnel arithmetic closes") {
     val r = TextAnalysis.t11FilterFunnel(spark, funnelDir).collect()
       .sortBy(_.getAs[Long]("rule_idx"))
