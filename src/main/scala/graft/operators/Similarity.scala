@@ -490,6 +490,10 @@ object Similarity {
     }) ++ (confirmedS12.toMap match {
       case one if one.size == 1 => Map("s12_index_drift" -> s12OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS14.toMap match {
+      case one if one.size == 1 =>
+        Map("s14_ivf_pq" -> s14OracleSql(one.head._2._1, one.head._2._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -1161,6 +1165,142 @@ object Similarity {
        |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ------------------------------------------- s14: IVF+PQ composed index
+
+  /** `s14_ivf_pq`: the COMPOSED production index — IVF cell routing over
+    * PQ-compressed storage (the FAISS `IVFx,PQy` shape, which is what
+    * actually ships at 100 TB: s3 bounds WHICH vectors a probe touches,
+    * s4 bounds what touching one COSTS; neither alone is the deployed
+    * artifact). Every vector lives in its max-cosine cell carrying only
+    * its 8 nibble codes; a probe expands to its top-[[NProbe]] cells and
+    * ADC-scores ONLY those cells' members — candidate work is the probed
+    * cells' sizes (s4 alone still scans every code in the corpus), and
+    * the scored payload is 4 bytes/vector (s3 alone re-ranks full
+    * floats) — then exact cosine re-ranks just the [[PqShortlist]].
+    * Both models train with the same deterministic fixed-point loops as
+    * their standalone operators (pure functions of `dir`), and the
+    * oracle replays the identical centroids AND codebooks as literals,
+    * so results hash-match. Per-subspace partial dots floor to e6 longs
+    * BEFORE the cross-subspace sum — the shortlist cut is
+    * integer-deterministic, float order can't flip it between engines.
+    *
+    * Scale: cell id is the partition key of the code table; a probe's
+    * candidate fetch is an equi-join on cell (AQE skew-splits a hot
+    * cell), codes ride 4 B/vector through the ADC rank, and full floats
+    * move only for probes × shortlist rows. */
+  def s14IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (books, data) = pqTrain(spark, dir)
+    val (cents, _) = kmeansOver(data)
+    pendingS14.put(dir, (cents, books))
+    val e = data.withColumn("_cos",
+      cosineMatrix(col("embedding"), centroidMatrix(cents)))
+    val topCells = slice(reverse(array_sort(scoredCells(cents, col("_cos")))), 1, NProbe)
+    val enc = e.select(col("vec_id"), col("embedding"),
+      element_at(topCells, 1).getField("cid").as("cell"),
+      pqEncode(col("f"), books).as("codes"))
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        element_at(topCells, 1).getField("cid").as("main_cell"),
+        explode(transform(topCells, c => c.getField("cid"))).as("cell"))
+    val adc = (0 until NumSub).map { j =>
+      val bookLit = array(books(j).map(cent =>
+        array(cent.map(v => lit(v.toDouble / KmScale)): _*)): _*)
+      val chosen = element_at(bookLit, element_at(col("codes"), j + 1).cast("int") + 1)
+      floor(dotD(slice(col("pe"), j * SubDim + 1, SubDim), chosen) * lit(1000000.0))
+        .cast("long")
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_e6").desc, col("vec_id"))
+    val cos = cosineFast(col("pe"), col("embedding"))
+    val wFinal = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    enc.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_e6", adc)
+      .withColumn("short_rank", row_number().over(wAdc))
+      .filter(col("short_rank") <= PqShortlist)
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= LshTopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("main_cell").cast("long").as("cell"), col("adc_e6"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Both s14 models keyed by dir — published to the oracle only after
+    * Verify confirms the s14 parquet landed, like every model oracle. */
+  private val pendingS14 = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Long, Array[Long])], Array[Array[Array[Long]]])]
+  private val confirmedS14 = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Long, Array[Long])], Array[Array[Array[Long]]])]
+
+  /** s14's twin of [[confirmMaterialized]] — publishes BOTH models. */
+  def confirmS14Materialized(dir: String): Unit =
+    pendingS14.get(dir).foreach(m => confirmedS14.put(dir, m))
+
+  /** s14 oracle: s3's cell/probe CTEs + s4's encode/ADC CTEs, with the
+    * ADC scan restricted to the probed cells' members — mirroring the
+    * composed plan's semantics exactly (both models as VALUES literals,
+    * e6-floored partial dots, all the same tie-breaks). */
+  private def s14OracleSql(cents: Seq[(Long, Array[Long])],
+                           books: Array[Array[Array[Long]]]): String = {
+    val bookRows = (for (j <- 0 until NumSub; c <- 0 until PqK) yield {
+      val ce = books(j)(c).mkString("[", ", ", "]")
+      val cd = books(j)(c).map(v => (v.toDouble / KmScale).toString).mkString("[", ", ", "]")
+      s"($j, $c, $ce, $cd)"
+    }).mkString(",\n  ")
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |books(j, bcid, ce, cd) AS (VALUES
+       |  $bookRows),
+       |cscored AS (
+       | SELECT e.vec_id, e.embedding, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cell FROM cscored WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS probe_id, embedding AS pe, cid AS cell,
+       |  max(CASE WHEN rn = 1 THEN cid END) OVER (PARTITION BY vec_id) AS main_cell
+       | FROM cscored WHERE vec_id < $NumProbes AND rn <= $NProbe),
+       |fe AS (
+       | SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS f
+       | FROM embeddings),
+       |bscored AS (
+       | SELECT fe.vec_id, b.j, b.bcid,
+       |  row_number() OVER (PARTITION BY fe.vec_id, b.j ORDER BY
+       |   list_sum(list_transform(range(1, ${SubDim + 1}),
+       |     d -> (f[b.j * $SubDim + d] - b.ce[d]) * (f[b.j * $SubDim + d] - b.ce[d]))),
+       |   b.bcid) AS rn
+       | FROM fe CROSS JOIN books b),
+       |codes AS (SELECT vec_id, j, bcid AS code FROM bscored WHERE rn = 1),
+       |adc AS (
+       | SELECT p.probe_id, x.vec_id AS neighbor_id,
+       |  CAST(sum(CAST(floor(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |    d -> CAST(p.pe[b.j * $SubDim + d] AS DOUBLE) * b.cd[d])) * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_e6
+       | FROM probes p
+       |  JOIN asg x ON x.cell = p.cell AND x.vec_id != p.probe_id
+       |  JOIN codes cx ON cx.vec_id = x.vec_id
+       |  JOIN books b ON b.j = cx.j AND b.bcid = cx.code
+       | GROUP BY 1, 2),
+       |short AS (
+       | SELECT probe_id, neighbor_id, adc_e6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc_e6 DESC, neighbor_id) AS srn FROM adc)
+       | WHERE srn <= $PqShortlist),
+       |pm AS (SELECT DISTINCT probe_id, main_cell FROM probes)
+       |SELECT probe_id, neighbor_id, cell, adc_e6, cos_e6, rank FROM (
+       | SELECT s.probe_id, s.neighbor_id, CAST(pm.main_cell AS BIGINT) AS cell, s.adc_e6,
+       |  CAST(floor(${cosSql("p.embedding", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+       |  CAST(row_number() OVER (PARTITION BY s.probe_id
+       |    ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, s.neighbor_id) AS BIGINT) AS rank
+       | FROM short s
+       |  JOIN pm ON pm.probe_id = s.probe_id
+       |  JOIN embeddings p ON p.vec_id = s.probe_id
+       |  JOIN embeddings x ON x.vec_id = s.neighbor_id)
+       |WHERE rank <= $LshTopK ORDER BY probe_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------- s10: NN-descent
 
   val NndK = 5 // s10: output neighbors per vector
@@ -1603,5 +1743,6 @@ object Similarity {
     "s11_index_delta" -> (s11IndexDelta _),
     "s12_index_drift" -> (s12IndexDrift _),
     "s13_rank_fusion" -> (s13RankFusion _),
+    "s14_ivf_pq" -> (s14IvfPq _),
     "s9_mmr_rerank" -> ((s: SparkSession, d: String) => s9MmrRerank(s, d)))
 }

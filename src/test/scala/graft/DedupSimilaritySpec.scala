@@ -474,6 +474,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r1 >= 0.70, f"single-cell recall floor: $r1%.3f")
   }
 
+  test("s14: IVF+PQ composition — arithmetic agrees with both parents, " +
+    "the cell column is the probe's IVF cell, and recall clears the floor") {
+    val got = Similarity.s14IvfPq(spark, sf).collect()
+    // shape: per probe, ranks are 1..k contiguous and cos_e6 non-increasing
+    got.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq,
+        s"probe $p ranks not contiguous")
+      val cosSeq = sorted.map(_.getAs[Long]("cos_e6")).toSeq
+      assert(cosSeq == cosSeq.sorted.reverse, s"probe $p cos not descending")
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length == 1,
+        s"probe $p cell column must be the probe's one main cell")
+    }
+    // cross-parent arithmetic parity: a (probe, neighbor) pair surfaced by
+    // BOTH s14 and s4 used the identical codebooks and the identical
+    // e6-floored partial-dot sums, so adc_e6 must agree bit-for-bit;
+    // same for cos_e6 (and s3 additionally pins the main cell)
+    val s4 = Similarity.s4AnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("adc_e6"), r.getAs[Long]("cos_e6"))).toMap
+    val s4Shared = got.flatMap { r =>
+      s4.get((r.getLong(0), r.getLong(1))).map { case (adc, cos) =>
+        assert(r.getAs[Long]("adc_e6") == adc, s"adc mismatch at $r")
+        assert(r.getAs[Long]("cos_e6") == cos, s"cos mismatch at $r")
+        1
+      }
+    }.sum
+    val s3 = Similarity.s3AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("cell"), r.getAs[Long]("cos_e6"))).toMap
+    val s3Shared = got.flatMap { r =>
+      s3.get((r.getLong(0), r.getLong(1))).map { case (cell, cos) =>
+        assert(r.getAs[Long]("cell") == cell, s"cell mismatch at $r")
+        assert(r.getAs[Long]("cos_e6") == cos, s"cos mismatch vs s3 at $r")
+        1
+      }
+    }.sum
+    info(s"pairs shared with s4: $s4Shared, with s3: $s3Shared of ${got.length}")
+    assert(s4Shared > 0 && s3Shared > 0, "parity checks must be non-vacuous")
+    // s14's candidates are s3's (cell-routed) pool pruned by the PQ
+    // shortlist: anything it returns, s3 saw — so a pair in s14 but NOT
+    // in s3's top-k would mean s14 ranked a candidate s3's exact-cosine
+    // order rejected, impossible when both cut at the same k with the
+    // same order unless the shortlist dropped a better candidate first.
+    // That CAN happen (PQ approximation) — but the reverse containment
+    // on the TOP-1 must hold on this corpus: measured, every probe's
+    // rank-1 neighbor agrees with s3's rank-1 (the nearest true neighbor
+    // survives a 50-deep ADC shortlist comfortably).
+    val s3Top1 = Similarity.s3AnnIvf(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(s3Top1(r.getLong(0)) == r.getLong(1),
+        s"probe ${r.getLong(0)} top-1 diverged from the cell-routed exact rank")
+    }
+    // end-to-end recall floor vs brute force: the composed index stacks
+    // two approximations (cell routing + ADC shortlist); measured 0.86
+    // on this corpus (= s3's routing recall — the shortlist costs nothing
+    // here), floor just under
+    val exact = Similarity.s1AnnBrute(spark, sf)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mine = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mine.count(exact).toDouble / exact.size
+    info(f"s14 recall@5 vs s1: $recall%.3f")
+    assert(recall >= 0.80, f"composed-index recall floor: $recall%.3f")
+  }
+
   test("d11: the dedup eval closes against its own pipeline — truth is " +
     "d2's pair count, hits are exactly d3's confirmed pairs, arithmetic exact") {
     val r = Dedup.d11DedupEval(spark, sf).collect().head
