@@ -255,6 +255,74 @@ object StreamPipelines {
       .select(col("vec_id"), col("cell"), col("cell_cos_e6"))
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
 
+  /** File-source documents ingest — the continuous-crawl document drop as
+    * a stream (same declared-schema + glob-filter contract as
+    * [[fileEventsStream]]; parquet column pruning means extra columns in
+    * the drops are never read). */
+  def fileDocumentsStream(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("pathGlobFilter", "*.parquet")
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(dir)
+  }
+
+  /** Streaming corpus dedup — d1's exact content dedup run as a
+    * continuous ingest stage (the crawl-pipeline shape: every arriving
+    * document batch is deduplicated against EVERYTHING already accepted,
+    * and only novel content joins the corpus — d8's batch-vs-corpus
+    * asymmetry as a stream). Each micro-batch fingerprints its documents
+    * (d1's md5-of-normalized-text), keeps one doc per in-batch hash (min
+    * doc_id, d1's keeper rule), anti-joins against the accumulated
+    * fingerprint state, and appends only the survivors.
+    *
+    * Scale: state rows are fingerprint-sized (16 B hash + id), never
+    * documents; the per-batch cost is one batch-side window plus one
+    * batch × state anti-join on the hash — at corpus scale the state is
+    * hash-partitioned/bucketed so the join is co-located, and a bloom
+    * filter on the state side prunes most probes before the shuffle.
+    * Text itself dies in the micro-batch scan: only (norm_hash, doc_id)
+    * is ever filed. */
+  def corpusDedupSink(spark: SparkSession, stream: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    new java.io.File(stateDir).mkdirs()
+    stream.writeStream.outputMode(OutputMode.Append()).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        corpusDedupBatch(spark, stateDir)(batch.toDF(), batchId)
+    }
+  }
+
+  /** One micro-batch of [[corpusDedupSink]] — public so replay semantics
+    * are testable outside a live stream. foreachBatch is at-least-once;
+    * this body is idempotent per (batch, batchId): the merge base is
+    * ONLY batch dirs with a strictly smaller id (a replay never trusts
+    * its own previous attempt's dir, complete or torn — the
+    * [[upsertBatch]] rule), and the output dir is deterministic in the
+    * batchId and overwritten whole. */
+  def corpusDedupBatch(spark: SparkSession, stateDir: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val fs = new java.io.File(stateDir)
+    fs.mkdirs()
+    val prior = fs.listFiles()
+      .filter(f => f.getName.startsWith("b") && f.getName.drop(1).toLong < batchId)
+      .map(_.getPath)
+    val w = Window.partitionBy(col("norm_hash"))
+    val batchKeep = batch
+      .select(col("doc_id"), md5(graft.functions.TextFunctions.normText(col("text"))).as("norm_hash"))
+      .withColumn("keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep"))
+      .select(col("norm_hash"), col("doc_id"))
+    val novel =
+      if (prior.isEmpty) batchKeep
+      else batchKeep.join(
+        spark.read.parquet(prior.toIndexedSeq: _*).select(col("norm_hash")),
+        Seq("norm_hash"), "left_anti")
+    novel.write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+  }
+
   /** How many superseded upsert-state versions to retain for recovery;
     * older version dirs are deleted after each successful batch write. */
   val UpsertKeepVersions = 2

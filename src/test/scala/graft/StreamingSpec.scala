@@ -398,4 +398,63 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id", "cell", "cell_cos_e6").collect())
     assert(replayed == streamed, "replay double-filed or altered vectors")
   }
+
+  test("streaming corpus dedup: accumulated survivors equal batch d1's " +
+    "keepers under ascending arrival, and batch replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft_cd_in")
+    val state = Files.createTempDirectory("graft_cd_state").toString
+    val ckpt = Files.createTempDirectory("graft_cd_ck").toString
+    var mtime = System.currentTimeMillis()
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_cd_stage")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val parts = java.nio.file.Files.walk(tmp)
+        .filter(_.toString.endsWith(".parquet")).iterator()
+      val dst = in.resolve(name)
+      Files.copy(parts.next, dst)
+      mtime += 2000 // file source orders by modification time: force it
+      dst.toFile.setLastModified(mtime)
+    }
+    // duplicate shapes: within-batch (2,3), cross-batch (3→6), and a
+    // cross-batch dup only AFTER normalization (1 vs 4: case + ws runs)
+    val batchA = Seq(1L -> "Alpha beta  gamma", 2L -> "same text", 3L -> "same text")
+    val batchB = Seq(4L -> "alpha beta gamma", 5L -> "novel content here", 6L -> "same text")
+    drop("a.parquet", batchA)
+    drop("b.parquet", batchB)
+    val q = StreamPipelines.corpusDedupSink(spark,
+        StreamPipelines.fileDocumentsStream(spark, in.toString, maxFilesPerTrigger = 1),
+        state)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive && q.exception.isEmpty, s"stream died: ${q.exception}")
+    val batchDirs = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getName).sorted
+    assert(batchDirs.length >= 2, s"expected multiple micro-batches, got ${batchDirs.toSeq}")
+    def kept() = spark.read.parquet(s"$state/b*").collect()
+      .map(r => (r.getAs[String]("norm_hash"), r.getAs[Long]("doc_id")))
+      .sortBy(_._2).toSeq
+    val streamed = kept()
+    // ascending-id arrival order ⇒ first arrival per hash == min doc_id
+    // == batch d1's keeper: pin against the REAL batch operator on the
+    // union corpus, not a hand copy of its rule
+    val corpus = Files.createTempDirectory("graft_cd_corpus").toString
+    (batchA ++ batchB).toDF("doc_id", "text")
+      .write.parquet(s"$corpus/documents.parquet")
+    val d1Keepers = graft.operators.Dedup.d1DedupExact(spark, corpus)
+      .filter(col("is_keeper") === 1L)
+      .select(col("norm_hash"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(streamed == d1Keepers,
+      s"streamed survivors $streamed != batch d1 keepers $d1Keepers")
+    assert(streamed.map(_._2) == Seq(1L, 2L, 5L))
+    // at-least-once replay of the last micro-batch: merge base skips its
+    // own dir, output overwrites it — state must not change
+    StreamPipelines.corpusDedupBatch(spark, state)(
+      batchB.toDF("doc_id", "text"), batchDirs.last.drop(1).toLong)
+    assert(kept() == streamed, "replay double-filed or altered survivors")
+  }
 }
