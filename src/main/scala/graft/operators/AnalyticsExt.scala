@@ -370,7 +370,70 @@ object AnalyticsExt {
       .orderBy(col("prio"))
   }
 
+  /** q33 damping (85/100, the classic 0.85) and iteration count. K is
+    * FIXED, not run-to-convergence: the oracle unrolls exactly K rounds,
+    * and production graph ranks are routinely capped the same way. */
+  val PrIters = 3
+  val PrDampNum = 85
+  val PrDampDen = 100
+
+  /** `q33_graph_rank`: PageRank-style random-walk centrality on the
+    * customer↔supplier purchase graph — iterative message-passing graph
+    * analytics, a computational shape none of q1-q32 exercises (who are
+    * the structurally central counterparties, not just the biggest by
+    * revenue). Nodes are customers and suppliers that traded at least
+    * once (typed into one long key space: customer 2k, supplier 2k+1);
+    * edges are the DISTINCT trade pairs, undirected (both directions
+    * materialized). Every node therefore has degree ≥ 1 — no dangling
+    * mass correction. Rank iterates K = [[PrIters]] rounds of
+    * `r'(v) = 0.15e6 + floor(0.85 · Σ_{u∈N(v)} floor(r(u)/deg(u)))`
+    * entirely in exact integer arithmetic (positive operands, so Spark's
+    * `div` ≡ DuckDB's `//`) — bit-identical across engines, no float
+    * accumulation order anywhere.
+    *
+    * Scale: the only fact-sized step is the one distinct over trade
+    * pairs; after that everything is edge-table-sized. Each iteration is
+    * one equi-join (edges ⋈ ranks on src) + one groupBy dst — both hash
+    * on the node key, so a production run bucketing edges by src reuses
+    * ONE partitioning across all K rounds (GraphX's partition strategy,
+    * DataFrame-native); K is fixed, so the plan is K unrolled joins, no
+    * driver-side convergence loop. The edge list is checkpointed once
+    * and reused by all rounds. */
+  def q33GraphRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = cs.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .union(cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .localCheckpoint(true) // reused by deg + every iteration
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    var rank = deg.select(col("node"), col("degree"),
+      lit(1000000L).as("rank_e6"))
+    for (_ <- 1 to PrIters) {
+      val mass = edges
+        .join(rank, edges("src") === rank("node"))
+        .select(col("dst"), expr("rank_e6 div degree").as("m"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("m")).as("in_mass"))
+      rank = deg.join(mass, Seq("node"))
+        .select(col("node"), col("degree"),
+          (lit(150000L) + expr(s"($PrDampNum * in_mass) div $PrDampDen"))
+            .as("rank_e6"))
+    }
+    rank.select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("side"),
+        expr("node div 2").as("node_id"), col("degree"), col("rank_e6"))
+      .orderBy(col("side"), col("node_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_graph_rank" -> (q33GraphRank _),
     "q28_anomaly_mad" -> (q28AnomalyMad _),
     "q25_histogram" -> (q25Histogram _),
     "q19_ratio_report" -> (q19RatioReport _),
@@ -382,7 +445,35 @@ object AnalyticsExt {
     "q22_cube" -> (q22Cube _),
     "q23_range_join" -> (q23RangeJoin _))
 
+  /** q33's oracle: the same K rounds unrolled as chained CTEs, same
+    * integer ops (`//` ≡ Spark `div` on positive operands), sums cast
+    * off DuckDB's HUGEINT. */
+  private val q33OracleSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         | SELECT d.node, d.degree,
+         |  CAST(150000 + ($PrDampNum * m.in_mass) // $PrDampDen AS BIGINT) AS rank_e6
+         | FROM deg d JOIN (
+         |  SELECT e.dst AS node, CAST(sum(r.rank_e6 // r.degree) AS BIGINT) AS in_mass
+         |  FROM edges e JOIN $prev r ON r.node = e.src GROUP BY 1) m USING (node))"""
+    val rounds = (1 to PrIters).map(i => round(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH cs AS (
+       | SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       | SELECT c * 2 AS src, s * 2 + 1 AS dst FROM cs
+       | UNION ALL
+       | SELECT s * 2 + 1 AS src, c * 2 AS dst FROM cs),
+       |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, degree, CAST(1000000 AS BIGINT) AS rank_e6 FROM deg),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       | node // 2 AS node_id, degree, rank_e6
+       |FROM r$PrIters ORDER BY side, node_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q33_graph_rank" -> q33OracleSql,
     // integer space end-to-end (cents / half-cents): quantile_cont over
     // integers interpolates dyadic-exactly, so the doubled casts are exact
     "q28_anomaly_mad" ->

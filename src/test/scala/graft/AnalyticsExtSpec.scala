@@ -234,4 +234,41 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(hotN * 10 >= tot * 2 && hotN * 10 <= tot * 4,
       s"hot key carries $hotN/$tot — expected ~30%")
   }
+
+  test("q33: the unrolled integer PageRank matches an independent Scala " +
+    "replay node-for-node, and structure (not size) drives the rank") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val o2c = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cs = li.flatMap { case (ok, s) => o2c.get(ok).map(c => (c, s)) }.distinct
+    val edges = cs.map { case (c, s) => (c * 2, s * 2 + 1) } ++
+      cs.map { case (c, s) => (s * 2 + 1, c * 2) }
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg = adj.map { case (k, vs) => k -> vs.length.toLong }
+    var rank: Map[Long, Long] = deg.map { case (k, _) => k -> 1000000L }.toMap
+    for (_ <- 1 to AnalyticsExt.PrIters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) in(v) += rank(u) / deg(u)
+      rank = deg.map { case (k, _) =>
+        k -> (150000L + AnalyticsExt.PrDampNum * in(k) / AnalyticsExt.PrDampDen)
+      }.toMap
+    }
+    val got = AnalyticsExt.q33GraphRank(spark, sf).collect()
+    assert(got.length == deg.size, "one row per traded node")
+    got.foreach { r =>
+      val node = if (r.getAs[String]("side") == "customer")
+        r.getAs[Long]("node_id") * 2 else r.getAs[Long]("node_id") * 2 + 1
+      assert(r.getAs[Long]("degree") == deg(node), s"degree of node $node")
+      assert(r.getAs[Long]("rank_e6") == rank(node), s"rank of node $node")
+    }
+    // random-walk mass concentrates on the (few, high-degree) supplier
+    // side: the top-ranked node must be a supplier hub, and every rank
+    // carries at least the teleport floor
+    val top = got.maxBy(_.getAs[Long]("rank_e6"))
+    assert(top.getAs[String]("side") == "supplier", "hub side")
+    assert(got.forall(_.getAs[Long]("rank_e6") >= 150000L), "teleport floor")
+  }
 }
