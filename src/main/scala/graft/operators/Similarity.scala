@@ -542,7 +542,58 @@ object Similarity {
        |  ORDER BY cos DESC, vec_id) AS rank FROM r)
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
+  /** s15 oracle: the same inverted-index arithmetic — bigram tf/df, the
+    * df cap, the integer BM25 surrogate, s1's dense ranks, s13's RRF —
+    * all in one statement (tokenization via TextAnalysis's shared
+    * toksCaseSql so both engines split text identically). */
+  private lazy val s15OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, ${TextAnalysis.toksCaseSql} AS toks FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |db AS (
+       | SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |   i -> toks[i] || ' ' || toks[i+1])) AS bg
+       | FROM d),
+       |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM db GROUP BY 1, 2),
+       |dfq AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |post AS (
+       | SELECT tf.doc_id, tf.bg, tf.tf, dfq.df FROM tf JOIN dfq USING (bg), n
+       | WHERE dfq.df * $DfCapDen <= n.n_docs),
+       |lex0 AS (
+       | SELECT q.doc_id AS probe_id, p.doc_id AS neighbor_id,
+       |  CAST(sum(q.tf * (n.n_docs // p.df) * ((p.tf * 1000000) // (p.tf + 1))) AS BIGINT)
+       |    AS lex_score_e6
+       | FROM tf q JOIN post p USING (bg), n
+       | WHERE q.doc_id < $NumProbes AND p.doc_id != q.doc_id
+       | GROUP BY 1, 2),
+       |l AS (
+       | SELECT probe_id, neighbor_id, lex_rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY lex_score_e6 DESC, neighbor_id) AS BIGINT) AS lex_rank FROM lex0)
+       | WHERE lex_rank <= $LexTopK),
+       |v AS ($s1OracleSql),
+       |f AS (
+       | SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+       |  COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+       |  l.lex_rank, v.rank AS vec_rank
+       | FROM l FULL OUTER JOIN v
+       |  ON v.probe_id = l.probe_id AND v.neighbor_id = l.neighbor_id),
+       |s AS (
+       | SELECT probe_id, neighbor_id, lex_rank, vec_rank,
+       |  COALESCE(1000000 // ($RrfK + lex_rank), 0)
+       |   + COALESCE(1000000 // ($RrfK + vec_rank), 0) AS score_e6,
+       |  (CASE WHEN lex_rank IS NOT NULL THEN 1 ELSE 0 END
+       |   + CASE WHEN vec_rank IS NOT NULL THEN 1 ELSE 0 END) AS n_sources
+       | FROM f),
+       |r AS (
+       | SELECT *, row_number() OVER (PARTITION BY probe_id
+       |   ORDER BY score_e6 DESC, neighbor_id) AS fused_rank FROM s)
+       |SELECT probe_id, CAST(fused_rank AS BIGINT) AS fused_rank, neighbor_id,
+       | CAST(score_e6 AS BIGINT) AS score_e6, CAST(lex_rank AS BIGINT) AS lex_rank,
+       | CAST(vec_rank AS BIGINT) AS vec_rank, CAST(n_sources AS BIGINT) AS n_sources
+       |FROM r WHERE fused_rank <= $FusedK ORDER BY probe_id, fused_rank""".stripMargin
+
   private lazy val staticOracle: Map[String, String] = Map(
+    "s15_hybrid_search" -> s15OracleSql,
     "s10_nn_descent" -> s10OracleSql,
     "s7_ann_binary" -> s7OracleSql,
     "s5_knn_join" ->
@@ -709,6 +760,14 @@ object Similarity {
         transform(col("embedding"),
           x => floor(x.cast("double") * KmScale).cast("long")).as("f"))
       .localCheckpoint(true)
+    kmeansIters(e)
+  }
+
+  /** The Lloyd loop proper, over an ALREADY-MATERIALIZED
+    * (vec_id, embedding, f) frame — split out so a caller that has
+    * already paid the e6-floor + checkpoint (s14 reuses pqTrain's) does
+    * not pay it twice; `f` must be the same `floor(x·KmScale)` grid. */
+  private def kmeansIters(e: DataFrame): (Seq[(Long, Array[Long])], DataFrame) = {
     var cents: Seq[(Long, Array[Long])] = e
       .orderBy(col("vec_id")).limit(NumCells).select(col("vec_id"), col("f")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -1190,7 +1249,7 @@ object Similarity {
     * move only for probes × shortlist rows. */
   def s14IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val (books, data) = pqTrain(spark, dir)
-    val (cents, _) = kmeansOver(data)
+    val (cents, _) = kmeansIters(data) // data already carries the floored f
     pendingS14.put(dir, (cents, books))
     val e = data.withColumn("_cos",
       cosineMatrix(col("embedding"), centroidMatrix(cents)))
@@ -1543,6 +1602,84 @@ object Similarity {
       .orderBy(col("probe_id"), col("fused_rank"))
   }
 
+  // --------------------------------------------- s15: hybrid lexical+dense
+
+  /** Lexical shortlist depth per probe, and the stopword dial: a bigram
+    * is indexed only while `df · DfCapDen ≤ n_docs` (df ≤ 10% of the
+    * corpus) — the posting-list bound that keeps the inverted-index join
+    * term-grained instead of corpus-grained. */
+  val LexTopK = 5
+  val DfCapDen = 10
+
+  /** `s15_hybrid_search`: the full RAG retrieval stack — SPARSE lexical
+    * retrieval over an inverted index fused with DENSE vector ranks
+    * (dense+sparse hybrid is what production search actually deploys;
+    * s13 fused two dense indexes, this crosses the modality line).
+    * Lexical units are word BIGRAMS (phrase-grained, selective where
+    * unigram df saturates); per probe-term contribution is the log-free
+    * integer BM25 surrogate `qtf · (N div df) · ((tf·1e6) div (tf+1))` —
+    * idf as integer division, tf saturation with k1 = 1 — summed exactly,
+    * so the lexical ranking can never flip on a float ulp. The dense side
+    * is s1's exact ranks (any s-family index slots in unchanged — rank
+    * is the only contract RRF needs); fusion is s13's integer RRF.
+    *
+    * Scale: the inverted index is the tf aggregate (one exploded scan,
+    * map-side partial); the df cap prunes posting lists BEFORE the
+    * retrieval join, so probe work is Σ|posting(term)| over the probe's
+    * terms, never corpus-sized; the fusion touches probe-grained
+    * shortlists only. */
+  def s15HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val bg = toks.select(col("doc_id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    // the inverted index: one map-side-partial aggregate; checkpointed
+    // because postings, df AND the query side all read it
+    val tf = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfq = tf.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    val post = tf.join(dfq, Seq("bg"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(DfCapDen) <= col("n_docs"))
+    val lex0 = post.join(
+        tf.filter(col("doc_id") < NumProbes)
+          .select(col("doc_id").as("probe_id"), col("bg"), col("tf").as("qtf")),
+        Seq("bg"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("contrib",
+        col("qtf") * expr("n_docs div df") * expr("(tf * 1000000) div (tf + 1)"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("lex_score_e6"))
+    val wLex = Window.partitionBy(col("probe_id"))
+      .orderBy(col("lex_score_e6").desc, col("doc_id"))
+    val lex = lex0
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= LexTopK)
+      .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("lex_rank"))
+    val vec = s1AnnBrute(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("vec_rank"))
+    val wF = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_e6").desc, col("neighbor_id"))
+    lex.join(vec, Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("score_e6",
+        coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + vec_rank)"), lit(0L)))
+      .withColumn("n_sources",
+        when(col("lex_rank").isNotNull, 1L).otherwise(0L) +
+          when(col("vec_rank").isNotNull, 1L).otherwise(0L))
+      .withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= FusedK)
+      .select(col("probe_id"), col("fused_rank"), col("neighbor_id"),
+        col("score_e6"), col("lex_rank"), col("vec_rank"), col("n_sources"))
+      .orderBy(col("probe_id"), col("fused_rank"))
+  }
+
   // ------------------------------------------------ s12: index drift monitor
 
   private val pendingS12 =
@@ -1744,5 +1881,6 @@ object Similarity {
     "s12_index_drift" -> (s12IndexDrift _),
     "s13_rank_fusion" -> (s13RankFusion _),
     "s14_ivf_pq" -> (s14IvfPq _),
+    "s15_hybrid_search" -> (s15HybridSearch _),
     "s9_mmr_rerank" -> ((s: SparkSession, d: String) => s9MmrRerank(s, d)))
 }

@@ -915,8 +915,9 @@ object TextAnalysis {
       |FROM sh t JOIN sh r ON t.h = r.h AND t.split = 'test' AND r.split = 'train'
       |GROUP BY t.doc_id ORDER BY test_doc_id""".stripMargin
 
-  // empty-text-safe token list: mirrors wsTokens (trim-regex then split)
-  private val toksCaseSql =
+  // empty-text-safe token list: mirrors wsTokens (trim-regex then split).
+  // private[operators]: s15's lexical-retrieval oracle tokenizes the same way
+  private[operators] val toksCaseSql =
     s"CASE WHEN length($trimSql) = 0 THEN []::VARCHAR[] ELSE $tokSql END"
 
   private val t7OracleSql: String =

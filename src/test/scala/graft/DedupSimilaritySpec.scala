@@ -539,6 +539,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.80, f"composed-index recall floor: $recall%.3f")
   }
 
+  test("s15: hybrid retrieval reproduced end-to-end in Scala — inverted-" +
+    "index BM25 surrogate, df cap, dense ranks and RRF all exact") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toLong
+    def toks(s: String) = {
+      val t = s.replaceAll("^\\s+|\\s+$", "")
+      if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    }
+    val tf = scala.collection.mutable.Map.empty[(Long, String), Long].withDefaultValue(0L)
+    for ((id, text) <- docs; tk = toks(text); i <- 0 until tk.length - 1)
+      tf((id, tk(i) + " " + tk(i + 1))) += 1L
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (bg, ks) => bg -> ks.size.toLong }
+    val postByBg = tf.toSeq.collect {
+      case ((d, bg), t) if df(bg) * Similarity.DfCapDen <= n => bg -> (d, t)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val lexScore = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (((qd, bg), qtf) <- tf if qd < Similarity.NumProbes;
+         (d, tfd) <- postByBg.getOrElse(bg, Seq.empty) if d != qd)
+      lexScore((qd, d)) += qtf * (n / df(bg)) * (tfd * 1000000L / (tfd + 1))
+    val lexRank = lexScore.toSeq.groupBy(_._1._1).flatMap { case (p, rows) =>
+      rows.sortBy { case ((_, d), s) => (-s, d) }
+        .take(Similarity.LexTopK).zipWithIndex
+        .map { case (((_, d), _), i) => (p, d) -> (i + 1).toLong }
+    }
+    val vecRank = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("rank")).toMap
+    def rrf(r: Option[Long]): Long =
+      r.map(x => 1000000L / (Similarity.RrfK + x)).getOrElse(0L)
+    val expected = (lexRank.keySet ++ vecRank.keySet)
+      .groupBy(_._1).toSeq.flatMap { case (p, pairs) =>
+        pairs.toSeq.map { case (_, d) =>
+          val (lr, vr) = (lexRank.get((p, d)), vecRank.get((p, d)))
+          (p, d, rrf(lr) + rrf(vr), lr, vr, lr.size.toLong + vr.size.toLong)
+        }.sortBy { case (_, d, s, _, _, _) => (-s, d) }
+          .take(Similarity.FusedK).zipWithIndex
+          .map { case ((pp, d, s, lr, vr, ns), i) => (pp, (i + 1).toLong, d, s, lr, vr, ns) }
+      }.sortBy(t => (t._1, t._2))
+    val got = Similarity.s15HybridSearch(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getAs[Long]("fused_rank"), r.getLong(2),
+        r.getAs[Long]("score_e6"),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("n_sources"))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expected, s"hybrid output diverged\ngot      $got\nexpected $expected")
+    // the fusion must be genuinely hybrid on this corpus: some fused rows
+    // exist with only a lexical source and some with only a dense source
+    assert(got.exists(_._5.isEmpty) && got.exists(_._6.isEmpty),
+      "both sources must contribute uniquely")
+  }
+
   test("d11: the dedup eval closes against its own pipeline — truth is " +
     "d2's pair count, hits are exactly d3's confirmed pairs, arithmetic exact") {
     val r = Dedup.d11DedupEval(spark, sf).collect().head
