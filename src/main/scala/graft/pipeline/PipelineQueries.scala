@@ -242,6 +242,126 @@ object PipelineQueries {
       .orderBy(col("bin"))
   }
 
+  /** p19 predicate box on the p12 lattice — the second x-quarter × third
+    * y-quarter of the 2^16 grid. A raw-dimension range predicate (a date
+    * band × a customer-key band) maps to EXACTLY such a box because the
+    * lattice normalization is monotone, so auditing the lattice box
+    * audits the raw predicate. */
+  val PruneXLo = 1L << 14
+  val PruneXHi = (1L << 15) - 1
+  val PruneYLo = 1L << 15
+  val PruneYHi = (3L << 14) - 1
+
+  /** `p19_prune_audit`: scan-planning over the z-order layout — given
+    * the per-file column stats a lakehouse manifest records (min/max of
+    * each clustered dimension per file; files = p16's z-cells), which
+    * files MUST a reader of a 2-D predicate box touch, and how much of
+    * that forced I/O is wasted? Per file: the stats-intersection verdict
+    * (`skipped` — provably no matching row, the file is never opened /
+    * `hit` / `false_read` — stats intersect the box but no row matches:
+    * the bounding-box false positive z-ordering exists to minimize), its
+    * true match count, and the share of corpus rows its being read
+    * forces a scan of; plus a `~TOTAL` row carrying the file counts and
+    * the total forced-scan share — the number a layout change is judged
+    * by (p12 buys a low one; a linear sort on one dim would pay it on
+    * the other).
+    *
+    * Scale: the decision side touches only the MANIFEST (one stats row
+    * per file — metadata-sized, the Iceberg/parquet-footer model); the
+    * truth side (n_match) is one aggregate over the same z-keyed scan
+    * that derived the stats, here fused into the SAME single
+    * aggregation. Pruning correctness is structural — a skipped file's
+    * stats bound every row outside the box, so its n_match is 0 by
+    * construction (spec-asserted anyway, as the guard against box/stat
+    * arithmetic drift). */
+  def p19PruneAudit(spark: SparkSession, dir: String): DataFrame = {
+    val inBox = col("xn").between(PruneXLo, PruneXHi) &&
+      col("yn").between(PruneYLo, PruneYHi)
+    val files = zkeyedOrders(spark, dir)
+      .withColumn("zcell",
+        shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xn")).as("x_min"), max(col("xn")).as("x_max"),
+        min(col("yn")).as("y_min"), max(col("yn")).as("y_max"),
+        sum(when(inBox, 1L).otherwise(0L)).as("n_match"))
+      .localCheckpoint(true) // manifest-sized; read by total + audit
+    val tot = files.agg(sum(col("n_rows")).as("total_rows"))
+    val intersects = col("x_min") <= PruneXHi && col("x_max") >= PruneXLo &&
+      col("y_min") <= PruneYHi && col("y_max") >= PruneYLo
+    val per = files.crossJoin(broadcast(tot))
+      .withColumn("must_read", when(intersects, 1L).otherwise(0L))
+      .withColumn("verdict",
+        when(col("must_read") === 0, "skipped")
+          .when(col("n_match") > 0, "hit")
+          .otherwise("false_read"))
+      .withColumn("scan_share_e6",
+        when(col("must_read") === 1,
+          floor(col("n_rows") * lit(1000000.0) / col("total_rows")).cast("long"))
+          .otherwise(0L))
+      .select(col("zcell").cast("string").as("zcell"), lit(1L).as("n_files"),
+        col("n_rows"), col("must_read"), col("n_match"), col("verdict"),
+        col("scan_share_e6"))
+    val totRow = per.agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("must_read")).as("must_read"), sum(col("n_match")).as("n_match"),
+        sum(col("scan_share_e6")).as("scan_share_e6"))
+      .select(lit("~TOTAL").as("zcell"), col("n_files"), col("n_rows"),
+        col("must_read"), col("n_match"), lit("~TOTAL").as("verdict"),
+        col("scan_share_e6"))
+    per.unionByName(totRow).orderBy(col("zcell"))
+  }
+
+  val p19Oracle: String = {
+    val grid = 1L << ZGridBits
+    s"""WITH o AS (
+       | SELECT o_orderkey, epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  o_custkey AS cust
+       | FROM orders),
+       |s AS (SELECT min(day) AS day_min, max(day) AS day_max,
+       |  min(cust) AS cust_min, max(cust) AS cust_max FROM o),
+       |g AS (
+       | SELECT ((day - day_min) * $grid) // (day_max - day_min + 1) AS xn,
+       |  ((cust - cust_min) * $grid) // (cust_max - cust_min + 1) AS yn
+       | FROM o CROSS JOIN s),
+       |z AS (
+       | SELECT xn, yn, CAST(list_sum(list_transform(range(0, 16), i ->
+       |    (((xn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER)))
+       |    + (((yn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER) + 1))))
+       |   AS BIGINT) AS zkey
+       | FROM g),
+       |f AS (
+       | SELECT zkey >> ${2 * ZGridBits - ZFileBits} AS zcell,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(xn) AS x_min, max(xn) AS x_max, min(yn) AS y_min, max(yn) AS y_max,
+       |  CAST(sum(CASE WHEN xn BETWEEN $PruneXLo AND $PruneXHi
+       |    AND yn BETWEEN $PruneYLo AND $PruneYHi THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       | FROM z GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM f),
+       |per AS (
+       | SELECT CAST(zcell AS VARCHAR) AS zcell, CAST(1 AS BIGINT) AS n_files, n_rows,
+       |  CAST(CASE WHEN x_min <= $PruneXHi AND x_max >= $PruneXLo
+       |    AND y_min <= $PruneYHi AND y_max >= $PruneYLo THEN 1 ELSE 0 END AS BIGINT)
+       |    AS must_read,
+       |  n_match,
+       |  CASE WHEN NOT (x_min <= $PruneXHi AND x_max >= $PruneXLo
+       |     AND y_min <= $PruneYHi AND y_max >= $PruneYLo) THEN 'skipped'
+       |   WHEN n_match > 0 THEN 'hit' ELSE 'false_read' END AS verdict,
+       |  CAST(CASE WHEN x_min <= $PruneXHi AND x_max >= $PruneXLo
+       |     AND y_min <= $PruneYHi AND y_max >= $PruneYLo
+       |   THEN floor(n_rows * 1000000.0 / total_rows) ELSE 0 END AS BIGINT)
+       |    AS scan_share_e6
+       | FROM f CROSS JOIN t)
+       |SELECT zcell, n_files, n_rows, must_read, n_match, verdict, scan_share_e6
+       |FROM (
+       | SELECT * FROM per
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(must_read) AS BIGINT), CAST(sum(n_match) AS BIGINT), '~TOTAL',
+       |  CAST(sum(scan_share_e6) AS BIGINT)
+       | FROM per)
+       |ORDER BY zcell""".stripMargin
+  }
+
   val p16Oracle: String = {
     val grid = 1L << ZGridBits
     s"""WITH o AS (
@@ -285,6 +405,7 @@ object PipelineQueries {
     "p17_expectation_suite" ->
       ((s: SparkSession, d: String) => Quality.p17ExpectationSuite(s, d)),
     "p16_compaction_plan" -> (p16CompactionPlan _),
+    "p19_prune_audit" -> (p19PruneAudit _),
     "p15_late_dim" -> (Curated.p15LateArrivingDim _),
     "p14_drift_check" -> (Quality.p14DriftCheck _),
     "p13_pit_join" -> (Scd2.p13PitJoin _),
@@ -306,6 +427,7 @@ object PipelineQueries {
     "p17_expectation_suite" ->
       Quality.p17Oracle(PipelineConfig.default.expectations),
     "p16_compaction_plan" -> p16Oracle,
+    "p19_prune_audit" -> p19Oracle,
     "p15_late_dim" -> Curated.p15Oracle,
     "p14_drift_check" -> Quality.p14Oracle,
     "p13_pit_join" -> Scd2.p13Oracle,

@@ -825,4 +825,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(hookFired.contains("gate_quality"), "onFailure hook must fire")
     assert(!Files.exists(Paths.get(s"$work/filtered")), "skipped stages must not write")
   }
+
+  test("p19: pruning is sound (skipped files hold zero matches), the match " +
+    "total replays independently from raw orders, and the layout prunes") {
+    import org.apache.spark.sql.functions.col
+    val rows = PipelineQueries.p19PruneAudit(spark, sf).collect()
+    val (tot, per) = rows.partition(_.getString(0) == "~TOTAL")
+    assert(tot.length == 1 && per.nonEmpty)
+    val t = tot.head
+    // soundness: a skipped file was PROVEN empty of matches by its stats
+    per.foreach { r =>
+      if (r.getAs[Long]("must_read") == 0L) {
+        assert(r.getAs[String]("verdict") == "skipped")
+        assert(r.getAs[Long]("n_match") == 0L, s"skipped file with matches: $r")
+        assert(r.getAs[Long]("scan_share_e6") == 0L)
+      }
+    }
+    // the total row is the exact column-wise sum of the per-file rows
+    for (c <- Seq("n_files", "n_rows", "must_read", "n_match", "scan_share_e6"))
+      assert(t.getAs[Long](c) == per.map(_.getAs[Long](c)).sum, s"total drift in $c")
+    // independent replay of the truth side from raw orders: same day/cust
+    // derivation, same monotone lattice map, same box — pure Scala
+    import org.apache.spark.sql.functions.unix_micros
+    val oc = Tables.load(spark, sf, "orders")
+      .select(unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_custkey"))
+      .collect().map(r => (Math.floorDiv(r.getLong(0), 86400L * 1000000L), r.getLong(1)))
+    val grid = 1L << PipelineQueries.ZGridBits
+    val (dMin, dMax) = (oc.map(_._1).min, oc.map(_._1).max)
+    val (cMin, cMax) = (oc.map(_._2).min, oc.map(_._2).max)
+    val expectMatches = oc.count { case (d, c) =>
+      val xn = (d - dMin) * grid / (dMax - dMin + 1)
+      val yn = (c - cMin) * grid / (cMax - cMin + 1)
+      xn >= PipelineQueries.PruneXLo && xn <= PipelineQueries.PruneXHi &&
+        yn >= PipelineQueries.PruneYLo && yn <= PipelineQueries.PruneYHi
+    }.toLong
+    assert(t.getAs[Long]("n_match") == expectMatches,
+      s"truth side diverged: ${t.getAs[Long]("n_match")} vs $expectMatches")
+    // the layout must actually prune: a quarter-ish box on a z-ordered
+    // 2-D layout skips well over half the files (measured ~0.9 skipped)
+    val skipped = per.count(_.getAs[Long]("must_read") == 0L)
+    info(s"files ${per.length}, skipped $skipped, " +
+      s"forced-scan share ${t.getAs[Long]("scan_share_e6")} e-6")
+    assert(skipped * 2 > per.length, s"layout barely prunes: $skipped/${per.length}")
+  }
 }
