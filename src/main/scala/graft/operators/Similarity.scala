@@ -594,6 +594,7 @@ object Similarity {
 
   private lazy val staticOracle: Map[String, String] = Map(
     "s15_hybrid_search" -> s15OracleSql,
+    "s16_filtered_ann" -> s16OracleSql,
     "s10_nn_descent" -> s10OracleSql,
     "s7_ann_binary" -> s7OracleSql,
     "s5_knn_join" ->
@@ -1680,6 +1681,98 @@ object Similarity {
       .orderBy(col("probe_id"), col("fused_rank"))
   }
 
+  // ------------------------------------------- s16: metadata-filtered ANN
+
+  /** The s16 predicate (a ~14% metadata slice) and the post-filter path's
+    * over-fetch depth — the dial that trades extra unfiltered candidates
+    * against recall under the filter. */
+  val FilterLang = "de"
+  val PostOverFetch = 20
+
+  /** `s16_filtered_ann`: vector search under a metadata predicate — what
+    * RAG retrieval actually runs (`lang = 'de'`, `date > …`, tenant
+    * scoping), and the classic vector-store design fork:
+    *
+    *  - PRE-filter: restrict the corpus to the predicate FIRST, then
+    *    rank — exact recall on the filtered set, but the index/scan must
+    *    support pushdown of an arbitrary predicate;
+    *  - POST-filter: rank on the unfiltered index, over-fetch
+    *    [[PostOverFetch]] candidates, filter, keep k — reuses one global
+    *    index unchanged, but a selective predicate starves the shortlist
+    *    (at 14% selectivity, E[survivors of 20] ≈ 2.9 < k).
+    *
+    * Output is the audit of that trade: the pre-filter truth's top-k per
+    * probe, each pair carrying the post-filter path's rank where it found
+    * it (`is_found` = 0 rows are the recall the cheap path silently
+    * loses — measured ~half the truth at this selectivity). Both paths
+    * share one cosine expression and deterministic tie-breaks, so the
+    * whole result is engine-exact.
+    *
+    * Scale: pre-filter is s1's scan shape with the predicate pushed into
+    * the corpus scan (at 100 TB: partition/cell pruning on the metadata
+    * column); post-filter touches the same unfiltered ranking every
+    * other s-family index already produces, so its only extra cost is
+    * the over-fetch multiplier on shortlist size. */
+  def s16FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val e = emb(spark, dir).join(meta, Seq("vec_id")).localCheckpoint(true)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cos = cosineFast(col("pe"), col("embedding"))
+    val wCos = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    val pre = e.filter(col("lang") === FilterLang)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("pre_rank", row_number().over(wCos).cast("long"))
+      .filter(col("pre_rank") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        floor(cos * lit(1000000.0)).cast("long").as("cos_e6"), col("pre_rank"))
+    val wPost = Window.partitionBy(col("probe_id")).orderBy(col("fetch_rank"))
+    val post = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("fetch_rank", row_number().over(wCos))
+      .filter(col("fetch_rank") <= PostOverFetch)
+      .filter(col("lang") === FilterLang)
+      .withColumn("post_rank", row_number().over(wPost).cast("long"))
+      .filter(col("post_rank") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("post_rank"))
+    pre.join(post, Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("is_found", when(col("post_rank").isNotNull, 1L).otherwise(0L))
+      .select(col("probe_id"), col("pre_rank"), col("neighbor_id"),
+        col("cos_e6"), col("post_rank"), col("is_found"))
+      .orderBy(col("probe_id"), col("pre_rank"))
+  }
+
+  private lazy val s16OracleSql: String =
+    s"""WITH m AS (
+       | SELECT e.vec_id, e.embedding, d.lang
+       | FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pe FROM m
+       |  WHERE vec_id < $NumProbes),
+       |pre AS (SELECT * FROM (
+       | SELECT p.probe_id, x.vec_id AS neighbor_id,
+       |  CAST(floor(${cosSql("p.pe", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6,
+       |  CAST(row_number() OVER (PARTITION BY p.probe_id
+       |    ORDER BY ${cosSql("p.pe", "x.embedding")} DESC, x.vec_id) AS BIGINT) AS pre_rank
+       | FROM p JOIN m x ON x.vec_id != p.probe_id AND x.lang = '$FilterLang')
+       | WHERE pre_rank <= $TopK),
+       |fetched AS (SELECT * FROM (
+       | SELECT p.probe_id, x.vec_id AS neighbor_id, x.lang,
+       |  row_number() OVER (PARTITION BY p.probe_id
+       |    ORDER BY ${cosSql("p.pe", "x.embedding")} DESC, x.vec_id) AS fr
+       | FROM p JOIN m x ON x.vec_id != p.probe_id)
+       | WHERE fr <= $PostOverFetch),
+       |post AS (SELECT probe_id, neighbor_id, CAST(pr AS BIGINT) AS post_rank FROM (
+       | SELECT probe_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY fr) AS pr
+       | FROM fetched WHERE lang = '$FilterLang')
+       | WHERE pr <= $TopK)
+       |SELECT pre.probe_id AS probe_id, pre.pre_rank, pre.neighbor_id,
+       | pre.cos_e6, post.post_rank,
+       | CAST(CASE WHEN post.post_rank IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_found
+       |FROM pre LEFT JOIN post
+       | ON post.probe_id = pre.probe_id AND post.neighbor_id = pre.neighbor_id
+       |ORDER BY probe_id, pre_rank""".stripMargin
+
   // ------------------------------------------------ s12: index drift monitor
 
   private val pendingS12 =
@@ -1882,5 +1975,6 @@ object Similarity {
     "s13_rank_fusion" -> (s13RankFusion _),
     "s14_ivf_pq" -> (s14IvfPq _),
     "s15_hybrid_search" -> (s15HybridSearch _),
+    "s16_filtered_ann" -> (s16FilteredAnn _),
     "s9_mmr_rerank" -> ((s: SparkSession, d: String) => s9MmrRerank(s, d)))
 }

@@ -592,6 +592,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "both sources must contribute uniquely")
   }
 
+  test("s16: filtered ANN — pre-filter truth replays in Scala, the post-" +
+    "filter path preserves order where it finds, and starvation is real") {
+    val lang = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.s16FilteredAnn(spark, sf).collect()
+    // every truth neighbor satisfies the predicate, ranks are contiguous,
+    // and the found post ranks preserve the cosine order
+    got.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("pre_rank"))
+      assert(sorted.map(_.getAs[Long]("pre_rank")).toSeq == (1L to rs.length).toSeq)
+      sorted.foreach(r => assert(lang(r.getLong(2)) == Similarity.FilterLang))
+      val found = sorted.filter(_.getAs[Long]("is_found") == 1L)
+        .map(_.getAs[Long]("post_rank"))
+      assert(found.toSeq == found.sorted.toSeq, s"probe $p post order broke")
+      // Scala replay of the pre-filter truth: top-k of the filtered corpus
+      val expect = vecs.keys.filter(v => v != p && lang(v) == Similarity.FilterLang)
+        .toSeq.map(v => (v, cos(vecs(p), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(Similarity.TopK).map(_._1)
+      assert(sorted.map(_.getLong(2)).toSeq == expect, s"probe $p truth diverged")
+    }
+    // the starvation this operator exists to expose: at 14% selectivity a
+    // 20-deep over-fetch cannot cover the truth (measured 21/50 missed)
+    val missed = got.count(_.getAs[Long]("is_found") == 0L)
+    info(s"post-filter missed $missed of ${got.length} truth pairs")
+    assert(missed > 0, "post-filter starvation must be non-vacuous")
+  }
+
   test("d11: the dedup eval closes against its own pipeline — truth is " +
     "d2's pair count, hits are exactly d3's confirmed pairs, arithmetic exact") {
     val r = Dedup.d11DedupEval(spark, sf).collect().head
