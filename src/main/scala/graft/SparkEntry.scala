@@ -49,6 +49,7 @@ object SparkEntry {
     case "s12_index_drift" => Similarity.confirmS12Materialized(dir)
     case "s14_ivf_pq" => Similarity.confirmS14Materialized(dir)
     case "d12_semantic_dedup" => Similarity.confirmD12Materialized(dir)
+    case "d15_prototype_prune" => Similarity.confirmD15Materialized(dir)
     case _ => ()
   }
 }

@@ -1137,14 +1137,95 @@ object Dedup {
        |ORDER BY 1, 2, 3, 4""".stripMargin
   }
 
-  /** d12's entry appears only once its result has materialized (the s3
-    * convention: Verify calls `SparkEntry.markMaterialized` →
-    * [[Similarity.confirmD12Materialized]]); otherwise d12 degrades to
-    * the driver's rows-only check rather than shipping an oracle built
-    * from a model no result used. */
+  // ---------------------------------------------------------------- d15
+
+  /** `d15_prototype_prune`: embedding-geometry data pruning — the
+    * prototypicality policy of "Beyond neural scaling laws" (Sorscher et
+    * al.): within each k-means cell, rank members by cosine to their
+    * centroid (rank 1 = most prototypical, the example the cluster can
+    * best afford to lose when data is ABUNDANT) and prune the most
+    * prototypical tercile. The geometric complement of the family's
+    * other two pruning axes: d12 drops near-DUPLICATES, t19 drops by
+    * LM-score — d15 drops by typicality. Rank/bucket arithmetic is
+    * t19's exact-integer form (`bucket = ((rank-1)·3) div n`, ties on
+    * vec_id, tercile sizes differ by ≤1), shipped policy keeps buckets
+    * 1-2.
+    *
+    * Scale: assignment is the one broadcast-model cosineMatrix pass
+    * (s6's shape); the per-cell rank runs on the t19/t12 distributed
+    * range-partition machinery — never a bare `partitionBy(cell)` window
+    * that would buffer an n/k-sized cell in one sort task. */
+  def d15PrototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, data) = Similarity.kmeansWithData(spark, dir)
+    val asg = Similarity.assignCells(data, cents)
+      .select(col("vec_id"), col("cell"), col("cell_cos_e6"))
+    val ranged = asg
+      .repartitionByRange(col("cell"), col("cell_cos_e6").desc, col("vec_id"))
+      .sortWithinPartitions(col("cell"), col("cell_cos_e6").desc, col("vec_id"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true) // feeds offsets, per-cell totals AND ranks
+    val offs = ranged.groupBy(col("rid"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cbase", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("cell")).orderBy(col("rid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rid"), col("cell"), col("cbase"))
+    val nPer = ranged.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val wRun = Window.partitionBy(col("rid"), col("cell"))
+      .orderBy(col("cell_cos_e6").desc, col("vec_id"))
+    ranged.join(broadcast(offs), Seq("rid", "cell"))
+      .withColumn("rank_in_cell", (col("cbase") + row_number().over(wRun)).cast("long"))
+      .join(broadcast(nPer), Seq("cell"))
+      .withColumn("bucket", expr("((rank_in_cell - 1) * 3) div n_cell"))
+      .withColumn("is_kept", when(col("bucket") >= 1, 1L).otherwise(0L))
+      .select(col("vec_id"), col("cell"), col("cell_cos_e6").as("cos_e6"),
+        col("rank_in_cell"), col("n_cell"), col("bucket"), col("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** d15 oracle: the injected-centroid assignment (d12's CTEs) + a plain
+    * per-cell window replaying the same integer rank/bucket arithmetic. */
+  private def d15OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    def cosSql(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+         |  * sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))))""".stripMargin
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${Similarity.centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cent")} AS cos,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (
+       | SELECT vec_id, cid AS cell,
+       |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       | FROM scored WHERE rn = 1),
+       |r AS (
+       | SELECT vec_id, cell, cos_e6,
+       |  CAST(row_number() OVER (PARTITION BY cell
+       |    ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS rank_in_cell,
+       |  CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+       | FROM asg)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, cos_e6, rank_in_cell, n_cell,
+       | ((rank_in_cell - 1) * 3) // n_cell AS bucket,
+       | CAST(CASE WHEN ((rank_in_cell - 1) * 3) // n_cell >= 1
+       |   THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
+
+  /** d12's/d15's entries appear only once their results have materialized
+    * (the s3 convention: Verify calls `SparkEntry.markMaterialized` →
+    * [[Similarity.confirmD12Materialized]] / confirmD15Materialized);
+    * otherwise each degrades to the driver's rows-only check rather than
+    * shipping an oracle built from a model no result used. */
   def oracle: Map[String, String] =
     staticOracle ++ (Similarity.confirmedD12Model match {
       case Some(cents) => Map("d12_semantic_dedup" -> d12OracleSql(cents))
+      case None => Map.empty
+    }) ++ (Similarity.confirmedD15Model match {
+      case Some(cents) => Map("d15_prototype_prune" -> d15OracleSql(cents))
       case None => Map.empty
     })
 
@@ -1390,6 +1471,7 @@ object Dedup {
     "d9_dedup_chunks" -> (d9DedupChunks _),
     "d10_dedup_fuzzy" -> (d10DedupFuzzy _),
     "d12_semantic_dedup" -> (d12SemanticDedup _),
+    "d15_prototype_prune" -> (d15PrototypePrune _),
     "d13_threshold_sweep" -> (d13ThresholdSweep _),
     "d14_substring_dedup" -> (d14SubstringDedup _))
 }

@@ -858,6 +858,20 @@ object Similarity {
   def confirmD12Materialized(dir: String): Unit =
     pendingCentroids.get(dir).foreach(cs => confirmedD12.put(dir, cs))
 
+  /** d15's twin of the d12 pattern (same pendingCentroids memo, confirmed
+    * separately; consumed by `Dedup.oracle`). */
+  private val confirmedD15 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmD15Materialized(dir: String): Unit =
+    pendingCentroids.get(dir).foreach(cs => confirmedD15.put(dir, cs))
+
+  private[operators] def confirmedD15Model: Option[Seq[(Long, Array[Long])]] =
+    confirmedD15.toMap match {
+      case one if one.size == 1 => Some(one.head._2)
+      case _ => None
+    }
+
   private[operators] def confirmedD12Model: Option[Seq[(Long, Array[Long])]] =
     confirmedD12.toMap match {
       case one if one.size == 1 => Some(one.head._2)

@@ -627,6 +627,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(missed > 0, "post-filter starvation must be non-vacuous")
   }
 
+  test("d15: prototype pruning — assignment agrees with s6 bit-for-bit, " +
+    "the distributed per-cell rank is exact, terciles balance") {
+    val got = Dedup.d15PrototypePrune(spark, sf).collect()
+    val s6 = Similarity.s6ClusterAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("cos_e6"))).toMap
+    assert(got.length == s6.size, "one verdict per vector")
+    got.foreach { r =>
+      val (cell, cos) = s6(r.getLong(0))
+      assert(r.getAs[Long]("cell") == cell && r.getAs[Long]("cos_e6") == cos,
+        s"assignment drift vs s6 at ${r.getLong(0)}")
+      assert(r.getAs[Long]("is_kept") == (if (r.getAs[Long]("bucket") >= 1) 1L else 0L))
+    }
+    got.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank_in_cell"))
+      val n = rs.length.toLong
+      assert(sorted.map(_.getAs[Long]("rank_in_cell")).toSeq == (1L to n).toSeq,
+        s"cell $cell ranks not a permutation")
+      assert(rs.forall(_.getAs[Long]("n_cell") == n))
+      // rank order is (cos desc, vec_id) — replay it locally
+      val expect = rs.sortBy(r => (-r.getAs[Long]("cos_e6"), r.getLong(0)))
+        .map(_.getLong(0)).toSeq
+      assert(sorted.map(_.getLong(0)).toSeq == expect, s"cell $cell rank order")
+      // exact tercile arithmetic and balance (sizes differ by <= 1)
+      sorted.foreach { r =>
+        val b = (r.getAs[Long]("rank_in_cell") - 1) * 3 / n
+        assert(r.getAs[Long]("bucket") == b)
+      }
+      val sizes = rs.groupBy(_.getAs[Long]("bucket")).values.map(_.length)
+      if (n >= 3) assert(sizes.max - sizes.min <= 1, s"cell $cell terciles $sizes")
+    }
+    // the shipped abundant-data policy prunes the most-prototypical third
+    val pruned = got.count(_.getAs[Long]("is_kept") == 0L)
+    info(s"pruned $pruned of ${got.length} (most-prototypical tercile)")
+    // pruned = sum over cells of ceil(n_cell/3): tripled, that is within
+    // 2 per cell of the corpus size in either direction
+    assert(pruned * 3 <= got.length + 2 * 16 && pruned * 3 >= got.length - 2 * 16)
+  }
+
   test("d11: the dedup eval closes against its own pipeline — truth is " +
     "d2's pair count, hits are exactly d3's confirmed pairs, arithmetic exact") {
     val r = Dedup.d11DedupEval(spark, sf).collect().head
