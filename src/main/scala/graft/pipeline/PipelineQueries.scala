@@ -362,6 +362,71 @@ object PipelineQueries {
        |ORDER BY zcell""".stripMargin
   }
 
+  /** p20 dials: a run repairs at most [[BackfillBatchDays]] consecutive
+    * days, and a calendar day is already materialized while its stable
+    * md5 bucket < [[MaterializedPct]] (the d8/t5 simulation convention —
+    * 45% missing: a big backfill, which is exactly when a planner
+    * matters; a real ledger is the table's partition manifest). */
+  val BackfillBatchDays = 7
+  val MaterializedPct = 55
+
+  /** `p20_backfill_plan`: missing-partition backfill planning — the
+    * orchestration staple (Airflow's backfill, Dagster's partition
+    * status) as a query: diff the calendar spine (p9's dim) against the
+    * materialized-partition ledger, coalesce the missing days into
+    * contiguous islands (gaps-and-islands via the idx − row_number
+    * constant), and split each island into runs of at most
+    * [[BackfillBatchDays]] days — one output row per run a scheduler
+    * would launch, in order. Runs never span a year boundary (the
+    * partition-root alignment real backfills keep), which also keys
+    * every window by `yr` — no unpartitioned window exists in the plan.
+    *
+    * Scale: the spine is calendar-sized metadata (days, not facts) and
+    * the ledger is a manifest — the whole plan is windows over a frame
+    * that is thousands of rows when the table is petabytes. */
+  def p20BackfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = p9DateDim(spark, dir)
+      .select(col("date_str"), col("yr"),
+        datediff(to_date(col("date_str")), lit("1995-01-01").cast("date"))
+          .cast("long").as("idx"))
+    val missing = days.filter(
+      graft.functions.TextFunctions.md5Long60(col("date_str")) % 100 >= MaterializedPct)
+    val wYr = Window.partitionBy(col("yr")).orderBy(col("idx"))
+    val wIsl = Window.partitionBy(col("yr"), col("island")).orderBy(col("idx"))
+    missing
+      .withColumn("island", col("idx") - row_number().over(wYr))
+      .withColumn("pos", row_number().over(wIsl).cast("long"))
+      .withColumn("run_seq", expr(s"(pos - 1) div $BackfillBatchDays"))
+      .groupBy(col("yr"), col("island"), col("run_seq"))
+      .agg(min(col("date_str")).as("run_start"), max(col("date_str")).as("run_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("yr"), col("run_start"), col("run_end"), col("n_days"))
+      .orderBy(col("run_start"))
+  }
+
+  val p20Oracle: String =
+    s"""WITH days AS (
+       | SELECT strftime(d, '%Y-%m-%d') AS date_str, year(d) AS yr,
+       |  date_diff('day', DATE '1995-01-01', d) AS idx
+       | FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1998-12-31',
+       |   INTERVAL 1 DAY))::DATE AS d)),
+       |miss AS (
+       | SELECT * FROM days
+       | WHERE CAST(('0x' || substr(md5(date_str), 1, 15)) AS BIGINT) % 100
+       |   >= $MaterializedPct),
+       |r AS (
+       | SELECT date_str, yr, idx,
+       |  idx - row_number() OVER (PARTITION BY yr ORDER BY idx) AS island
+       | FROM miss),
+       |p AS (
+       | SELECT *, row_number() OVER (PARTITION BY yr, island ORDER BY idx) AS pos
+       | FROM r)
+       |SELECT yr, min(date_str) AS run_start, max(date_str) AS run_end,
+       | CAST(count(*) AS BIGINT) AS n_days
+       |FROM p GROUP BY yr, island, (pos - 1) // $BackfillBatchDays
+       |ORDER BY run_start""".stripMargin
+
   val p16Oracle: String = {
     val grid = 1L << ZGridBits
     s"""WITH o AS (
@@ -406,6 +471,7 @@ object PipelineQueries {
       ((s: SparkSession, d: String) => Quality.p17ExpectationSuite(s, d)),
     "p16_compaction_plan" -> (p16CompactionPlan _),
     "p19_prune_audit" -> (p19PruneAudit _),
+    "p20_backfill_plan" -> (p20BackfillPlan _),
     "p15_late_dim" -> (Curated.p15LateArrivingDim _),
     "p14_drift_check" -> (Quality.p14DriftCheck _),
     "p13_pit_join" -> (Scd2.p13PitJoin _),
@@ -428,6 +494,7 @@ object PipelineQueries {
       Quality.p17Oracle(PipelineConfig.default.expectations),
     "p16_compaction_plan" -> p16Oracle,
     "p19_prune_audit" -> p19Oracle,
+    "p20_backfill_plan" -> p20Oracle,
     "p15_late_dim" -> Curated.p15Oracle,
     "p14_drift_check" -> Quality.p14Oracle,
     "p13_pit_join" -> Scd2.p13Oracle,

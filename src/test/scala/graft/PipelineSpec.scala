@@ -869,4 +869,49 @@ class PipelineSpec extends AnyFunSuite {
       s"forced-scan share ${t.getAs[Long]("scan_share_e6")} e-6")
     assert(skipped * 2 > per.length, s"layout barely prunes: $skipped/${per.length}")
   }
+
+  test("p20: the backfill plan replays exactly in Scala — islands, year " +
+    "splits and batch chunking — and the batch split is non-vacuous") {
+    import java.time.LocalDate
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def missing(s: String): Boolean =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16) % 100 >=
+        PipelineQueries.MaterializedPct
+    // walk the spine, collecting islands (split at gaps AND year starts)
+    val islands = scala.collection.mutable.ArrayBuffer[List[String]]()
+    var cur = List.empty[String]
+    var d = LocalDate.of(1995, 1, 1)
+    val end = LocalDate.of(1998, 12, 31)
+    var prevMissing = false
+    while (!d.isAfter(end)) {
+      val s = d.toString
+      val m = missing(s)
+      if (m && prevMissing && d.getDayOfYear != 1) cur = cur :+ s
+      else if (m) { if (cur.nonEmpty) islands += cur; cur = List(s) }
+      else if (cur.nonEmpty) { islands += cur; cur = List.empty }
+      prevMissing = m
+      d = d.plusDays(1)
+    }
+    if (cur.nonEmpty) islands += cur
+    val expected = islands.flatMap { isl =>
+      isl.grouped(PipelineQueries.BackfillBatchDays).map { run =>
+        (run.head.take(4).toLong, run.head, run.last, run.length.toLong)
+      }
+    }.sortBy(_._2).toSeq
+    val got = PipelineQueries.p20BackfillPlan(spark, sf).collect()
+      .map(r => (r.getAs[Long]("yr"), r.getAs[String]("run_start"),
+        r.getAs[String]("run_end"), r.getAs[Long]("n_days"))).toSeq
+    assert(got == expected, s"plan diverged: ${got.take(5)} vs ${expected.take(5)}")
+    // the chunking must actually fire: the 45%-missing ledger contains an
+    // island longer than one batch, so two adjacent runs are contiguous
+    val split = got.sliding(2).exists { case Seq(a, b) =>
+      a._4 == PipelineQueries.BackfillBatchDays &&
+        LocalDate.parse(a._3).plusDays(1).toString == b._2
+      case _ => false
+    }
+    info(s"${got.length} runs over ${islands.length} islands")
+    assert(split, "no island needed a batch split — the chunking is untested")
+  }
 }
