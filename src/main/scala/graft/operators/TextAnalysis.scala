@@ -857,7 +857,77 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- t20
+
+  /** `t20_dup_profile`: per-document corpus-duplication profile — the
+    * doc-level diagnostic the pairwise dedup family doesn't ship: what
+    * FRACTION of each document's 8-token grams also appears in some
+    * OTHER document (RefinedWeb-style duplication telemetry: a doc can
+    * evade d2/d3's whole-doc thresholds and d14's ≥20-token run cut
+    * while still being 30% boilerplate — this is the number that says
+    * so). Per doc: gram count, grams with corpus df ≥ 2 (cross-doc df,
+    * so intra-doc repetition — t8's axis — does not count), floor-e6
+    * share, and the doc's hottest gram df (the boilerplate indicator).
+    * Docs shorter than one gram surface with zero counts and null share
+    * (t16's null rule).
+    *
+    * Scale: d14's gram space (8-token grams at every offset, hashed to
+    * 60-bit longs AT the scan — raw text never shuffles) but df-grained
+    * instead of pair-grained: one exploded scan, one model aggregate,
+    * one hash-keyed re-join, one per-doc aggregate — no pair join, no
+    * window, nothing quadratic anywhere. */
+  def t20DupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) < Dedup.GramToks, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("toks")) - Dedup.GramToks + 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(Dedup.GramToks))))))
+        .as("gram"))
+      .select(col("doc_id"), md5Long60(col("gram")).as("h"))
+      .localCheckpoint(true) // df model + the occurrence side
+    val dfm = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+    val prof = grams.join(dfm, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_grams"),
+        max(col("gdf")).as("max_gram_df"))
+      .withColumn("dup_share_e6",
+        floor(col("n_dup_grams") * lit(1000000.0) / col("n_grams")).cast("long"))
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(prof, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        col("dup_share_e6"), col("max_gram_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val t20OracleSql: String = {
+    val k = Dedup.GramToks
+    s"""WITH t AS (SELECT doc_id, $toksCaseSql AS toks FROM documents),
+       |g AS (
+       | SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - $k + 2, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + $k - 1), ' '))) AS gram
+       |  FROM t)),
+       |d AS (SELECT h, count(DISTINCT doc_id) AS gdf FROM g GROUP BY 1),
+       |p AS (
+       | SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN d.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  CAST(max(d.gdf) AS BIGINT) AS max_gram_df
+       | FROM g JOIN d USING (h) GROUP BY 1)
+       |SELECT doc.doc_id AS doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+       | COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       | CAST(floor(p.n_dup_grams * 1000000.0 / p.n_grams) AS BIGINT) AS dup_share_e6,
+       | p.max_gram_df
+       |FROM documents doc LEFT JOIN p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_dup_profile" -> (t20DupProfile _),
     "t1_text_stats" -> (t1TextStats _),
     "t19_perplexity_prune" -> (t19PerplexityPrune _),
     "t2_text_quality" -> (t2TextQuality _),
@@ -1121,6 +1191,7 @@ object TextAnalysis {
     "t9_source_mix" -> t9OracleSql,
     "t18_importance_weights" -> t18OracleSql,
     "t19_perplexity_prune" -> t19OracleSql,
+    "t20_dup_profile" -> t20OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
          | CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,

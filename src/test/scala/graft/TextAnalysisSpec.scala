@@ -488,4 +488,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("n_in") - row.getAs[Long]("n_dropped")
       == row.getAs[Long]("n_out")))
   }
+
+  test("t20: the duplication profile replays exactly in Scala, and cross-" +
+    "doc sharing is distinguished from intra-doc repetition") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String) = {
+      val t = s.replaceAll("^\\s+|\\s+$", "")
+      if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    }
+    val k = Dedup.GramToks
+    val grams = docs.flatMap { case (id, text) =>
+      val tk = toks(text)
+      if (tk.length < k) Seq.empty
+      else (0 to tk.length - k).map(i => (id, tk.slice(i, i + k).mkString(" ")))
+    }
+    val gdf = grams.distinct.groupBy(_._2).map { case (g, occ) => g -> occ.length }
+    val byDoc = grams.groupBy(_._1)
+    val got = TextAnalysis.t20DupProfile(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val gs = byDoc.getOrElse(r.getLong(0), Array.empty[(Long, String)]).map(_._2)
+      assert(r.getAs[Long]("n_grams") == gs.length, s"doc ${r.getLong(0)} grams")
+      val dup = gs.count(g => gdf(g) >= 2).toLong
+      assert(r.getAs[Long]("n_dup_grams") == dup, s"doc ${r.getLong(0)} dups")
+      if (gs.nonEmpty) {
+        assert(r.getAs[Long]("dup_share_e6") ==
+          math.floor(dup * 1000000.0 / gs.length).toLong)
+        assert(r.getAs[Long]("max_gram_df") == gs.map(gdf).max.toLong)
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    info(s"corpus docs with cross-doc gram sharing: " +
+      s"${got.count(_.getAs[Long]("n_dup_grams") > 0)} of ${got.length}")
+    // axis separation on a planted corpus: a doc repeating ITS OWN gram
+    // is t8's business (df stays 1 here); two docs sharing a gram both
+    // count as duplicated
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t20").toString
+    Seq(
+      (1L, "a b c d e f g h a b c d e f g h"),
+      (2L, "p q r s t u v w distinct tail one"),
+      (3L, "p q r s t u v w another ending here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.t20DupProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_grams")).toMap
+    assert(planted(1L) == 0L, "intra-doc repetition must not count as duplication")
+    assert(planted(2L) >= 1L && planted(3L) >= 1L, "shared gram must count in both docs")
+  }
 }
