@@ -432,8 +432,44 @@ object AnalyticsExt {
       .orderBy(col("side"), col("node_id"))
   }
 
+  /** `q34_culprit_supplier`: the TPC-H Q21 existential shape (suppliers
+    * who alone caused a problem on multi-supplier orders) on this
+    * schema's quality signal: for each supplier, the count of orders
+    * where the order has lines from ≥ 2 suppliers, THIS supplier had a
+    * returned line (`l_returnflag = 'R'`), and NO other supplier did —
+    * the sole-culprit attribution behind supplier scorecards.
+    *
+    * Spark-first de-correlation: the textbook form is a four-way
+    * correlated EXISTS / NOT EXISTS self-join (the oracle deliberately
+    * states exactly that, so the hash-match PROVES the rewrite). Here
+    * it collapses to ONE grouped pass per grain: per-(order, supplier)
+    * return flags, re-aggregated per order (supplier count + returning-
+    * supplier count — map-side partial over already-clustered rows),
+    * one equi-join back on the order key, then the per-supplier count.
+    * No self-join of the fact table against itself ever happens; every
+    * shuffle key is the order key or the supplier key. */
+  def q34CulpritSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val per = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_ret"))
+      .localCheckpoint(true) // consumed by the order rollup AND the filter
+    val ord = per.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_ret")).as("n_supp_ret"))
+    val culprit = per.join(ord, Seq("l_orderkey"))
+      .filter(col("has_ret") === 1L && col("n_supp") >= 2 && col("n_supp_ret") === 1L)
+    culprit.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_culprit_orders"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_culprit_orders"))
+      .orderBy(col("n_culprit_orders").desc, col("s_suppkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_graph_rank" -> (q33GraphRank _),
+    "q34_culprit_supplier" -> (q34CulpritSupplier _),
     "q28_anomaly_mad" -> (q28AnomalyMad _),
     "q25_histogram" -> (q25Histogram _),
     "q19_ratio_report" -> (q19RatioReport _),
@@ -474,6 +510,20 @@ object AnalyticsExt {
 
   val oracle: Map[String, String] = Map(
     "q33_graph_rank" -> q33OracleSql,
+    // deliberately the TEXTBOOK correlated form: hash-matching it proves
+    // the Spark plan's single-pass de-correlation is the same query
+    "q34_culprit_supplier" ->
+      s"""SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+         | CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_culprit_orders
+         |FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         |WHERE l1.l_returnflag = 'R'
+         | AND EXISTS (SELECT 1 FROM lineitem l2
+         |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey)
+         | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+         |    AND l3.l_returnflag = 'R')
+         |GROUP BY 1, 2
+         |ORDER BY n_culprit_orders DESC, s_suppkey""".stripMargin,
     // integer space end-to-end (cents / half-cents): quantile_cont over
     // integers interpolates dyadic-exactly, so the doubled casts are exact
     "q28_anomaly_mad" ->

@@ -271,4 +271,25 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(top.getAs[String]("side") == "supplier", "hub side")
     assert(got.forall(_.getAs[Long]("rank_e6") >= 150000L), "teleport floor")
   }
+
+  test("q34: the de-correlated sole-culprit count matches a literal Scala " +
+    "replay of the textbook EXISTS / NOT EXISTS semantics") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byOrder = li.groupBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((_, rows) <- byOrder) {
+      val supps = rows.map(_._2).distinct
+      val retSupps = rows.filter(_._3 == "R").map(_._2).distinct
+      // multi-supplier order with exactly one returning supplier
+      if (supps.length >= 2 && retSupps.length == 1)
+        expected(retSupps.head) += 1L
+    }
+    val got = AnalyticsExt.q34CulpritSupplier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_culprit_orders")).toMap
+    assert(got == expected.toMap, s"culprit counts diverged")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    info(s"${got.size} culprit suppliers, max ${got.values.max} orders")
+  }
 }
