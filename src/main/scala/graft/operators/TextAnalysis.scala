@@ -440,6 +440,68 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN v USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** t21 pair depth per source and the minimum e6 quality gap a shipped
+    * pair must carry (a zero-margin pair teaches a preference model
+    * nothing). */
+  val PrefK = 5
+  val MinMarginE6 = 1L
+
+  /** `t21_preference_pairs`: preference-pair mining — the DPO /
+    * reward-model data-prep step that turns a SCORED corpus into
+    * (chosen, rejected) training pairs: within each source, the i-th
+    * BEST document by t19's LM-score rank pairs with the i-th WORST
+    * (i ≤ [[PrefK]]), giving [[PrefK]] maximally-separated, rank-aligned
+    * pairs per source instead of the k² cross product; pairs must be two
+    * distinct docs with a margin ≥ [[MinMarginE6]] (both degenerate when
+    * a source has < 2 scored docs — filtered, not invented). Margins are
+    * exact e6-integer differences of t19's scores.
+    *
+    * Scale: all ranking work is t19's distributed machinery; the pairing
+    * itself joins two PrefK-per-source slices on (source, pair_idx) —
+    * probe-sized both sides, nothing fact-grained moves. */
+  def t21PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sc = t19PerplexityPrune(spark, dir)
+      .filter(col("rank_in_source").isNotNull)
+      .select(col("source"), col("doc_id"), col("lm_score_e6"),
+        col("rank_in_source"), col("n_scored"))
+      .localCheckpoint(true) // both pair sides read it
+    val chosen = sc.filter(col("rank_in_source") > col("n_scored") - PrefK)
+      .select(col("source"),
+        (col("n_scored") - col("rank_in_source") + 1).as("pair_idx"),
+        col("doc_id").as("chosen_id"), col("lm_score_e6").as("chosen_score_e6"))
+    val rejected = sc.filter(col("rank_in_source") <= PrefK)
+      .select(col("source"), col("rank_in_source").as("pair_idx"),
+        col("doc_id").as("rejected_id"), col("lm_score_e6").as("rejected_score_e6"))
+    chosen.join(rejected, Seq("source", "pair_idx"))
+      .withColumn("margin_e6", col("chosen_score_e6") - col("rejected_score_e6"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("margin_e6") >= MinMarginE6)
+      .select(col("source"), col("pair_idx"), col("chosen_id"),
+        col("rejected_id"), col("chosen_score_e6"), col("rejected_score_e6"),
+        col("margin_e6"))
+      .orderBy(col("source"), col("pair_idx"))
+  }
+
+  private lazy val t21OracleSql: String =
+    s"""WITH t19 AS (
+       |$t19OracleSql),
+       |sc AS (SELECT * FROM t19 WHERE rank_in_source IS NOT NULL),
+       |c AS (
+       | SELECT source, n_scored - rank_in_source + 1 AS pair_idx,
+       |  doc_id AS chosen_id, lm_score_e6 AS chosen_score_e6
+       | FROM sc WHERE rank_in_source > n_scored - $PrefK),
+       |rj AS (
+       | SELECT source, rank_in_source AS pair_idx,
+       |  doc_id AS rejected_id, lm_score_e6 AS rejected_score_e6
+       | FROM sc WHERE rank_in_source <= $PrefK)
+       |SELECT c.source AS source, c.pair_idx AS pair_idx, c.chosen_id, rj.rejected_id,
+       | c.chosen_score_e6, rj.rejected_score_e6,
+       | c.chosen_score_e6 - rj.rejected_score_e6 AS margin_e6
+       |FROM c JOIN rj ON rj.source = c.source AND rj.pair_idx = c.pair_idx
+       |WHERE c.chosen_id != rj.rejected_id
+       | AND c.chosen_score_e6 - rj.rejected_score_e6 >= $MinMarginE6
+       |ORDER BY source, c.pair_idx""".stripMargin
+
   val MinPairCount = 3 // t10: bigram must occur this often to be scored
   val TopCollocations = 50 // t10: report size
 
@@ -928,6 +990,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_dup_profile" -> (t20DupProfile _),
+    "t21_preference_pairs" -> (t21PreferencePairs _),
     "t1_text_stats" -> (t1TextStats _),
     "t19_perplexity_prune" -> (t19PerplexityPrune _),
     "t2_text_quality" -> (t2TextQuality _),
@@ -1192,6 +1255,7 @@ object TextAnalysis {
     "t18_importance_weights" -> t18OracleSql,
     "t19_perplexity_prune" -> t19OracleSql,
     "t20_dup_profile" -> t20OracleSql,
+    "t21_preference_pairs" -> t21OracleSql,
     "t1_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
          | CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END AS n_ws_tokens,

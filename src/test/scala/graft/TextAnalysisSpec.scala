@@ -537,4 +537,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(planted(1L) == 0L, "intra-doc repetition must not count as duplication")
     assert(planted(2L) >= 1L && planted(3L) >= 1L, "shared gram must count in both docs")
   }
+
+  test("t21: preference pairs are rank-aligned best-vs-worst per source " +
+    "with strictly positive margins — replayed from t19's own ranks") {
+    val ranks = TextAnalysis.t19PerplexityPrune(spark, sf).collect()
+      .filter(!_.isNullAt(3)) // rank_in_source
+      .map(r => (r.getAs[String]("source"), r.getLong(0),
+        r.getAs[Long]("lm_score_e6"), r.getAs[Long]("rank_in_source"),
+        r.getAs[Long]("n_scored")))
+    val expected = ranks.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      val chosen = rs.filter(t => t._4 > t._5 - TextAnalysis.PrefK)
+        .map(t => (t._5 - t._4 + 1) -> (t._2, t._3)).toMap
+      val rejected = rs.filter(_._4 <= TextAnalysis.PrefK)
+        .map(t => t._4 -> (t._2, t._3)).toMap
+      for {
+        i <- chosen.keySet.intersect(rejected.keySet).toSeq
+        (cid, cs) = chosen(i); (rid, rjs) = rejected(i)
+        if cid != rid && cs - rjs >= TextAnalysis.MinMarginE6
+      } yield (src, i, cid, rid, cs, rjs, cs - rjs)
+    }.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.t21PreferencePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("pair_idx"), r.getLong(2),
+        r.getLong(3), r.getAs[Long]("chosen_score_e6"),
+        r.getAs[Long]("rejected_score_e6"), r.getAs[Long]("margin_e6")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expected, "pair construction diverged from t19's ranks")
+    got.foreach { p =>
+      assert(p._7 >= 1L && p._5 > p._6, s"non-positive margin in $p")
+      assert(p._2 >= 1L && p._2 <= TextAnalysis.PrefK)
+    }
+    val perSource = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perSource.values.forall(_ <= TextAnalysis.PrefK))
+    info(s"${got.length} pairs over ${perSource.size} sources")
+    assert(got.length >= 20, "the shipped corpus must yield a real pair set")
+  }
 }
