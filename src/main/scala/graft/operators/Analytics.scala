@@ -386,7 +386,75 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** `q35_min_cost_supplier`: the TPC-H Q2 shape (per part, the
+    * supplier(s) quoting the minimum cost inside one region) on this
+    * schema: an "offer" is the minimum observed `l_extendedprice` in
+    * integer cents per (part, supplier); eligible suppliers sit in
+    * EUROPE; eligible parts are `p_type = 'PROMO'`. All tied minimum
+    * suppliers are returned (no arbitrary pick), as in Q2 itself.
+    *
+    * Spark-first de-correlation: the textbook form is a correlated
+    * scalar subquery per part (`WHERE cost = (SELECT min(...) WHERE
+    * part = outer.part)`) — the oracle deliberately states exactly
+    * that, so the hash-match proves the rewrite. Here both filters are
+    * pushed BELOW the offer aggregation (broadcast joins against the
+    * filtered part dim and the region-filtered supplier dim prune the
+    * fact scan first), the per-(part,supplier) min is one map-side-
+    * partial aggregation, and the per-part floor is a window min over
+    * the offer table — offer-sized, not fact-sized. No fact-fact
+    * self-join, no second scan. */
+  def q35MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val promoParts = t(spark, dir, "part")
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_name"))
+    val offers = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(min(col("cents")).as("offer_cents"))
+    offers
+      .withColumn("best_cents",
+        min(col("offer_cents")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("offer_cents") === col("best_cents"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("offer_cents"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** `q36_order_count_dist`: the TPC-H Q13 shape — the distribution of
+    * customers by how many qualifying orders they placed, INCLUDING the
+    * zero-order customers a plain inner join would silently drop
+    * (qualifying = not LOW-priority). Two aggregations: per-customer
+    * order count off a left outer join, then the count-of-counts.
+    *
+    * Scale: the outer join and first aggregation both key on the
+    * customer key (one shuffle grain, AQE-coalesced); the second
+    * aggregation's input is customer-sized and its key space is the
+    * tiny count domain — map-side partials collapse it before the
+    * exchange. Nothing here is fact² and no driver-side work occurs. */
+  def q36OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_custkey"), col("o_orderkey"))
+    val perCust = t(spark, dir, "customer").select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_min_cost_supplier" -> q35MinCostSupplier _,
+    "q36_order_count_dist" -> q36OrderCountDist _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -399,6 +467,35 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    // deliberately the TEXTBOOK Q2 form — a correlated scalar subquery
+    // per part: hash-matching it proves the window-min de-correlation
+    "q35_min_cost_supplier" ->
+      """WITH eu AS (
+        | SELECT s_suppkey, s_name, n_name
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'EUROPE'),
+        |off AS (
+        | SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |  CAST(min(floor(l_extendedprice * 100)) AS BIGINT) AS offer_cents
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN eu ON l_suppkey = s_suppkey
+        | GROUP BY 1, 2, 3, 4, 5)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, offer_cents
+        |FROM off o
+        |WHERE offer_cents = (SELECT min(o2.offer_cents) FROM off o2
+        |  WHERE o2.p_partkey = o.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q36_order_count_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -33,6 +33,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("q35: both dims broadcast BELOW the offer aggregation (the fact " +
+    "scan is pruned before any shuffle) and the per-part floor is a " +
+    "window over the offer table — no fact self-join, no cartesian") {
+    val p = plan(Analytics.q35MinCostSupplier(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"dims not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_min"), s"offer min lacks map-side partial in:\n$p")
+    // exactly one Window (the per-part min) — a second would mean the
+    // de-correlation regressed to a join-back or a correlated re-plan
+    assert("Window".r.findAllIn(p).size >= 1 && p.contains("min(offer_cents"),
+      s"window floor missing in:\n$p")
+  }
+
+  test("q36: the zero-keeping outer join keys the customer grain and the " +
+    "count-of-counts collapses map-side — two partial aggregations, no " +
+    "nested loop") {
+    val p = plan(Analytics.q36OrderCountDist(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"expected two map-side partial counts in:\n$p")
+  }
+
   test("p6: curated join runs with zero shuffle joins") {
     val p = plan(Curated.p6CuratedJoin(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
