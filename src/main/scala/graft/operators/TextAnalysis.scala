@@ -988,7 +988,63 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** t22 merge-table depth and the BPE symbol alphabet (lower-cased
+    * alphanumeric words — the pre-tokenizer's letter/digit runs). */
+  val BpeTopMerges = 20
+  private val BpeWordRe = "^[a-z0-9]+$"
+
+  /** `t22_bpe_merges`: one iteration of byte-pair-encoding vocabulary
+    * induction — the tokenizer-TRAINING step of an LLM data pipeline
+    * (the text family so far only consumes tokenizations; this one
+    * learns one). For every adjacent symbol pair inside every vocabulary
+    * word, the corpus-weighted occurrence count (word frequency × the
+    * pair's positions in the word) and the number of distinct word
+    * types carrying it; the output is the top-[[BpeTopMerges]] merge
+    * candidates — exactly what a BPE trainer would merge next, ranked
+    * by weighted count with a lexicographic tie-break.
+    *
+    * Scale (the classic BPE-on-word-frequency trick): corpus-sized work
+    * ends at the word-frequency aggregation (one token explode + a
+    * map-side-partial count). ALL pair enumeration runs over the
+    * DISTINCT vocabulary — Σ|word| over word types, which saturates on
+    * natural text no matter how large the corpus grows — and the merge
+    * table itself is a TakeOrdered top-k, never a global sort. */
+  def t22BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .select(lower(col("w")).as("word"))
+      .filter(col("word").rlike(BpeWordRe))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val pairs = vocab.filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n_weighted"),
+        countDistinct(col("word")).as("n_types"))
+      .orderBy(col("n_weighted").desc, col("pair"))
+      .limit(BpeTopMerges)
+  }
+
+  // lazy: tokSql is declared later in this object
+  private lazy val t22OracleSql: String =
+    s"""WITH w AS (
+       | SELECT lower(unnest($tokSql)) AS word FROM documents),
+       |v AS (
+       | SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+       | WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1),
+       |p AS (
+       | SELECT word, freq,
+       |  unnest(list_transform(range(1, length(word)),
+       |    i -> substr(word, CAST(i AS INT), 2))) AS pair
+       | FROM v WHERE length(word) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_weighted,
+       | CAST(count(DISTINCT word) AS BIGINT) AS n_types
+       |FROM p GROUP BY 1
+       |ORDER BY n_weighted DESC, pair LIMIT $BpeTopMerges""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_merges" -> (t22BpeMerges _),
     "t20_dup_profile" -> (t20DupProfile _),
     "t21_preference_pairs" -> (t21PreferencePairs _),
     "t1_text_stats" -> (t1TextStats _),
@@ -1240,6 +1296,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t22_bpe_merges" -> t22OracleSql,
     "t17_context_chunks" -> t17OracleSql,
     "t15_stratified_sample" -> t15OracleSql,
     "t16_lm_score" -> t16OracleSql,

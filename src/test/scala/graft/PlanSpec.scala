@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
   }
 
+  test("t22: the merge table plans as TakeOrderedAndProject over the " +
+    "vocab-grained pair aggregate — no global sort, no join at all") {
+    val p = plan(graft.operators.TextAnalysis.t22BpeMerges(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
   test("t12: the tape prefix sum runs range-partitioned — the only " +
     "unpartitioned window is over the per-range totals, never the docs") {
     val df = graft.operators.TextAnalysis.t12SequencePackRanged(spark, sf, 3)

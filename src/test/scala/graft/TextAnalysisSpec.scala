@@ -571,4 +571,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     info(s"${got.length} pairs over ${perSource.size} sources")
     assert(got.length >= 20, "the shipped corpus must yield a real pair set")
   }
+
+  test("t22: the vocab-sized pair counting matches a literal Scala replay " +
+    "of one BPE iteration over the raw token stream, merge order included") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wordRe = "^[a-z0-9]+$".r
+    val vocab = texts.iterator
+      .flatMap(_.trim.split("\\s+").iterator.filter(_.nonEmpty))
+      .map(_.toLowerCase)
+      .filter(w => wordRe.findFirstIn(w).isDefined)
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((w, f) <- vocab; if w.length >= 2; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      val (wt, ty) = pairCounts.getOrElse(p, (0L, 0L))
+      pairCounts(p) = (wt + f, ty) // types counted below, per distinct word
+    }
+    val typeCounts = vocab.keysIterator.filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)).distinct)
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCounts.toSeq
+      .map { case (p, (wt, _)) => (p, wt, typeCounts(p)) }
+      .sortBy { case (p, wt, _) => (-wt, p) }
+      .take(TextAnalysis.BpeTopMerges)
+    val got = TextAnalysis.t22BpeMerges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_weighted"), r.getAs[Long]("n_types")))
+      .toSeq
+    assert(got == expected, "merge table diverged from the literal replay")
+    assert(got.length == TextAnalysis.BpeTopMerges, "full merge table")
+    info(s"top merge: ${got.head}")
+  }
 }
