@@ -432,6 +432,79 @@ object AnalyticsExt {
       .orderBy(col("side"), col("node_id"))
   }
 
+  /** q37: a part pair is an edge once it co-occurs in at least this many
+    * orders — the sparsifier that keeps the co-purchase graph from being
+    * one dense random blob. */
+  val TriMinCoOrders = 2
+
+  /** `q37_triangle_count`: triangle census of the part co-purchase graph
+    * (parts are linked when they appear together in ≥ [[TriMinCoOrders]]
+    * orders) — one summary row: nodes, edges, wedges (length-2 paths),
+    * triangles, and the global clustering coefficient `3·tri/wedges` in
+    * floor-e6. Triangle counting is the classic it-looks-like-a-self-
+    * join-bomb graph kernel; none of q33's message-passing machinery
+    * covers it.
+    *
+    * Scale (the node-iterator/orientation algorithm, MapReduce-classic):
+    * pair generation is per-order C(k,2) with k = lines per order — a
+    * bounded fan-out of one grouped scan, never a fact self-join. The
+    * wedge join runs on edges ORIENTED from the (degree, node)-smaller
+    * endpoint to the larger, which caps every node's out-degree at
+    * O(√m) regardless of skew — Σ out² (the wedge count) is O(m^1.5)
+    * worst-case instead of the Σ d² a hub would pay unoriented; each
+    * triangle is counted exactly once at its smallest-order apex. The
+    * edge table is checkpointed once and reused by the orientation, the
+    * wedge join and the closing-edge probe; every join keys on a node
+    * or canonical pair, so AQE handles residual skew. All counts and
+    * the e6 coefficient are exact integer arithmetic. */
+  def q37TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val po = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // per-order sorted part arrays -> C(k,2) pair fan-out (k <= lines/order)
+    val byOrder = po.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairs = byOrder.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ps")) - 2), i =>
+          transform(sequence(i + 1, size(col("ps")) - 1), j =>
+            struct(element_at(col("ps"), i + 1).as("u"),
+              element_at(col("ps"), j + 1).as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val edges = pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= TriMinCoOrders)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true) // reused: degrees, orientation, closing probe
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // reused: two orientation joins + node/wedge totals
+    // orient each edge from the (degree, node)-smaller endpoint
+    val oe = edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.dd").as("dd"))
+      .localCheckpoint(true) // both wedge sides read it
+    val o2 = oe.select(col("src"), col("dst").as("dst2"), col("dd").as("dd2"))
+    val wedgeCands = oe.join(o2, Seq("src"))
+      .filter(col("dd") < col("dd2") || (col("dd") === col("dd2") && col("dst") < col("dst2")))
+      .select(least(col("dst"), col("dst2")).as("u"), greatest(col("dst"), col("dst2")).as("v"))
+    val triRow = wedgeCands.join(edges, Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeRow = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeRow = edges.agg(count(lit(1)).as("n_edges"))
+    nodeRow.crossJoin(broadcast(edgeRow)).crossJoin(broadcast(triRow))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0L))
+          .otherwise(expr("(3 * n_triangles * 1000000) div n_wedges"))
+          .as("global_cc_e6"))
+  }
+
   /** `q34_culprit_supplier`: the TPC-H Q21 existential shape (suppliers
     * who alone caused a problem on multi-supplier orders) on this
     * schema's quality signal: for each supplier, the count of orders
@@ -470,6 +543,7 @@ object AnalyticsExt {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_graph_rank" -> (q33GraphRank _),
     "q34_culprit_supplier" -> (q34CulpritSupplier _),
+    "q37_triangle_count" -> (q37TriangleCount _),
     "q28_anomaly_mad" -> (q28AnomalyMad _),
     "q25_histogram" -> (q25Histogram _),
     "q19_ratio_report" -> (q19RatioReport _),
@@ -510,6 +584,30 @@ object AnalyticsExt {
 
   val oracle: Map[String, String] = Map(
     "q33_graph_rank" -> q33OracleSql,
+    // the oracle counts triangles by the TEXTBOOK canonical triple join
+    // (u<v<w over the undirected edge table) — hash-matching it proves
+    // the degree-oriented wedge construction counts each triangle once
+    "q37_triangle_count" ->
+      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         | SELECT a.l_partkey AS u, b.l_partkey AS v
+         | FROM po a JOIN po b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         | GROUP BY 1, 2 HAVING count(*) >= $TriMinCoOrders),
+         |tri AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         | FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |nd AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         | FROM (SELECT count(*) AS d FROM
+         |   (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node)),
+         |ed AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         | CASE WHEN n_wedges = 0 THEN 0
+         |  ELSE (3 * n_triangles * 1000000) // n_wedges END AS global_cc_e6
+         |FROM nd, ed, tri""".stripMargin,
     // deliberately the TEXTBOOK correlated form: hash-matching it proves
     // the Spark plan's single-pass de-correlation is the same query
     "q34_culprit_supplier" ->

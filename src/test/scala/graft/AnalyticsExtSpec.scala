@@ -292,4 +292,37 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the shipped corpus must exercise the shape")
     info(s"${got.size} culprit suppliers, max ${got.values.max} orders")
   }
+
+  test("q37: the degree-oriented wedge construction matches a literal " +
+    "adjacency-set triangle census of the same co-purchase graph") {
+    val po = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairCo = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    for ((_, parts) <- po.groupBy(_._1); ps = parts.map(_._2).sorted;
+         i <- ps.indices; j <- (i + 1) until ps.length)
+      pairCo((ps(i), ps(j))) += 1
+    // .iterator first: collecting (u,v) tuples straight off a Map would
+    // rebuild a Map keyed by u and silently dedup the edge list
+    val edges = pairCo.iterator.collect {
+      case (p, c) if c >= AnalyticsExt.TriMinCoOrders => p }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for ((u, v) <- edges) { adj(u) += v; adj(v) += u }
+    // count each triangle once: for each edge (u<v), common neighbors w > v
+    val triExact = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v && edges.contains((u, w)) && edges.contains((v, w)))
+    }.sum.toLong
+    val nWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val r = AnalyticsExt.q37TriangleCount(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_nodes") == adj.size.toLong, "node count")
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong, "edge count")
+    assert(row.getAs[Long]("n_wedges") == nWedges, "wedge count")
+    assert(row.getAs[Long]("n_triangles") == triExact, "triangle count")
+    val cc = if (nWedges == 0) 0L else 3L * triExact * 1000000L / nWedges
+    assert(row.getAs[Long]("global_cc_e6") == cc, "clustering coefficient")
+    assert(triExact > 0L, "the shipped corpus must contain triangles")
+    info(s"${adj.size} nodes, ${edges.size} edges, $triExact triangles, cc_e6=$cc")
+  }
 }

@@ -98,6 +98,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
   }
 
+  test("q37: pair fan-out is a grouped scan (no fact self-join), every " +
+    "graph join is an equi-join, and the only nested-loop joins are the " +
+    "two broadcast 1-row summary attachments") {
+    val p = plan(AnalyticsExt.q37TriangleCount(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2,
+      s"expected exactly the two 1-row summary crossjoins in:\n$p")
+  }
+
   test("t22: the merge table plans as TakeOrderedAndProject over the " +
     "vocab-grained pair aggregate — no global sort, no join at all") {
     val p = plan(graft.operators.TextAnalysis.t22BpeMerges(spark, sf))
