@@ -458,10 +458,13 @@ object AnalyticsExt {
     * or canonical pair, so AQE handles residual skew. All counts and
     * the e6 coefficient are exact integer arithmetic. */
   def q37TriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val po = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    // per-order sorted part arrays -> C(k,2) pair fan-out (k <= lines/order)
-    val byOrder = po.groupBy(col("l_orderkey"))
+    // per-order sorted part arrays -> C(k,2) pair fan-out (k <= lines/order).
+    // No pre-distinct: collect_set dedups per order inside ONE shuffle
+    // (with a map-side partial set build), where a distinct() first would
+    // add a second full-fact exchange for nothing.
+    val byOrder = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .filter(size(col("ps")) >= 2)
     val pairs = byOrder.select(explode(flatten(
