@@ -464,7 +464,117 @@ object PipelineQueries {
        |FROM a GROUP BY 1 ORDER BY bin""".stripMargin
   }
 
+  /** p21: every ErasureMod-th customer key has filed a delete request —
+    * the deterministic stand-in for a right-to-be-forgotten request
+    * table (real lists arrive as key sets; the mod keeps the oracle
+    * self-contained). */
+  val ErasureMod = 97L
+
+  /** `p21_erasure_plan`: GDPR / right-to-be-forgotten erasure planning
+    * over the z-order layout — given a delete-request key list (every
+    * [[ErasureMod]]-th customer), which files must be REWRITTEN (they
+    * contain a victim row), which would be read in vain (their
+    * `cust_min..cust_max` manifest range covers a requested key that is
+    * not actually present — the false-positive read a min/max manifest
+    * cannot avoid), and which are provably skippable from stats alone.
+    * One row per file (zcell) + a ~TOTAL row; `rewrite_rows` is the
+    * rows that must be rewritten to drop `n_victims` — the write
+    * amplification of the erasure.
+    *
+    * Scale: the request list is broadcast everywhere it is used — once
+    * equi-joined against the fact inside the ONE grouped scan that
+    * builds the manifest (in production the manifest is read from table
+    * metadata, not rebuilt), and once range-joined against the
+    * file-grained manifest (bounded side × metadata-sized side). No
+    * fact-fact join, nothing request-sized ever shuffles. */
+  def p21ErasurePlan(spark: SparkSession, dir: String): DataFrame = {
+    val req = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % ErasureMod === 0)
+      .select(col("c_custkey").as("rk"))
+    val files = zkeyedOrders(spark, dir)
+      .withColumn("zcell",
+        shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
+      .join(broadcast(req), col("cust") === col("rk"), "left")
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cust")).as("cust_min"), max(col("cust")).as("cust_max"),
+        count(col("rk")).as("n_victims"))
+      .localCheckpoint(true) // manifest-sized; read by range count + plan
+    val rc = files.select(col("zcell"), col("cust_min"), col("cust_max"))
+      .join(broadcast(req),
+        col("rk").between(col("cust_min"), col("cust_max")), "left")
+      .groupBy(col("zcell")).agg(count(col("rk")).as("n_req_in_range"))
+    val per = files.join(rc, Seq("zcell"))
+      .withColumn("verdict",
+        when(col("n_victims") > 0, "rewrite")
+          .when(col("n_req_in_range") > 0, "false_read")
+          .otherwise("skipped"))
+      .withColumn("rewrite_rows",
+        when(col("n_victims") > 0, col("n_rows")).otherwise(0L))
+      .select(col("zcell").cast("string").as("zcell"), lit(1L).as("n_files"),
+        col("n_rows"), col("n_req_in_range"), col("n_victims"),
+        col("verdict"), col("rewrite_rows"))
+    val totRow = per.agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_req_in_range")).as("n_req_in_range"),
+        sum(col("n_victims")).as("n_victims"),
+        sum(col("rewrite_rows")).as("rewrite_rows"))
+      .select(lit("~TOTAL").as("zcell"), col("n_files"), col("n_rows"),
+        col("n_req_in_range"), col("n_victims"), lit("~TOTAL").as("verdict"),
+        col("rewrite_rows"))
+    per.unionByName(totRow).orderBy(col("zcell"))
+  }
+
+  val p21Oracle: String = {
+    val grid = 1L << ZGridBits
+    s"""WITH o AS (
+       | SELECT o_orderkey, epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  o_custkey AS cust
+       | FROM orders),
+       |s AS (SELECT min(day) AS day_min, max(day) AS day_max,
+       |  min(cust) AS cust_min, max(cust) AS cust_max FROM o),
+       |g AS (
+       | SELECT cust,
+       |  ((day - day_min) * $grid) // (day_max - day_min + 1) AS xn,
+       |  ((cust - cust_min) * $grid) // (cust_max - cust_min + 1) AS yn
+       | FROM o CROSS JOIN s),
+       |z AS (
+       | SELECT cust, CAST(list_sum(list_transform(range(0, 16), i ->
+       |    (((xn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER)))
+       |    + (((yn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER) + 1))))
+       |   AS BIGINT) AS zkey
+       | FROM g),
+       |req AS (SELECT c_custkey AS rk FROM customer WHERE c_custkey % $ErasureMod = 0),
+       |f AS (
+       | SELECT zkey >> ${2 * ZGridBits - ZFileBits} AS zcell,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(cust) AS cust_min, max(cust) AS cust_max,
+       |  CAST(count(rk) AS BIGINT) AS n_victims
+       | FROM z LEFT JOIN req ON rk = cust GROUP BY 1),
+       |rc AS (
+       | SELECT zcell, CAST(count(rk) AS BIGINT) AS n_req_in_range
+       | FROM f LEFT JOIN req ON rk BETWEEN cust_min AND cust_max GROUP BY 1),
+       |per AS (
+       | SELECT CAST(f.zcell AS VARCHAR) AS zcell, CAST(1 AS BIGINT) AS n_files,
+       |  n_rows, n_req_in_range, n_victims,
+       |  CASE WHEN n_victims > 0 THEN 'rewrite'
+       |   WHEN n_req_in_range > 0 THEN 'false_read' ELSE 'skipped' END AS verdict,
+       |  CAST(CASE WHEN n_victims > 0 THEN n_rows ELSE 0 END AS BIGINT)
+       |    AS rewrite_rows
+       | FROM f JOIN rc ON rc.zcell = f.zcell)
+       |SELECT zcell, n_files, n_rows, n_req_in_range, n_victims, verdict,
+       | rewrite_rows
+       |FROM (
+       | SELECT * FROM per
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(n_req_in_range) AS BIGINT), CAST(sum(n_victims) AS BIGINT),
+       |  '~TOTAL', CAST(sum(rewrite_rows) AS BIGINT)
+       | FROM per)
+       |ORDER BY zcell""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_erasure_plan" -> (p21ErasurePlan _),
     "p18_fk_audit" ->
       ((s: SparkSession, d: String) => Quality.p18FkAudit(s, d)),
     "p17_expectation_suite" ->
@@ -489,6 +599,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p21_erasure_plan" -> p21Oracle,
     "p18_fk_audit" -> Quality.p18Oracle,
     "p17_expectation_suite" ->
       Quality.p17Oracle(PipelineConfig.default.expectations),

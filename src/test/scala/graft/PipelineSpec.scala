@@ -914,4 +914,48 @@ class PipelineSpec extends AnyFunSuite {
     info(s"${got.length} runs over ${islands.length} islands")
     assert(split, "no island needed a batch split — the chunking is untested")
   }
+
+  test("p21: the erasure plan is sound (skipped files provably hold no " +
+    "victim), complete (every victim row lands in a rewrite file), and " +
+    "the victim total replays from raw orders x the request list") {
+    import org.apache.spark.sql.functions.col
+    val rows = PipelineQueries.p21ErasurePlan(spark, sf).collect()
+    val (tot, per) = rows.partition(_.getString(0) == "~TOTAL")
+    assert(tot.length == 1 && per.nonEmpty)
+    val t = tot.head
+    per.foreach { r =>
+      val (v, reqIn, vic) = (r.getAs[String]("verdict"),
+        r.getAs[Long]("n_req_in_range"), r.getAs[Long]("n_victims"))
+      assert(vic <= r.getAs[Long]("n_rows"))
+      v match {
+        case "rewrite" =>
+          assert(vic > 0L)
+          // a victim's key is in the file, so the manifest range covers it
+          assert(reqIn > 0L, s"rewrite file invisible to the manifest: $r")
+          assert(r.getAs[Long]("rewrite_rows") == r.getAs[Long]("n_rows"))
+        case "false_read" =>
+          assert(vic == 0L && reqIn > 0L)
+          assert(r.getAs[Long]("rewrite_rows") == 0L)
+        case "skipped" =>
+          assert(vic == 0L && reqIn == 0L, s"skipped file not provably clear: $r")
+          assert(r.getAs[Long]("rewrite_rows") == 0L)
+      }
+    }
+    for (c <- Seq("n_files", "n_rows", "n_req_in_range", "n_victims", "rewrite_rows"))
+      assert(t.getAs[Long](c) == per.map(_.getAs[Long](c)).sum, s"total drift in $c")
+    // independent victim total: orders joined against the request list
+    val reqKeys = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % PipelineQueries.ErasureMod === 0)
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    val victims = Tables.load(spark, sf, "orders").select("o_custkey")
+      .collect().count(r => reqKeys.contains(r.getLong(0))).toLong
+    assert(t.getAs[Long]("n_victims") == victims,
+      s"victim total diverged: ${t.getAs[Long]("n_victims")} vs $victims")
+    assert(victims > 0L, "the shipped corpus must contain victims")
+    val nRewrite = per.count(_.getAs[String]("verdict") == "rewrite")
+    info(s"files ${per.length}, rewrite $nRewrite, victims $victims, " +
+      s"write amplification ${t.getAs[Long]("rewrite_rows")} rows")
+    // the layout must localize the rewrite: most files are untouched
+    assert(nRewrite * 2 < per.length, s"erasure touches most files: $nRewrite/${per.length}")
+  }
 }
