@@ -1230,6 +1230,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d16_source_overlap" -> d16OracleSql,
     "d9_dedup_chunks" -> d9OracleSql,
     "d11_dedup_eval" -> d11Oracle,
     "d14_substring_dedup" -> d14OracleSql,
@@ -1458,7 +1459,52 @@ object Dedup {
        | CAST(floor(n_hit * 1000000.0 / NULLIF((SELECT count(*) FROM truth), 0)) AS BIGINT) AS recall_e6
        |FROM h""".stripMargin
 
+  /** `d16_source_overlap`: the source×source near-duplication matrix —
+    * which sources copy from which (mirror sites, syndicated feeds,
+    * scrape-of-a-scrape), the provenance telemetry that drives corpus
+    * mixing decisions the way t9 drives rates. One row per unordered
+    * source pair that shares at least one d2-grade near-dup pair
+    * (diagonal = within-source duplication): pair count, floor-e6 mean
+    * and max Jaccard.
+    *
+    * Scale: the pair table is d2's prefix-filtered exact-Jaccard output
+    * (LSH-bounded, never n²); the source attribution joins that
+    * PAIR-GRAINED table against the two-column doc→source projection on
+    * the doc key, and the matrix itself is |sources|² at most — nothing
+    * here adds fact-sized work to d2's. */
+  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d2DedupNgram(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard_e6"))
+    val src = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_id_1"), col("source").as("s1")), Seq("doc_id_1"))
+      .join(src.select(col("doc_id").as("doc_id_2"), col("source").as("s2")), Seq("doc_id_2"))
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"), col("jaccard_e6"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        sum(col("jaccard_e6")).as("sum_j"), max(col("jaccard_e6")).as("max_jaccard_e6"))
+      .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
+        expr("sum_j div n_dup_pairs").as("avg_jaccard_e6"), col("max_jaccard_e6"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private lazy val d16OracleSql: String =
+    s"""WITH $shinglesCte,
+       |p AS (${jaccardSelectSql("")}),
+       |e AS (
+       | SELECT least(s1.source, s2.source) AS source_a,
+       |  greatest(s1.source, s2.source) AS source_b, p.jaccard_e6
+       | FROM p JOIN documents s1 ON s1.doc_id = p.doc_id_1
+       |  JOIN documents s2 ON s2.doc_id = p.doc_id_2)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       | CAST(sum(jaccard_e6) // count(*) AS BIGINT) AS avg_jaccard_e6,
+       | max(jaccard_e6) AS max_jaccard_e6
+       |FROM e GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_source_overlap" -> (d16SourceOverlap _),
     "d11_dedup_eval" -> (d11DedupEval _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram" -> ((s: SparkSession, d: String) => d2DedupNgram(s, d)),

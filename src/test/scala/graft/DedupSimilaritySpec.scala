@@ -1228,4 +1228,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(report.values.map(_._5).sum > 0L, "reassignment churn is vacuous")
   }
+
+  test("d16: the source-overlap matrix is exactly d2's pair table rolled " +
+    "up by unordered source pair — counts, floor-e6 means and maxima") {
+    val pairs = Dedup.d2DedupNgram(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Long]("jaccard_e6")))
+    val src = Tables.load(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, ps) =>
+      val js = ps.map(_._3)
+      k -> (js.length.toLong, js.sum / js.length, js.max)
+    }
+    val got = Dedup.d16SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("avg_jaccard_e6"),
+          r.getAs[Long]("max_jaccard_e6"))).toMap
+    assert(got == expected, "matrix diverged from the d2 rollup")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    info(s"${got.size} source pairs, ${pairs.length} dup pairs, " +
+      s"cross-source: ${got.keys.count(k => k._1 != k._2)}")
+  }
 }
