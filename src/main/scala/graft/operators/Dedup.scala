@@ -74,6 +74,14 @@ object Dedup {
   /** JaccardTau as an exact rational (4/5) so prefix lengths are computed
     * in integer arithmetic — floating 0.8*n rounds the wrong way for some
     * n and a one-short prefix silently loses recall. */
+  /** d17 containment threshold as an exact rational (9/10). Defined here
+    * beside [[TauNum]]/[[TauDen]] — NOT next to d17 — because
+    * `staticOracle` (a strict val above d17's source position) forces
+    * `d17OracleSql` during object init: constants it interpolates must
+    * already be initialized or they read as 0. */
+  val TauCNum = 9
+  val TauCDen = 10
+
   val TauNum = 4
   val TauDen = 5
 
@@ -1231,6 +1239,7 @@ object Dedup {
 
   private val staticOracle: Map[String, String] = Map(
     "d16_source_overlap" -> d16OracleSql,
+    "d17_containment_dedup" -> d17OracleSql,
     "d9_dedup_chunks" -> d9OracleSql,
     "d11_dedup_eval" -> d11Oracle,
     "d14_substring_dedup" -> d14OracleSql,
@@ -1503,8 +1512,95 @@ object Dedup {
        | max(jaccard_e6) AS max_jaccard_e6
        |FROM e GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+
+  /** `d17_containment_dedup`: asymmetric containment dedup (Broder's
+    * containment, not resemblance) — the quote/subset modality the rest
+    * of the family is blind to. A short document pasted verbatim into a
+    * much longer one has Jaccard ≈ |A|/|B| (d2/d3 under-score it to
+    * nothing as |B| grows), and d9's CDC chunks only see it when chunk
+    * boundaries cooperate; containment C(A→B) = |S(A)∩S(B)|/|S(A)| stays
+    * ≈ 1 at ANY size ratio. Emits every ORDERED pair (contained,
+    * container) with C ≥ [[TauCNum]]/[[TauCDen]], with the Jaccard
+    * alongside so the asymmetric catch is visible (high containment, low
+    * jaccard = subset pair, not near-twin).
+    *
+    * Exact, not approximate, via an asymmetric prefix filter: if
+    * C(A→B) ≥ τ then A shares ≥ ceil(τ·|A|) shingles with B, so at least
+    * one of A's |A| − ceil(τ·|A|) + 1 RAREST shingles (the d2 canonical
+    * (df, hash) order makes the prefix maximally selective) appears in
+    * B — candidates are A-prefix × FULL posting lists, then an exact
+    * intersect confirm on candidates only.
+    *
+    * Scale: the container side cannot be prefix-pruned (the matched
+    * subset may sit anywhere in its shingle order), so its hot-shingle
+    * posting lists get a HASH-block skew guard: each full posting row
+    * lands in block md5(h:doc) % nblk (nblk = ceil(df / blockSize) from
+    * the d2-pattern partial-aggregated df table, broadcast while it
+    * fits), and each A-prefix row replicates to all nblk blocks of its
+    * shingle — every (a, b) pair meets in exactly one block, any single
+    * task generates ~prefix×blockSize pairs, and no row_number window
+    * ever buffers a hot posting list (AQE cannot split a single join
+    * key; the hash block can). Replication is paid by the SMALL side
+    * (prefixes), opposite to d2's triangle split, because here only one
+    * side is prefix-bounded. */
+  def d17ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    val full = arrays.select(col("doc_id"), explode(col("shingles")).as("h"))
+    val dfreq = full.groupBy(col("h")).agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val dfreqSide = if (dfreq.count() <= DfreqBroadcastLimit) broadcast(dfreq) else dfreq
+    val nblk = expr(s"(df + ${PrefixBlockSize - 1}) div $PrefixBlockSize")
+    val prefLen = expr(
+      s"cast(n - (($TauCNum * n + ${TauCDen - 1}) div $TauCDen) + 1 as int)")
+    val apre = arrays
+      .select(col("doc_id").as("d1"),
+        explode(slice(col("shingles"), lit(1), prefLen)).as("h"))
+      .join(dfreqSide, Seq("h"))
+      .select(col("d1"), col("h"),
+        explode(sequence(lit(0L), nblk - 1)).as("blk"))
+    val bfull = full.join(dfreqSide, Seq("h"))
+      .select(col("doc_id").as("d2"), col("h"),
+        pmod(md5Long60(concat(col("h").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), nblk).as("blk"))
+    val cand = apre.join(bfull, Seq("h", "blk"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(arrays.select(col("doc_id").as("d1"), col("shingles").as("sa"),
+        col("n").as("n1")), Seq("d1"))
+      .join(arrays.select(col("doc_id").as("d2"), col("shingles").as("sb"),
+        col("n").as("n2")), Seq("d2"))
+      .withColumn("c", intersectCount(col("sa"), col("sb")))
+      .filter(col("c") * lit(TauCDen) >= col("n1") * lit(TauCNum))
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+        col("n1").as("n_shingles_1"), col("n2").as("n_shingles_2"),
+        col("c").as("n_common"),
+        floor(col("c") * lit(1000000.0) / col("n1")).cast("long")
+          .as("containment_e6"),
+        floor(col("c") * lit(1000000.0) / (col("n1") + col("n2") - col("c")))
+          .cast("long").as("jaccard_e6"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** d17 oracle: brute-force directed containment over the d2 gram CTEs —
+    * the hash-blocked prefix construction must reproduce the textbook
+    * all-shared-shingle join exactly. */
+  private lazy val d17OracleSql: String =
+    s"""WITH $shinglesCte
+       |SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2,
+       | n1.n AS n_shingles_1, n2.n AS n_shingles_2, p.c AS n_common,
+       | CAST(floor(p.c * 1000000.0 / n1.n) AS BIGINT) AS containment_e6,
+       | CAST(floor(p.c * 1000000.0 / (n1.n + n2.n - p.c)) AS BIGINT) AS jaccard_e6
+       |FROM (SELECT a.doc_id d1, b.doc_id d2, count(DISTINCT a.h) c
+       |      FROM docsh a JOIN docsh b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2) p
+       | JOIN shn n1 ON p.d1 = n1.doc_id JOIN shn n2 ON p.d2 = n2.doc_id
+       |WHERE p.c * $TauCDen >= n1.n * $TauCNum
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d16_source_overlap" -> (d16SourceOverlap _),
+    "d17_containment_dedup" -> (d17ContainmentDedup _),
     "d11_dedup_eval" -> (d11DedupEval _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram" -> ((s: SparkSession, d: String) => d2DedupNgram(s, d)),

@@ -494,6 +494,9 @@ object Similarity {
       case one if one.size == 1 =>
         Map("s14_ivf_pq" -> s14OracleSql(one.head._2._1, one.head._2._2))
       case _ => Map.empty
+    }) ++ (confirmedS17.toMap match {
+      case one if one.size == 1 => Map("s17_tombstone_plan" -> s17OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -1974,6 +1977,119 @@ object Similarity {
        |ORDER BY s.cell""".stripMargin
   }
 
+  // ------------------- s17: tombstone maintenance (index-side erasure plan)
+
+  private val pendingS17 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS17 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS17Materialized(dir: String): Unit =
+    pendingS17.get(dir).foreach(cs => confirmedS17.put(dir, cs))
+
+  /** A posting list compacts when its dead postings reach
+    * 1/[[DeadRewriteDen]] of its members; below that the store carries
+    * tombstones and filters at query time. */
+  val DeadRewriteDen = 16L
+
+  /** `s17_tombstone_plan`: right-to-be-forgotten applied to the ANN index —
+    * the vector-store face of p21's lakehouse erasure plan
+    * (pipeline/PipelineQueries.scala), sharing its request-list convention
+    * (every [[graft.pipeline.PipelineQueries.ErasureMod]]-th key has filed
+    * deletion: the SAME subjects erased from the fact tables owe their
+    * vectors deletion too). It closes the index lifecycle's last edge:
+    * build (s3/s4/s6) → monitor (s8/s12) → grow (s11) → fuse (s13) →
+    * ERASE. Per cell of the stored index (assignment = one
+    * broadcast-model cosineMatrix pass, s6's shape): postings, tombstoned
+    * postings, the dead fraction, and the per-posting-list verdict a
+    * store makes — `rewrite` (dead ≥ 1/16 of postings: compact the list,
+    * cost = the live rows copied), `mask` (carry tombstones, cost = dead
+    * rows filtered on every probe of that cell), `clean` (request batch
+    * never touched it). The ~TOTAL row is the index-wide write
+    * amplification and steady-state tombstone overhead of the batch.
+    *
+    * Scale: the request list is broadcast (here the deterministic mod
+    * stand-in, exactly p21's); the only data-sized work is the one
+    * assignment scan — and in a production store not even that: (cell ×
+    * victim) posting stats come from the index manifest, so the plan is
+    * metadata-sized like p19/p20/p21. The per-cell aggregate is map-side
+    * partial; NumCells+1 rows ever exist past it. */
+  def s17TombstonePlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (cents, data) = kmeansOver(e)
+    pendingS17.put(dir, cents)
+    val dead = (col("vec_id") % graft.pipeline.PipelineQueries.ErasureMod === 0)
+      .cast("long")
+    val per = assignCells(data, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(dead).as("n_dead"))
+      .withColumn("dead_pct_e6", expr("n_dead * 1000000 div n_members"))
+      .withColumn("verdict",
+        when(col("n_dead") === 0, "clean")
+          .when(col("n_dead") * lit(DeadRewriteDen) >= col("n_members"), "rewrite")
+          .otherwise("mask"))
+      .withColumn("rewrite_rows",
+        when(col("verdict") === "rewrite", col("n_members") - col("n_dead"))
+          .otherwise(0L))
+      .withColumn("tombstones",
+        when(col("verdict") === "mask", col("n_dead")).otherwise(0L))
+      .select(col("cell").cast("string").as("cell"), col("n_members"),
+        col("n_dead"), col("dead_pct_e6"), col("verdict"),
+        col("rewrite_rows"), col("tombstones"))
+    val tot = per.agg(sum(col("n_members")).as("n_members"),
+        sum(col("n_dead")).as("n_dead"),
+        sum(col("rewrite_rows")).as("rewrite_rows"),
+        sum(col("tombstones")).as("tombstones"))
+      .select(lit("~TOTAL").as("cell"), col("n_members"), col("n_dead"),
+        expr("n_dead * 1000000 div n_members").as("dead_pct_e6"),
+        lit("~TOTAL").as("verdict"), col("rewrite_rows"), col("tombstones"))
+    per.unionByName(tot).orderBy(col("cell"))
+  }
+
+  /** s17 oracle: the trained model as injected literals (the assignment
+    * CTE is s6's), p21's mod request list, the same integer floor-div and
+    * threshold arithmetic; '~' > '9' bytewise so the total row sorts last
+    * in both engines. */
+  private def s17OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    val mod = graft.pipeline.PipelineQueries.ErasureMod
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cent")} AS cos,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+       |per0 AS (
+       | SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(CASE WHEN vec_id % $mod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dead
+       | FROM asg GROUP BY cell),
+       |per AS (
+       | SELECT CAST(cell AS VARCHAR) AS cell, n_members, n_dead,
+       |  n_dead * 1000000 // n_members AS dead_pct_e6,
+       |  CASE WHEN n_dead = 0 THEN 'clean'
+       |   WHEN n_dead * $DeadRewriteDen >= n_members THEN 'rewrite'
+       |   ELSE 'mask' END AS verdict,
+       |  CAST(CASE WHEN n_dead > 0 AND n_dead * $DeadRewriteDen >= n_members
+       |   THEN n_members - n_dead ELSE 0 END AS BIGINT) AS rewrite_rows,
+       |  CAST(CASE WHEN n_dead > 0 AND n_dead * $DeadRewriteDen < n_members
+       |   THEN n_dead ELSE 0 END AS BIGINT) AS tombstones
+       | FROM per0)
+       |SELECT cell, n_members, n_dead, dead_pct_e6, verdict, rewrite_rows,
+       | tombstones
+       |FROM (
+       | SELECT * FROM per
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(sum(n_members) AS BIGINT),
+       |  CAST(sum(n_dead) AS BIGINT),
+       |  CAST(sum(n_dead) AS BIGINT) * 1000000 // CAST(sum(n_members) AS BIGINT),
+       |  '~TOTAL', CAST(sum(rewrite_rows) AS BIGINT),
+       |  CAST(sum(tombstones) AS BIGINT)
+       | FROM per)
+       |ORDER BY cell""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -1990,5 +2106,6 @@ object Similarity {
     "s14_ivf_pq" -> (s14IvfPq _),
     "s15_hybrid_search" -> (s15HybridSearch _),
     "s16_filtered_ann" -> (s16FilteredAnn _),
+    "s17_tombstone_plan" -> (s17TombstonePlan _),
     "s9_mmr_rerank" -> ((s: SparkSession, d: String) => s9MmrRerank(s, d)))
 }

@@ -1252,4 +1252,98 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"${got.size} source pairs, ${pairs.length} dup pairs, " +
       s"cross-source: ${got.keys.count(k => k._1 != k._2)}")
   }
+
+  test("s17: erasure plan conserves the corpus, counts p21's request list " +
+    "exactly, and every verdict obeys the integer threshold arithmetic") {
+    val rows = Similarity.s17TombstonePlan(spark, sf).collect()
+    val (totRows, perRows) = rows.partition(_.getAs[String]("cell") == "~TOTAL")
+    assert(totRows.length == 1, "exactly one ~TOTAL row")
+    val tot = totRows.head
+    // conservation: every vector is a posting of exactly one cell
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(perRows.map(_.getAs[Long]("n_members")).sum == nVecs)
+    assert(tot.getAs[Long]("n_members") == nVecs)
+    // the request list is p21's convention, recounted independently
+    val mod = graft.pipeline.PipelineQueries.ErasureMod
+    val nDead = Tables.load(spark, sf, "embeddings").select("vec_id").collect()
+      .count(_.getLong(0) % mod == 0).toLong
+    assert(nDead > 0, "request list is vacuous at this scale")
+    assert(perRows.map(_.getAs[Long]("n_dead")).sum == nDead)
+    assert(tot.getAs[Long]("n_dead") == nDead)
+    // cells come from the same deterministic full-corpus model s3 trains
+    val cids = Similarity.kmeansCentroids(spark, sf).map(_._1.toString).toSet
+    perRows.foreach { r =>
+      assert(cids.contains(r.getAs[String]("cell")), "plan invents a cell")
+      val n = r.getAs[Long]("n_members"); val d = r.getAs[Long]("n_dead")
+      assert(r.getAs[Long]("dead_pct_e6") == d * 1000000L / n)
+      val expected =
+        if (d == 0) "clean"
+        else if (d * Similarity.DeadRewriteDen >= n) "rewrite" else "mask"
+      assert(r.getAs[String]("verdict") == expected)
+      assert(r.getAs[Long]("rewrite_rows") ==
+        (if (expected == "rewrite") n - d else 0L))
+      assert(r.getAs[Long]("tombstones") == (if (expected == "mask") d else 0L))
+    }
+    assert(tot.getAs[Long]("rewrite_rows") ==
+      perRows.map(_.getAs[Long]("rewrite_rows")).sum)
+    assert(tot.getAs[Long]("tombstones") ==
+      perRows.map(_.getAs[Long]("tombstones")).sum)
+    // the batch actually lands somewhere: the dial is non-vacuous
+    assert(perRows.exists(_.getAs[String]("verdict") != "clean"))
+    info(s"verdicts: ${perRows.groupBy(_.getAs[String]("verdict"))
+      .map { case (v, rs) => s"$v=${rs.length}" }.mkString(", ")}")
+  }
+
+  test("d17: matches a brute-force directed-containment replay, and a " +
+    "planted subset pair invisible to d2's resemblance is caught") {
+    // independent replay on the shipped corpus: string shingles (no
+    // hashing), all ordered pairs, set arithmetic only
+    def toks(text: String): Seq[String] = {
+      val t = text.replaceAll("^\\s+|\\s+$", "")
+      if (t.isEmpty) Seq.empty else t.split("\\s+").toSeq
+    }
+    def shingleSet(text: String): Set[String] = {
+      val ts = toks(text)
+      if (ts.size < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs
+      if a != b && sa.nonEmpty
+      c = (sa intersect sb).size
+      if c * Dedup.TauCDen >= sa.size * Dedup.TauCNum
+    } yield (a, b, c.toLong)).toSet
+    val got = Dedup.d17ContainmentDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Long]("n_common"))).toSet
+    assert(got == expected, "hash-blocked prefix join diverged from brute force")
+    // the asymmetric catch: a short doc pasted into a much longer one.
+    // C(A→B) = 1 while Jaccard ~ |A|/|B| — d2 (resemblance >= 0.8) is
+    // blind to it by construction.
+    import spark.implicits._
+    val short = (0 until 25).map(i => s"p$i").mkString(" ")
+    val long = short + " " + (0 until 300).map(i => s"q$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d17").toString
+    Seq((0L, short, "s"), (1L, long, "s"),
+      (2L, "totally unrelated filler words never shared with anything", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(!Dedup.d2DedupNgram(spark, dir).collect()
+      .exists(r => r.getAs[Long]("doc_id_1") == 0L &&
+        r.getAs[Long]("doc_id_2") == 1L),
+      "premise: the subset pair must sit below d2's resemblance threshold")
+    val planted = Dedup.d17ContainmentDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2")) -> r)
+      .toMap
+    assert(planted.contains((0L, 1L)), "contained→container pair missing")
+    val p = planted((0L, 1L))
+    assert(p.getAs[Long]("containment_e6") == 1000000L, "A fully inside B")
+    assert(p.getAs[Long]("jaccard_e6") < (Dedup.JaccardTau * 1e6).toLong,
+      "the catch must be one resemblance cannot make")
+    assert(!planted.contains((1L, 0L)), "containment is directed: B is not in A")
+    assert(!planted.keys.exists { case (a, b) => a == 2L || b == 2L },
+      "the unrelated doc must not pair")
+  }
 }
