@@ -452,9 +452,50 @@ object Analytics {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** `q38_small_qty_revenue`: the TPC-H Q17 shape — revenue locked up in
+    * small-quantity orders of one brand's parts, where "small" is
+    * relative to EACH part's own average order quantity (a correlated
+    * scalar subquery in the textbook form — the oracle states exactly
+    * that, so the hash-match proves the de-correlation). Per part:
+    * lineitem count, the e2 average quantity, and how many lineitems /
+    * how much revenue fall under 20% of that part's average.
+    *
+    * Spark-first de-correlation: the brand filter broadcasts into the
+    * fact scan first (1/|brands| of lineitem survives), then ONE shuffle
+    * on `p_partkey` serves both the per-part count/sum window and the
+    * final aggregation — the window's per-part buffering is bounded
+    * because lineitems-per-part is a constant of the schema, not of
+    * scale. The threshold test is exact integer arithmetic
+    * (`5·qty·n < Σqty` ⇔ `qty < 0.2·avg`), so no float rounding can
+    * disagree with the oracle's correlated form. No fact-fact join, no
+    * second fact scan, nothing collected. */
+  def q38SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"), col("p_name"))
+    val w = Window.partitionBy(col("p_partkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .withColumn("n_li", count(lit(1)).over(w))
+      .withColumn("sum_qty", sum(col("qty")).over(w))
+      .withColumn("is_small",
+        (col("qty") * lit(5L) * col("n_li") < col("sum_qty")).cast("long"))
+      .groupBy(col("p_partkey"), col("p_name"), col("n_li"), col("sum_qty"))
+      .agg(sum(col("is_small")).as("n_small"),
+        sum(when(col("is_small") === 1L, col("price_c")).otherwise(0L))
+          .as("small_revenue_cents"))
+      .withColumn("avg_qty_e2", expr("sum_qty * 100 div n_li"))
+      .select(col("p_partkey"), col("p_name"), col("n_li"), col("avg_qty_e2"),
+        col("n_small"), col("small_revenue_cents"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_min_cost_supplier" -> q35MinCostSupplier _,
     "q36_order_count_dist" -> q36OrderCountDist _,
+    "q38_small_qty_revenue" -> q38SmallQtyRevenue _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -496,6 +537,29 @@ object Analytics {
         | GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // deliberately the TEXTBOOK Q17 form — per-row correlated scalar
+    // subqueries for the part's own count/sum: hash-matching it proves
+    // the single-shuffle window de-correlation
+    "q38_small_qty_revenue" ->
+      """WITH j AS (
+        | SELECT p_partkey, p_name, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_brand = 'Brand#1'),
+        |t AS (
+        | SELECT j.*,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM j i
+        |   WHERE i.p_partkey = j.p_partkey) AS n_li,
+        |  (SELECT CAST(sum(qty) AS BIGINT) FROM j i
+        |   WHERE i.p_partkey = j.p_partkey) AS sum_qty
+        | FROM j)
+        |SELECT p_partkey, p_name, n_li, sum_qty * 100 // n_li AS avg_qty_e2,
+        | CAST(sum(CASE WHEN qty * 5 * n_li < sum_qty THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_small,
+        | CAST(sum(CASE WHEN qty * 5 * n_li < sum_qty THEN price_c ELSE 0 END)
+        |   AS BIGINT) AS small_revenue_cents
+        |FROM t GROUP BY p_partkey, p_name, n_li, sum_qty
+        |ORDER BY p_partkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

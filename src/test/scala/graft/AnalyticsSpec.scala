@@ -137,4 +137,33 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("custdist")).getOrElse(0L)
     assert(zeroBucket == custN - active, "zero bucket = customers minus active")
   }
+
+  test("q38: matches a brute replay of the correlated Q17 predicate, and " +
+    "the threshold is each part's OWN average, not a global one") {
+    val brand = Tables.load(spark, sf, "part").collect()
+      .filter(_.getAs[String]("p_brand") == "Brand#1")
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_name")).toMap
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong,
+        math.floor(r.getDouble(2) * 100).toLong))
+      .filter(l => brand.contains(l._1))
+    val expected = li.groupBy(_._1).map { case (p, ls) =>
+      val n = ls.length.toLong; val sumQty = ls.map(_._2).sum
+      val small = ls.filter(l => l._2 * 5L * n < sumQty)
+      p -> (n, sumQty * 100L / n, small.length.toLong, small.map(_._3).sum)
+    }
+    val got = operators.Analytics.q38SmallQtyRevenue(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_li"), r.getAs[Long]("avg_qty_e2"),
+          r.getAs[Long]("n_small"), r.getAs[Long]("small_revenue_cents")))
+      .toMap
+    assert(got == expected, "window de-correlation diverged from brute force")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    assert(got.values.exists(_._3 > 0L), "some lineitem must be small")
+    // per-part thresholds genuinely differ (a global-average rewrite
+    // would be a silent wrong answer): two parts with different avgs
+    assert(got.values.map(_._2).toSet.size > 1,
+      "per-part averages must differ for the correlation to be non-vacuous")
+  }
 }
