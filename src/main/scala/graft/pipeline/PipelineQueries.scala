@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Registry of the pipeline-core driver queries (SURVEY.md §2, p1-p7). */
@@ -573,7 +573,84 @@ object PipelineQueries {
        |ORDER BY zcell""".stripMargin
   }
 
+  /** p22 policy: partitions younger than 6 months serve interactively
+    * (HOT), younger than 24 warm, the rest cold; the previous policy run
+    * happened [[TierReviewLagMonths]] months ago, so this plan's moves
+    * are exactly one review period's aging. */
+  val HotMonths = 6L
+  val WarmMonths = 24L
+  val TierReviewLagMonths = 3L
+  /** Manifest-style size estimate: avg encoded order-row width. The plan
+    * prices moves from row counts × this constant the way a table
+    * manifest prices file sizes — no data is read to cost the plan. */
+  val OrderRowBytes = 128L
+
+  /** `p22_tier_plan`: storage-tier aging — the lifecycle-management plane
+    * completed (compact p16, prune-audit p19, backfill p20, erase p21,
+    * AGE p22). Partitions are order months; each gets its current tier
+    * from its age at the latest data month and its previous tier from
+    * the review [[TierReviewLagMonths]] months earlier (months newer
+    * than that review are NEW — arrivals, not moves). The action column
+    * is the migration order a lifecycle policy would emit this review:
+    * exactly the partitions whose age crossed a tier boundary since last
+    * time, priced in estimated bytes from the ledger alone.
+    *
+    * Scale: one grouped scan of the fact builds the month ledger
+    * (thousands of rows for petabytes of data — in production read from
+    * table metadata, not rebuilt); the max-month scalar attaches via a
+    * broadcast 1-row crossjoin; every tier decision is integer month
+    * arithmetic on ledger rows. Nothing data-sized survives the first
+    * aggregate. */
+  def p22TierPlan(spark: SparkSession, dir: String): DataFrame = {
+    val led = graft.Tables.load(spark, dir, "orders")
+      .select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .groupBy(col("ym"), col("m")).agg(count(lit(1)).as("n_rows"))
+    val mx = led.agg(max(col("m")).as("max_m"))
+    def tier(age: Column): Column =
+      when(age < HotMonths, "HOT").when(age < WarmMonths, "WARM")
+        .otherwise("COLD")
+    led.crossJoin(broadcast(mx))
+      .withColumn("age", col("max_m") - col("m"))
+      .withColumn("tier_to", tier(col("age")))
+      .withColumn("tier_from",
+        when(col("age") < TierReviewLagMonths, "NEW")
+          .otherwise(tier(col("age") - TierReviewLagMonths)))
+      .withColumn("action",
+        when(col("tier_from") === col("tier_to"), "stay").otherwise("move"))
+      .select(col("ym"), col("n_rows"),
+        (col("n_rows") * lit(OrderRowBytes)).as("est_bytes"),
+        col("tier_from"), col("tier_to"), col("action"))
+      .orderBy(col("ym"))
+  }
+
+  val p22Oracle: String =
+    s"""WITH led AS (
+       | SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       |  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       | FROM orders GROUP BY 1, 2),
+       |mx AS (SELECT max(m) AS max_m FROM led),
+       |aged AS (
+       | SELECT ym, n_rows, max_m - m AS age FROM led CROSS JOIN mx),
+       |t AS (
+       | SELECT ym, n_rows,
+       |  CASE WHEN age < $TierReviewLagMonths THEN 'NEW'
+       |   WHEN age - $TierReviewLagMonths < $HotMonths THEN 'HOT'
+       |   WHEN age - $TierReviewLagMonths < $WarmMonths THEN 'WARM'
+       |   ELSE 'COLD' END AS tier_from,
+       |  CASE WHEN age < $HotMonths THEN 'HOT'
+       |   WHEN age < $WarmMonths THEN 'WARM' ELSE 'COLD' END AS tier_to
+       | FROM aged)
+       |SELECT ym, n_rows, n_rows * $OrderRowBytes AS est_bytes,
+       | tier_from, tier_to,
+       | CASE WHEN tier_from = tier_to THEN 'stay' ELSE 'move' END AS action
+       |FROM t ORDER BY ym""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_tier_plan" -> (p22TierPlan _),
     "p21_erasure_plan" -> (p21ErasurePlan _),
     "p18_fk_audit" ->
       ((s: SparkSession, d: String) => Quality.p18FkAudit(s, d)),
@@ -599,6 +676,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p22_tier_plan" -> p22Oracle,
     "p21_erasure_plan" -> p21Oracle,
     "p18_fk_audit" -> Quality.p18Oracle,
     "p17_expectation_suite" ->

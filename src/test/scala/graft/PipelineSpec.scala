@@ -958,4 +958,45 @@ class PipelineSpec extends AnyFunSuite {
     // the layout must localize the rewrite: most files are untouched
     assert(nRewrite * 2 < per.length, s"erasure touches most files: $nRewrite/${per.length}")
   }
+
+  test("p22: the tier plan replays exactly in Scala, and the moves are " +
+    "precisely the partitions whose age crossed a boundary this review") {
+    def tier(age: Long): String =
+      if (age < PipelineQueries.HotMonths) "HOT"
+      else if (age < PipelineQueries.WarmMonths) "WARM" else "COLD"
+    val months = Tables.load(spark, sf, "orders")
+      .select("o_orderdate").collect()
+      .map { r =>
+        val d = r.getAs[java.time.LocalDateTime](0) // o_orderdate is NTZ
+        (d.getYear.toLong * 12 + d.getMonthValue - 1,
+          f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      }
+    val maxM = months.map(_._1).max
+    val expected = months.groupBy(identity).map { case ((m, ym), rs) =>
+      val age = maxM - m
+      val from = if (age < PipelineQueries.TierReviewLagMonths) "NEW"
+        else tier(age - PipelineQueries.TierReviewLagMonths)
+      val to = tier(age)
+      ym -> (rs.length.toLong, rs.length.toLong * PipelineQueries.OrderRowBytes,
+        from, to, if (from == to) "stay" else "move")
+    }
+    val got = PipelineQueries.p22TierPlan(spark, sf).collect()
+      .map(r => r.getAs[String]("ym") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"),
+          r.getAs[String]("tier_from"), r.getAs[String]("tier_to"),
+          r.getAs[String]("action"))).toMap
+    assert(got == expected, "tier plan diverged from the Scala replay")
+    // the review window makes the plan non-vacuous in all three ways:
+    // fresh arrivals, at least one boundary crossing, and stable mass
+    val actions = got.values.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(got.values.exists(_._3 == "NEW"), "no arrivals in the window")
+    assert(actions.getOrElse("move", 0) > 0, "no partition aged across a boundary")
+    assert(actions.getOrElse("stay", 0) > 0, "everything moved — lag too coarse")
+    // moves are EXACTLY the age-crossed partitions: no same-tier row is
+    // ever marked move (the policy must not churn storage for nothing)
+    got.values.foreach { case (_, _, from, to, act) =>
+      assert((act == "move") == (from != to))
+    }
+    info(s"${got.size} month partitions, actions: $actions")
+  }
 }
