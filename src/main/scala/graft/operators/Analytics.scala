@@ -492,7 +492,101 @@ object Analytics {
       .orderBy(col("p_partkey"))
   }
 
+  /** `q39_big_orders`: the TPC-H Q18 shape — large-volume orders whose
+    * total lineitem quantity exceeds a threshold, joined back to their
+    * order and customer rows. The classic "HAVING over a fact aggregate
+    * feeds a fact join" pattern.
+    *
+    * Scale: ONE shuffle aggregates lineitem by `l_orderkey` with map-side
+    * partials; the HAVING filter collapses the result to the handful of
+    * jumbo orders (threshold 250 ≈ 1.4% of orders at any SF, because
+    * per-order lineitem count is a schema constant), so AQE turns the
+    * orders join into a broadcast at runtime. The customer lookup is a
+    * broadcast dim join. Quantities sum as exact longs — no float can
+    * disagree with the oracle's HAVING. */
+  def q39BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250L)
+    val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** `q40_dormant_customers`: the TPC-H Q22 shape — customers with an
+    * above-average account balance who placed no orders after a cutoff,
+    * reported per nation. The textbook form is a scalar AVG subquery plus
+    * a correlated NOT EXISTS; the oracle states exactly that, so the
+    * hash-match proves this de-correlation.
+    *
+    * Spark-first: the "recent orderers" set is a distinct projection of
+    * one orders scan (shuffle on `o_custkey`), removed from customer via
+    * a LEFT ANTI join on the same key; the balance threshold is a 1-row
+    * global aggregate broadcast into the filter. The average test is
+    * exact integer arithmetic in cents (`bal·n > Σbal` ⇔ `bal > avg`),
+    * immune to distributed summation order. Products stay under 2^63 at
+    * any SF (cents ≤ 1e6, customers ≤ 1.5e10 at 100 TB → ≤ 1.5e16). */
+  def q40DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val pos = cust.filter(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val nat = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("sum_bal_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  /** `q41_disjunctive_revenue`: the TPC-H Q19 shape — revenue under an
+    * OR of three brand/size/quantity conjunction blocks, reported per
+    * brand. The interesting part is scan-level pruning under a
+    * disjunction: Catalyst cannot derive the quantity envelope from the
+    * OR blocks (each bound lives in a different branch), so the plan
+    * states the union-of-ranges bound `qty ∈ [1,30]` explicitly as a
+    * conjunct — it reaches the lineitem scan as a pushed filter and
+    * drops ~40% of the fact before the join, while the OR itself runs
+    * post-join inside whole-stage codegen. Part is a broadcast dim; no
+    * shuffle until the 3-row per-brand aggregate. Revenue is floored
+    * cents with the oracle's exact expression shape. */
+  def q41DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def block(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) && col("qty").between(qLo, qHi)
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .filter(col("qty").between(1L, 30L))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(block("Brand#3", 1, 15, 1, 11) ||
+        block("Brand#12", 10, 30, 10, 20) ||
+        block("Brand#21", 20, 50, 20, 30))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_li"), sum(col("rev_c")).as("revenue_cents"))
+      .orderBy(col("p_brand"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_big_orders" -> q39BigOrders _,
+    "q40_dormant_customers" -> q40DormantCustomers _,
+    "q41_disjunctive_revenue" -> q41DisjunctiveRevenue _,
     "q35_min_cost_supplier" -> q35MinCostSupplier _,
     "q36_order_count_dist" -> q36OrderCountDist _,
     "q38_small_qty_revenue" -> q38SmallQtyRevenue _,
@@ -508,6 +602,49 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    "q39_big_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        | total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    // deliberately the TEXTBOOK Q22 form — scalar AVG subquery plus a
+    // correlated NOT EXISTS: hash-matching it proves the anti-join +
+    // broadcast-threshold de-correlation
+    "q40_dormant_customers" ->
+      """WITH c AS (
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        | FROM customer),
+        |p AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n FROM c WHERE bal_c > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        | CAST(sum(bal_c) AS BIGINT) AS sum_bal_cents
+        |FROM c JOIN nation ON c_nationkey = n_nationkey, p
+        |WHERE c.bal_c * p.n > p.s
+        | AND NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |   AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the OR blocks stated directly over the join — no quantity envelope:
+    // hash-matching proves the explicit scan-bound conjunct is redundant
+    "q41_disjunctive_revenue" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_li,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |   AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+        |   AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50
+        |   AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // deliberately the TEXTBOOK Q2 form — a correlated scalar subquery
     // per part: hash-matching it proves the window-min de-correlation
     "q35_min_cost_supplier" ->

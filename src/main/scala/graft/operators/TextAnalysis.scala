@@ -1043,7 +1043,46 @@ object TextAnalysis {
        |FROM p GROUP BY 1
        |ORDER BY n_weighted DESC, pair LIMIT $BpeTopMerges""".stripMargin
 
+  /** `t23_zipf_curve`: corpus health telemetry — the token
+    * rank-frequency (Zipf) curve, summarized per power-of-two frequency
+    * band. A natural-language corpus follows `freq ∝ 1/rank`; a corpus
+    * poisoned by boilerplate or dedup failures bends the curve, so this
+    * is the standard before/after fingerprint for every t11/d-family
+    * stage.
+    *
+    * The 100-TB shape is frequency-of-frequencies, NOT a global term
+    * rank: `term → freq` is one token-keyed shuffle (map-side partials),
+    * `freq → n_terms` a second on the tiny freq domain, and the
+    * power-of-two banding (`fbin = |bin(freq)|`, exact integer digits —
+    * no float log2 at band edges) collapses it to ≤ 64 rows. Ranks come
+    * FROM the bands: `max_rank` is a running sum over the ≤ 64-row band
+    * table (deliberately unpartitioned — the frame is band-grained, one
+    * partition IS the design), so the full vocabulary is never globally
+    * sorted: the curve's (log rank, log freq) endpoints are exact while
+    * every shuffle stays aggregate-sized. */
+  def t23ZipfCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.load(spark, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val bands = freq.groupBy(col("freq"))
+      .agg(count(lit(1)).as("nt"))
+      .withColumn("fbin", length(bin(col("freq"))).cast("long"))
+      .groupBy(col("fbin"))
+      .agg(sum(col("nt")).as("n_terms"),
+        sum(col("freq") * col("nt")).as("n_occurrences"),
+        min(col("freq")).as("min_freq"), max(col("freq")).as("max_freq"))
+    val wRank = Window.orderBy(col("fbin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bands
+      .withColumn("max_rank", sum(col("n_terms")).over(wRank))
+      .select(col("fbin"), col("n_terms"), col("n_occurrences"),
+        col("min_freq"), col("max_freq"), col("max_rank"))
+      .orderBy(col("fbin"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_zipf_curve" -> (t23ZipfCurve _),
     "t22_bpe_merges" -> (t22BpeMerges _),
     "t20_dup_profile" -> (t20DupProfile _),
     "t21_preference_pairs" -> (t21PreferencePairs _),
@@ -1296,6 +1335,24 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t23_zipf_curve" ->
+      s"""WITH freq AS (
+         | SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+         |  SELECT unnest($toksCaseSql) AS term FROM documents)
+         | GROUP BY term),
+         |fof AS (SELECT freq, CAST(count(*) AS BIGINT) AS nt
+         | FROM freq GROUP BY freq),
+         |b AS (
+         | SELECT CAST(length(bin(freq)) AS BIGINT) AS fbin,
+         |  CAST(sum(nt) AS BIGINT) AS n_terms,
+         |  CAST(sum(freq * nt) AS BIGINT) AS n_occurrences,
+         |  CAST(min(freq) AS BIGINT) AS min_freq,
+         |  CAST(max(freq) AS BIGINT) AS max_freq
+         | FROM fof GROUP BY 1)
+         |SELECT fbin, n_terms, n_occurrences, min_freq, max_freq,
+         | CAST(sum(n_terms) OVER (ORDER BY fbin DESC
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS max_rank
+         |FROM b ORDER BY fbin""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
     "t17_context_chunks" -> t17OracleSql,
     "t15_stratified_sample" -> t15OracleSql,

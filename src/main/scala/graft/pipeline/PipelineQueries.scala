@@ -470,6 +470,11 @@ object PipelineQueries {
     * self-contained). */
   val ErasureMod = 97L
 
+  /** p21: target band count for the manifest range join — the fan-out
+    * cap per file when the BETWEEN is de-correlated into band equi-joins
+    * (band width = global key range / ErasureBands, manifest-derived). */
+  val ErasureBands = 256L
+
   /** `p21_erasure_plan`: GDPR / right-to-be-forgotten erasure planning
     * over the z-order layout — given a delete-request key list (every
     * [[ErasureMod]]-th customer), which files must be REWRITTEN (they
@@ -481,12 +486,20 @@ object PipelineQueries {
     * rows that must be rewritten to drop `n_victims` — the write
     * amplification of the erasure.
     *
-    * Scale: the request list is broadcast everywhere it is used — once
-    * equi-joined against the fact inside the ONE grouped scan that
-    * builds the manifest (in production the manifest is read from table
-    * metadata, not rebuilt), and once range-joined against the
-    * file-grained manifest (bounded side × metadata-sized side). No
-    * fact-fact join, nothing request-sized ever shuffles. */
+    * Scale: the request list is equi-joined everywhere it is used — once
+    * against the fact inside the ONE grouped scan that builds the
+    * manifest (in production the manifest is read from table metadata,
+    * not rebuilt), and once against the file-grained manifest via the
+    * q23 band trick: the raw `rk BETWEEN cust_min AND cust_max` range
+    * join would plan a nested loop (requests are data-proportional, so
+    * neither side is provably bounded — the suite-wide PlanSpec pin
+    * rejects it), so each file's key range explodes into ~[[ErasureBands]]
+    * manifest-stat-derived bands and the join runs band = band with the
+    * exact BETWEEN as a post-filter. Fan-out is ≤ ErasureBands per file
+    * at ANY scale because the band width is derived from the manifest's
+    * own global key range. No fact-fact join, nothing request-sized ever
+    * nested-loops. The oracle keeps the textbook BETWEEN form, so the
+    * hash-match proves the band de-correlation. */
   def p21ErasurePlan(spark: SparkSession, dir: String): DataFrame = {
     val req = graft.Tables.load(spark, dir, "customer")
       .filter(col("c_custkey") % ErasureMod === 0)
@@ -500,10 +513,27 @@ object PipelineQueries {
         min(col("cust")).as("cust_min"), max(col("cust")).as("cust_max"),
         count(col("rk")).as("n_victims"))
       .localCheckpoint(true) // manifest-sized; read by range count + plan
-    val rc = files.select(col("zcell"), col("cust_min"), col("cust_max"))
-      .join(broadcast(req),
-        col("rk").between(col("cust_min"), col("cust_max")), "left")
-      .groupBy(col("zcell")).agg(count(col("rk")).as("n_req_in_range"))
+    // band width from the manifest's own global range: bands stay
+    // ~ErasureBands wide regardless of key-domain growth
+    val gstats = files.agg(min(col("cust_min")).as("glo"),
+      max(col("cust_max")).as("ghi"))
+    val bw = s"((ghi - glo) div $ErasureBands + 1)"
+    val fileBands = files.select(col("zcell"), col("cust_min"), col("cust_max"))
+      .crossJoin(broadcast(gstats))
+      .withColumn("band", explode(expr(
+        s"sequence((cust_min - glo) div $bw, (cust_max - glo) div $bw)")))
+      .select(col("zcell"), col("cust_min"), col("cust_max"), col("band"))
+    val reqBands = req.crossJoin(broadcast(gstats))
+      // requests outside the manifest's range land in out-of-range bands
+      // and simply never match — they cannot be inside any file range
+      .withColumn("band", expr(s"(rk - glo) div $bw"))
+      .select(col("rk"), col("band"))
+    val hits = fileBands.join(reqBands, Seq("band"))
+      .filter(col("rk").between(col("cust_min"), col("cust_max")))
+      .groupBy(col("zcell")).agg(count(lit(1)).as("hits"))
+    val rc = files.select(col("zcell")).join(hits, Seq("zcell"), "left")
+      .withColumn("n_req_in_range", coalesce(col("hits"), lit(0L)))
+      .select(col("zcell"), col("n_req_in_range"))
     val per = files.join(rc, Seq("zcell"))
       .withColumn("verdict",
         when(col("n_victims") > 0, "rewrite")

@@ -166,4 +166,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1,
       "per-part averages must differ for the correlation to be non-vacuous")
   }
+
+  test("q39: exactly the >250-quantity orders survive, with exact long sums") {
+    val perOrder = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(1).toLong).sum)
+    val expected = perOrder.filter(_._2 > 250L).toMap
+    val got = operators.Analytics.q39BigOrders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("total_qty")).toMap
+    assert(got == expected, "big-order set diverged from brute force")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // the threshold must bite strictly BETWEEN min and max per-order
+    // totals, or the HAVING is vacuous (keeps all / kills all)
+    assert(perOrder.values.max > 250L && perOrder.values.min <= 250L,
+      "threshold must split the distribution")
+  }
+
+  test("q40: the anti-join and integer threshold replay the correlated " +
+    "Q22 form exactly") {
+    val cust = Tables.load(spark, sf, "customer").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Int]("c_nationkey"),
+        math.floor(r.getAs[Double]("c_acctbal") * 100).toLong))
+    val pos = cust.filter(_._3 > 0L)
+    val (sumPos, nPos) = (pos.map(_._3).sum, pos.length.toLong)
+    val cutoff = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val recent = Tables.load(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderdate") >= cutoff)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val nations = Tables.load(spark, sf, "nation").collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val expected = cust
+      .filter(c => c._3 * nPos > sumPos && !recent.contains(c._1))
+      .groupBy(c => nations(c._2)).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._3).sum)).toMap
+    val got = operators.Analytics.q40DormantCustomers(spark, sf).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("n_cust"), r.getAs[Long]("sum_bal_cents"))).toMap
+    assert(got == expected, "dormant-customer report diverged from brute force")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // dormancy must actually exclude someone above-average, or the
+    // NOT EXISTS arm is untested
+    assert(cust.count(c => c._3 * nPos > sumPos) > got.values.map(_._1).sum,
+      "some above-average customer must have recent orders")
+  }
+
+  test("q41: the explicit quantity envelope is redundant — dropping it " +
+    "changes nothing, and every OR block contributes") {
+    val got = operators.Analytics.q41DisjunctiveRevenue(spark, sf).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_li"), r.getAs[Long]("revenue_cents"))).toMap
+    assert(got.keySet == Set("Brand#3", "Brand#12", "Brand#21"),
+      "every disjunction block must produce rows on the shipped corpus")
+    val parts = Tables.load(spark, sf, "part").collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[Int]("p_size"))).toMap
+    val expected = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .flatMap { r =>
+        val (brand, size) = parts(r.getLong(0))
+        val qty = r.getDouble(1).toLong
+        val rev = math.floor(r.getDouble(2) * (1 - r.getDouble(3)) * 100).toLong
+        val hit =
+          (brand == "Brand#3" && size >= 1 && size <= 15 && qty >= 1 && qty <= 11) ||
+          (brand == "Brand#12" && size >= 10 && size <= 30 && qty >= 10 && qty <= 20) ||
+          (brand == "Brand#21" && size >= 20 && size <= 50 && qty >= 20 && qty <= 30)
+        if (hit) Some(brand -> rev) else None
+      }
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    assert(got == expected, "disjunctive revenue diverged from brute force")
+  }
 }

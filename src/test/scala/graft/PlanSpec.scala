@@ -611,8 +611,11 @@ class PlanSpec extends AnyFunSuite {
     // row count, data-independent — q19's ratio-to-report grain). A
     // row-grain key (doc_id, event_id, o_orderkey) is NOT here and a
     // computed key's grain is unknowable, so both fail closed.
+    // fbin: t23's power-of-two frequency band — cardinality <= 63 by
+    // construction (binary digit count of a positive BIGINT), the
+    // data-independent bound the allowlist exists for
     val slotKeys = Set("rid", "media_type", "fail_idx", "rule_idx",
-      "r_name", "n_name")
+      "r_name", "n_name", "fbin")
     def boundedGrain(p: LogicalPlan): Boolean = p match {
       // a global aggregate collapses to ONE row; a grouped aggregate is
       // bounded only when every key is a known slot-grained attribute

@@ -602,4 +602,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.length == TextAnalysis.BpeTopMerges, "full merge table")
     info(s"top merge: ${got.head}")
   }
+
+  test("t23: the frequency-of-frequencies banding replays the literal " +
+    "rank-frequency curve — band totals, edges and cumulative ranks") {
+    val freqs = Tables.load(spark, sf, "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).trim.split("\\s+").iterator.filter(_.nonEmpty))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    def fbin(f: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(f)
+    val byBand = freqs.groupBy(fbin).view.mapValues { fs =>
+      (fs.size.toLong, fs.sum, fs.min, fs.max)
+    }.toMap
+    val got = TextAnalysis.t23ZipfCurve(spark, sf).collect()
+    val gotMap = got.map(r => r.getAs[Long]("fbin") ->
+      (r.getAs[Long]("n_terms"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("min_freq"), r.getAs[Long]("max_freq"))).toMap
+    assert(gotMap == byBand, "band aggregates diverged from literal replay")
+    // cumulative rank: max_rank of band b = # terms with fbin >= b,
+    // i.e. the rank of the band's last (least frequent) term
+    val sorted = got.sortBy(-_.getAs[Long]("fbin"))
+    var cum = 0L
+    sorted.foreach { r =>
+      cum += r.getAs[Long]("n_terms")
+      assert(r.getAs[Long]("max_rank") == cum, s"max_rank at fbin ${r.get(0)}")
+    }
+    assert(cum == freqs.size.toLong, "total rank == vocabulary size")
+    // a natural corpus occupies >1 band or the banding is vacuous
+    assert(got.length > 1, "the shipped corpus must spread across bands")
+  }
 }
