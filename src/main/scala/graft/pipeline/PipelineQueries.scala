@@ -679,7 +679,128 @@ object PipelineQueries {
        | CASE WHEN tier_from = tier_to THEN 'stay' ELSE 'move' END AS action
        |FROM t ORDER BY ym""".stripMargin
 
+  /** p23 bloom layout dials: rows per simulated data file, filter width
+    * in bits (as 32-bit words under a `bit_or` aggregate — every engine
+    * holds the mask exactly in a signed 64-bit int), hash count, and the
+    * deterministic probe-set rule (every 17th customer key). */
+  val BloomFileRows = 256L
+  val BloomBits = 4096L
+  val BloomWordBits = 32L
+  val BloomHashes = 3
+  val BloomProbeMod = 17L
+
+  /** `p23_bloom_index`: bloom-filter file-skipping index build + probe
+    * audit — the data-skipping companion to p19/p21's min/max manifest.
+    * Files here are laid out by INSERTION order (`o_orderkey` ranges),
+    * so a min/max manifest on the probe key `o_custkey` is useless —
+    * every file spans the whole customer domain. A per-file bloom
+    * filter (4096 bits, 3 md5-derived hashes) is the standard answer:
+    * build the index, then for a deterministic probe-key set report how
+    * many files the bloom admits (`n_candidate_files`) vs how many truly
+    * contain the key (`n_true_files`) — the false-positive read cost of
+    * the layout, per probe.
+    *
+    * Scale: the build explodes the fact ×3 hash positions and collapses
+    * via `bit_or` partials into ≤128 words per file BEFORE the exchange
+    * — the index is metadata-sized (files × words) from the first
+    * shuffle on. Probes are a query-sized lookup set (the s1 contract),
+    * broadcast into a `word` equi-join against the index; nothing
+    * fact-sized joins anything fact-sized, and the truth audit is one
+    * pushed-filter scan (`key % mod = 0` reaches the parquet reader)
+    * grouped on its own key. All bit arithmetic is exact signed-64
+    * integer math shared verbatim with the oracle. */
+  def p23BloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    val rows = graft.Tables.load(spark, dir, "orders")
+      .select(expr(s"o_orderkey div $BloomFileRows").as("file_id"),
+        col("o_custkey").as("key"))
+    def positions(keyCol: Column): Column =
+      pmod(md5Long60(concat_ws("|", lit("p23"), col("i"), keyCol)),
+        lit(BloomBits))
+    val index = rows
+      .select(col("file_id"), col("key"),
+        explode(expr(s"sequence(0, ${BloomHashes - 1})")).as("i"))
+      .withColumn("pos", positions(col("key")))
+      .withColumn("word", expr(s"pos div $BloomWordBits"))
+      .withColumn("mask",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))"))
+      .groupBy(col("file_id"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+    val probes = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % BloomProbeMod === 0)
+      .select(col("c_custkey").as("pk"))
+    val ppairs = probes
+      .select(col("pk"), explode(expr(s"sequence(0, ${BloomHashes - 1})")).as("i"))
+      .withColumn("pos", positions(col("pk")))
+      .withColumn("word", expr(s"pos div $BloomWordBits"))
+      .withColumn("pmask",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))"))
+      .select(col("pk"), col("i"), col("word"), col("pmask"))
+    val cand = index.join(broadcast(ppairs), Seq("word"))
+      .filter(col("bits").bitwiseAND(col("pmask")) =!= 0L)
+      .groupBy(col("pk"), col("file_id")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") === BloomHashes.toLong)
+      .groupBy(col("pk")).agg(count(lit(1)).as("cand_files"))
+    val truth = rows.filter(col("key") % BloomProbeMod === 0)
+      .select(col("key"), col("file_id")).distinct()
+      .groupBy(col("key")).agg(count(lit(1)).as("true_files"))
+    val tot = rows.select(col("file_id")).distinct()
+      .agg(count(lit(1)).as("n_files"))
+    probes
+      .join(cand, Seq("pk"), "left")
+      .join(truth, col("pk") === col("key"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("pk"), col("n_files"),
+        coalesce(col("cand_files"), lit(0L)).as("n_candidate_files"),
+        coalesce(col("true_files"), lit(0L)).as("n_true_files"),
+        (coalesce(col("cand_files"), lit(0L)) -
+          coalesce(col("true_files"), lit(0L))).as("n_false_pos"))
+      .orderBy(col("pk"))
+  }
+
+  val p23Oracle: String =
+    s"""WITH r AS (
+       | SELECT o_orderkey // $BloomFileRows AS file_id, o_custkey AS key
+       | FROM orders),
+       |pb AS (
+       | SELECT file_id, key, i,
+       |  CAST(('0x' || substr(md5('p23|' || CAST(i AS VARCHAR) || '|' ||
+       |    CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) % $BloomBits AS pos
+       | FROM (SELECT file_id, key, unnest(range($BloomHashes)) AS i FROM r)),
+       |idx AS (
+       | SELECT file_id, pos // $BloomWordBits AS word,
+       |  bit_or(1::BIGINT << CAST(pos % $BloomWordBits AS INTEGER)) AS bits
+       | FROM pb GROUP BY 1, 2),
+       |probes AS (
+       | SELECT c_custkey AS pk FROM customer WHERE c_custkey % $BloomProbeMod = 0),
+       |ppw AS (
+       | SELECT pk, i, pos // $BloomWordBits AS word,
+       |  1::BIGINT << CAST(pos % $BloomWordBits AS INTEGER) AS pmask
+       | FROM (
+       |  SELECT pk, i,
+       |   CAST(('0x' || substr(md5('p23|' || CAST(i AS VARCHAR) || '|' ||
+       |     CAST(pk AS VARCHAR)), 1, 15)) AS BIGINT) % $BloomBits AS pos
+       |  FROM (SELECT pk, unnest(range($BloomHashes)) AS i FROM probes))),
+       |cand AS (
+       | SELECT pk, CAST(count(*) AS BIGINT) AS cand_files FROM (
+       |  SELECT pk, file_id, count(*) AS nh
+       |  FROM idx JOIN ppw USING (word) WHERE (bits & pmask) <> 0
+       |  GROUP BY 1, 2)
+       | WHERE nh = $BloomHashes GROUP BY pk),
+       |tr AS (
+       | SELECT key AS pk, CAST(count(DISTINCT file_id) AS BIGINT) AS true_files
+       | FROM r WHERE key % $BloomProbeMod = 0 GROUP BY 1),
+       |tot AS (SELECT CAST(count(DISTINCT file_id) AS BIGINT) AS n_files FROM r)
+       |SELECT pk, n_files,
+       | COALESCE(cand_files, 0) AS n_candidate_files,
+       | COALESCE(true_files, 0) AS n_true_files,
+       | COALESCE(cand_files, 0) - COALESCE(true_files, 0) AS n_false_pos
+       |FROM probes CROSS JOIN tot
+       | LEFT JOIN cand USING (pk) LEFT JOIN tr USING (pk)
+       |ORDER BY pk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_bloom_index" -> (p23BloomIndex _),
     "p22_tier_plan" -> (p22TierPlan _),
     "p21_erasure_plan" -> (p21ErasurePlan _),
     "p18_fk_audit" ->
@@ -706,6 +827,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p23_bloom_index" -> p23Oracle,
     "p22_tier_plan" -> p22Oracle,
     "p21_erasure_plan" -> p21Oracle,
     "p18_fk_audit" -> Quality.p18Oracle,

@@ -999,4 +999,52 @@ class PipelineSpec extends AnyFunSuite {
     }
     info(s"${got.size} month partitions, actions: $actions")
   }
+
+  test("p23: the bloom index replays the literal filter semantics — no " +
+    "false negatives ever, candidates come only from set bits, and the " +
+    "audit counts match a brute bloom built in Scala") {
+    import org.apache.spark.sql.functions.col
+    import PipelineQueries.{BloomBits, BloomFileRows, BloomHashes, BloomProbeMod}
+    def md5l(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    def positions(key: Long): Seq[Long] =
+      (0 until BloomHashes).map(i => md5l(s"p23|$i|$key") % BloomBits)
+    val fileKeys = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0) / BloomFileRows, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val blooms = fileKeys.view.mapValues(
+      _.flatMap(positions).toSet).toMap // set-of-positions == the bitset
+    val probes = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % BloomProbeMod === 0)
+      .collect().map(_.getAs[Long]("c_custkey"))
+    val expected = probes.map { pk =>
+      val ps = positions(pk)
+      val cand = blooms.count(_._2.intersect(ps.toSet).size == ps.toSet.size)
+      val tru = fileKeys.count(_._2.contains(pk))
+      pk -> (cand.toLong, tru.toLong)
+    }.toMap
+    val got = PipelineQueries.p23BloomIndex(spark, sf).collect()
+      .map(r => r.getAs[Long]("pk") ->
+        (r.getAs[Long]("n_candidate_files"), r.getAs[Long]("n_true_files"),
+          r.getAs[Long]("n_false_pos"), r.getAs[Long]("n_files"))).toMap
+    assert(got.keySet == expected.keySet, "probe set drift")
+    got.foreach { case (pk, (cand, tru, fp, nf)) =>
+      val (ec, et) = expected(pk)
+      assert((cand, tru) == (ec, et), s"probe $pk diverged from brute bloom")
+      assert(tru <= cand, s"false negative at $pk — blooms must never miss")
+      assert(fp == cand - tru && cand <= nf)
+      assert(nf == fileKeys.size.toLong)
+    }
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // the layout premise: insertion-ordered files scatter each customer,
+    // so min/max skipping is useless but the bloom still skips something
+    assert(got.values.exists { case (cand, _, _, nf) => cand < nf },
+      "the bloom must actually skip at least one file for some probe")
+    info(s"${got.size} probes over ${fileKeys.size} files; " +
+      s"false positives: ${got.values.map(_._3).sum}")
+  }
 }
