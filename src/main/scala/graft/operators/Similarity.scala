@@ -596,6 +596,7 @@ object Similarity {
        |FROM r WHERE fused_rank <= $FusedK ORDER BY probe_id, fused_rank""".stripMargin
 
   private lazy val staticOracle: Map[String, String] = Map(
+    "s18_sq8_quantize" -> s18OracleSql,
     "s15_hybrid_search" -> s15OracleSql,
     "s16_filtered_ann" -> s16OracleSql,
     "s10_nn_descent" -> s10OracleSql,
@@ -2090,7 +2091,108 @@ object Similarity {
        |ORDER BY cell""".stripMargin
   }
 
+  /** `s18_sq8_quantize`: int8 scalar quantization (SQ8) of the embedding
+    * corpus + its reconstruction-error audit — the third member of the
+    * compression family (PQ s4 = 8 B/vector, binary s7 = 8 B/vector,
+    * SQ8 = 64 B/vector at 4× less error): per dimension, the corpus
+    * min/max define a 256-step grid; each component stores as
+    * `floor((x-mn)·255/(mx-mn))` clamped to [0,255]. Output per vector:
+    * the code sum, a position-weighted checksum (pins every code AND its
+    * position), and the squared reconstruction error in exact e12
+    * fixed-point.
+    *
+    * Scale: pass 1 explodes ×Dim only to reach the 2·Dim-value min/max
+    * model (map-side partials collapse it before the exchange; the model
+    * is rows=Dim, never fact-sized), which packs to a ONE-row
+    * mins/maxs-array table broadcast into pass 2. Pass 2 is one narrow
+    * scan with a per-row `transform`/`aggregate` fold — no explode, no
+    * shuffle, nothing fact-sized moves. Per-element errors floor to e12
+    * longs BEFORE summing, so the audit is exact integer arithmetic —
+    * distributed summation order cannot touch it (the float ops
+    * themselves are bit-identical per element in any IEEE engine since
+    * both sides state the same expression shape). Degenerate dimensions
+    * (mx = mn) code as 0 explicitly — no NaN ever reaches a cast. */
+  def s18Sq8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val stats = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("double").as("vd"))
+      .groupBy(col("pos"))
+      .agg(min(col("vd")).as("mn"), max(col("vd")).as("mx"))
+    val packed = stats
+      .agg(expr("array_sort(collect_list(struct(pos, mn, mx)))").as("s"))
+      .select(expr("transform(s, r -> r.mn)").as("mins"),
+        expr("transform(s, r -> r.mx)").as("maxs"))
+    val codeExpr =
+      s"""transform(sequence(0, ${Dim - 1}), i ->
+         | CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)
+         |  THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |   CAST(floor((CAST(element_at(embedding, i + 1) AS DOUBLE)
+         |     - element_at(mins, i + 1)) * 255.0
+         |    / (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+         |    AS BIGINT))) AS BIGINT) END)""".stripMargin
+    val diff =
+      s"""(CAST(element_at(embedding, i + 1) AS DOUBLE)
+         | - (element_at(mins, i + 1)
+         |  + (element_at(codes, i + 1) * (element_at(maxs, i + 1)
+         |     - element_at(mins, i + 1))) / 255.0))""".stripMargin
+    e.crossJoin(broadcast(packed))
+      .withColumn("codes", expr(codeExpr))
+      .select(col("vec_id"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("sum_code"),
+        expr(s"""aggregate(sequence(0, ${Dim - 1}), CAST(0 AS BIGINT),
+           | (acc, i) -> acc + element_at(codes, i + 1) * (i + 1))""".stripMargin)
+          .as("checksum"),
+        expr(s"""aggregate(sequence(0, ${Dim - 1}), CAST(0 AS BIGINT),
+           | (acc, i) -> acc + CAST(floor($diff * $diff
+           |   * 1000000000000.0) AS BIGINT))""".stripMargin)
+          .as("err_e12"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val s18OracleSql: String = {
+    val diff =
+      s"""(e[CAST(i AS INTEGER) + 1]
+         | - (mins[CAST(i AS INTEGER) + 1]
+         |  + (codes[CAST(i AS INTEGER) + 1] * (maxs[CAST(i AS INTEGER) + 1]
+         |     - mins[CAST(i AS INTEGER) + 1])) / 255.0))""".stripMargin
+    s"""WITH x AS (
+       | SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+       | FROM embeddings),
+       |st AS (
+       | SELECT i, min(e[CAST(i AS INTEGER) + 1]) AS mn,
+       |  max(e[CAST(i AS INTEGER) + 1]) AS mx
+       | FROM x CROSS JOIN (SELECT unnest(range($Dim)) AS i)
+       | GROUP BY i),
+       |packed AS (
+       | SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+       | FROM st),
+       |q AS (
+       | SELECT vec_id, e, mins, maxs,
+       |  list_transform(range($Dim), i ->
+       |   CASE WHEN maxs[CAST(i AS INTEGER) + 1] = mins[CAST(i AS INTEGER) + 1]
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+       |     CAST(floor((e[CAST(i AS INTEGER) + 1]
+       |       - mins[CAST(i AS INTEGER) + 1]) * 255.0
+       |      / (maxs[CAST(i AS INTEGER) + 1] - mins[CAST(i AS INTEGER) + 1]))
+       |      AS BIGINT))) AS BIGINT) END) AS codes
+       | FROM x CROSS JOIN packed)
+       |SELECT vec_id,
+       | CAST(list_sum(codes) AS BIGINT) AS sum_code,
+       | CAST(list_sum(list_transform(range($Dim), i ->
+       |   codes[CAST(i AS INTEGER) + 1] * (i + 1))) AS BIGINT) AS checksum,
+       | CAST(list_sum(list_transform(range($Dim), i ->
+       |   CAST(floor($diff * $diff * 1000000000000.0) AS BIGINT)))
+       |  AS BIGINT) AS err_e12
+       |FROM q ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s8_recall" -> (s8RecallEval _),

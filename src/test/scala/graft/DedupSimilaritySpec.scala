@@ -1346,4 +1346,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!planted.keys.exists { case (a, b) => a == 2L || b == 2L },
       "the unrelated doc must not pair")
   }
+
+  test("s18: SQ8 codes and reconstruction error replay literally in " +
+    "Scala, and the grid error never exceeds one quantization step") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = operators.Similarity.Dim
+    val mins = Array.tabulate(dim)(i => vecs.map(_._2(i)).min)
+    val maxs = Array.tabulate(dim)(i => vecs.map(_._2(i)).max)
+    def codesOf(e: Array[Double]): Array[Long] = Array.tabulate(dim) { i =>
+      if (maxs(i) == mins(i)) 0L
+      else math.min(255L, math.max(0L,
+        math.floor((e(i) - mins(i)) * 255.0 / (maxs(i) - mins(i))).toLong))
+    }
+    val expected = vecs.map { case (id, e) =>
+      val c = codesOf(e)
+      val err = (0 until dim).map { i =>
+        val d = e(i) - (mins(i) + (c(i) * (maxs(i) - mins(i))) / 255.0)
+        math.floor(d * d * 1000000000000.0).toLong
+      }.sum
+      id -> (c.sum, c.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum, err)
+    }.toMap
+    val got = operators.Similarity.s18Sq8Quantize(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("sum_code"), r.getAs[Long]("checksum"),
+          r.getAs[Long]("err_e12"))).toMap
+    assert(got == expected, "SQ8 quantization diverged from literal replay")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // the grid contract: per-element error < one step (range/255), so the
+    // per-vector e12 total is bounded by dim * max_step^2 * 1e12
+    val maxStep = (0 until dim).map(i => (maxs(i) - mins(i)) / 255.0).max
+    val bound = (dim * maxStep * maxStep * 1.000001e12).toLong
+    got.values.foreach { case (_, _, err) =>
+      assert(err <= bound, s"reconstruction error $err beyond grid bound $bound")
+    }
+    // codes must actually use the range (an all-zero code table would
+    // pass the error bound trivially on a degenerate corpus)
+    assert(got.values.map(_._1).max > 0L, "codes must be non-trivial")
+  }
 }
