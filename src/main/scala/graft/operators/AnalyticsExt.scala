@@ -543,7 +543,59 @@ object AnalyticsExt {
       .orderBy(col("n_culprit_orders").desc, col("s_suppkey"))
   }
 
+  /** q42: minimum pair co-order count for an association rule to report. */
+  val BasketMinSupport = 3L
+
+  /** `q42_market_basket`: association-rule mining over co-purchased part
+    * pairs — support, directed confidence and lift for every pair of
+    * parts bought together in ≥ [[BasketMinSupport]] orders. The classic
+    * market-basket report (Agrawal's Apriori at the pair level), and the
+    * analytics face of q37's co-purchase graph.
+    *
+    * Scale: baskets form in ONE shuffle (`collect_set` per order with
+    * map-side partial set build — q37's no-pre-distinct trick), pair
+    * fan-out is C(k,2) per order where k ≤ lines-per-order, a schema
+    * constant — never a fact self-join. The support filter collapses the
+    * pair table before any join; per-item supports are a part-grained
+    * aggregate of the SAME basket checkpoint (scanned once), joined
+    * broadcast like every part dim. Confidence and lift are defined as
+    * exact sequential integer arithmetic (`conf_e6 = n_both·1e6 div n_a`,
+    * `lift_e6 = conf_e6·N div n_b` — each intermediate < 2^63 at any SF,
+    * unlike the naive `n_both·N·1e6` which overflows at 100 TB), the
+    * same formula the oracle states. */
+  def q42MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val byOrder = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint(true) // scanned 3x: pairs, item supports, N
+    val pairs = byOrder.filter(size(col("ps")) >= 2)
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ps")) - 2), i =>
+          transform(sequence(i + 1, size(col("ps")) - 1), j =>
+            struct(element_at(col("ps"), i + 1).as("pa"),
+              element_at(col("ps"), j + 1).as("pb")))))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= BasketMinSupport)
+    val supp = byOrder.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_item"))
+    val nOrders = byOrder.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(supp.select(col("part").as("pa"), col("n_item").as("n_a"))),
+        Seq("pa"))
+      .join(broadcast(supp.select(col("part").as("pb"), col("n_item").as("n_b"))),
+        Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_e6", expr("n_both * 1000000 div n_a"))
+      .withColumn("lift_e6", expr("conf_e6 * n_orders div n_b"))
+      .select(col("pa"), col("pb"), col("n_both"), col("n_a"), col("n_b"),
+        col("conf_e6"), col("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("pa"), col("pb"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_market_basket" -> (q42MarketBasket _),
     "q33_graph_rank" -> (q33GraphRank _),
     "q34_culprit_supplier" -> (q34CulpritSupplier _),
     "q37_triangle_count" -> (q37TriangleCount _),
@@ -586,6 +638,23 @@ object AnalyticsExt {
   }
 
   val oracle: Map[String, String] = Map(
+    "q42_market_basket" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+         |supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+         | FROM b GROUP BY 1),
+         |pairs AS (
+         | SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+         |  CAST(count(*) AS BIGINT) AS n_both
+         | FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+         |  AND a.l_partkey < c.l_partkey
+         | GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+         |SELECT pa, pb, n_both, sa.n_item AS n_a, sb.n_item AS n_b,
+         | n_both * 1000000 // sa.n_item AS conf_e6,
+         | (n_both * 1000000 // sa.n_item) * n_orders // sb.n_item AS lift_e6
+         |FROM pairs JOIN supp sa ON pa = sa.l_partkey
+         | JOIN supp sb ON pb = sb.l_partkey CROSS JOIN n
+         |ORDER BY lift_e6 DESC, pa, pb""".stripMargin,
     "q33_graph_rank" -> q33OracleSql,
     // the oracle counts triangles by the TEXTBOOK canonical triple join
     // (u<v<w over the undirected edge table) — hash-matching it proves

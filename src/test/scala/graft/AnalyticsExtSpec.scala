@@ -325,4 +325,34 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(triExact > 0L, "the shipped corpus must contain triangles")
     info(s"${adj.size} nodes, ${edges.size} edges, $triExact triangles, cc_e6=$cc")
   }
+
+  test("q42: the rule table replays brute-force — supports, confidence " +
+    "and lift in the exact sequential integer arithmetic") {
+    val baskets = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val supp = baskets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pairCounts = baskets.values.toSeq
+      .flatMap(ps => ps.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= operators.AnalyticsExt.BasketMinSupport).toMap
+    val expected = pairCounts.map { case ((pa, pb), nb) =>
+      val (na, nbq) = (supp(pa), supp(pb))
+      val conf = nb * 1000000L / na
+      (pa, pb) -> (nb, na, nbq, conf, conf * n / nbq)
+    }
+    val got = operators.AnalyticsExt.q42MarketBasket(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("conf_e6"), r.getAs[Long]("lift_e6"))).toMap
+    assert(got == expected, "rule table diverged from brute force")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // lift must discriminate: some rule above 1.0 (positive association)
+    // and some below, or the measure is vacuous on this corpus
+    assert(got.values.exists(_._5 > 1000000L), "some positively-lifted rule")
+    info(s"${got.size} rules over ${baskets.size} baskets")
+  }
 }
