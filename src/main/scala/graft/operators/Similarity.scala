@@ -316,6 +316,12 @@ object Similarity {
     * the same 64 planes as 8 x 8 and cut the random-pair candidate rate
     * from ~64% to ~3%. The spec pins the reported-or-outranked invariant
     * against d5's confirmed pairs. */
+  /** s5/s19 shared: the banded-candidate kNN edge table —
+    * (vec_id, neighbor_id, cos_e6, rank) with rank ≤ [[KnnK]] per node.
+    * s5 reports it; s19 walks it. */
+  def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    s5KnnJoin(spark, dir)
+
   def s5KnnJoin(spark: SparkSession, dir: String): DataFrame = {
     val pl = planesFor(KnnBands * KnnPlanesPerBand)
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
@@ -596,6 +602,7 @@ object Similarity {
        |FROM r WHERE fused_rank <= $FusedK ORDER BY probe_id, fused_rank""".stripMargin
 
   private lazy val staticOracle: Map[String, String] = Map(
+    "s19_graph_beam" -> s19OracleSql,
     "s18_sq8_quantize" -> s18OracleSql,
     "s15_hybrid_search" -> s15OracleSql,
     "s16_filtered_ann" -> s16OracleSql,
@@ -2191,7 +2198,140 @@ object Similarity {
        |FROM q ORDER BY vec_id""".stripMargin
   }
 
+  val BeamEntries = 4 // s19: fixed entry points (vec_id 0..3)
+  val BeamWidth = 8 // s19: candidates kept per probe per round
+  val BeamRounds = 3 // s19: expansion rounds over the kNN graph
+  val BeamTopK = 5 // s19: neighbors reported per probe
+
+  /** `s19_graph_beam`: graph-based ANN query — greedy beam search over
+    * the banded kNN graph (the HNSW/NSG query path, on s5's edge table):
+    * from [[BeamEntries]] fixed entry points, [[BeamRounds]] rounds of
+    * expand-via-graph-edges → score → keep the [[BeamWidth]] best per
+    * probe, reporting the final top [[BeamTopK]]. Completes the
+    * query-time family: brute s1, LSH s2, IVF s3, PQ s4, binary s7,
+    * GRAPH s19 — the structure that answers "what does a navigable-graph
+    * index return for these probes, exactly?".
+    *
+    * Scale: the graph build is s5's band-bounded machinery (checkpointed
+    * once, reused by all rounds — at 100 TB it is the PREBUILT index,
+    * s10's artifact, not per-query work). The query phase never touches
+    * anything fact-sized: each round's frontier is ≤ probes × beam ×
+    * (1 + degree) rows, embeddings attach by key equi-join, probes
+    * broadcast, and the round count is a fixed dial — every frame in
+    * the unrolled plan is probe-grained. Ranking is on floored e6
+    * integers with an id tie-break, so beam membership (and therefore
+    * the whole walk) is engine-exact; the oracle replays the identical
+    * unrolled rounds. */
+  def s19GraphBeam(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val graph = knnEdges(spark, dir)
+      .select(col("vec_id").as("g_src"), col("neighbor_id").as("g_dst"))
+      .localCheckpoint(true) // the prebuilt index; every round walks it
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .localCheckpoint(true)
+    val cembs = e.select(col("vec_id").as("cand"), col("embedding").as("ce"))
+    def score(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_e6").desc, col("cand"))
+      cands
+        .join(cembs, Seq("cand"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("cand"),
+          floor(cosineFast(col("pe"), col("ce")) * lit(1000000.0))
+            .cast("long").as("cos_e6"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= BeamWidth)
+        .select(col("probe_id"), col("cand"), col("cos_e6"))
+    }
+    val entries = probes.select(col("probe_id"))
+      .crossJoin(broadcast(
+        e.filter(col("vec_id") < BeamEntries).select(col("vec_id").as("cand"))))
+      .filter(col("cand") =!= col("probe_id"))
+    var beam = score(entries).localCheckpoint(true)
+    for (_ <- 2 to BeamRounds) {
+      val nb = beam
+        .join(graph, col("cand") === col("g_src"))
+        .select(col("probe_id"), col("g_dst").as("cand"))
+      val candSet = beam.select(col("probe_id"), col("cand"))
+        .union(nb)
+        .filter(col("cand") =!= col("probe_id"))
+        .distinct()
+      beam = score(candSet).localCheckpoint(true)
+    }
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_e6").desc, col("cand"))
+    beam
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BeamTopK)
+      .select(col("probe_id"), col("rank"), col("cand").as("neighbor_id"),
+        col("cos_e6"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  private lazy val s19OracleSql: String = {
+    val cos = cosSql("p.pe", "ce.embedding")
+    def scoreCte(name: String, candCte: String): String =
+      s"""$name AS (
+         | SELECT probe_id, cand, cos_e6 FROM (
+         |  SELECT c.probe_id, c.cand,
+         |   CAST(floor($cos * 1000000.0) AS BIGINT) AS cos_e6,
+         |   row_number() OVER (PARTITION BY c.probe_id
+         |     ORDER BY CAST(floor($cos * 1000000.0) AS BIGINT) DESC, c.cand) AS r
+         |  FROM $candCte c
+         |   JOIN embeddings ce ON ce.vec_id = c.cand
+         |   JOIN probes p ON p.probe_id = c.probe_id)
+         | WHERE r <= $BeamWidth)""".stripMargin
+    val rounds = (2 to BeamRounds).map { r =>
+      s"""cand$r AS (
+         | SELECT DISTINCT probe_id, cand FROM (
+         |  SELECT probe_id, cand FROM beam${r - 1}
+         |  UNION ALL
+         |  SELECT b.probe_id, g.neighbor_id AS cand
+         |  FROM beam${r - 1} b JOIN g ON b.cand = g.vec_id)
+         | WHERE cand <> probe_id),
+         |${scoreCte(s"beam$r", s"cand$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sigs AS (
+       |$knnBandSql),
+       |kcand AS (
+       | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+       | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
+       |  AND s1.vec_id < s2.vec_id),
+       |kscored AS (
+       | SELECT c.v1, c.v2,
+       |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
+       | FROM kcand c JOIN embeddings a ON a.vec_id = c.v1
+       |  JOIN embeddings b ON b.vec_id = c.v2),
+       |kmirrored AS (
+       | SELECT v1 AS vec_id, v2 AS neighbor_id, cos_e6 FROM kscored
+       | UNION ALL SELECT v2, v1, cos_e6 FROM kscored),
+       |g AS (
+       | SELECT vec_id, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_e6 DESC, neighbor_id) AS rnk
+       |  FROM kmirrored) WHERE rnk <= $KnnK),
+       |probes AS (
+       | SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       | WHERE vec_id < $NumProbes),
+       |cand1 AS (
+       | SELECT probe_id, e.vec_id AS cand
+       | FROM probes CROSS JOIN (SELECT vec_id FROM embeddings
+       |   WHERE vec_id < $BeamEntries) e
+       | WHERE e.vec_id <> probe_id),
+       |${scoreCte("beam1", "cand1")},
+       |$rounds
+       |SELECT probe_id, rank, cand AS neighbor_id, cos_e6 FROM (
+       | SELECT probe_id, cand, cos_e6,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_e6 DESC, cand) AS BIGINT) AS rank
+       | FROM beam$BeamRounds)
+       |WHERE rank <= $BeamTopK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_graph_beam" -> (s19GraphBeam _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),

@@ -1385,4 +1385,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // pass the error bound trivially on a degenerate corpus)
     assert(got.values.map(_._1).max > 0L, "codes must be non-trivial")
   }
+
+  test("s19: the beam walk replays literally in Scala over the s5 graph " +
+    "— per-round beam membership included — and the walk genuinely " +
+    "escapes the entry set") {
+    import operators.Similarity.{BeamEntries, BeamRounds, BeamTopK, BeamWidth, NumProbes}
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    // the graph is s5's OWN verified artifact — take it as given
+    val graph = operators.Similarity.knnEdges(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = vecs.keys.filter(_ < NumProbes).toSeq.sorted
+    val entries = vecs.keys.filter(_ < BeamEntries).toSet
+    val expected = probes.flatMap { p =>
+      def top(c: Set[Long], n: Int): Seq[Long] = c.toSeq
+        .map(id => (id, cosE6(vecs(p), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+      var beam = top(entries - p, BeamWidth)
+      for (_ <- 2 to BeamRounds) {
+        val cand = (beam.toSet ++
+          beam.flatMap(c => graph.getOrElse(c, Set.empty))) - p
+        beam = top(cand, BeamWidth)
+      }
+      top(beam.toSet, BeamTopK).zipWithIndex.map { case (id, i) =>
+        (p, i + 1L) -> (id, cosE6(vecs(p), vecs(id)))
+      }
+    }.toMap
+    val got = operators.Similarity.s19GraphBeam(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("cos_e6"))).toMap
+    assert(got == expected, "beam walk diverged from literal replay")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // the walk must find neighbors OUTSIDE the entry set, or the graph
+    // expansion is vacuous and this is just s1 over 4 candidates
+    assert(got.values.exists { case (id, _) => !entries.contains(id) },
+      "the beam never escaped the entry points")
+    info(s"${got.size} result rows over ${probes.size} probes; " +
+      s"escaped-entry results: ${got.values.count(v => !entries.contains(v._1))}")
+  }
 }
