@@ -814,7 +814,100 @@ object Multimodal {
        |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  val BatchSize = 32L // m10: contrastive batch width (pairs per batch)
+
+  /** `m10_batch_negatives`: contrastive batch construction + in-batch
+    * negative integrity audit — the CLIP-training data-loading step. The
+    * paired corpus (caption = document text, payload = media blob) is
+    * dealt into fixed-width batches by a deterministic md5 shuffle; every
+    * other pair in a batch serves as a negative, so two pairs from the
+    * SAME source in one batch are correlated "negatives" (same-site
+    * near-dups — the false-negative poison of contrastive training).
+    * Per batch: pair count, modality mix, distinct sources, the largest
+    * same-source clump, same-source pair collisions and their e6 rate.
+    *
+    * Scale: the shuffle key is md5 arithmetic; the global batch sequence
+    * is m6's distributed two-level prefix sum (range partitions →
+    * rid-grained offsets; no single-task window ever sees row-grain
+    * input), and the audit is two grouped aggregations of the SAME
+    * checkpointed assignment — (batch, source) grain then batch grain,
+    * each map-side partial. Media types ride the manifest (the payload
+    * dies in its scan, per the m1-m5 contract). The collision count is
+    * exact integer arithmetic (Σ c·(c-1)/2), never a pair join. */
+  def m10BatchNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(mediaTable(spark, dir).select(col("doc_id"), col("media_type")),
+        Seq("doc_id"))
+      .withColumn("shuf",
+        md5Long60(concat(col("doc_id").cast("string"), lit(":m10"))))
+    val ordered = pairs
+      .repartitionByRange(col("shuf"), col("doc_id"))
+      .sortWithinPartitions(col("shuf"), col("doc_id"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true)
+    // rid-grained offsets: the only unpartitioned window reads #partition
+    // rows (m6's design; PlanSpec's global pin allowlists the rid grain)
+    val offsets = ordered.groupBy(col("rid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("rid"), col("base"))
+    val wRun = Window.partitionBy(col("rid")).orderBy(col("shuf"), col("doc_id"))
+    val batched = ordered.join(broadcast(offsets), Seq("rid"))
+      .withColumn("seq", (col("base") + row_number().over(wRun)).cast("long"))
+      .withColumn("batch_id", expr(s"(seq - 1) div $BatchSize"))
+    val bySrc = batched.groupBy(col("batch_id"), col("source"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("media_type") === "image", 1L).otherwise(0L)).as("mi"),
+        sum(when(col("media_type") === "audio", 1L).otherwise(0L)).as("ma"),
+        sum(when(col("media_type") === "video", 1L).otherwise(0L)).as("mv"))
+    bySrc.groupBy(col("batch_id"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(col("mi")).as("n_image"), sum(col("ma")).as("n_audio"),
+        sum(col("mv")).as("n_video"),
+        count(lit(1)).as("n_sources"), max(col("cnt")).as("max_source"),
+        sum(expr("cnt * (cnt - 1) div 2")).as("collision_pairs"))
+      .withColumn("collision_rate_e6", expr(
+        "collision_pairs * 1000000 div greatest(n_pairs * (n_pairs - 1) div 2, 1)"))
+      .select(col("batch_id"), col("n_pairs"), col("n_image"), col("n_audio"),
+        col("n_video"), col("n_sources"), col("max_source"),
+        col("collision_pairs"), col("collision_rate_e6"))
+      .orderBy(col("batch_id"))
+  }
+
+  val m10Oracle: String =
+    s"""WITH d AS (
+       | SELECT doc_id, source,
+       |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m10'), 1, 15))
+       |    AS BIGINT) AS shuf
+       | FROM documents),
+       |sq AS (
+       | SELECT doc_id, source, media_type,
+       |  row_number() OVER (ORDER BY shuf, doc_id) AS seq
+       | FROM d),
+       |b AS (SELECT source, media_type, (seq - 1) // $BatchSize AS batch_id FROM sq),
+       |pb AS (
+       | SELECT batch_id, source, CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(sum(CASE WHEN media_type = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS mi,
+       |  CAST(sum(CASE WHEN media_type = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS ma,
+       |  CAST(sum(CASE WHEN media_type = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS mv
+       | FROM b GROUP BY 1, 2)
+       |SELECT batch_id, CAST(sum(cnt) AS BIGINT) AS n_pairs,
+       | CAST(sum(mi) AS BIGINT) AS n_image, CAST(sum(ma) AS BIGINT) AS n_audio,
+       | CAST(sum(mv) AS BIGINT) AS n_video,
+       | CAST(count(*) AS BIGINT) AS n_sources, CAST(max(cnt) AS BIGINT) AS max_source,
+       | CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS collision_pairs,
+       | CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) * 1000000
+       |  // greatest(CAST(sum(cnt) AS BIGINT) * (CAST(sum(cnt) AS BIGINT) - 1) // 2, 1)
+       |  AS collision_rate_e6
+       |FROM pb GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m10_batch_negatives" -> m10Oracle,
     "m6_mix_manifest" -> m6Oracle,
     "m9_pack_interleaved" -> m9Oracle,
     "m4_image_tiles" -> m4Oracle,
@@ -826,6 +919,7 @@ object Multimodal {
     "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_batch_negatives" -> (m10BatchNegatives _),
     "m9_pack_interleaved" -> (m9PackInterleaved _),
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
     "m2_frame_sample" -> (m2FrameSample _),

@@ -1081,7 +1081,70 @@ object TextAnalysis {
       .orderBy(col("fbin"))
   }
 
+  val ClfBuckets = 1024L // t24: hashed feature space width
+  val ClfWeightMod = 2001L // t24: integer weights in [-1000, 1000]
+
+  /** `t24_classifier_score`: model-based quality filtering at scale —
+    * inference of a hashed-feature linear classifier (the fasttext-style
+    * quality-filter shape every production corpus pipeline runs) over
+    * every document. Token → md5 bucket in a [[ClfBuckets]]-wide feature
+    * space; each bucket carries a deterministic integer weight in
+    * [-1000, 1000] (md5-derived — standing in for trained weights, which
+    * would arrive as exactly this kind of bucket→weight table); a
+    * document's score is the exact integer sum of its token weights,
+    * keep/drop = sign. Because both the bucketing and the weights are
+    * integer md5 arithmetic, inference is bit-exact in any engine — the
+    * property a real filter needs when train and serve run on different
+    * stacks.
+    *
+    * Scale: ONE narrow scan, zero joins, zero shuffles before the output
+    * sort — the entire model evaluation is a per-row `transform` +
+    * `aggregate` fold over the token array (the weight "table" is pure
+    * arithmetic, so there is nothing to broadcast; a trained table would
+    * broadcast exactly like s6's centroids). Per-token score is also
+    * emitted as e6 rate to make thresholding length-fair. */
+  def t24ClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      s"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $ClfBuckets"
+    val weight =
+      s"""(CAST(conv(substring(md5(concat('w|', CAST($bucket AS STRING))),
+         | 1, 15), 16, 10) AS BIGINT) % $ClfWeightMod - 1000)""".stripMargin
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr(s"aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + $weight)")
+          .as("score"))
+      .withColumn("score_rate_e6",
+        expr("score * 1000000 div greatest(n_toks, 1)"))
+      .withColumn("label", when(col("score") > 0, "keep").otherwise("drop"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("score"),
+        col("score_rate_e6"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: toksCaseSql is declared later in this object
+  private lazy val t24OracleSql: String = {
+    val bucket = "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % " +
+      s"$ClfBuckets"
+    val weight =
+      s"""(CAST(('0x' || substr(md5('w|' || CAST($bucket AS VARCHAR)), 1, 15))
+         | AS BIGINT) % $ClfWeightMod - 1000)""".stripMargin
+    s"""SELECT doc_id, source,
+       | CAST(len(toks) AS BIGINT) AS n_toks,
+       | CAST(COALESCE(list_sum(list_transform(toks, t -> $weight)), 0)
+       |   AS BIGINT) AS score,
+       | CAST(COALESCE(list_sum(list_transform(toks, t -> $weight)), 0)
+       |   AS BIGINT) * 1000000
+       |  // greatest(CAST(len(toks) AS BIGINT), 1) AS score_rate_e6,
+       | CASE WHEN COALESCE(list_sum(list_transform(toks, t -> $weight)), 0) > 0
+       |  THEN 'keep' ELSE 'drop' END AS label
+       |FROM (SELECT doc_id, source, $toksCaseSql AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_classifier_score" -> (t24ClassifierScore _),
     "t23_zipf_curve" -> (t23ZipfCurve _),
     "t22_bpe_merges" -> (t22BpeMerges _),
     "t20_dup_profile" -> (t20DupProfile _),
@@ -1335,6 +1398,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t24_classifier_score" -> t24OracleSql,
     "t23_zipf_curve" ->
       s"""WITH freq AS (
          | SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (

@@ -402,4 +402,46 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r._4 == expected, s"doc ${r._2} (${r._3}): cost ${r._4} != extractor $expected")
     }
   }
+
+  test("m10: the batch deal replays literally — md5 shuffle order, batch " +
+    "math, modality mix and the exact same-source collision count") {
+    import graft.operators.Multimodal
+    def md5l(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mts = Array("image", "audio", "video")
+    val byBatch = docs
+      .sortBy { case (id, _) => (md5l(s"$id:m10"), id) }
+      .zipWithIndex
+      .map { case ((id, src), i) =>
+        (i / Multimodal.BatchSize, src, mts(((id % 3)).toInt)) }
+      .groupBy(_._1)
+    val expected = byBatch.view.mapValues { rows =>
+      val srcCounts = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+      val coll = srcCounts.values.map(c => c * (c - 1) / 2).sum
+      val n = rows.length.toLong
+      (n, rows.count(_._3 == "image").toLong, rows.count(_._3 == "audio").toLong,
+        rows.count(_._3 == "video").toLong, srcCounts.size.toLong,
+        srcCounts.values.max, coll,
+        coll * 1000000L / math.max(n * (n - 1) / 2, 1L))
+    }.toMap
+    val got = Multimodal.m10BatchNegatives(spark, sf).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_image"),
+          r.getAs[Long]("n_audio"), r.getAs[Long]("n_video"),
+          r.getAs[Long]("n_sources"), r.getAs[Long]("max_source"),
+          r.getAs[Long]("collision_pairs"), r.getAs[Long]("collision_rate_e6")))
+      .toMap
+    assert(got == expected, "batch audit diverged from literal replay")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // every full batch is exactly BatchSize; at most one remainder batch
+    assert(got.values.count(_._1 != Multimodal.BatchSize) <= 1, "batch widths")
+    // the md5 deal must actually mix sources: collisions exist (same
+    // source twice in some batch) AND no batch is single-source
+    assert(got.values.exists(_._7 > 0L), "no same-source collision anywhere")
+    assert(got.values.forall(v => v._5 > 1L), "a single-source batch dealt")
+  }
 }

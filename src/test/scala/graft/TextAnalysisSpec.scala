@@ -630,4 +630,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     // a natural corpus occupies >1 band or the banding is vacuous
     assert(got.length > 1, "the shipped corpus must spread across bands")
   }
+
+  test("t24: classifier inference replays literally — hashed buckets, " +
+    "md5 weights, exact integer scores — and the filter discriminates") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def md5l(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def weight(tok: String): Long = {
+      val b = md5l(tok) % TextAnalysis.ClfBuckets
+      md5l(s"w|$b") % TextAnalysis.ClfWeightMod - 1000L
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val score = toks.map(weight).sum
+      id -> (toks.length.toLong, score,
+        score * 1000000L / math.max(toks.length.toLong, 1L),
+        if (score > 0) "keep" else "drop")
+    }.toMap
+    val got = TextAnalysis.t24ClassifierScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("score"),
+          r.getAs[Long]("score_rate_e6"), r.getAs[String]("label"))).toMap
+    assert(got == expected, "classifier scores diverged from literal replay")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // the filter must actually split the corpus, or thresholding at 0
+    // is vacuous on this weight draw
+    val labels = got.values.map(_._4).toSet
+    assert(labels == Set("keep", "drop"), s"filter must discriminate: $labels")
+  }
 }
