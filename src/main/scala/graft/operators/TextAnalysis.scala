@@ -1143,7 +1143,80 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** `t25_langid_eval`: the language-ID confusion matrix — t3's
+    * predictions evaluated against the corpus's labeled `lang` column,
+    * one row per (labeled, predicted) cell with exact counts and the
+    * e6 recall/precision shares. The eval face of t3: a corpus pipeline
+    * does not just RUN a language filter, it monitors where the filter
+    * leaks (which labels bleed into which predictions) before trusting
+    * it to route documents.
+    *
+    * Scale: t3's one-scan scoring collapses straight into a
+    * (labels × predictions)-bounded cell aggregate (≤ |langs|² rows,
+    * data-independent); the marginals are sub-aggregates OF THE CELLS
+    * (never a second corpus scan) and attach by broadcast. All shares
+    * are exact integer e6 — engine-identical. */
+  def t25LangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t3LangId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // <= |langs|^2 rows; marginals re-read it
+    val byLabel = cells.groupBy(col("labeled_lang"))
+      .agg(sum(col("n")).as("n_labeled"))
+    val byPred = cells.groupBy(col("predicted_lang"))
+      .agg(sum(col("n")).as("n_predicted"))
+    cells
+      .join(broadcast(byLabel), Seq("labeled_lang"))
+      .join(broadcast(byPred), Seq("predicted_lang"))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        col("n_labeled"), col("n_predicted"),
+        expr("n * 1000000 div n_labeled").as("recall_share_e6"),
+        expr("n * 1000000 div n_predicted").as("precision_share_e6"),
+        (col("labeled_lang") === col("predicted_lang")).cast("long")
+          .as("is_correct"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
+  // shared by the t3 entry and t25's confusion-matrix CTE
+  private lazy val t3OracleSql: String =
+    s"""WITH s AS (
+       | SELECT doc_id, lang AS labeled_lang,
+       |  ${stopCountSql(stopwords("de"))} AS score_de,
+       |  ${stopCountSql(stopwords("en"))} AS score_en,
+       |  ${stopCountSql(stopwords("es"))} AS score_es,
+       |  ${stopCountSql(stopwords("fr"))} AS score_fr,
+       |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS score_zh_chars
+       | FROM documents)
+       |SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr, score_zh_chars,
+       | CASE WHEN score_zh_chars > 0 THEN 'zh'
+       |  WHEN score_de >= greatest(score_en, score_es, score_fr) AND score_de > 0 THEN 'de'
+       |  WHEN score_en >= greatest(score_es, score_fr) AND score_en > 0 THEN 'en'
+       |  WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+       |  WHEN score_fr > 0 THEN 'fr'
+       |  ELSE 'und' END AS predicted_lang
+       |FROM s""".stripMargin
+
+  private lazy val t25OracleSql: String = {
+    s"""WITH t3 AS (
+       |$t3OracleSql),
+       |cells AS (
+       | SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       | FROM t3 GROUP BY 1, 2),
+       |bl AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_labeled
+       | FROM cells GROUP BY 1),
+       |bp AS (SELECT predicted_lang, CAST(sum(n) AS BIGINT) AS n_predicted
+       | FROM cells GROUP BY 1)
+       |SELECT labeled_lang, predicted_lang, n, n_labeled, n_predicted,
+       | n * 1000000 // n_labeled AS recall_share_e6,
+       | n * 1000000 // n_predicted AS precision_share_e6,
+       | CAST(CASE WHEN labeled_lang = predicted_lang THEN 1 ELSE 0 END
+       |   AS BIGINT) AS is_correct
+       |FROM cells JOIN bl USING (labeled_lang) JOIN bp USING (predicted_lang)
+       |ORDER BY labeled_lang, predicted_lang""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_langid_eval" -> (t25LangidEval _),
     "t24_classifier_score" -> (t24ClassifierScore _),
     "t23_zipf_curve" -> (t23ZipfCurve _),
     "t22_bpe_merges" -> (t22BpeMerges _),
@@ -1398,6 +1471,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t25_langid_eval" -> t25OracleSql,
     "t24_classifier_score" -> t24OracleSql,
     "t23_zipf_curve" ->
       s"""WITH freq AS (
@@ -1464,23 +1538,7 @@ object TextAnalysis {
          | CAST(floor((0.25 * (1.0 - n_stop / n_toks) + 0.25 * (n_uniq / n_toks)
          |   + 0.3 * len_norm + 0.2 * (1.0 - n_punct / n_chars_d)) * 1000000) AS BIGINT) AS quality_score_e6
          |FROM base""".stripMargin,
-    "t3_lang_id" ->
-      s"""WITH s AS (
-         | SELECT doc_id, lang AS labeled_lang,
-         |  ${stopCountSql(stopwords("de"))} AS score_de,
-         |  ${stopCountSql(stopwords("en"))} AS score_en,
-         |  ${stopCountSql(stopwords("es"))} AS score_es,
-         |  ${stopCountSql(stopwords("fr"))} AS score_fr,
-         |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS score_zh_chars
-         | FROM documents)
-         |SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr, score_zh_chars,
-         | CASE WHEN score_zh_chars > 0 THEN 'zh'
-         |  WHEN score_de >= greatest(score_en, score_es, score_fr) AND score_de > 0 THEN 'de'
-         |  WHEN score_en >= greatest(score_es, score_fr) AND score_en > 0 THEN 'en'
-         |  WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
-         |  WHEN score_fr > 0 THEN 'fr'
-         |  ELSE 'und' END AS predicted_lang
-         |FROM s""".stripMargin,
+    "t3_lang_id" -> t3OracleSql,
     "t4_fingerprint" ->
       """WITH n AS (
         | SELECT doc_id,

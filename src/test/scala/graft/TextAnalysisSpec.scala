@@ -662,4 +662,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     val labels = got.values.map(_._4).toSet
     assert(labels == Set("keep", "drop"), s"filter must discriminate: $labels")
   }
+
+  test("t25: the confusion matrix replays from t3's own verified output, " +
+    "marginals conserve the corpus, and the matrix is off-diagonal " +
+    "somewhere (the eval is not vacuous)") {
+    val preds = TextAnalysis.t3LangId(spark, sf).collect()
+      .map(r => (r.getAs[String]("labeled_lang"), r.getAs[String]("predicted_lang")))
+    val cells = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byLabel = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byPred = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = cells.map { case ((l, p), n) =>
+      (l, p) -> (n, byLabel(l), byPred(p), n * 1000000L / byLabel(l),
+        n * 1000000L / byPred(p), if (l == p) 1L else 0L)
+    }
+    val got = TextAnalysis.t25LangidEval(spark, sf).collect()
+      .map(r => (r.getAs[String]("labeled_lang"), r.getAs[String]("predicted_lang")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_labeled"), r.getAs[Long]("n_predicted"),
+          r.getAs[Long]("recall_share_e6"), r.getAs[Long]("precision_share_e6"),
+          r.getAs[Long]("is_correct"))).toMap
+    assert(got == expected, "confusion matrix diverged from t3's output")
+    assert(got.values.map(_._1).sum == preds.length.toLong,
+      "cells must conserve the corpus")
+    assert(got.keys.exists { case (l, p) => l == p }, "some correct cell")
+    assert(got.keys.exists { case (l, p) => l != p },
+      "a perfect heuristic langid on synthetic text would be suspicious — " +
+        "the eval must have something to report")
+  }
 }
