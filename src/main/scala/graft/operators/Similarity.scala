@@ -503,6 +503,9 @@ object Similarity {
     }) ++ (confirmedS17.toMap match {
       case one if one.size == 1 => Map("s17_tombstone_plan" -> s17OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS20.toMap match {
+      case one if one.size == 1 => Map("s20_nprobe_sweep" -> s20OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -2330,7 +2333,144 @@ object Similarity {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  val SweepBudgets = Seq(1, 2, 4, 8) // s20: nprobe budgets swept (<= NumCells)
+
+  /** `s20_nprobe_sweep`: the IVF recall/cost tuning curve — d13's
+    * τ-sweep applied to the index side. One row per `nprobe` budget:
+    * candidates scanned (the cost an IVF store pays per probe), results
+    * returned, hits against s1's exact top-[[TopK]], and the micro
+    * recall_e6 — the table an operator reads to SET s3's dial before
+    * s8 monitors it in production. Closes the tuning loop: build s3 →
+    * monitor s8 → grow s11 → decide rebuild s12 → TUNE s20.
+    *
+    * Scale, and the d13 discipline: the sweep is ONE computation, never
+    * |budgets| re-runs. Cells are ranked once per probe (max-budget
+    * prefix of the same scoredCells model s3 uses, broadcast); each
+    * candidate is scored once and carries its `cell_rank`, so a budget
+    * is a FILTER (`cell_rank <= b`), and the |budgets| fan-out happens
+    * only after vectors are reduced to (probe, id, cos_e6) triples —
+    * nothing wider than 4 longs crosses the budget explode or its
+    * window. The exact baseline is s1's verified plan, checkpointed and
+    * joined per budget as a key-only semi join. Centroids publish to the
+    * oracle through the s3 materialization gate. */
+  def s20NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val maxB = SweepBudgets.max
+    val (cents, data) = kmeansWithData(spark, dir)
+    pendingS20.put(dir, cents)
+    val e = data
+      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
+    val scored = scoredCells(cents, col("_cos"))
+    val topCells = slice(reverse(array_sort(scored)), 1, maxB)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      element_at(topCells, 1).getField("cid").as("cell"))
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        posexplode(transform(topCells, c => c.getField("cid"))))
+      .select(col("probe_id"), col("pe"), (col("pos") + 1).as("cell_rank"),
+        col("col").as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell_rank"),
+        floor(cosineFast(col("pe"), col("embedding")) * lit(1000000.0))
+          .cast("long").as("cos_e6"))
+      .localCheckpoint(true) // probe-grained triples; read per budget
+    val byBudget = cand
+      .crossJoin(broadcast(
+        spark.range(0, SweepBudgets.size).select(
+          element_at(lit(SweepBudgets.toArray), col("id").cast("int") + 1)
+            .as("nprobe"))))
+      .filter(col("cell_rank") <= col("nprobe"))
+    val w = Window.partitionBy(col("probe_id"), col("nprobe"))
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    val topk = byBudget
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("nprobe"), col("probe_id"), col("vec_id"))
+    val exact = s1AnnBrute(spark, dir)
+      .select(col("probe_id"), col("neighbor_id").as("vec_id"))
+      .localCheckpoint(true)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val hits = topk.join(exact, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    byBudget.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .join(topk.groupBy(col("nprobe")).agg(count(lit(1)).as("n_results")),
+        Seq("nprobe"))
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_candidates"),
+        col("n_results"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        expr("coalesce(n_hits, 0) * 1000000 div n_exact").as("recall_e6"))
+      .orderBy(col("nprobe"))
+  }
+
+  private val pendingS20 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS20 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  /** s20's twin of [[confirmMaterialized]] (same centroids memo,
+    * confirmed separately — a failed s20 run must not inherit an oracle
+    * because s3 happened to materialize). */
+  def confirmS20Materialized(dir: String): Unit =
+    pendingS20.get(dir).foreach(cs => confirmedS20.put(dir, cs))
+
+  private def s20OracleSql(cents: Seq[(Long, Array[Long])]): String = {
+    val budgets = SweepBudgets.map(b => s"($b)").mkString(", ")
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, e.embedding, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS probe_id, embedding AS pe, cid AS cell,
+       |  rn AS cell_rank
+       | FROM scored WHERE vec_id < $NumProbes AND rn <= ${SweepBudgets.max}),
+       |cand AS (
+       | SELECT p.probe_id, x.vec_id, p.cell_rank,
+       |  CAST(floor(${cosSql("p.pe", "x.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
+       | FROM probes p JOIN asg x ON x.cell = p.cell AND x.vec_id != p.probe_id),
+       |bb AS (
+       | SELECT b.nprobe, c.probe_id, c.vec_id, c.cos_e6
+       | FROM cand c CROSS JOIN (VALUES $budgets) b(nprobe)
+       | WHERE c.cell_rank <= b.nprobe),
+       |topk AS (
+       | SELECT nprobe, probe_id, vec_id FROM (
+       |  SELECT nprobe, probe_id, vec_id,
+       |   row_number() OVER (PARTITION BY probe_id, nprobe
+       |     ORDER BY cos_e6 DESC, vec_id) AS rank
+       |  FROM bb) WHERE rank <= $TopK),
+       |exact AS (
+       | SELECT probe_id, vec_id FROM (
+       |  SELECT p.vec_id AS probe_id, x.vec_id,
+       |   row_number() OVER (PARTITION BY p.vec_id
+       |     ORDER BY ${cosSql("p.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+       |  FROM embeddings p JOIN embeddings x ON x.vec_id != p.vec_id
+       |  WHERE p.vec_id < $NumProbes) WHERE rank <= $TopK),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+       |hits AS (
+       | SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       | FROM topk t WHERE EXISTS (SELECT 1 FROM exact x
+       |   WHERE x.probe_id = t.probe_id AND x.vec_id = t.vec_id)
+       | GROUP BY nprobe)
+       |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       | CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+       | CAST(nr.n_results AS BIGINT) AS n_results,
+       | COALESCE(h.n_hits, 0) AS n_hits, ne.n_exact,
+       | COALESCE(h.n_hits, 0) * 1000000 // ne.n_exact AS recall_e6
+       |FROM (SELECT nprobe, count(*) AS n_candidates FROM bb GROUP BY 1) nc
+       | JOIN (SELECT nprobe, count(*) AS n_results FROM topk GROUP BY 1) nr
+       |  USING (nprobe)
+       | LEFT JOIN hits h USING (nprobe) CROSS JOIN ne
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_graph_beam" -> (s19GraphBeam _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),

@@ -1433,4 +1433,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"${got.size} result rows over ${probes.size} probes; " +
       s"escaped-entry results: ${got.values.count(v => !entries.contains(v._1))}")
   }
+
+  test("s20: each budget's results equal s3 run AT that nprobe, hit " +
+    "counts replay against s1, and the curve is monotone in nprobe") {
+    import operators.Similarity
+    val rows = Similarity.s20NprobeSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_results"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("n_exact"),
+          r.getAs[Long]("recall_e6"))).toMap
+    assert(rows.keySet == Similarity.SweepBudgets.map(_.toLong).toSet)
+    val exact = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Similarity.SweepBudgets.foreach { b =>
+      // the sweep row must be s3's OWN result at this dial setting
+      val s3 = Similarity.s3AnnIvf(spark, sf, b).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val (_, nRes, nHits, nEx, recall) = rows(b.toLong)
+      assert(nRes == s3.size.toLong, s"budget $b: result count != s3(nprobe=$b)")
+      assert(nHits == s3.count(exact.contains).toLong,
+        s"budget $b: hits != replayed s1 intersection")
+      assert(nEx == exact.size.toLong)
+      assert(recall == nHits * 1000000L / nEx)
+    }
+    val ordered = Similarity.SweepBudgets.map(b => rows(b.toLong))
+    assert(ordered.map(_._1) == ordered.map(_._1).sorted, "cost monotone")
+    assert(ordered.map(_._3) == ordered.map(_._3).sorted,
+      "hits monotone: a larger budget scans a superset of candidates")
+    assert(ordered.last._3 > ordered.head._3 ||
+      ordered.head._5 == 1000000L,
+      "the sweep must show the dial doing something (or nprobe=1 is already perfect)")
+    info(Similarity.SweepBudgets.map(b =>
+      s"nprobe=$b recall=${rows(b.toLong)._5 / 10000.0}%").mkString(", "))
+  }
 }
