@@ -1238,6 +1238,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d18_dup_spans" -> d18OracleSql,
     "d16_source_overlap" -> d16OracleSql,
     "d17_containment_dedup" -> d17OracleSql,
     "d9_dedup_chunks" -> d9OracleSql,
@@ -1598,7 +1599,83 @@ object Dedup {
        |WHERE p.c * $TauCDen >= n1.n * $TauCNum
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  /** `d18_dup_spans`: d14's maximal duplicated runs turned into the
+    * per-document DROP MASK — the step "Deduplicating Training Data
+    * Makes Language Models Better" actually trains on: each cross-doc
+    * verbatim run keeps its first occurrence (the pair's lower doc_id)
+    * and marks the later doc's token range for removal; a document's
+    * overlapping ranges merge into disjoint spans (two partners quoting
+    * the same passage must not double-count its tokens). Per affected
+    * document: merged span count, tokens dropped/kept, e6 drop rate —
+    * the numbers a corpus build reports as its dedup yield.
+    *
+    * Scale: rides d14's posting-bounded run table (nothing here re-scans
+    * text except the one n_toks projection); the interval merge is a
+    * per-doc window whose partition cardinality is runs-per-doc —
+    * pair-table-grained, orders of magnitude below fact grain, the q12
+    * per-key-bounded shape. Span arithmetic is pure integers. */
+  def d18DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spans = d14SubstringDedup(spark, dir)
+      .select(col("doc_id_2").as("doc_id"), col("start_2").as("s"),
+        (col("start_2") + col("run_toks") - 1).as("e"))
+      .distinct() // same span via two partners is one mask entry
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = spans
+      .withColumn("pmax",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_i",
+        (col("pmax").isNull || col("s") > col("pmax")).cast("long"))
+      .withColumn("island",
+        sum(col("new_i")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("me") - col("ms") + 1).as("drop_toks"))
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_toks"))
+    perDoc.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"), col("n_spans"), col("drop_toks"),
+        (col("n_toks") - col("drop_toks")).as("keep_toks"),
+        expr("drop_toks * 1000000 div n_toks").as("drop_rate_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val d18OracleSql: String =
+    s"""WITH d14 AS (
+       |${d14OracleSql}),
+       |spans AS (
+       | SELECT DISTINCT doc_id_2 AS doc_id, start_2 AS s,
+       |  start_2 + run_toks - 1 AS e
+       | FROM d14),
+       |marked AS (
+       | SELECT doc_id, s, e,
+       |  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       | FROM spans),
+       |isl AS (
+       | SELECT doc_id, s, e,
+       |  CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+       | FROM marked),
+       |merged AS (
+       | SELECT doc_id, island, min(s) AS ms, max(e) AS me
+       | FROM isl GROUP BY 1, 2),
+       |per_doc AS (
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(me - ms + 1) AS BIGINT) AS drop_toks
+       | FROM merged GROUP BY 1),
+       |nt AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+       | FROM documents)
+       |SELECT doc_id, n_toks, n_spans, drop_toks,
+       | n_toks - drop_toks AS keep_toks,
+       | drop_toks * 1000000 // n_toks AS drop_rate_e6
+       |FROM per_doc JOIN nt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_dup_spans" -> (d18DupSpans _),
     "d16_source_overlap" -> (d16SourceOverlap _),
     "d17_containment_dedup" -> (d17ContainmentDedup _),
     "d11_dedup_eval" -> (d11DedupEval _),

@@ -1466,4 +1466,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(Similarity.SweepBudgets.map(b =>
       s"nprobe=$b recall=${rows(b.toLong)._5 / 10000.0}%").mkString(", "))
   }
+
+  test("d18: the drop mask replays literally from d14's own runs — " +
+    "interval union, first-occurrence keep side, token conservation") {
+    val runs = operators.Dedup.d14SubstringDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Long]("start_2"), r.getAs[Long]("run_toks")))
+    // literal interval union per DROP-side doc (the pair's GREATER id)
+    val spansByDoc = runs.map { case (_, d2, s2, rt) => (d2, s2, s2 + rt - 1) }
+      .distinct.groupBy(_._1).view.mapValues { ss =>
+        val sorted = ss.map(s => (s._2, s._3)).sorted
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { case (s, e) =>
+          if (merged.nonEmpty && s <= merged.last._2)
+            merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, e))
+          else merged += ((s, e))
+        }
+        merged.toSeq
+      }.toMap
+    val nToks = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong).toMap
+    val expected = spansByDoc.map { case (d, spans) =>
+      val drop = spans.map { case (s, e) => e - s + 1 }.sum
+      d -> (nToks(d), spans.size.toLong, drop, nToks(d) - drop,
+        drop * 1000000L / nToks(d))
+    }
+    val got = operators.Dedup.d18DupSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("drop_toks"), r.getAs[Long]("keep_toks"),
+          r.getAs[Long]("drop_rate_e6"))).toMap
+    assert(got == expected, "drop mask diverged from literal interval union")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // keep-first: a doc that only ever appears as the pair's LOWER id
+    // must NOT be masked
+    val dropSide = runs.map(_._2).toSet
+    val keepOnly = runs.map(_._1).toSet -- dropSide
+    assert(keepOnly.forall(d => !got.contains(d)),
+      "a first-occurrence doc lost tokens")
+    assert(keepOnly.nonEmpty, "some doc must be pure first-occurrence")
+    // overlap handling must matter somewhere, or the union is untested:
+    // some doc has fewer merged spans than raw span entries
+    val rawCounts = runs.map { case (_, d2, s2, rt) => (d2, s2, s2 + rt - 1) }
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got.exists { case (d, v) => v._2 < rawCounts(d) },
+      "no overlapping spans merged anywhere — plant or corpus too clean")
+  }
 }
