@@ -1103,18 +1103,24 @@ object TextAnalysis {
     * arithmetic, so there is nothing to broadcast; a trained table would
     * broadcast exactly like s6's centroids). Per-token score is also
     * emitted as e6 rate to make thresholding length-fair. */
-  def t24ClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+  /** t24's per-document classifier score as a column over a token-array
+    * column — shared with the streaming quality gate, which must apply
+    * the IDENTICAL model to arriving micro-batches. */
+  def classifierScoreCol(toksCol: String): Column = {
     val bucket =
       s"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $ClfBuckets"
     val weight =
       s"""(CAST(conv(substring(md5(concat('w|', CAST($bucket AS STRING))),
          | 1, 15), 16, 10) AS BIGINT) % $ClfWeightMod - 1000)""".stripMargin
+    expr(s"aggregate($toksCol, CAST(0 AS BIGINT), (acc, t) -> acc + $weight)")
+  }
+
+  def t24ClassifierScore(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "documents")
       .withColumn("toks", wsTokens(col("text")))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_toks"),
-        expr(s"aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + $weight)")
-          .as("score"))
+        classifierScoreCol("toks").as("score"))
       .withColumn("score_rate_e6",
         expr("score * 1000000 div greatest(n_toks, 1)"))
       .withColumn("label", when(col("score") > 0, "keep").otherwise("drop"))

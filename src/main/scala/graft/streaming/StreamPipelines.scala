@@ -323,6 +323,51 @@ object StreamPipelines {
     novel.write.mode("overwrite").parquet(s"$stateDir/b$batchId")
   }
 
+  /** Streaming quality gate — t24's hashed-linear classifier run as a
+    * continuous ingest filter (the crawl-pipeline shape: score every
+    * arriving document with the SAME model the batch operator applies,
+    * admit keeps, and file a per-batch yield ledger). Reuses
+    * [[graft.operators.TextAnalysis.classifierScoreCol]] verbatim, so a
+    * document scores identically whether it arrives by stream or by
+    * backfill — the train/serve-parity property t24 exists to provide.
+    *
+    * Scale: scoring is the same zero-join per-row fold as t24; only
+    * (doc_id, score) plus a 1-row ledger outlive each micro-batch scan.
+    * State is append-only batch dirs — no compaction debt. */
+  def qualityGateSink(spark: SparkSession, stream: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    new java.io.File(stateDir).mkdirs()
+    stream.writeStream.outputMode(OutputMode.Append()).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        qualityGateBatch(spark, stateDir)(batch.toDF(), batchId)
+    }
+  }
+
+  /** One micro-batch of [[qualityGateSink]] — public so replay semantics
+    * are testable outside a live stream. Idempotent per (batch,
+    * batchId): both output dirs are deterministic in the batchId and
+    * overwritten whole (the [[corpusDedupBatch]] rule). */
+  def qualityGateBatch(spark: SparkSession, stateDir: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    new java.io.File(stateDir).mkdirs()
+    val scored = batch
+      .withColumn("toks", graft.functions.TextFunctions.wsTokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        graft.operators.TextAnalysis.classifierScoreCol("toks").as("score"))
+      .localCheckpoint(true) // scored once; keeps + ledger both read it
+    scored.filter(col("score") > 0)
+      .write.mode("overwrite").parquet(s"$stateDir/keep_b$batchId")
+    scored.agg(
+        count(lit(1)).as("n_in"),
+        sum((col("score") > 0).cast("long")).as("n_keep"),
+        sum((col("score") <= 0).cast("long")).as("n_drop"),
+        sum(col("n_toks")).as("toks_in"),
+        sum(when(col("score") > 0, col("n_toks")).otherwise(0L)).as("toks_kept"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/ledger_b$batchId")
+  }
+
   /** How many superseded upsert-state versions to retain for recovery;
     * older version dirs are deleted after each successful batch write. */
   val UpsertKeepVersions = 2

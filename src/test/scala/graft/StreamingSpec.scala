@@ -457,4 +457,64 @@ class StreamingSpec extends AnyFunSuite {
       batchB.toDF("doc_id", "text"), batchDirs.last.drop(1).toLong)
     assert(kept() == streamed, "replay double-filed or altered survivors")
   }
+
+  test("streaming quality gate: streamed keeps equal batch t24's keep " +
+    "labels on the same corpus, the ledger conserves counts, and batch " +
+    "replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val (batchA, batchB) = docs.splitAt(docs.length / 2)
+    val in = Files.createTempDirectory("graft_qg_in")
+    val state = Files.createTempDirectory("graft_qg_state").toString
+    val ckpt = Files.createTempDirectory("graft_qg_ck").toString
+    var mtime = System.currentTimeMillis()
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_qg_stage")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val parts = java.nio.file.Files.walk(tmp)
+        .filter(_.toString.endsWith(".parquet")).iterator()
+      val dst = in.resolve(name)
+      Files.copy(parts.next, dst)
+      mtime += 2000
+      dst.toFile.setLastModified(mtime)
+    }
+    drop("a.parquet", batchA)
+    drop("b.parquet", batchB)
+    val q = StreamPipelines.qualityGateSink(spark,
+        StreamPipelines.fileDocumentsStream(spark, in.toString, maxFilesPerTrigger = 1),
+        state)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive && q.exception.isEmpty, s"stream died: ${q.exception}")
+    def keptIds() = spark.read.parquet(s"$state/keep_b*")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the stream must admit EXACTLY the docs the batch operator labels
+    // keep — the real t24, not a hand copy of its scoring
+    val batchKeeps = graft.operators.TextAnalysis.t24ClassifierScore(spark, sf)
+      .filter(col("label") === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val streamed = keptIds()
+    assert(streamed == batchKeeps, "streamed keeps != batch t24 keeps")
+    assert(streamed.nonEmpty && streamed.length < docs.length,
+      "the gate must admit some and reject some")
+    // ledger conservation across micro-batches
+    val ledger = spark.read.parquet(s"$state/ledger_b*").collect()
+    assert(ledger.length >= 2, "expected one ledger row per micro-batch")
+    assert(ledger.map(_.getAs[Long]("n_in")).sum == docs.length.toLong)
+    assert(ledger.map(_.getAs[Long]("n_keep")).sum == streamed.length.toLong)
+    ledger.foreach(r => assert(
+      r.getAs[Long]("n_keep") + r.getAs[Long]("n_drop") == r.getAs[Long]("n_in")))
+    // at-least-once replay of the last micro-batch
+    val lastId = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("keep_b")).map(_.getName.drop(6).toLong).max
+    StreamPipelines.qualityGateBatch(spark, state)(
+      batchB.toDF("doc_id", "text"), lastId)
+    assert(keptIds() == streamed, "replay altered the admitted set")
+  }
 }
