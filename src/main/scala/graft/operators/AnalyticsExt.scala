@@ -594,7 +594,63 @@ object AnalyticsExt {
       .orderBy(col("lift_e6").desc, col("pa"), col("pb"))
   }
 
+  /** `q43_ks_drift`: two-sample Kolmogorov-Smirnov distance between the
+    * early (≤1997) and late order-value distributions — distribution
+    * drift as a STATISTIC, complementing p14's binned L1 (a KS max-gap
+    * catches a shape shift that histogram bins smear). Output: one row
+    * with both sample sizes, the exact integer KS numerator
+    * `max|cumA·nB − cumB·nA|`, its denominator `nA·nB`, the e6 ratio,
+    * and the smallest value attaining the max.
+    *
+    * Scale: the fact reduces to a VALUE-grained (price, nA, nB) table in
+    * one map-side-partial shuffle; the CDF is a distributed two-level
+    * prefix sum over that table (range partitions → rid-grained offsets
+    * — the t12/m6 machinery; no single-task window ever sees the value
+    * grain). The cross-multiplied integer form needs no division until
+    * the final e6 render and is exact while `nA·nB < 2^63` (~3·10⁹ rows
+    * per side — beyond that, render e6-floored doubles; the STATISTIC
+    * still never compares across engines at that scale). */
+  def q43KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.load(spark, dir, "orders")
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"),
+        when(year(col("o_orderdate")) <= 1997, 1L).otherwise(0L).as("isa"))
+      .groupBy(col("c"))
+      .agg(sum(col("isa")).as("na"), sum(lit(1L) - col("isa")).as("nb"))
+    val ordered = g.repartitionByRange(col("c")).sortWithinPartitions(col("c"))
+      .withColumn("rid", spark_partition_id())
+      .localCheckpoint(true) // value-grained; offsets + cum both read it
+    // rid-grained offsets: the only unpartitioned window reads
+    // #partition rows (PlanSpec's global pin allowlists the rid grain)
+    val offsets = ordered.groupBy(col("rid"))
+      .agg(sum(col("na")).as("sa"), sum(col("nb")).as("sb"))
+      .withColumn("basea", coalesce(sum(col("sa")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("baseb", coalesce(sum(col("sb")).over(
+        Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("rid"), col("basea"), col("baseb"))
+    val tot = g.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val wRun = Window.partitionBy(col("rid")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ordered.join(broadcast(offsets), Seq("rid"))
+      .withColumn("ca", col("basea") + sum(col("na")).over(wRun))
+      .withColumn("cb", col("baseb") + sum(col("nb")).over(wRun))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+    val mx = cum.agg(max(col("diff")).as("ks_num"))
+    cum.join(broadcast(mx), col("diff") === col("ks_num"))
+      .groupBy(col("ta"), col("tb"), col("ks_num"))
+      .agg(min(col("c")).as("at_cents"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"), col("ks_num"),
+        (col("ta") * col("tb")).as("denom"),
+        expr("ks_num * 1000000 div (ta * tb)").as("ks_e6"),
+        col("at_cents"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_ks_drift" -> (q43KsDrift _),
     "q42_market_basket" -> (q42MarketBasket _),
     "q33_graph_rank" -> (q33GraphRank _),
     "q34_culprit_supplier" -> (q34CulpritSupplier _),
@@ -638,6 +694,29 @@ object AnalyticsExt {
   }
 
   val oracle: Map[String, String] = Map(
+    "q43_ks_drift" ->
+      """WITH v AS (
+        | SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |  CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS isa
+        | FROM orders),
+        |g AS (
+        | SELECT c, CAST(sum(isa) AS BIGINT) AS na,
+        |  CAST(sum(1 - isa) AS BIGINT) AS nb
+        | FROM v GROUP BY c),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |  CAST(sum(nb) AS BIGINT) AS tb FROM g),
+        |cum AS (
+        | SELECT c,
+        |  CAST(sum(na) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |  CAST(sum(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+        | FROM g),
+        |d AS (SELECT c, abs(ca * tb - cb * ta) AS diff FROM cum CROSS JOIN t),
+        |mx AS (SELECT CAST(max(diff) AS BIGINT) AS ks_num FROM d)
+        |SELECT t.ta AS n_a, t.tb AS n_b, mx.ks_num,
+        | t.ta * t.tb AS denom,
+        | mx.ks_num * 1000000 // (t.ta * t.tb) AS ks_e6,
+        | (SELECT min(c) FROM d, mx WHERE d.diff = mx.ks_num) AS at_cents
+        |FROM t CROSS JOIN mx""".stripMargin,
     "q42_market_basket" ->
       s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),

@@ -2374,11 +2374,14 @@ object Similarity {
         floor(cosineFast(col("pe"), col("embedding")) * lit(1000000.0))
           .cast("long").as("cos_e6"))
       .localCheckpoint(true) // probe-grained triples; read per budget
+    val budgetTable = {
+      // literal LocalRelation (not a Range): the suite-wide PlanSpec pin
+      // recognizes a <=64-row literal table as the bounded BNLJ side
+      import spark.implicits._
+      SweepBudgets.map(_.toLong).toDF("nprobe")
+    }
     val byBudget = cand
-      .crossJoin(broadcast(
-        spark.range(0, SweepBudgets.size).select(
-          element_at(lit(SweepBudgets.toArray), col("id").cast("int") + 1)
-            .as("nprobe"))))
+      .crossJoin(broadcast(budgetTable))
       .filter(col("cell_rank") <= col("nprobe"))
     val w = Window.partitionBy(col("probe_id"), col("nprobe"))
       .orderBy(col("cos_e6").desc, col("vec_id"))

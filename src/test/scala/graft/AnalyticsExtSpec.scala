@@ -355,4 +355,32 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(got.values.exists(_._5 > 1000000L), "some positively-lifted rule")
     info(s"${got.size} rules over ${baskets.size} baskets")
   }
+
+  test("q43: the KS statistic replays brute-force — exact cross-product " +
+    "integers, inclusive CDFs, smallest argmax value") {
+    val vals = Tables.load(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_totalprice"),
+        org.apache.spark.sql.functions.year(
+          org.apache.spark.sql.functions.col("o_orderdate")).as("yr"))
+      .collect()
+      .map(r => (math.floor(r.getDouble(0) * 100).toLong, r.getInt(1) <= 1997))
+    val a = vals.filter(_._2).map(_._1).sorted
+    val b = vals.filterNot(_._2).map(_._1).sorted
+    val (ta, tb) = (a.length.toLong, b.length.toLong)
+    val support = (a ++ b).distinct.sorted
+    def cdf(xs: Array[Long], v: Long): Long = xs.count(_ <= v).toLong
+    val diffs = support.map(v => v -> math.abs(cdf(a, v) * tb - cdf(b, v) * ta))
+    val ksNum = diffs.map(_._2).max
+    val atC = diffs.filter(_._2 == ksNum).map(_._1).min
+    val row = operators.AnalyticsExt.q43KsDrift(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getAs[Long]("n_a") == ta && r.getAs[Long]("n_b") == tb)
+    assert(r.getAs[Long]("ks_num") == ksNum, "KS numerator diverged")
+    assert(r.getAs[Long]("denom") == ta * tb)
+    assert(r.getAs[Long]("ks_e6") == ksNum * 1000000L / (ta * tb))
+    assert(r.getAs[Long]("at_cents") == atC, "argmax value diverged")
+    assert(ksNum > 0L, "the shipped corpus must show SOME drift")
+    info(s"n_a=$ta n_b=$tb ks=${ksNum.toDouble / (ta * tb)} at $atC")
+  }
 }
