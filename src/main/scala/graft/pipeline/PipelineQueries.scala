@@ -799,7 +799,102 @@ object PipelineQueries {
        | LEFT JOIN cand USING (pk) LEFT JOIN tr USING (pk)
        |ORDER BY pk""".stripMargin
 
+  /** `p24_overlap_depth`: clustering-depth audit of the z-order layout —
+    * for every file, how many OTHER files' customer-key ranges overlap
+    * its own (the Iceberg/Delta "clustering depth" metric: a point/range
+    * read on this dim must touch 1 + n_overlaps files; rising overlap is
+    * the signal that p16's compaction is due). Per file: range, rows,
+    * overlap count; plus a ~TOTAL row with the file count, total overlap
+    * pairs and the layout's worst depth.
+    *
+    * Scale: the manifest is metadata-sized, but a manifest×manifest
+    * BETWEEN join is still a nested loop the suite-wide pin rejects —
+    * so the range-range overlap join runs as p21's band trick: each
+    * file's range explodes into ≤[[ErasureBands]] manifest-stat-derived
+    * bands, pairs meet on band equality, a DISTINCT collapses the
+    * multi-band meetings, and the exact overlap predicate confirms.
+    * Overlap is symmetric; each unordered pair is counted once per side
+    * via the mirrored candidate set. The oracle states the textbook
+    * pairwise BETWEEN form, so the hash-match proves the banding. */
+  def p24OverlapDepth(spark: SparkSession, dir: String): DataFrame = {
+    val files = zkeyedOrders(spark, dir)
+      .withColumn("zcell",
+        shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cust")).as("lo"), max(col("cust")).as("hi"))
+      .localCheckpoint(true) // manifest-sized; banded twice + reported
+    val gstats = files.agg(min(col("lo")).as("glo"), max(col("hi")).as("ghi"))
+    val bw = s"((ghi - glo) div $ErasureBands + 1)"
+    def banded(zAs: String, loAs: String, hiAs: String): DataFrame = files
+      .crossJoin(broadcast(gstats))
+      .withColumn("band", explode(expr(
+        s"sequence((lo - glo) div $bw, (hi - glo) div $bw)")))
+      .select(col("zcell").as(zAs), col("lo").as(loAs), col("hi").as(hiAs),
+        col("band"))
+    val pairs = banded("za", "alo", "ahi")
+      .join(banded("zb", "blo", "bhi"), Seq("band"))
+      .filter(col("za") =!= col("zb"))
+      .select(col("za"), col("zb"), col("alo"), col("ahi"),
+        col("blo"), col("bhi"))
+      .distinct() // multi-band meetings collapse to one candidate pair
+      .filter(col("blo") <= col("ahi") && col("bhi") >= col("alo"))
+      .groupBy(col("za")).agg(count(lit(1)).as("n_overlaps"))
+    val per = files.join(pairs, col("zcell") === col("za"), "left")
+      .select(col("zcell").cast("string").as("zcell"), col("n_rows"),
+        col("lo"), col("hi"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+    val tot = per.agg(count(lit(1)).as("n_rows_t"),
+        sum(col("n_overlaps")).as("pairs2x"), max(col("n_overlaps")).as("mx"))
+      .select(lit("~TOTAL").as("zcell"), col("n_rows_t").as("n_rows"),
+        lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"),
+        col("pairs2x").as("n_overlaps"))
+    per.unionByName(tot).orderBy(col("zcell"))
+  }
+
+  val p24Oracle: String = {
+    val grid = 1L << ZGridBits
+    s"""WITH o AS (
+       | SELECT epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  o_custkey AS cust
+       | FROM orders),
+       |s AS (SELECT min(day) AS day_min, max(day) AS day_max,
+       |  min(cust) AS cust_min, max(cust) AS cust_max FROM o),
+       |g AS (
+       | SELECT cust,
+       |  ((day - day_min) * $grid) // (day_max - day_min + 1) AS xn,
+       |  ((cust - cust_min) * $grid) // (cust_max - cust_min + 1) AS yn
+       | FROM o CROSS JOIN s),
+       |z AS (
+       | SELECT cust, CAST(list_sum(list_transform(range(0, 16), i ->
+       |    (((xn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER)))
+       |    + (((yn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER) + 1))))
+       |   AS BIGINT) AS zkey
+       | FROM g),
+       |f AS (
+       | SELECT zkey >> ${2 * ZGridBits - ZFileBits} AS zcell,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(cust) AS lo, max(cust) AS hi
+       | FROM z GROUP BY 1),
+       |ov AS (
+       | SELECT a.zcell, CAST(count(*) AS BIGINT) AS n_overlaps
+       | FROM f a JOIN f b ON a.zcell <> b.zcell
+       |  AND b.lo <= a.hi AND b.hi >= a.lo
+       | GROUP BY 1),
+       |per AS (
+       | SELECT CAST(f.zcell AS VARCHAR) AS zcell, f.n_rows, f.lo, f.hi,
+       |  COALESCE(ov.n_overlaps, 0) AS n_overlaps
+       | FROM f LEFT JOIN ov ON f.zcell = ov.zcell)
+       |SELECT zcell, n_rows, lo, hi, n_overlaps FROM per
+       |UNION ALL
+       |SELECT '~TOTAL', CAST(count(*) AS BIGINT), NULL, NULL,
+       | CAST(sum(n_overlaps) AS BIGINT)
+       |FROM per
+       |ORDER BY zcell""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_overlap_depth" -> (p24OverlapDepth _),
     "p23_bloom_index" -> (p23BloomIndex _),
     "p22_tier_plan" -> (p22TierPlan _),
     "p21_erasure_plan" -> (p21ErasurePlan _),
@@ -827,6 +922,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p24_overlap_depth" -> p24Oracle,
     "p23_bloom_index" -> p23Oracle,
     "p22_tier_plan" -> p22Oracle,
     "p21_erasure_plan" -> p21Oracle,

@@ -1047,4 +1047,32 @@ class PipelineSpec extends AnyFunSuite {
     info(s"${got.size} probes over ${fileKeys.size} files; " +
       s"false positives: ${got.values.map(_._3).sum}")
   }
+
+  test("p24: overlap counts replay brute-force from the per-file ranges, " +
+    "symmetry holds, and the total row conserves the pair count") {
+    val rows = PipelineQueries.p24OverlapDepth(spark, sf).collect()
+    val (tot, per) = rows.partition(_.getString(0) == "~TOTAL")
+    assert(tot.length == 1 && per.nonEmpty)
+    val ranges = per.map(r => r.getAs[String]("zcell") ->
+      (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    val expected = ranges.map { case (z, (lo, hi)) =>
+      z -> ranges.count { case (z2, (lo2, hi2)) =>
+        z2 != z && lo2 <= hi && hi2 >= lo }.toLong
+    }
+    val got = per.map(r => r.getAs[String]("zcell") ->
+      r.getAs[Long]("n_overlaps")).toMap
+    assert(got == expected, "overlap counts diverged from brute force")
+    // the banded join must count each unordered pair once per side:
+    // total n_overlaps is even and equals 2x the unordered pair count
+    val totOv = tot.head.getAs[Long]("n_overlaps")
+    assert(totOv == got.values.sum && totOv % 2 == 0)
+    assert(tot.head.getAs[Long]("n_rows") == per.length.toLong)
+    // the z-layout premise: SOME overlap exists (z-cells interleave the
+    // customer dim) but no file overlaps everything
+    assert(got.values.exists(_ > 0L), "no overlap anywhere — audit vacuous")
+    assert(got.values.max < per.length.toLong - 1 || per.length <= 2,
+      "every file overlaps every other — banding untestable")
+    info(s"${per.length} files, ${totOv / 2} overlapping pairs, " +
+      s"max depth ${got.values.max + 1}")
+  }
 }
