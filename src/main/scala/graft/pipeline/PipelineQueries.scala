@@ -807,43 +807,67 @@ object PipelineQueries {
     * overlap count; plus a ~TOTAL row with the file count, total overlap
     * pairs and the layout's worst depth.
     *
-    * Scale: the manifest is metadata-sized, but a manifest×manifest
-    * BETWEEN join is still a nested loop the suite-wide pin rejects —
-    * so the range-range overlap join runs as p21's band trick: each
-    * file's range explodes into ≤[[ErasureBands]] manifest-stat-derived
-    * bands, pairs meet on band equality, a DISTINCT collapses the
-    * multi-band meetings, and the exact overlap predicate confirms.
-    * Overlap is symmetric; each unordered pair is counted once per side
-    * via the mirrored candidate set. The oracle states the textbook
-    * pairwise BETWEEN form, so the hash-match proves the banding. */
+    * Scale: NO pair join at all — not even a banded one (overlapping
+    * ranges share MANY bands, so a band self-join degrades toward
+    * files²·bands on a hot layout). Instead the interval-overlap
+    * identity `overlaps(f) = |{g: lo_g ≤ hi_f}| − |{g: hi_g < lo_f}| − 1`
+    * reduces the audit to two rank lookups, each computed as a
+    * union-sort: endpoint events and per-file query points merge into
+    * one value-ordered stream (tie column encodes ≤ vs < semantics) and
+    * a distributed two-level prefix sum (the t12/m6 machinery) reads
+    * the running event count at each query row. O(n log n) in files,
+    * linear shuffles — the shape that survives a million-file manifest.
+    * The oracle states the textbook pairwise BETWEEN form, so the
+    * hash-match proves the rank identity. */
   def p24OverlapDepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val files = zkeyedOrders(spark, dir)
       .withColumn("zcell",
         shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
       .groupBy(col("zcell"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("cust")).as("lo"), max(col("cust")).as("hi"))
-      .localCheckpoint(true) // manifest-sized; banded twice + reported
-    val gstats = files.agg(min(col("lo")).as("glo"), max(col("hi")).as("ghi"))
-    val bw = s"((ghi - glo) div $ErasureBands + 1)"
-    def banded(zAs: String, loAs: String, hiAs: String): DataFrame = files
-      .crossJoin(broadcast(gstats))
-      .withColumn("band", explode(expr(
-        s"sequence((lo - glo) div $bw, (hi - glo) div $bw)")))
-      .select(col("zcell").as(zAs), col("lo").as(loAs), col("hi").as(hiAs),
-        col("band"))
-    val pairs = banded("za", "alo", "ahi")
-      .join(banded("zb", "blo", "bhi"), Seq("band"))
-      .filter(col("za") =!= col("zb"))
-      .select(col("za"), col("zb"), col("alo"), col("ahi"),
-        col("blo"), col("bhi"))
-      .distinct() // multi-band meetings collapse to one candidate pair
-      .filter(col("blo") <= col("ahi") && col("bhi") >= col("alo"))
-      .groupBy(col("za")).agg(count(lit(1)).as("n_overlaps"))
-    val per = files.join(pairs, col("zcell") === col("za"), "left")
-      .select(col("zcell").cast("string").as("zcell"), col("n_rows"),
-        col("lo"), col("hi"),
-        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+      .localCheckpoint(true) // manifest-sized; two rank passes + report
+    // running event count at each query row, over (v, tie) order:
+    // tie=0 rows count before tie=1 rows at equal v
+    def rankAt(events: DataFrame, queries: DataFrame): DataFrame = {
+      val u = events.select(col("v"), col("tie"), lit(1L).as("e"),
+          lit(null).cast("string").as("qz"))
+        .unionByName(queries.select(col("v"), col("tie"), lit(0L).as("e"),
+          col("qz")))
+      val ordered = u.repartitionByRange(col("v"), col("tie"), col("qz"))
+        .sortWithinPartitions(col("v"), col("tie"), col("qz"))
+        .withColumn("rid", spark_partition_id())
+        .localCheckpoint(true)
+      val offsets = ordered.groupBy(col("rid")).agg(sum(col("e")).as("se"))
+        .withColumn("base", coalesce(sum(col("se")).over(
+          Window.orderBy(col("rid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("rid"), col("base"))
+      val wRun = Window.partitionBy(col("rid"))
+        .orderBy(col("v"), col("tie"), col("qz"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ordered.join(broadcast(offsets), Seq("rid"))
+        .withColumn("cnt", col("base") + sum(col("e")).over(wRun))
+        .filter(col("qz").isNotNull)
+        .select(col("qz"), col("cnt"))
+    }
+    val zStr = col("zcell").cast("string")
+    // |{g: lo_g <= hi_f}|: lo events count INCLUSIVELY -> events tie 0
+    val loLE = rankAt(
+      files.select(col("lo").as("v"), lit(0L).as("tie")),
+      files.select(col("hi").as("v"), lit(1L).as("tie"), zStr.as("qz")))
+      .withColumnRenamed("cnt", "n_lo_le")
+    // |{g: hi_g < lo_f}|: hi events count STRICTLY -> queries tie 0
+    val hiLT = rankAt(
+      files.select(col("hi").as("v"), lit(1L).as("tie")),
+      files.select(col("lo").as("v"), lit(0L).as("tie"), zStr.as("qz")))
+      .withColumnRenamed("cnt", "n_hi_lt")
+    val per = files.select(zStr.as("zcell"), col("n_rows"), col("lo"), col("hi"))
+      .join(loLE, col("zcell") === loLE("qz")).drop("qz")
+      .join(hiLT, col("zcell") === hiLT("qz")).drop("qz")
+      .select(col("zcell"), col("n_rows"), col("lo"), col("hi"),
+        (col("n_lo_le") - col("n_hi_lt") - 1L).as("n_overlaps"))
     val tot = per.agg(count(lit(1)).as("n_rows_t"),
         sum(col("n_overlaps")).as("pairs2x"), max(col("n_overlaps")).as("mx"))
       .select(lit("~TOTAL").as("zcell"), col("n_rows_t").as("n_rows"),
