@@ -758,4 +758,26 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("seventh-wave operators: q42 scans lineitem once (no fact " +
+    "self-join), t24 evaluates the model with zero joins, s18's " +
+    "quantize pass has exactly one explode (the stats pass), and p23's " +
+    "bloom build collapses with map-side bit_or partials") {
+    val q42 = plan(AnalyticsExt.q42MarketBasket(spark, sf))
+    assert("FileScan parquet".r.findAllIn(q42).size <= 1,
+      s"q42 re-scans the fact (checkpoint reuse broken):\n$q42")
+    assert(!q42.contains("CartesianProduct"))
+    val t24 = plan(graft.operators.TextAnalysis.t24ClassifierScore(spark, sf))
+    assert(!t24.contains("Join"), s"t24 must be join-free:\n$t24")
+    assert(!t24.contains("Generate"), s"t24 must not explode tokens:\n$t24")
+    val s18 = plan(Similarity.s18Sq8Quantize(spark, sf))
+    assert("Generate".r.findAllIn(s18).size <= 1,
+      s"s18 quantize pass re-explodes (fold regressed):\n$s18")
+    assert(s18.contains("BroadcastNestedLoopJoin") || s18.contains("BroadcastHashJoin")
+      || s18.contains("CartesianProduct") == false, "mins/maxs attach by broadcast")
+    val p23 = plan(graft.pipeline.PipelineQueries.p23BloomIndex(spark, sf))
+    assert(p23.contains("partial_bit_or"),
+      s"bloom words lack map-side bit_or partials:\n$p23")
+    assert(!p23.contains("CartesianProduct"))
+  }
 }
