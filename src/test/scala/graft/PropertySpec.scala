@@ -307,4 +307,60 @@ class PropertySpec extends AnyFunSuite {
         (nc == 1L || (nc - 2) * S + W < n)
     })
   }
+
+  test("p24 rank identity: |{lo_g<=hi_f}| - |{hi_g<lo_f}| - 1 equals " +
+    "brute pairwise overlap for every interval set") {
+    val genIv = Gen.listOfN(2, Gen.chooseNum(0L, 30L)).map(l =>
+      (l.min, l.max))
+    check(Prop.forAll(Gen.nonEmptyListOf(genIv)) { ivs: List[(Long, Long)] =>
+      ivs.zipWithIndex.forall { case ((lo, hi), i) =>
+        val brute = ivs.zipWithIndex.count { case ((lo2, hi2), j) =>
+          j != i && lo2 <= hi && hi2 >= lo }
+        val loLE = ivs.count(_._1 <= hi)
+        val hiLT = ivs.count(_._2 < lo)
+        loLE - hiLT - 1 == brute
+      }
+    })
+  }
+
+  test("d18 interval union: merged spans cover exactly the union of " +
+    "positions, disjointly, for every span set") {
+    val genSpan = Gen.listOfN(2, Gen.chooseNum(1L, 40L)).map(l => (l.min, l.max))
+    check(Prop.forAll(Gen.nonEmptyListOf(genSpan)) { spans: List[(Long, Long)] =>
+      // the operator's rule: sort by (s, e); merge while s <= running max e
+      val sorted = spans.distinct.sorted
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { case (s, e) =>
+        if (merged.nonEmpty && s <= merged.last._2)
+          merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, e))
+        else merged += ((s, e))
+      }
+      val covered = spans.flatMap { case (s, e) => s to e }.toSet
+      val mergedCover = merged.flatMap { case (s, e) => s to e }.toSet
+      val disjoint = merged.toSeq.sliding(2).forall { w =>
+        w.size < 2 || w(1)._1 > w(0)._2
+      }
+      mergedCover == covered && disjoint &&
+        merged.map { case (s, e) => e - s + 1 }.sum == covered.size.toLong
+    })
+  }
+
+  test("q43 KS cross-product form: max|cumA*nB - cumB*nA| over the " +
+    "support equals the rational sup-distance of inclusive CDFs") {
+    val genS = Gen.nonEmptyListOf(Gen.chooseNum(0L, 20L))
+    check(Prop.forAll(genS, genS) { (a: List[Long], b: List[Long]) =>
+      val (ta, tb) = (a.length.toLong, b.length.toLong)
+      val support = (a ++ b).distinct.sorted
+      val ksNum = support.map(v =>
+        math.abs(a.count(_ <= v) * tb - b.count(_ <= v) * ta)).max
+      // rational check: ksNum/(ta*tb) == sup |FA - FB| computed as
+      // fractions (cross-multiply each candidate against the max)
+      support.forall { v =>
+        val diffNum = math.abs(a.count(_ <= v) * tb - b.count(_ <= v) * ta)
+        diffNum <= ksNum
+      } && support.exists { v =>
+        math.abs(a.count(_ <= v) * tb - b.count(_ <= v) * ta) == ksNum
+      }
+    })
+  }
 }
