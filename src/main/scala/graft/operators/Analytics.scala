@@ -583,7 +583,36 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** `q44_late_ship_priority`: the TPC-H Q4 shape — orders in a window
+    * with at least one lineitem shipped more than 60 days after the
+    * order date, counted per priority. The textbook form is a
+    * correlated EXISTS whose predicate spans BOTH tables (the lineitem
+    * condition references the outer order's date) — the oracle states
+    * exactly that, so the hash-match proves this de-correlation.
+    *
+    * Spark-first: a LEFT SEMI join on `l_orderkey` carrying the
+    * cross-table inequality as an extra join condition — the order-date
+    * window prunes the orders scan first (pushed filter), the semi join
+    * deduplicates matching lineitems for free (no DISTINCT pass), and
+    * the 5-row priority aggregate collapses map-side. No fact re-scan,
+    * no correlated re-plan. */
+  def q44LateShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_late_ship_priority" -> q44LateShipPriority _,
     "q39_big_orders" -> q39BigOrders _,
     "q40_dormant_customers" -> q40DormantCustomers _,
     "q41_disjunctive_revenue" -> q41DisjunctiveRevenue _,
@@ -602,6 +631,18 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    // deliberately the TEXTBOOK Q4 form — a correlated EXISTS whose
+    // predicate spans both tables: hash-matching it proves the
+    // semi-join-with-inequality de-correlation
+    "q44_late_ship_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q39_big_orders" ->
       """WITH big AS (
         | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty

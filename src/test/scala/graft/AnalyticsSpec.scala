@@ -237,4 +237,32 @@ class AnalyticsSpec extends AnyFunSuite {
       .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
     assert(got == expected, "disjunctive revenue diverged from brute force")
   }
+
+  test("q44: the semi join replays the correlated EXISTS exactly — " +
+    "each order counted once however many lineitems ran late") {
+    import org.apache.spark.sql.functions.{col, datediff, year}
+    val lateKeys = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority")).collect()
+      .filter(r => r.getInt(1) == 1996 && lateKeys.contains(r.getLong(0)))
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    val got = operators.Analytics.q44LateShipPriority(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_late_orders")).toMap
+    assert(got == expected, "late-ship counts diverged from brute force")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // multi-late-lineitem orders exist, so a join that forgot the semi
+    // semantics would overcount — assert the premise
+    val multi = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60 &&
+        year(col("o_orderdate")) === 1996)
+      .groupBy("o_orderkey").count().filter(col("count") > 1).count()
+    assert(multi > 0, "no order has 2+ late lineitems — semi dedup untested")
+  }
 }
