@@ -1129,13 +1129,18 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  // lazy: toksCaseSql is declared later in this object
-  private lazy val t24OracleSql: String = {
+  // the t24 weight lambda body (DuckDB, over lambda var `t`) — shared
+  // with t26's corpus-card score column
+  private lazy val clfWeightSql: String = {
     val bucket = "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % " +
       s"$ClfBuckets"
-    val weight =
-      s"""(CAST(('0x' || substr(md5('w|' || CAST($bucket AS VARCHAR)), 1, 15))
-         | AS BIGINT) % $ClfWeightMod - 1000)""".stripMargin
+    s"""(CAST(('0x' || substr(md5('w|' || CAST($bucket AS VARCHAR)), 1, 15))
+       | AS BIGINT) % $ClfWeightMod - 1000)""".stripMargin
+  }
+
+  // lazy: toksCaseSql is declared later in this object
+  private lazy val t24OracleSql: String = {
+    val weight = clfWeightSql
     s"""SELECT doc_id, source,
        | CAST(len(toks) AS BIGINT) AS n_toks,
        | CAST(COALESCE(list_sum(list_transform(toks, t -> $weight)), 0)
@@ -1221,7 +1226,73 @@ object TextAnalysis {
        |ORDER BY labeled_lang, predicted_lang""".stripMargin
   }
 
+  /** `t26_corpus_card`: the per-source dataset datasheet — the summary
+    * table a corpus release ships (and the one a curation team reads
+    * before changing any t/d-family dial): per source, document and
+    * token counts, exact-duplicate documents (d1's normalized-md5
+    * grouping), quality-filter keeps (t24's classifier), distinct
+    * predicted languages (t3), mean document length, and e6 dup/keep
+    * rates. A COMPOSITION operator: every statistic is the verified
+    * operator's own arithmetic — d1's hash window, t24's shared score
+    * column, t3's verified plan joined at doc grain — never a re-derived
+    * approximation that could drift from the operator it summarizes.
+    *
+    * Scale: one documents scan computes tokens + score + norm-hash in a
+    * single pass; the dup flag is d1's hash-keyed window (per-key
+    * bounded by duplicate-group size); t3's plan joins on the doc key;
+    * the card collapses to source grain with map-side partials. */
+  def t26CorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, dir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        classifierScoreCol("toks").as("score"),
+        md5(normText(col("text"))).as("norm_hash"))
+    val w = Window.partitionBy(col("norm_hash"))
+    val flagged = base
+      .withColumn("is_dup", (count(lit(1)).over(w) > 1L).cast("long"))
+    val langs = t3LangId(spark, dir).select(col("doc_id"), col("predicted_lang"))
+    flagged.join(langs, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum((col("score") > 0).cast("long")).as("n_keep_docs"),
+        countDistinct(col("predicted_lang")).as("n_langs"))
+      .withColumn("mean_toks_e2", expr("n_tokens * 100 div n_docs"))
+      .withColumn("dup_rate_e6", expr("n_dup_docs * 1000000 div n_docs"))
+      .withColumn("keep_rate_e6", expr("n_keep_docs * 1000000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val t26OracleSql: String =
+    s"""WITH t3 AS (
+       |$t3OracleSql),
+       |b AS (
+       | SELECT doc_id, source,
+       |  CAST(len(toks) AS BIGINT) AS n_toks,
+       |  CAST(COALESCE(list_sum(list_transform(toks, t -> $clfWeightSql)), 0)
+       |    AS BIGINT) AS score,
+       |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS nh
+       | FROM (SELECT doc_id, source, text, $toksCaseSql AS toks FROM documents)),
+       |g AS (
+       | SELECT b.*, count(*) OVER (PARTITION BY nh) AS gsz FROM b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       | CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       | CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_docs,
+       | CAST(count(DISTINCT predicted_lang) AS BIGINT) AS n_langs,
+       | CAST(sum(n_toks) AS BIGINT) * 100 // count(*) AS mean_toks_e2,
+       | CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |   // count(*) AS dup_rate_e6,
+       | CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |   // count(*) AS keep_rate_e6
+       |FROM g JOIN t3 USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_corpus_card" -> (t26CorpusCard _),
     "t25_langid_eval" -> (t25LangidEval _),
     "t24_classifier_score" -> (t24ClassifierScore _),
     "t23_zipf_curve" -> (t23ZipfCurve _),
@@ -1477,6 +1548,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t26_corpus_card" -> t26OracleSql,
     "t25_langid_eval" -> t25OracleSql,
     "t24_classifier_score" -> t24OracleSql,
     "t23_zipf_curve" ->

@@ -688,4 +688,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       "a perfect heuristic langid on synthetic text would be suspicious — " +
         "the eval must have something to report")
   }
+
+  test("t26: every card statistic equals the VERIFIED source operator's " +
+    "own output aggregated by source — d1 dups, t24 keeps, t3 langs") {
+    val srcOf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d1 = operators.Dedup.d1DedupExact(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("group_size") > 1L))
+      .toMap
+    val t24 = TextAnalysis.t24ClassifierScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[String]("label") == "keep")).toMap
+    val t3 = TextAnalysis.t3LangId(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    val expected = srcOf.keys.toSeq.groupBy(srcOf).view.mapValues { ids =>
+      val n = ids.size.toLong
+      val toks = ids.map(id => t24(id)._1).sum
+      val dups = ids.count(d1).toLong
+      val keeps = ids.count(id => t24(id)._2).toLong
+      (n, toks, dups, keeps, ids.map(t3).toSet.size.toLong,
+        toks * 100 / n, dups * 1000000L / n, keeps * 1000000L / n)
+    }.toMap
+    val got = TextAnalysis.t26CorpusCard(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_dup_docs"), r.getAs[Long]("n_keep_docs"),
+          r.getAs[Long]("n_langs"), r.getAs[Long]("mean_toks_e2"),
+          r.getAs[Long]("dup_rate_e6"), r.getAs[Long]("keep_rate_e6"))).toMap
+    assert(got == expected,
+      "the card diverged from its source operators' own outputs")
+    assert(got.nonEmpty && got.values.map(_._1).sum == srcOf.size.toLong,
+      "every document lands in exactly one card row")
+    info(s"${got.size} sources; keep rates " +
+      s"${got.values.map(_._8).min}-${got.values.map(_._8).max} e6")
+  }
 }
