@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -17,7 +18,7 @@ private[functions] object VectorTypeCheck {
   }
 }
 
-/** Fused "vector vs. literal matrix" expressions for the full-corpus scans
+/** Fused "vector vs. model matrix" expressions for the full-corpus scans
   * (LSH bucketing, IVF cell assignment) where the per-row work used to be N
   * separate `aggregate(zip_with(...))` higher-order folds — each paying a
   * zip-array allocation plus a lambda-dispatch fold per term. At 100 TB the
@@ -26,6 +27,15 @@ private[functions] object VectorTypeCheck {
   * operation sequence as the declarative form (and the DuckDB oracle's
   * `list_sum(list_transform(list_zip(...)))`) in one codegen'd loop nest
   * with zero allocations (one primitive array for the cosine case).
+  *
+  * The model matrix travels as a BROADCAST HANDLE, not an inline literal:
+  * an expression-embedded array serializes into every task closure (the
+  * "Broadcasting large task binary" wall once the model is real — 65k
+  * centroids × 768 dims is ~400 MB of closure), while a `Broadcast` ships
+  * a ~100-byte handle per task and materializes the matrix once per
+  * executor via the block manager — the MLlib model-distribution pattern.
+  * Each generated class caches `bc.value()` in a mutable-state field at
+  * instance init, so the per-row loop reads a plain local `double[][]`.
   */
 
 /** All-planes hyperplane sign bucket in one pass: bit p of the result is
@@ -37,7 +47,7 @@ private[functions] object VectorTypeCheck {
   * takes the ELSE branch. Callers never pass null embeddings (parquet
   * schema is non-null), so UnaryExpression's default null-propagation is
   * academic. */
-case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
+case class HyperplaneBucketExpr(child: Expression, planesBc: Broadcast[Array[Array[Double]]])
   extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -45,6 +55,8 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorTypeCheck.requireFloatArray(prettyName, child.dataType)
+
+  @transient private lazy val planes: Array[Array[Double]] = planesBc.value
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -64,9 +76,13 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("planesBc", planesBc,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolved once per generated-class instance, not per row
+    val m = ctx.addMutableState("double[][]", "hpPlanes",
+      v => s"$v = (double[][]) $bc.value();")
     nullSafeCodeGen(ctx, ev, a => {
-      val m = ctx.addReferenceObj("planes", planes, "double[][]")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val p = ctx.freshName("p")
@@ -87,32 +103,35 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
          |${ev.value} = $acc;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-/** Cosine of `emb` against every row of a literal centroid matrix, in one
+/** Cosine of `emb` against every row of a broadcast centroid matrix, in one
   * pass: result(c) = dot(emb, matrix(c)) / (l2(emb) * l2(matrix(c))).
   * The embedding norm is computed ONCE per row (the declarative per-centroid
-  * form recomputed it k times) and the centroid norms once at plan build —
-  * both with the same sequential double fold as `VectorFunctions.l2` and
-  * the oracle's `sqrt(list_sum(...))`, so every cosine is bit-identical to
-  * the unfused `cosine(emb, lit(centroid))`. Whole result is null if the
-  * embedding's length doesn't match the matrix width (never happens with
-  * the fixed-Dim tables; declared for totality). */
-case class CosineMatrixExpr(child: Expression, matrix: Array[Array[Double]])
+  * form recomputed it k times) and the centroid norms once per executor at
+  * instance init — both with the same sequential double fold as
+  * `VectorFunctions.l2` and the oracle's `sqrt(list_sum(...))`, so every
+  * cosine is bit-identical to the unfused `cosine(emb, lit(centroid))`.
+  * Whole result is null if the embedding's length doesn't match the matrix
+  * width (never happens with the fixed-Dim tables; declared for totality). */
+case class CosineMatrixExpr(child: Expression, matrixBc: Broadcast[Array[Array[Double]]])
   extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cosine_matrix"
   override def nullable: Boolean = true
 
+  @transient private lazy val matrix: Array[Array[Double]] = matrixBc.value
+
   override def checkInputDataTypes(): TypeCheckResult =
     VectorTypeCheck.requireFloatArray(prettyName, child.dataType)
 
   /** sqrt(sum of squares) per centroid, same IEEE fold order as l2(). */
-  private lazy val norms: Array[Double] = matrix.map { c =>
+  @transient private lazy val norms: Array[Double] = matrix.map { c =>
     var nb = 0.0
     var i = 0
     while (i < c.length) { nb += c(i) * c(i); i += 1 }
@@ -140,10 +159,22 @@ case class CosineMatrixExpr(child: Expression, matrix: Array[Array[Double]])
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("matrixBc", matrixBc,
+      "org.apache.spark.broadcast.Broadcast")
+    // matrix + norms resolved once per generated-class instance; norms use
+    // the SAME sequential fold as the interpreted path (bit parity)
+    val m = ctx.addMutableState("double[][]", "cmMatrix",
+      v => s"$v = (double[][]) $bc.value();")
+    val nrm = ctx.addMutableState("double[]", "cmNorms",
+      v =>
+        s"""$v = new double[$m.length];
+           |for (int c = 0; c < $m.length; c++) {
+           |  double nb = 0.0;
+           |  for (int i = 0; i < $m[c].length; i++) { nb += $m[c][i] * $m[c][i]; }
+           |  $v[c] = java.lang.Math.sqrt(nb);
+           |}""".stripMargin)
     nullSafeCodeGen(ctx, ev, a => {
-      val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
-      val nrm = ctx.addReferenceObj("norms", norms, "double[]")
       val n = ctx.freshName("n")
       val ok = ctx.freshName("ok")
       val na = ctx.freshName("na")
@@ -180,6 +211,7 @@ case class CosineMatrixExpr(child: Expression, matrix: Array[Array[Double]])
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -8,7 +8,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Product-quantization encoder: an e6-fixed-point vector (array<long>,
   * numSub*subDim elements) → its `numSub` nearest-centroid codes, one
-  * fused pass with the codebook attached as a MODEL reference object.
+  * fused pass with the codebook attached as a BROADCAST model handle
+  * (a closure-inlined codebook re-ships with every task binary; the
+  * handle ships ~100 bytes and resolves once per executor — the MLlib
+  * model-distribution pattern, same rationale as `MatrixExprs`).
   *
   * Semantics are exactly the declarative struct-array-min form kept in
   * `Similarity.pqCodeColSlow` (asserted bit-identical in PlanSpec):
@@ -19,14 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * projection out of codegen; this expression keeps the scan compiled
   * and does the arithmetic in three tight loops.
   */
-case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Long]]])
+case class PqEncodeExpr(child: Expression,
+    booksBc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
-  private val numSub = books.length
-  private val subDim = if (numSub > 0) books(0)(0).length else 0
+  @transient private lazy val books: Array[Array[Array[Long]]] = booksBc.value
+  @transient private lazy val numSub = books.length
+  @transient private lazy val subDim = if (numSub > 0) books(0)(0).length else 0
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

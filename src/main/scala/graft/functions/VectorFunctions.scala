@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Model matrices ship as broadcast handles (once per executor via the
+    * block manager), never as expression-embedded literals that would
+    * re-serialize into every task closure — built here on the driver at
+    * plan-construction time, where a session is always active. */
+  private def broadcastModel[T: scala.reflect.ClassTag](model: T)
+      : org.apache.spark.broadcast.Broadcast[T] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(model)
+
   /** Dot product with double accumulation (floats are widened per element
     * before multiply, matching CAST(x AS DOUBLE)*CAST(y AS DOUBLE)). */
   def dot(a: Column, b: Column): Column =
@@ -40,7 +48,8 @@ object VectorFunctions {
     * ([[hyperplaneBucketSlow]]), minus its per-plane zip/fold allocations. */
   def hyperplaneBucket(emb: Column, planes: Seq[Array[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(emb), planes.toArray))
+    ColumnBridge.column(
+      HyperplaneBucketExpr(ColumnBridge.expression(emb), broadcastModel(planes.toArray)))
   }
 
   /** Declarative HOF form of [[hyperplaneBucket]] — kept as the spec's
@@ -56,7 +65,8 @@ object VectorFunctions {
     * element c is bit-identical to `cosine(emb, lit-array of matrix(c))`. */
   def cosineMatrix(emb: Column, matrix: Array[Array[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(CosineMatrixExpr(ColumnBridge.expression(emb), matrix))
+    ColumnBridge.column(
+      CosineMatrixExpr(ColumnBridge.expression(emb), broadcastModel(matrix)))
   }
 
   /** PQ codes of an e6-fixed-point vector under `books`, one fused pass
@@ -64,6 +74,6 @@ object VectorFunctions {
     * 64 KB method limit at 8×16×8 and knocks the scan out of codegen. */
   def pqEncode(f: Column, books: Array[Array[Array[Long]]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(f), books))
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(f), broadcastModel(books)))
   }
 }

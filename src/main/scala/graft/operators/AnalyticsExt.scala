@@ -607,9 +607,12 @@ object AnalyticsExt {
     * prefix sum over that table (range partitions → rid-grained offsets
     * — the t12/m6 machinery; no single-task window ever sees the value
     * grain). The cross-multiplied integer form needs no division until
-    * the final e6 render and is exact while `nA·nB < 2^63` (~3·10⁹ rows
-    * per side — beyond that, render e6-floored doubles; the STATISTIC
-    * still never compares across engines at that scale). */
+    * the final render; `ks_num` itself is exact while `nA·nB < 2^63`
+    * (~3·10⁹ rows per side), but the e6 render multiplies it by 10⁶
+    * first, so the emitted `ks_e6` is exact only while
+    * `nA·nB < 2^63/10⁶` (~3·10⁶ rows per side — beyond that, stage the
+    * division or render e6-floored doubles; the STATISTIC still never
+    * compares across engines at that scale). */
   def q43KsDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = Tables.load(spark, dir, "orders")

@@ -804,8 +804,8 @@ object PipelineQueries {
     * its own (the Iceberg/Delta "clustering depth" metric: a point/range
     * read on this dim must touch 1 + n_overlaps files; rising overlap is
     * the signal that p16's compaction is due). Per file: range, rows,
-    * overlap count; plus a ~TOTAL row with the file count, total overlap
-    * pairs and the layout's worst depth.
+    * overlap count; plus a ~TOTAL row with the file count and total
+    * overlap pairs (2× the unordered pair count).
     *
     * Scale: NO pair join at all — not even a banded one (overlapping
     * ranges share MANY bands, so a band self-join degrades toward
@@ -869,7 +869,7 @@ object PipelineQueries {
       .select(col("zcell"), col("n_rows"), col("lo"), col("hi"),
         (col("n_lo_le") - col("n_hi_lt") - 1L).as("n_overlaps"))
     val tot = per.agg(count(lit(1)).as("n_rows_t"),
-        sum(col("n_overlaps")).as("pairs2x"), max(col("n_overlaps")).as("mx"))
+        sum(col("n_overlaps")).as("pairs2x"))
       .select(lit("~TOTAL").as("zcell"), col("n_rows_t").as("n_rows"),
         lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"),
         col("pairs2x").as("n_overlaps"))

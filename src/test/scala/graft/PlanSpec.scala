@@ -773,8 +773,8 @@ class PlanSpec extends AnyFunSuite {
     val s18 = plan(Similarity.s18Sq8Quantize(spark, sf))
     assert("Generate".r.findAllIn(s18).size <= 1,
       s"s18 quantize pass re-explodes (fold regressed):\n$s18")
-    assert(s18.contains("BroadcastNestedLoopJoin") || s18.contains("BroadcastHashJoin")
-      || s18.contains("CartesianProduct") == false, "mins/maxs attach by broadcast")
+    assert((s18.contains("BroadcastNestedLoopJoin") || s18.contains("BroadcastHashJoin"))
+      && !s18.contains("CartesianProduct"), "mins/maxs attach by broadcast")
     val p23 = plan(graft.pipeline.PipelineQueries.p23BloomIndex(spark, sf))
     assert(p23.contains("partial_bit_or"),
       s"bloom words lack map-side bit_or partials:\n$p23")
