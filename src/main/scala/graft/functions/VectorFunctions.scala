@@ -15,10 +15,81 @@ object VectorFunctions {
   /** Model matrices ship as broadcast handles (once per executor via the
     * block manager), never as expression-embedded literals that would
     * re-serialize into every task closure — built here on the driver at
-    * plan-construction time, where a session is always active. */
-  private def broadcastModel[T: scala.reflect.ClassTag](model: T)
+    * plan-construction time, where a session is always active.
+    *
+    * Handles are MEMOIZED per (SparkContext, model-reference): building the
+    * same query twice — or the suite building 140 plans against a handful
+    * of distinct models — reuses ONE broadcast per distinct model per JVM
+    * instead of minting ~200 per bench run for the async ContextCleaner to
+    * chase. Identity keying is deliberate: arrays hash/compare by
+    * reference, so a key is O(1) and two structurally-equal-but-distinct
+    * matrices (fresh Lloyd-iteration centroids) correctly get their own
+    * handles. Memoization also restores reference equality on the
+    * Broadcast field of [[graft.functions.CosineMatrixExpr]]-family
+    * case classes, so repeated calls with one model build EQUAL expressions
+    * and common-subexpression elimination / plan canonicalization work
+    * again.
+    *
+    * Lifecycle (a memo of broadcasts must not become a permanent pin —
+    * every training query mints a fresh final model, so "cache forever"
+    * would grow per suite run):
+    *  - the cache is a small access-ordered LRU ([[MaxModels]]); evicting
+    *    an entry DESTROYS its broadcast. A query builds and runs its plans
+    *    promptly and touches ≤ ~6 models, so by the time a handle is 64
+    *    distinct models stale no live plan can still reference it;
+    *  - once-used transient models (each Lloyd iteration's centroids) are
+    *    released EXPLICITLY by their producer ([[releaseModel]]) the moment
+    *    their one job has collected — synchronous cleanup, not
+    *    ContextCleaner churn during the next timed query;
+    *  - entries keyed by a stopped context are destroyed on natural LRU
+    *    turnover (destroy failures are swallowed). */
+  private val MaxModels = 64
+  private val modelCache: java.util.Map[
+      (org.apache.spark.SparkContext, AnyRef),
+      org.apache.spark.broadcast.Broadcast[_]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          (org.apache.spark.SparkContext, AnyRef),
+          org.apache.spark.broadcast.Broadcast[_]](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(org.apache.spark.SparkContext, AnyRef),
+                                   org.apache.spark.broadcast.Broadcast[_]])
+            : Boolean = {
+          val evict = size() > MaxModels
+          if (evict) destroyQuietly(e.getValue)
+          evict
+        }
+      })
+
+  private def destroyQuietly(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    try b.destroy() catch { case _: Throwable => () }
+
+  private[graft] def cachedModelCount: Int = modelCache.size
+
+  /** Drop and destroy the cached handle for `key` (the model object the
+    * DSL call was keyed on). For producers of ONCE-USED models — the Lloyd
+    * loop's per-iteration centroids — whose single job has already
+    * materialized: frees executor blocks synchronously instead of leaving
+    * them to the async ContextCleaner. No-op if never broadcast. */
+  private[graft] def releaseModel(key: AnyRef): Unit = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    Option(modelCache.remove((sc, key))).foreach(destroyQuietly)
+  }
+
+  private def broadcastModel[T <: AnyRef: scala.reflect.ClassTag](model: T)
       : org.apache.spark.broadcast.Broadcast[T] =
-    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(model)
+    broadcastModelKeyed(model, () => model)
+
+  /** Variant for call sites whose broadcast payload is DERIVED from the
+    * caller's model object (`planes.toArray` mints a fresh array per call):
+    * the cache key is the caller's stable object, the payload is built
+    * only on a miss. */
+  private def broadcastModelKeyed[T <: AnyRef: scala.reflect.ClassTag](
+      key: AnyRef, make: () => T): org.apache.spark.broadcast.Broadcast[T] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    modelCache.computeIfAbsent((sc, key), _ => sc.broadcast(make()))
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+  }
 
   /** Dot product with double accumulation (floats are widened per element
     * before multiply, matching CAST(x AS DOUBLE)*CAST(y AS DOUBLE)). */
@@ -49,7 +120,8 @@ object VectorFunctions {
   def hyperplaneBucket(emb: Column, planes: Seq[Array[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
-      HyperplaneBucketExpr(ColumnBridge.expression(emb), broadcastModel(planes.toArray)))
+      HyperplaneBucketExpr(ColumnBridge.expression(emb),
+        broadcastModelKeyed(planes, () => planes.toArray)))
   }
 
   /** Declarative HOF form of [[hyperplaneBucket]] — kept as the spec's

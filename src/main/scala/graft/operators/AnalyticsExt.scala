@@ -607,12 +607,13 @@ object AnalyticsExt {
     * prefix sum over that table (range partitions → rid-grained offsets
     * — the t12/m6 machinery; no single-task window ever sees the value
     * grain). The cross-multiplied integer form needs no division until
-    * the final render; `ks_num` itself is exact while `nA·nB < 2^63`
-    * (~3·10⁹ rows per side), but the e6 render multiplies it by 10⁶
-    * first, so the emitted `ks_e6` is exact only while
-    * `nA·nB < 2^63/10⁶` (~3·10⁶ rows per side — beyond that, stage the
-    * division or render e6-floored doubles; the STATISTIC still never
-    * compares across engines at that scale). */
+    * the final render, and the multiply runs in `Decimal(38,0)` (exact
+    * integers to 10³⁸): `ca·tb`, `ks_num` and `ks_num·10⁶` are exact
+    * for cohorts to ~10¹⁵ rows per side (product 10³⁰·10⁶ < 10³⁸) —
+    * past any 100-TB fact — where the old 64-bit form wrapped silently
+    * at ~3·10⁶ rows per side on the e6 render. The final `div` is
+    * integral divide of a ≤10⁶ quotient, emitted BIGINT; DuckDB's
+    * HUGEINT (int128, exact to 1.7·10³⁸) matches it bit-for-bit. */
   def q43KsDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = Tables.load(spark, dir, "orders")
@@ -641,14 +642,16 @@ object AnalyticsExt {
       .withColumn("ca", col("basea") + sum(col("na")).over(wRun))
       .withColumn("cb", col("baseb") + sum(col("nb")).over(wRun))
       .crossJoin(broadcast(tot))
-      .withColumn("diff", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+      .withColumn("diff", abs(col("ca").cast("decimal(38,0)") * col("tb") -
+        col("cb").cast("decimal(38,0)") * col("ta")))
     val mx = cum.agg(max(col("diff")).as("ks_num"))
     cum.join(broadcast(mx), col("diff") === col("ks_num"))
       .groupBy(col("ta"), col("tb"), col("ks_num"))
       .agg(min(col("c")).as("at_cents"))
       .select(col("ta").as("n_a"), col("tb").as("n_b"), col("ks_num"),
-        (col("ta") * col("tb")).as("denom"),
-        expr("ks_num * 1000000 div (ta * tb)").as("ks_e6"),
+        (col("ta").cast("decimal(38,0)") * col("tb")).as("denom"),
+        expr("ks_num * CAST(1000000 AS DECIMAL(38,0)) div " +
+          "(CAST(ta AS DECIMAL(38,0)) * tb)").as("ks_e6"),
         col("at_cents"))
   }
 
@@ -713,11 +716,14 @@ object AnalyticsExt {
         |  CAST(sum(na) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
         |  CAST(sum(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
         | FROM g),
-        |d AS (SELECT c, abs(ca * tb - cb * ta) AS diff FROM cum CROSS JOIN t),
-        |mx AS (SELECT CAST(max(diff) AS BIGINT) AS ks_num FROM d)
-        |SELECT t.ta AS n_a, t.tb AS n_b, mx.ks_num,
-        | t.ta * t.tb AS denom,
-        | mx.ks_num * 1000000 // (t.ta * t.tb) AS ks_e6,
+        |d AS (SELECT c,
+        |  abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta) AS diff
+        | FROM cum CROSS JOIN t),
+        |mx AS (SELECT max(diff) AS ks_num FROM d)
+        |SELECT t.ta AS n_a, t.tb AS n_b,
+        | CAST(mx.ks_num AS DECIMAL(38,0)) AS ks_num,
+        | CAST(CAST(t.ta AS HUGEINT) * t.tb AS DECIMAL(38,0)) AS denom,
+        | CAST(mx.ks_num * 1000000 // (CAST(t.ta AS HUGEINT) * t.tb) AS BIGINT) AS ks_e6,
         | (SELECT min(c) FROM d, mx WHERE d.diff = mx.ks_num) AS at_cents
         |FROM t CROSS JOIN mx""".stripMargin,
     "q42_market_basket" ->

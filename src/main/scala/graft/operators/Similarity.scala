@@ -40,7 +40,18 @@ object Similarity {
     * Injected as literals into both the Spark plan and the oracle SQL.
     * One family shared by every hyperplane consumer (s2's buckets, d5's
     * bands) — `planesFor(n)` returns its first n members. */
-  def planesFor(n: Int): Seq[Array[Double]] = {
+  def planesFor(n: Int): Seq[Array[Double]] =
+    planesCache.computeIfAbsent(n, computePlanes)
+
+  /** Memoized per n so every caller of a given plane family receives the
+    * SAME Seq instance — which is what lets the broadcast-handle cache in
+    * [[graft.functions.VectorFunctions]] (identity-keyed) reuse ONE
+    * executor-side copy of the planes across queries and bench sweeps
+    * instead of re-broadcasting per plan build. */
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Array[Double]]]()
+  private val computePlanes
+      : java.util.function.Function[Int, Seq[Array[Double]]] = n => {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     def u(p: Int, d: Int): Double = {
       val hex = mdig.digest(s"p$p:d$d".getBytes("UTF-8"))
@@ -714,8 +725,25 @@ object Similarity {
   val NProbe = 2
 
   /** The centroid model as a double matrix, in `cents` order. */
+  /** Memoized per model (the key is `cents` — tuple/Seq structural
+    * equality degrades to REFERENCE equality on the inner arrays, so two
+    * calls only hit when they pass the same trained model object): every
+    * consumer of one model gets the SAME matrix instance, which is what
+    * lets VectorFunctions' identity-keyed broadcast cache ship the model
+    * once per JVM rather than once per plan build. Lloyd iterations pass
+    * freshly-updated cents each round and correctly miss. */
+  private val centroidMatrixCache: java.util.Map[AnyRef, Array[Array[Double]]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[AnyRef, Array[Array[Double]]](32, 0.75f, true) {
+        // bounded LRU: a fresh final model lands per training query, and a
+        // memo that never evicts would pin one matrix per training forever
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[AnyRef, Array[Array[Double]]]): Boolean =
+          size() > 64
+      })
   private def centroidMatrix(cents: Seq[(Long, Array[Long])]): Array[Array[Double]] =
-    cents.map(_._2.map(_.toDouble / KmScale)).toArray
+    centroidMatrixCache.computeIfAbsent(cents,
+      _ => cents.map(_._2.map(_.toDouble / KmScale)).toArray)
 
   /** Per-row scored cells over a MATERIALIZED cosine-array column (one
     * fused [[graft.functions.CosineMatrixExpr]] pass per row — the
@@ -789,12 +817,18 @@ object Similarity {
     val sums = (0 until Dim).map(i => sum(element_at(col("f"), i + 1)).as(s"s$i"))
     for (_ <- 1 to KmIters) {
       // struct ordering = (cos, -cid): array_max is argmax cosine, min cid
+      val iterMatrix = centroidMatrix(cents)
       val withCos = e.withColumn("_cos",
-        cosineMatrix(col("embedding"), centroidMatrix(cents)))
+        cosineMatrix(col("embedding"), iterMatrix))
       val cell = array_max(scoredCells(cents, col("_cos"))).getField("cid")
       val agg = withCos.groupBy(cell.as("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
+      // this iteration's model is consumed: its one job has collected, so
+      // drop the matrix memo and destroy the broadcast SYNCHRONOUSLY
+      // (the next iteration trains a fresh model; nothing rereads this one)
+      centroidMatrixCache.remove(cents)
+      graft.functions.VectorFunctions.releaseModel(iterMatrix)
       val updated = agg.map { r =>
         val n = r.getAs[Long]("n")
         (r.getAs[Long]("cell"),

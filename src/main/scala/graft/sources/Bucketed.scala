@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Bucketed fact layout + its shuffle-free consumers.
+  *
+  * The engine's single biggest recurring cost at 100 TB is the
+  * `l_orderkey`/`o_orderkey` hash shuffle that every fact-fact operator
+  * (q3, q39, q33's edge build, q42's baskets) pays to co-locate lineitem
+  * with orders. Bucketing pays that shuffle ONCE at write time — both
+  * facts land hash-bucketed on the order key ([[writeFactLayout]]) — and
+  * every subsequent consumer reads co-located buckets: the join needs no
+  * exchange, and any aggregation keyed on the bucket column (or a
+  * superset of it) reuses the SAME storage partitioning, because
+  * `HashPartitioning(orderkey)` satisfies every
+  * `ClusteredDistribution` whose clustering contains the bucket key.
+  * This is the "one partitioning, reused across stages" claim SURVEY §5
+  * makes, landed as a concrete layout + operator (reference analog: the
+  * reference clusters its curated BigQuery tables on the join key in
+  * dags/config/pipeline_config.yaml; clustering there buys block pruning
+  * and co-location the same way bucketing does here).
+  *
+  * On a real cluster the layout is written once per landing cycle by the
+  * curation stage and consumed by every downstream query; `SourcesSpec`
+  * pins the contract at test scale: ZERO `Exchange hashpartitioning`
+  * anywhere in the bucketed plan — the aggregation AND the fact-fact
+  * join both run on the storage partitioning — and the result is
+  * row-identical to the shuffled form of the same query.
+  */
+object Bucketed {
+
+  /** One-time bucketed layout of the two TPC-H facts on the order key.
+    * Same bucket count on both sides (a requirement for the exchange-free
+    * join); `sortBy(bucketCol)` inside each bucket so single-file buckets
+    * also satisfy the sort-merge join's ordering without a Sort node.
+    * Returns the (lineitem, orders) table names. */
+  def writeFactLayout(spark: SparkSession, dir: String,
+                      nBuckets: Int = 32, prefix: String = "bkt_"): (String, String) = {
+    Sinks.writeBucketed(Tables.load(spark, dir, "lineitem"),
+      s"${prefix}lineitem", "l_orderkey", nBuckets)
+    Sinks.writeBucketed(Tables.load(spark, dir, "orders"),
+      s"${prefix}orders", "o_orderkey", nBuckets)
+    (s"${prefix}lineitem", s"${prefix}orders")
+  }
+
+  /** q39's jumbo-order feed over the bucketed layout — semantically
+    * identical to `Analytics.q39BigOrders`, but BOTH fact stages run on
+    * the storage partitioning:
+    *
+    *  - the per-order quantity aggregate groups by `l_orderkey` = the
+    *    bucket key, so the partial/final HashAggregate pair collapses to
+    *    ONE exchange-free aggregate over the bucketed scan;
+    *  - the orders⋈aggregate join clusters on the same key, already
+    *    satisfied on both sides — no exchange there either;
+    *  - the customer lookup stays a broadcast dim join.
+    *
+    * The only Exchange in the whole plan is the final presentational
+    * `rangepartitioning` for the global orderBy. At 100 TB that is the
+    * difference between shuffling the full lineitem fact per run and
+    * shuffling 20 result rows. */
+  def q39OverBuckets(spark: SparkSession, dir: String,
+                     lineitemTable: String, ordersTable: String): DataFrame = {
+    val big = spark.table(lineitemTable)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250L)
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    spark.table(ordersTable)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+}

@@ -376,8 +376,12 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(row.length == 1)
     val r = row.head
     assert(r.getAs[Long]("n_a") == ta && r.getAs[Long]("n_b") == tb)
-    assert(r.getAs[Long]("ks_num") == ksNum, "KS numerator diverged")
-    assert(r.getAs[Long]("denom") == ta * tb)
+    // ks_num/denom are Decimal(38,0) since the r15 overflow fix — exact
+    // integers far past the 64-bit envelope; compare as BigInt
+    assert(r.getAs[java.math.BigDecimal]("ks_num").toBigInteger ==
+      java.math.BigInteger.valueOf(ksNum), "KS numerator diverged")
+    assert(r.getAs[java.math.BigDecimal]("denom").toBigInteger ==
+      java.math.BigInteger.valueOf(ta * tb))
     assert(r.getAs[Long]("ks_e6") == ksNum * 1000000L / (ta * tb))
     assert(r.getAs[Long]("at_cents") == atC, "argmax value diverged")
     assert(ksNum > 0L, "the shipped corpus must show SOME drift")

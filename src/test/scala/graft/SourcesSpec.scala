@@ -123,6 +123,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("bucketed FACT layout: q39's feed runs with ZERO hash exchanges — " +
+    "the per-order aggregate AND the fact-fact join both reuse the " +
+    "storage partitioning — and matches the shuffled form row-for-row") {
+    val (liT, ordT) = graft.sources.Bucketed.writeFactLayout(
+      spark, sf, nBuckets = 4, prefix = "r15bkt_")
+    // pin the sort-merge shape: without this AQE would broadcast the small
+    // aggregate at sf0.001 and the no-exchange claim would be vacuous
+    // (the dim join's explicit broadcast() hint survives a -1 threshold)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.getOption(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val bucketed = graft.sources.Bucketed.q39OverBuckets(spark, sf, liT, ordT)
+      val p = bucketed.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"hash exchange in the bucketed fact plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fact join degenerated (nothing left to prove):\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+      // falsifiability: the SAME query over plain parquet pays hash shuffles
+      val shuffled = graft.operators.Analytics.q39BigOrders(spark, sf)
+      assert(shuffled.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "the shuffled form lost its exchanges — the comparison is vacuous")
+      val a = bucketed.collect().map(_.toString).toSeq
+      val b = shuffled.collect().map(_.toString).toSeq
+      assert(a == b, "bucketed result diverged from the shuffled form")
+      assert(a.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      savedAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("mergeSchema read absorbs schema drift across files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
