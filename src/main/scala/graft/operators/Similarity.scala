@@ -139,6 +139,60 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** `s21_rank_metrics`: rank-WEIGHTED retrieval quality of the LSH
+    * shortlist (s2) against exact truth (s1) — MRR and an nDCG@k
+    * surrogate, the metrics a production search SLO tracks beside s8's
+    * set-level recall (recall can hold at 0.8 while every hit slides to
+    * the bottom of the page; only a rank-weighted metric sees that).
+    *
+    * Integer discipline (the s8/s13 rule — a verdict must never flip on a
+    * cross-engine ulp): every discount is the FLOORED e6 harmonic term
+    * `10⁶ div (i+1)` instead of the textbook `1/log₂(i+1)` — same
+    * monotone rank weighting, exact in 64-bit integers in any engine.
+    * Per probe: `mrr_e6 = 10⁶ div first_rel_rank` (0 when the shortlist
+    * misses everything), `dcg_e6 = Σ rel_i·(10⁶ div (i+1))` over shortlist
+    * positions i, `idcg_e6` the same sum over the ideal prefix
+    * `i = 1..min(n_exact, LshTopK)`, and `ndcg_e6 = dcg·10⁶ div idcg`.
+    *
+    * Shape: both inputs are the already-scale-correct s1/s2 plans
+    * (checkpointed once each); the metric itself is a probe-grained
+    * left join + one aggregate — the report adds nothing fact-sized.
+    * At 100 TB the truth set is a sampled probe panel (NumProbes rows),
+    * so the eval cost is the indexes' own cost. */
+  def s21RankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1AnnBrute(spark, dir).select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val short = s2AnnLsh(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+      .localCheckpoint(true)
+    val marked = short
+      .join(exact.withColumn("rel", lit(1L)), Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val perProbe = marked.groupBy(col("probe_id")).agg(
+      count(lit(1)).as("n_ret"),
+      sum(col("rel")).as("n_hit"),
+      min(when(col("rel") === 1L, col("rank"))).as("frr"),
+      sum(when(col("rel") === 1L, expr("1000000 div (rank + 1)"))
+        .otherwise(lit(0L))).as("dcg_e6"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(perProbe, Seq("probe_id"), "left")
+      .withColumn("n_ret", coalesce(col("n_ret"), lit(0L)))
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("dcg_e6", coalesce(col("dcg_e6"), lit(0L)))
+      .withColumn("m", least(col("n_exact"), lit(LshTopK.toLong)))
+      .withColumn("idcg_e6", when(col("m") >= 1L,
+        expr("aggregate(sequence(CAST(1 AS BIGINT), m), " +
+          "CAST(0 AS BIGINT), (acc, i) -> acc + 1000000 div (i + 1))"))
+        .otherwise(lit(0L)))
+      .select(col("probe_id"), col("n_exact"), col("n_ret"), col("n_hit"),
+        coalesce(col("frr"), lit(0L)).cast("long").as("first_rel_rank"),
+        coalesce(expr("1000000 div frr"), lit(0L)).as("mrr_e6"),
+        col("dcg_e6"), col("idcg_e6"),
+        expr("CASE WHEN idcg_e6 > 0 THEN dcg_e6 * 1000000 div idcg_e6 " +
+          "ELSE CAST(0 AS BIGINT) END").as("ndcg_e6"))
+      .orderBy(col("probe_id"))
+  }
+
   val MmrCandN = 12 // s9: relevance candidates per probe fed to MMR
   val MmrK = 5 // s9: diversified picks per probe
   // s9: lambda = 0.7 as the exact rational 7/10 — the MMR score is kept
@@ -669,6 +723,44 @@ object Similarity {
          | neighbor_id, CAST(score_e6 AS BIGINT) AS score_e6,
          | lsh_rank, bin_rank, CAST(n_sources AS BIGINT) AS n_sources
          |FROM r WHERE fused_rank <= $FusedK ORDER BY probe_id, fused_rank""".stripMargin,
+    // s21's oracle: the same floored-harmonic e6 discounts over the same
+    // s1/s2 CTEs — every term is `10⁶ // (i+1)`, so both engines sum
+    // identical integers and the hash can only match if ranks match
+    "s21_rank_metrics" ->
+      s"""WITH ex AS ($s1OracleSql),
+         |ap AS ($s2OracleSql),
+         |marked AS (
+         | SELECT a.probe_id, a.rank,
+         |  CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         | FROM ap a LEFT JOIN ex e
+         |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id),
+         |pp AS (
+         | SELECT probe_id, CAST(count(*) AS BIGINT) AS n_ret,
+         |  CAST(sum(rel) AS BIGINT) AS n_hit,
+         |  min(CASE WHEN rel = 1 THEN rank END) AS frr,
+         |  CAST(sum(CASE WHEN rel = 1 THEN 1000000 // (rank + 1) ELSE 0 END)
+         |    AS BIGINT) AS dcg_e6
+         | FROM marked GROUP BY 1),
+         |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+         | FROM ex GROUP BY 1),
+         |j AS (
+         | SELECT ne.probe_id, ne.n_exact,
+         |  COALESCE(pp.n_ret, 0) AS n_ret, COALESCE(pp.n_hit, 0) AS n_hit,
+         |  pp.frr, COALESCE(pp.dcg_e6, 0) AS dcg_e6,
+         |  LEAST(ne.n_exact, $LshTopK) AS m
+         | FROM ne LEFT JOIN pp USING (probe_id))
+         |SELECT probe_id, n_exact, n_ret, n_hit,
+         | CAST(COALESCE(frr, 0) AS BIGINT) AS first_rel_rank,
+         | CAST(COALESCE(1000000 // frr, 0) AS BIGINT) AS mrr_e6,
+         | dcg_e6,
+         | CAST(COALESCE(list_sum(list_transform(range(1, CAST(m AS BIGINT) + 1),
+         |   i -> 1000000 // (i + 1))), 0) AS BIGINT) AS idcg_e6,
+         | CAST(CASE WHEN COALESCE(list_sum(list_transform(
+         |     range(1, CAST(m AS BIGINT) + 1), i -> 1000000 // (i + 1))), 0) > 0
+         |  THEN dcg_e6 * 1000000 // list_sum(list_transform(
+         |     range(1, CAST(m AS BIGINT) + 1), i -> 1000000 // (i + 1)))
+         |  ELSE 0 END AS BIGINT) AS ndcg_e6
+         |FROM j ORDER BY probe_id""".stripMargin,
     "s8_recall" ->
       s"""WITH ex AS ($s1OracleSql),
          |ap AS ($s2OracleSql),
@@ -2513,6 +2605,7 @@ object Similarity {
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s8_recall" -> (s8RecallEval _),
+    "s21_rank_metrics" -> (s21RankMetrics _),
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s4_ann_pq" -> (s4AnnPq _),
     "s5_knn_join" -> (s5KnnJoin _),

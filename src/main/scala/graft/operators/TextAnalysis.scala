@@ -1043,6 +1043,131 @@ object TextAnalysis {
        |FROM p GROUP BY 1
        |ORDER BY n_weighted DESC, pair LIMIT $BpeTopMerges""".stripMargin
 
+  // 10 rounds: on the shipped corpus the first merge that CONSUMES an
+  // earlier merge's symbol lands at round 8 (p+ar→par), so K=10 provably
+  // exercises the trainer's defining behavior (TextAnalysisSpec pins it)
+  // while each round stays one vocab-grained aggregate job
+  val BpeTrainRounds = 10
+
+  /** `t27_bpe_train`: MULTI-round byte-pair-encoding training — t22
+    * promotes to an actual trainer: [[BpeTrainRounds]] greedy merge
+    * rounds, each picking the corpus-weighted best adjacent symbol pair
+    * and REWRITING the vocabulary before the next round sees it (the t22
+    * single shot only ever ranks character bigrams; a trainer's later
+    * merges operate on the multi-character symbols earlier merges
+    * created). Output: the learned merge table — one row per round with
+    * the chosen pair, the merged symbol, and its weighted/type counts at
+    * selection time.
+    *
+    * Representation (the cross-engine trick): a word's symbol sequence is
+    * ONE delimited string with every symbol wrapped in its OWN delimiter
+    * pair — `|s1||s2||s3|` — and applying merge (a,b) is the plain
+    * leftmost non-overlapping `replace('|a||b|', '|ab|')`. Spark and
+    * DuckDB share the exact scan-left-continue-after-replacement
+    * semantics, which IS the greedy BPE application order, so the oracle
+    * states the whole K-round training as K unrolled CTE groups (the q33
+    * pattern) with zero procedural code. Each symbol owning BOTH its
+    * delimiters matters: with shared single delimiters the replacement
+    * would consume the middle `|`, so `aaaa` under merge (a,a) would
+    * land `[aa,a,a]` instead of the correct greedy `[aa,aa]`; and a
+    * match of `|a||b|` can only occur where a and b are COMPLETE
+    * adjacent symbols (symbols are `[a-z0-9]+`, never `|`).
+    *
+    * Scale: the corpus-sized work ends at the word-frequency aggregate
+    * (same as t22); all K rounds run over the DISTINCT vocabulary
+    * (Σ|word| over word TYPES — saturates on natural text regardless of
+    * corpus size), each round one vocab-grained aggregate job + a
+    * model-sized (1-row) collect, the Lloyd-loop shape. The vocabulary
+    * frame is re-checkpointed per round so round r's lineage never
+    * replays rounds 1..r-1. */
+  def t27BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .select(lower(col("w")).as("word"))
+      .filter(col("word").rlike(BpeWordRe))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+      .withColumn("sym", concat(lit("|"),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), "||"), lit("|")))
+    var cur = vocab.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long, Long)]()
+    for (r <- 1 to BpeTrainRounds) {
+      val best = cur
+        .select(col("word"), col("freq"),
+          expr("filter(split(sym, '[|]'), x -> x != '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("word"), col("freq"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+        .select(col("word"), col("freq"),
+          element_at(col("syms"), col("i")).as("lhs"),
+          element_at(col("syms"), expr("i + 1")).as("rhs"))
+        .groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("freq")).as("n_weighted"), countDistinct(col("word")).as("n_types"))
+        .orderBy(col("n_weighted").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE round $r found no pairs — corpus degenerate")
+      val b = best(0)
+      val (bl, br) = (b.getString(0), b.getString(1))
+      merges += ((r.toLong, bl, br, bl + br,
+        b.getAs[Long]("n_weighted"), b.getAs[Long]("n_types")))
+      cur = cur.withColumn("sym",
+        expr(s"replace(sym, '|$bl||$br|', '|$bl$br|')")).localCheckpoint(true)
+    }
+    merges.toSeq
+      .toDF("merge_round", "lhs", "rhs", "merged", "n_weighted", "n_types")
+      .orderBy(col("merge_round"))
+  }
+
+  /** t27's oracle: the SAME K rounds unrolled as CTE groups — per round,
+    * symbol split → pair explode → weighted argmax (identical tie-break)
+    * → the same `replace` rewrite feeding the next round's group. */
+  private lazy val t27OracleSql: String = {
+    def round(r: Int) = {
+      val prev = s"v${r - 1}"
+      s"""s$r AS (
+         | SELECT word, freq, sym,
+         |  list_filter(string_split(sym, '|'), x -> x <> '') AS syms
+         | FROM $prev),
+         |p$r AS (
+         | SELECT word, freq, unnest(range(1, len(syms))) AS i, syms
+         | FROM s$r WHERE len(syms) >= 2),
+         |q$r AS (
+         | SELECT word, freq, syms[CAST(i AS INT)] AS lhs,
+         |  syms[CAST(i AS INT) + 1] AS rhs
+         | FROM p$r),
+         |b$r AS (
+         | SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n_weighted,
+         |  CAST(count(DISTINCT word) AS BIGINT) AS n_types
+         | FROM q$r GROUP BY 1, 2
+         | ORDER BY n_weighted DESC, lhs, rhs LIMIT 1),
+         |v$r AS (
+         | SELECT v.word, v.freq,
+         |  replace(v.sym, '|' || b.lhs || '||' || b.rhs || '|',
+         |          '|' || b.lhs || b.rhs || '|') AS sym
+         | FROM $prev v, b$r b)"""
+    }
+    val rounds = (1 to BpeTrainRounds).map(round).mkString(",\n")
+    val rows = (1 to BpeTrainRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, " +
+        s"n_weighted, n_types FROM b$r").mkString("\n UNION ALL ")
+    s"""WITH w AS (
+       | SELECT lower(unnest($tokSql)) AS word FROM documents),
+       |vf AS (
+       | SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+       | WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1),
+       |v0 AS (
+       | SELECT word, freq,
+       |  '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INT), 1)), '||') || '|' AS sym
+       | FROM vf WHERE length(word) >= 2),
+       |$rounds
+       |SELECT * FROM (
+       | $rows)
+       |ORDER BY merge_round""".stripMargin
+  }
+
   /** `t23_zipf_curve`: corpus health telemetry — the token
     * rank-frequency (Zipf) curve, summarized per power-of-two frequency
     * band. A natural-language corpus follows `freq ∝ 1/rank`; a corpus
@@ -1297,6 +1422,7 @@ object TextAnalysis {
     "t24_classifier_score" -> (t24ClassifierScore _),
     "t23_zipf_curve" -> (t23ZipfCurve _),
     "t22_bpe_merges" -> (t22BpeMerges _),
+    "t27_bpe_train" -> (t27BpeTrain _),
     "t20_dup_profile" -> (t20DupProfile _),
     "t21_preference_pairs" -> (t21PreferencePairs _),
     "t1_text_stats" -> (t1TextStats _),
@@ -1570,6 +1696,7 @@ object TextAnalysis {
          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS max_rank
          |FROM b ORDER BY fbin""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
+    "t27_bpe_train" -> t27OracleSql,
     "t17_context_chunks" -> t17OracleSql,
     "t15_stratified_sample" -> t15OracleSql,
     "t16_lm_score" -> t16OracleSql,

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench validity gate's burst arm (round-14 blind spot): replay the
+  * r14 signature and a clean run through `Bench.burstSuspects` — the
+  * flagged run must self-identify, the clean run must stay silent, and a
+  * starved rep (wall up, cpu flat — the OTHER failure mode, diagnosed by
+  * the wall-vs-cpu spread columns) must NOT masquerade as burst. */
+class BenchGateSpec extends AnyFunSuite {
+
+  // the r14 shape, anchored on the verdict's recorded s12 readings: the
+  // slow rep's wall AND cpu inflate together (down-clocked host), across
+  // seven queries at once
+  private val r14Walls = Seq(
+    "s12_index_drift" -> Seq(1.61, 7.56, 4.02),
+    "s13_rank_fusion" -> Seq(0.84, 3.30, 2.51),
+    "s14_ivf_pq" -> Seq(2.20, 10.1, 5.30),
+    "s15_hybrid_search" -> Seq(2.30, 8.90, 4.10),
+    "s16_filtered_ann" -> Seq(0.52, 1.25, 1.10),
+    "s17_tombstone_plan" -> Seq(1.20, 6.10, 3.30),
+    "d8_dedup_incremental" -> Seq(2.20, 4.80, 3.10))
+  private val r14Cpus = Map(
+    "s12_index_drift" -> Seq(4.54, 9.77, 6.80),
+    "s13_rank_fusion" -> Seq(2.10, 5.90, 4.40),
+    "s14_ivf_pq" -> Seq(6.00, 14.2, 9.10),
+    "s15_hybrid_search" -> Seq(5.10, 12.3, 7.90),
+    "s16_filtered_ann" -> Seq(1.40, 2.90, 2.30),
+    "s17_tombstone_plan" -> Seq(3.20, 8.10, 5.50),
+    "d8_dedup_incremental" -> Seq(5.00, 9.10, 6.80))
+
+  test("the r14 burst signature trips the gate: >= BurstMinSuspects " +
+    "queries slow in wall AND proportionally expensive in cpu") {
+    val suspects = Bench.burstSuspects(r14Walls, r14Cpus)
+    assert(suspects.size >= Bench.BurstMinSuspects,
+      s"r14 replay found only $suspects")
+    assert(suspects.contains("s12_index_drift"))
+  }
+
+  test("a clean interleaved run stays unflagged: wall moves within the " +
+    "documented noise, cpu stays flat") {
+    val walls = (1 to 20).map(i => s"q${i}_x" -> Seq(1.00, 1.25, 1.10))
+    val cpus = walls.map { case (n, _) => n -> Seq(3.00, 3.20, 3.10) }.toMap
+    assert(Bench.burstSuspects(walls, cpus).isEmpty)
+  }
+
+  test("starvation (wall inflated, cpu flat) is NOT burst — it belongs " +
+    "to the wall-vs-cpu columns, and flagging it here would misattribute " +
+    "the mechanism") {
+    val walls = Seq("s1_ann_brute" -> Seq(1.0, 3.5, 1.1))
+    val cpus = Map("s1_ann_brute" -> Seq(3.0, 3.1, 3.0))
+    assert(Bench.burstSuspects(walls, cpus).isEmpty)
+  }
+
+  test("unsupported cpu readings (-1 sentinel) never match: the cpu " +
+    "column is diagnostics and must not be able to trip the gate") {
+    val walls = Seq("q1_pricing_summary" -> Seq(1.0, 4.0, 2.0))
+    val cpus = Map("q1_pricing_summary" -> Seq(-1.0, -1.0, -1.0))
+    assert(Bench.burstSuspects(walls, cpus).isEmpty)
+  }
+
+  test("a single GC outlier does not flag the run: the gate needs " +
+    "BurstMinSuspects simultaneous suspects") {
+    val one = Seq("q18_approx_stats" -> Seq(1.4, 6.4, 2.8))
+    val cpu = Map("q18_approx_stats" -> Seq(3.0, 12.0, 6.0))
+    val suspects = Bench.burstSuspects(one, cpu)
+    assert(suspects == Seq("q18_approx_stats"))
+    assert(suspects.size < Bench.BurstMinSuspects)
+  }
+}

@@ -1513,4 +1513,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.exists { case (d, v) => v._2 < rawCounts(d) },
       "no overlapping spans merged anywhere — plant or corpus too clean")
   }
+
+  test("s21: MRR and floored-harmonic nDCG replay brute force over the " +
+    "s1/s2 outputs — per-probe first-hit ranks, dcg/idcg sums, edge " +
+    "probes included") {
+    val exact = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val short: Map[Long, Seq[(Long, Long)]] =
+      Similarity.s2AnnLsh(spark, sf).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Number]("rank").longValue))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._3, t._2)).sortBy(_._1).toSeq).toMap
+    def h(i: Long): Long = 1000000L / (i + 1)
+    val expected = exact.map { case (p, truth) =>
+      val ret = short.getOrElse(p, Seq.empty[(Long, Long)])
+      val hits = ret.filter { case (_, n) => truth(n) }
+      val frr = hits.map(_._1).minOption.getOrElse(0L)
+      val dcg = hits.map { case (rk, _) => h(rk) }.sum
+      val m = math.min(truth.size.toLong, Similarity.LshTopK.toLong)
+      val idcg = (1L to m).map(h).sum
+      p -> ((truth.size.toLong, ret.size.toLong, hits.size.toLong, frr,
+        if (frr > 0) 1000000L / frr else 0L, dcg, idcg,
+        if (idcg > 0) dcg * 1000000L / idcg else 0L))
+    }
+    val got = Similarity.s21RankMetrics(spark, sf).collect().map { r =>
+      r.getAs[Long]("probe_id") -> (r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_ret"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("first_rel_rank"), r.getAs[Long]("mrr_e6"),
+        r.getAs[Long]("dcg_e6"), r.getAs[Long]("idcg_e6"),
+        r.getAs[Long]("ndcg_e6"))
+    }.toMap
+    assert(got == expected, "rank metrics diverged from the literal replay")
+    assert(got.size == exact.size, "every probe with truth must report")
+    // the metric must DISCRIMINATE on this corpus: not all probes perfect,
+    // not all probes empty (else the rank weighting is untested)
+    assert(got.values.exists(_._8 > 0L), "no probe scored — vacuous")
+    assert(got.values.exists(v => v._8 < 1000000L),
+      "every probe perfect — rank weighting unexercised")
+    info(s"${got.size} probes; ndcg_e6 " +
+      s"${got.values.map(_._8).min}-${got.values.map(_._8).max}")
+  }
 }

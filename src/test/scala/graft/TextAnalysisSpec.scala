@@ -603,6 +603,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     info(s"top merge: ${got.head}")
   }
 
+  test("t27: K-round BPE training replays a literal Scala trainer — " +
+    "greedy leftmost merge application, identical pair choice, weighted " +
+    "and type counts per round") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wordRe = "^[a-z0-9]+$".r
+    var words: Seq[(String, Long, Vector[String])] = texts.iterator
+      .flatMap(_.trim.split("\\s+").iterator.filter(_.nonEmpty))
+      .map(_.toLowerCase)
+      .filter(w => wordRe.findFirstIn(w).isDefined)
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .collect { case (w, f) if w.length >= 2 =>
+        (w, f, w.map(_.toString).toVector) }
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long)]
+    for (r <- 1 to TextAnalysis.BpeTrainRounds) {
+      val weighted = scala.collection.mutable.Map.empty[(String, String), Long]
+      val types = scala.collection.mutable.Map.empty[(String, String), Set[String]]
+      for ((w, f, syms) <- words; if syms.length >= 2;
+           i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        weighted(p) = weighted.getOrElse(p, 0L) + f
+        types(p) = types.getOrElse(p, Set.empty) + w
+      }
+      val ((bl, br), wt) = weighted.toSeq
+        .sortBy { case ((l, rr), v) => (-v, l, rr) }.head
+      expected += ((r.toLong, bl, br, bl + br, wt, types((bl, br)).size.toLong))
+      // greedy leftmost, non-overlapping: a just-merged symbol is never
+      // re-read as its left half (the fold's last element is the merged
+      // token, which can only match as a COMPLETE lhs of a later pair)
+      words = words.map { case (w, f, syms) =>
+        var acc = Vector.empty[String]
+        for (s <- syms) {
+          if (acc.nonEmpty && acc.last == bl && s == br)
+            acc = acc.init :+ (bl + br)
+          else acc = acc :+ s
+        }
+        (w, f, acc)
+      }
+    }
+    val got = TextAnalysis.t27BpeTrain(spark, sf).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("n_weighted"), r.getAs[Long]("n_types"))).toSeq
+    assert(got == expected.toSeq,
+      "the merge table diverged from the literal K-round trainer")
+    // a trainer is only exercised if some later round merges a
+    // MULTI-character symbol earlier rounds created
+    assert(got.exists { case (_, l, rr, _, _, _) =>
+      l.length > 1 || rr.length > 1 },
+      "no round consumed a merged symbol — K rounds degenerate to t22")
+    info(got.map { case (r, _, _, m, w, _) => s"r$r:$m($w)" }.mkString(" "))
+  }
+
   test("t23: the frequency-of-frequencies banding replays the literal " +
     "rank-frequency curve — band totals, edges and cumulative ranks") {
     val freqs = Tables.load(spark, sf, "documents")
