@@ -917,7 +917,124 @@ object PipelineQueries {
        |ORDER BY zcell""".stripMargin
   }
 
+  /** `p25_snapshot_chain`: the Iceberg-style snapshot LOG over the
+    * orders table — the lakehouse metadata plane's time axis, completing
+    * p19-p24's single-manifest family with a VERSIONED chain. The model:
+    * each calendar month of `o_orderdate` lands as one data file (one
+    * snapshot version per landing, in month order); when the first month
+    * of a new calendar year lands, a compaction snapshot replaces the
+    * completed year's month-files with ONE year-file (the OPTIMIZE step
+    * every lakehouse schedules — the shipped corpus lands contiguous
+    * years, which is what the year-closure trigger assumes; a production
+    * chain would trigger on date, not adjacency). Per version: the
+    * landing month, its row count, files added/removed by the snapshot,
+    * and the LIVE totals after it (file count, rows, running value in
+    * `Decimal(38,0)` — the q43 envelope discipline: a century of 100-TB
+    * landings stays exact).
+    *
+    * [[p25AsOf]] is the read path: resolve any version to its live file
+    * set (year-files for closed years + month-files for the in-progress
+    * year); `PipelineSpec` pins as-of(v) == the v-th manifest replayed.
+    *
+    * Scale: the fact is touched ONCE (the month aggregation — one
+    * map-side-partial shuffle); everything after runs on the
+    * manifest-grained month table (`mo` — calendar grain, ≤ 1.2k rows
+    * per century of data regardless of fact size; the PlanSpec
+    * window-grain allowlist admits it as metadata-sized), exactly how an
+    * engine reads a real snapshot log: sequentially, off metadata. */
+  def p25SnapshotChain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mf = monthManifest(spark, dir)
+    val yearCounts = mf.groupBy(col("yr")).agg(count(lit(1)).as("n_m"))
+    val wCum = Window.orderBy(col("mo"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    mf
+      .withColumn("version",
+        row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      .withColumn("live_rows", sum(col("n_rows")).over(wCum))
+      .withColumn("live_cents",
+        sum(col("cents").cast("decimal(38,0)")).over(wCum))
+      .withColumn("pos_in_yr", row_number()
+        .over(Window.partitionBy(col("yr")).orderBy(col("mo"))).cast("long"))
+      .withColumn("yr_idx",
+        dense_rank().over(Window.orderBy(col("yr"))).cast("long"))
+      .join(broadcast(yearCounts.select((col("yr") + 1).as("yr"),
+        col("n_m").as("prev_n_m"))), Seq("yr"), "left")
+      .withColumn("removed", when(col("pos_in_yr") === 1,
+        coalesce(col("prev_n_m"), lit(0L))).otherwise(lit(0L)))
+      .withColumn("added",
+        lit(1L) + when(col("removed") > 0, 1L).otherwise(0L))
+      .withColumn("live_files", col("yr_idx") - 1 + col("pos_in_yr"))
+      .select(col("version"), col("mo"), col("yr"), col("n_rows"),
+        col("added"), col("removed"), col("live_files"),
+        col("live_rows"), col("live_cents"))
+      .orderBy(col("version"))
+  }
+
+  /** One manifest row per landing month: the metadata frame every p25
+    * consumer runs on. */
+  private def monthManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("mo"), col("yr"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .localCheckpoint(true) // manifest grain; chain + as-of both read it
+
+  /** Time-travel read path: the live file set at `version` — year-files
+    * for every closed year, month-files for the in-progress one. The
+    * version row itself is a 1-row collect off the manifest (the
+    * snapshot-log lookup every as-of read starts with). */
+  def p25AsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mf = monthManifest(spark, dir)
+    val at = mf
+      .withColumn("version",
+        row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      .filter(col("version") === version)
+      .select(col("mo"), col("yr")).collect()
+    require(at.nonEmpty, s"version $version not in the snapshot log")
+    val (moV, yrV) = (at(0).getLong(0), at(0).getLong(1))
+    val years = mf.filter(col("yr") < yrV).groupBy(col("yr"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .select(lit("year").as("file_kind"), col("yr").as("file_key"),
+        col("n_rows"))
+    val months = mf.filter(col("yr") === yrV && col("mo") <= moV)
+      .select(lit("month").as("file_kind"), col("mo").as("file_key"),
+        col("n_rows"))
+    years.unionByName(months).orderBy(col("file_kind"), col("file_key"))
+  }
+
+  private val p25Oracle: String =
+    """WITH mf AS (
+      | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      | FROM orders GROUP BY 1, 2),
+      |yc AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_m FROM mf GROUP BY 1),
+      |v AS (
+      | SELECT mf.*,
+      |  CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version,
+      |  CAST(sum(n_rows) OVER (ORDER BY mo ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live_rows,
+      |  CAST(sum(cents) OVER (ORDER BY mo ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS live_cents,
+      |  CAST(row_number() OVER (PARTITION BY yr ORDER BY mo) AS BIGINT) AS pos_in_yr,
+      |  CAST(dense_rank() OVER (ORDER BY yr) AS BIGINT) AS yr_idx
+      | FROM mf)
+      |SELECT v.version, v.mo, v.yr, v.n_rows,
+      | CAST(1 + CASE WHEN v.pos_in_yr = 1 AND COALESCE(p.n_m, 0) > 0
+      |   THEN 1 ELSE 0 END AS BIGINT) AS added,
+      | CAST(CASE WHEN v.pos_in_yr = 1 THEN COALESCE(p.n_m, 0) ELSE 0 END
+      |   AS BIGINT) AS removed,
+      | CAST(v.yr_idx - 1 + v.pos_in_yr AS BIGINT) AS live_files,
+      | v.live_rows, v.live_cents
+      |FROM v LEFT JOIN yc p ON p.yr = v.yr - 1
+      |ORDER BY version""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_snapshot_chain" -> (p25SnapshotChain _),
     "p24_overlap_depth" -> (p24OverlapDepth _),
     "p23_bloom_index" -> (p23BloomIndex _),
     "p22_tier_plan" -> (p22TierPlan _),
@@ -946,6 +1063,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p25_snapshot_chain" -> p25Oracle,
     "p24_overlap_depth" -> p24Oracle,
     "p23_bloom_index" -> p23Oracle,
     "p22_tier_plan" -> p22Oracle,

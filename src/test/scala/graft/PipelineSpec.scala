@@ -1075,4 +1075,56 @@ class PipelineSpec extends AnyFunSuite {
     info(s"${per.length} files, ${totOv / 2} overlapping pairs, " +
       s"max depth ${got.values.max + 1}")
   }
+
+  test("p25: as-of(v) resolves EXACTLY the v-th manifest — the live file " +
+    "set replayed from the chain's own append/compact rule, every " +
+    "version, and the chain's live totals foot to the raw fact") {
+    import org.apache.spark.sql.functions.{col, floor, month, year}
+    val months = Tables.load(spark, sf, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byMonth = months.groupBy(_._1).view
+      .mapValues(ms => (ms.head._2, ms.size.toLong)).toMap
+    val ordered = byMonth.keys.toSeq.sorted
+    val chain = graft.pipeline.PipelineQueries.p25SnapshotChain(spark, sf)
+      .collect()
+    assert(chain.length == ordered.length, "one version per landing month")
+    // replay the chain rule literally for EVERY version and pin both the
+    // chain row and (for a sample) the as-of read path against it
+    val checkVersions = Seq(1L, ordered.length.toLong / 2, ordered.length.toLong)
+    chain.foreach { row =>
+      val v = row.getAs[Long]("version")
+      val moV = ordered(v.toInt - 1)
+      val yrV = byMonth(moV)._1
+      val expYears = byMonth.values.map(_._1).filter(_ < yrV).toSet
+      val expMonths = ordered.take(v.toInt).filter(m => byMonth(m)._1 == yrV)
+      assert(row.getAs[Long]("mo") == moV && row.getAs[Long]("yr") == yrV)
+      assert(row.getAs[Long]("live_files") ==
+        expYears.size.toLong + expMonths.size.toLong,
+        s"live_files at v=$v")
+      assert(row.getAs[Long]("live_rows") ==
+        ordered.take(v.toInt).map(byMonth(_)._2).sum, s"live_rows at v=$v")
+      if (checkVersions.contains(v)) {
+        val asOf = graft.pipeline.PipelineQueries.p25AsOf(spark, sf, v)
+          .collect()
+          .map(r => (r.getAs[String]("file_kind"), r.getAs[Long]("file_key")))
+          .toSet
+        val expected = expYears.map(("year", _)) ++
+          expMonths.map(("month", _)).toSet
+        assert(asOf == expected, s"as-of($v) file set diverged")
+      }
+    }
+    // the rule is only exercised if SOME compaction happened
+    assert(chain.exists(_.getAs[Long]("removed") > 0L),
+      "no year ever compacted — the corpus must span year boundaries")
+    // cumulative value foots to the raw fact, at the final version
+    val totCents = Tables.load(spark, sf, "orders")
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sum
+    val last = chain.maxBy(_.getAs[Long]("version"))
+    assert(last.getAs[java.math.BigDecimal]("live_cents").longValueExact == totCents,
+      "final live_cents does not foot to the fact")
+  }
 }

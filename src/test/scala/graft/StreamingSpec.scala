@@ -458,6 +458,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept() == streamed, "replay double-filed or altered survivors")
   }
 
+  test("streaming SCD2: accumulated dimension state equals batch p5 " +
+    "row-for-row under ascending event time, and batch replay is " +
+    "idempotent") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+    // cut at VALUE boundaries so same-instant ties co-locate in one
+    // batch — the sink's documented replay condition
+    val Array(c1, c2) = ev.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.33, 0.66), 0.0)
+    val state = Files.createTempDirectory("graft_scd2_state").toString
+    val apply = StreamPipelines.scd2Batch(spark, state) _
+    val us = unix_micros(col("ts"))
+    val batches = Seq(
+      ev.filter(us <= c1.toLong),
+      ev.filter(us > c1.toLong && us <= c2.toLong),
+      ev.filter(us > c2.toLong))
+    batches.foreach(b => assert(b.count() > 0, "a batch split is empty"))
+    // cross-batch closing must be exercised: some key spans batches
+    val spanning = batches(0).select("user_id")
+      .intersect(batches(2).select("user_id")).count()
+    assert(spanning > 0, "no key spans batches — closing logic untested")
+    batches.zipWithIndex.foreach { case (b, i) => apply(b, i.toLong) }
+    def stateRows() = StreamPipelines.currentState(spark, state).get
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("effective_from_us"),
+        Option(r.getAs[java.lang.Long]("effective_to_us")).map(_.longValue),
+        r.getAs[Long]("is_current"))).toSet
+    val streamed = stateRows()
+    val batch = graft.pipeline.Scd2.p5Scd2User(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("effective_from_us"),
+        Option(r.getAs[java.lang.Long]("effective_to_us")).map(_.longValue),
+        r.getAs[Long]("is_current"))).toSet
+    assert(streamed.size == batch.size,
+      s"row counts diverged: ${streamed.size} vs ${batch.size}")
+    assert(streamed == batch, "streamed SCD2 state diverged from batch p5")
+    // at-least-once replay of the final micro-batch: merge base must skip
+    // its own prior output, so the state is bit-stable
+    apply(batches(2), 2L)
+    assert(stateRows() == streamed, "replay altered the dimension state")
+  }
+
   test("streaming quality gate: streamed keeps equal batch t24's keep " +
     "labels on the same corpus, the ledger conserves counts, and batch " +
     "replay is idempotent") {
