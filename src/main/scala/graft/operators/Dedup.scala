@@ -819,6 +819,12 @@ object Dedup {
     // batch-sized, not statistics-sized, so the collect-and-replant
     // route would break the no-fact-collect rule for a constant 4 MiB
     // of per-stage traffic that does not grow with data).
+    // r15 re-attribution, post broadcast-handle refactor: a solo sweep
+    // of every suspect (s19/s15/s14/s12: ZERO warnings each) shows this
+    // query is the bench tail's ONLY task-binary source — 5 warnings at
+    // 2.1/4.1 MiB per run, exactly the sizes the r14 tail logged. With
+    // model literals out of every closure, the artifact is fully
+    // explained here and re-accepted on the rationale above.
     docs(spark, dir).select(col("doc_id")).filter(isNewDoc(col("doc_id")))
       .join(agg, Seq("doc_id"), "left")
       .join(best, Seq("doc_id"), "left")

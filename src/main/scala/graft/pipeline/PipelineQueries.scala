@@ -981,7 +981,11 @@ object PipelineQueries {
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("mo"), col("yr"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
-      .localCheckpoint(true) // manifest grain; chain + as-of both read it
+      // deliberately NOT checkpointed: the windows downstream must read a
+      // visible Aggregate(mo, yr) so PlanSpec's grain pin can PROVE the
+      // unpartitioned prefix sums run on the calendar manifest, not a
+      // leaf of unknowable grain; re-deriving this aggregate costs one
+      // extra pruned scan per consumer, which at metadata grain is noise
 
   /** Time-travel read path: the live file set at `version` — year-files
     * for every closed year, month-files for the in-progress one. The

@@ -1514,6 +1514,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "no overlapping spans merged anywhere — plant or corpus too clean")
   }
 
+  test("model broadcasts are memoized and model-bounded: rebuilding a " +
+    "plane-family plan mints NOTHING new, and a full k-means training " +
+    "leaves at most its final model in the cache (iteration models are " +
+    "released synchronously)") {
+    import graft.functions.VectorFunctions
+    // prime: first build may mint the plane-family broadcasts
+    Similarity.s2AnnLsh(spark, sf)
+    graft.operators.Dedup.d5DedupEmbed(spark, sf)
+    val primed = VectorFunctions.cachedModelCount
+    // rebuilding the same plans must reuse the SAME handles — the
+    // planesFor memo keys the cache on one stable object per family
+    Similarity.s2AnnLsh(spark, sf)
+    Similarity.s2AnnLsh(spark, sf)
+    graft.operators.Dedup.d5DedupEmbed(spark, sf)
+    assert(VectorFunctions.cachedModelCount == primed,
+      "rebuilding an unchanged plan minted new model broadcasts")
+    // a training query mints per-iteration models but RELEASES each after
+    // its one job collects: the cache may grow by the final model (and
+    // its assignment reuse), never by the KmIters iteration matrices
+    val n0 = VectorFunctions.cachedModelCount
+    Similarity.s3AnnIvf(spark, sf)
+    val grown = VectorFunctions.cachedModelCount - n0
+    assert(grown <= 2,
+      s"k-means left $grown cached models — Lloyd iterations leaked " +
+        s"(KmIters=${Similarity.KmIters} unreleased would show here)")
+  }
+
   test("s21: MRR and floored-harmonic nDCG replay brute force over the " +
     "s1/s2 outputs — per-probe first-hit ranks, dcg/idcg sums, edge " +
     "probes included") {
