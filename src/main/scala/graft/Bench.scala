@@ -135,7 +135,15 @@ object Bench {
     * and not starvation (a starved rep's cpu stays flat). The RUN is
     * flagged when ≥ [[BurstMinSuspects]] queries show the pattern at once:
     * one query can be a GC outlier; five simultaneous ones are weather.
-    * Reps with unsupported cpu readings (-1) never match. */
+    * Reps with unsupported cpu readings (-1) never match. A query whose
+    * SLOWEST rep is rep 0 never matches either: first-rep JIT
+    * compilation burns real cpu-seconds in exactly the
+    * slow-and-proportionally-expensive signature (r15 observed d10 rep-0
+    * wall 6.6/cpu 31.9 vs warm 2.7/7.5 — pure warmup), so a rep-0 max is
+    * unattributable between warmup and weather and the gate refuses to
+    * guess; weather lands on random reps, so with BurstMinSuspects
+    * simultaneous queries required the loss of rep-0-slow suspects does
+    * not blind it. */
   val BurstWallRatio = 2.0
   val BurstCpuRatio = 1.5
   val BurstMinSuspects = 5
@@ -150,7 +158,8 @@ object Bench {
         val fast = w.indexOf(w.min)
         val wallRatio = w(slow) / math.max(w(fast), 1e-9)
         val cpuRatio = c(slow) / math.max(c(fast), 1e-9)
-        if (wallRatio >= BurstWallRatio && cpuRatio >= BurstCpuRatio) Some(name)
+        if (slow != 0 && wallRatio >= BurstWallRatio &&
+          cpuRatio >= BurstCpuRatio) Some(name)
         else None
       }
     }

@@ -906,7 +906,147 @@ object Multimodal {
        |  AS collision_rate_e6
        |FROM pb GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
+  /** m11: the aspect-bucket ladder — SDXL's ~1-megapixel resolution
+    * grid: one square, four landscape, four portrait targets. A model's
+    * real ladder is config; the bucketing math is the operator. */
+  val AspectLadder: Seq[(Long, Long)] = Seq(
+    (1024L, 1024L), (1152L, 896L), (1216L, 832L), (1344L, 768L),
+    (1536L, 640L), (896L, 1152L), (832L, 1216L), (768L, 1344L),
+    (640L, 1536L))
+
+  /** m11: images per training batch — batches never mix buckets (the
+    * whole point of aspect bucketing: one static graph shape each). */
+  val AspectBatchSize = 64L
+
+  /** `m11_aspect_buckets`: aspect-ratio bucketing — the multimodal
+    * batch-shaping step (NaViT / SDXL style) none of m1-m10 covers:
+    * vision training wants static tensor shapes, so every image snaps to
+    * the nearest of a fixed aspect ladder, is resized to FIT that bucket
+    * and padded to fill it; batches are drawn per bucket. Per bucket:
+    * image count, total padded pixels, padding rate (e6), and the batch
+    * arithmetic at [[AspectBatchSize]] (batch count + tail slots) — plus
+    * `~TOTAL`, whose padding rate is the number a ladder change is
+    * judged by.
+    *
+    * Arithmetic is exact end-to-end. Nearest bucket = argmin over the
+    * ladder of the scale-free aspect distance `max(w·bh, h·bw) /
+    * min(w·bh, h·bw)` (the ratio-of-ratios — symmetric in orientation,
+    * no logs); each candidate packs as the FLOORED e9 rational ·16 +
+    * bucket_id, so `array_min` over the 9-element literal array IS the
+    * deterministic argmin (ties → lowest id) and both engines compute
+    * the identical Long. Fit is integer: the relatively-wider axis pins
+    * to the bucket (`w·bh ≥ h·bw` → width pins, `sh = h·bw div w`), pad
+    * = bucket area − scaled area. The e6 pad renders multiply pixel
+    * sums by 1e6 — wraps Long past ~9·10¹² pixels, microscopic for an
+    * image corpus — so they run in `Decimal(38,0)` (the q43 discipline;
+    * `div` lands the exact floored quotient back in BIGINT).
+    *
+    * Scale: ONE documents scan (dims from the m1 decode stub, computed
+    * in the scan projection — the payload never leaves it, m-family
+    * contract); the argmin is a per-row array expression, no explode, no
+    * join; the scan ends at the 9-group map-side-partial aggregate and
+    * everything after is ladder-sized. */
+  def m11AspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val h60 = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val imgs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0) // m1's media_type = 'image' arm
+      .select(col("doc_id"), h60.as("h60"))
+      .select(col("doc_id"), expr("64 + h60 % 1856").as("w"),
+        expr("64 + (h60 div 2048) % 1056").as("h"))
+    val cand = AspectLadder.zipWithIndex.map { case ((bw, bh), i) =>
+      expr(s"(greatest(w * $bh, h * $bw) * 1000000000" +
+        s" div least(w * $bh, h * $bw)) * 16 + $i")
+    }
+    val bwArr = array(AspectLadder.map(t => lit(t._1)): _*)
+    val bhArr = array(AspectLadder.map(t => lit(t._2)): _*)
+    val perBucket = imgs
+      .withColumn("bucket_id", array_min(array(cand: _*)) % 16)
+      .withColumn("bw", element_at(bwArr, (col("bucket_id") + 1).cast("int")))
+      .withColumn("bh", element_at(bhArr, (col("bucket_id") + 1).cast("int")))
+      .withColumn("sw", when(col("w") * col("bh") >= col("h") * col("bw"),
+        col("bw")).otherwise(expr("(w * bh) div h")))
+      .withColumn("sh", when(col("w") * col("bh") >= col("h") * col("bw"),
+        expr("(h * bw) div w")).otherwise(col("bh")))
+      .groupBy(col("bucket_id"), col("bw"), col("bh"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("bw") * col("bh") - col("sw") * col("sh")).as("pad_px"))
+      .withColumn("n_batches",
+        expr(s"(n_images + ${AspectBatchSize - 1}) div $AspectBatchSize"))
+      .withColumn("tail_slots",
+        col("n_batches") * AspectBatchSize - col("n_images"))
+      .localCheckpoint(true) // ladder-sized; per-bucket + total read it
+    val perRow = perBucket.select(
+      concat(col("bw").cast("string"), lit("x"), col("bh").cast("string"))
+        .as("key"),
+      col("bucket_id"), col("bw"), col("bh"), col("n_images"), col("pad_px"),
+      expr("CAST(pad_px AS DECIMAL(38,0)) * 1000000" +
+        " div (n_images * bw * bh)").as("pad_e6"),
+      col("n_batches"), col("tail_slots"))
+    val totRow = perBucket
+      .agg(sum(col("n_images")).as("n_images"), sum(col("pad_px")).as("pad_px"),
+        sum(col("n_images") * col("bw") * col("bh")).as("area_px"),
+        sum(col("n_batches")).as("n_batches"),
+        sum(col("tail_slots")).as("tail_slots"))
+      .select(lit("~TOTAL").as("key"), lit(-1L).as("bucket_id"),
+        lit(-1L).as("bw"), lit(-1L).as("bh"), col("n_images"), col("pad_px"),
+        expr("CAST(pad_px AS DECIMAL(38,0)) * 1000000 div area_px")
+          .as("pad_e6"),
+        col("n_batches"), col("tail_slots"))
+    perRow.unionByName(totRow).orderBy(col("key"))
+  }
+
+  private val m11Oracle: String = {
+    val ladder = AspectLadder.zipWithIndex.map { case ((bw, bh), i) =>
+      s"(CAST($i AS BIGINT), CAST($bw AS BIGINT), CAST($bh AS BIGINT))"
+    }.mkString(",\n      |  ")
+    s"""WITH img AS (
+       | SELECT doc_id,
+       |  64 + CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1856 AS w,
+       |  64 + (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) // 2048) % 1056 AS h
+       | FROM documents WHERE doc_id % 3 = 0),
+       |lad(bid, bw, bh) AS (VALUES
+       |  $ladder),
+       |pick AS (
+       | SELECT doc_id, min((greatest(w * bh, h * bw) * 1000000000
+       |   // least(w * bh, h * bw)) * 16 + bid) % 16 AS bid
+       | FROM img CROSS JOIN lad GROUP BY 1),
+       |x AS (
+       | SELECT i.doc_id, l.bid, l.bw, l.bh,
+       |  CASE WHEN i.w * l.bh >= i.h * l.bw THEN l.bw
+       |   ELSE (i.w * l.bh) // i.h END AS sw,
+       |  CASE WHEN i.w * l.bh >= i.h * l.bw THEN (i.h * l.bw) // i.w
+       |   ELSE l.bh END AS sh
+       | FROM pick p JOIN img i USING (doc_id) JOIN lad l USING (bid)),
+       |b AS (
+       | SELECT bid, bw, bh, CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(sum(bw * bh - sw * sh) AS BIGINT) AS pad_px
+       | FROM x GROUP BY 1, 2, 3)
+       |SELECT key, bucket_id, bw, bh, n_images, pad_px, pad_e6, n_batches,
+       | tail_slots FROM (
+       | SELECT CAST(bw AS VARCHAR) || 'x' || CAST(bh AS VARCHAR) AS key,
+       |  bid AS bucket_id, bw, bh, n_images, pad_px,
+       |  CAST(CAST(pad_px AS HUGEINT) * 1000000
+       |    // (n_images * bw * bh) AS BIGINT) AS pad_e6,
+       |  (n_images + ${AspectBatchSize - 1}) // $AspectBatchSize AS n_batches,
+       |  ((n_images + ${AspectBatchSize - 1}) // $AspectBatchSize)
+       |    * $AspectBatchSize - n_images AS tail_slots
+       | FROM b
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(sum(n_images) AS BIGINT),
+       |  CAST(sum(pad_px) AS BIGINT),
+       |  CAST(CAST(sum(pad_px) AS HUGEINT) * 1000000
+       |    // sum(n_images * bw * bh) AS BIGINT),
+       |  CAST(sum((n_images + ${AspectBatchSize - 1}) // $AspectBatchSize)
+       |    AS BIGINT),
+       |  CAST(sum(((n_images + ${AspectBatchSize - 1}) // $AspectBatchSize)
+       |    * $AspectBatchSize - n_images) AS BIGINT)
+       | FROM b
+       |) ORDER BY key""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "m11_aspect_buckets" -> m11Oracle,
     "m10_batch_negatives" -> m10Oracle,
     "m6_mix_manifest" -> m6Oracle,
     "m9_pack_interleaved" -> m9Oracle,
@@ -919,6 +1059,7 @@ object Multimodal {
     "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_aspect_buckets" -> (m11AspectBuckets _),
     "m10_batch_negatives" -> (m10BatchNegatives _),
     "m9_pack_interleaved" -> (m9PackInterleaved _),
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),

@@ -571,6 +571,9 @@ object Similarity {
     }) ++ (confirmedS20.toMap match {
       case one if one.size == 1 => Map("s20_nprobe_sweep" -> s20OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS22.toMap match {
+      case one if one.size == 1 => Map("s22_shard_plan" -> s22OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -2598,7 +2601,142 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ------------------- s22: posting-list → shard placement plan
+
+  private val pendingS22 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS22 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS22Materialized(dir: String): Unit =
+    pendingS22.get(dir).foreach(cs => confirmedS22.put(dir, cs))
+
+  /** s22: serving shards the index's posting lists are packed onto. */
+  val NumShards = 4L
+
+  /** `s22_shard_plan`: IVF posting lists → serving shards — the placement
+    * step between building an index (s3) and serving it at scale: a
+    * 100-TB vector corpus does not serve from one node, and cell sizes
+    * are power-law (hot centroids), so naive `cell mod S` placement
+    * concentrates load. Placement here is SERPENTINE (boustrophedon)
+    * assignment over cells ranked by size — rank cells descending, deal
+    * round 0 left-to-right, round 1 right-to-left, … — the classic
+    * window-free LPT approximation: every shard receives exactly one
+    * cell per round and alternating direction pairs each round's largest
+    * with the previous round's smallest receiver. Output carries all
+    * three grains p19-style: per CELL its size rank and assigned shard,
+    * per SHARD (`~SHARD_k`) its cell count, vector load and hotness
+    * (load·S/total, e6 — 1e6 = perfectly balanced), and `~TOTAL` the
+    * hottest shard's skew — the number a placement change is judged by.
+    *
+    * Arithmetic: ranks come from ONE global aggregate that collects the
+    * NumCells (size, cell) stats, `sort_array`s them on the strict total
+    * order (members desc via sign flip, cell asc — no tie ambiguity) and
+    * `posexplode`s the rank back out — the p17-sanctioned
+    * explode-from-1-row-aggregate shape: no window, no self-join, and
+    * the corpus total rides the same aggregate so no stats join exists
+    * at all. The hotness render multiplies vector counts by S·1e6, which
+    * would wrap Long past ~2·10¹² vectors, so it runs in
+    * `Decimal(38,0)` (the q43 discipline, DuckDB HUGEINT).
+    *
+    * Scale: ONE assignment scan (broadcast-model cosineMatrix, s6's
+    * shape) ends at the map-side-partial cell aggregate; everything
+    * after runs on NumCells rows (checkpointed once for its three
+    * grain consumers). In a production store the cell stats come
+    * straight from the index manifest and the whole plan is
+    * metadata-sized (p19/p20's model). */
+  def s22ShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (cents, data) = kmeansOver(e)
+    pendingS22.put(dir, cents)
+    val cells = assignCells(data, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val packed = cells.agg(
+      sort_array(collect_list(struct(
+        (-col("n_members")).as("neg"), col("cell"), col("n_members")))).as("arr"),
+      sum(col("n_members")).as("total"))
+    val ranked = packed
+      .select(col("total"), posexplode(col("arr")).as(Seq("p0", "s")))
+      .select(col("s.cell").as("cell"), col("s.n_members").as("n_members"),
+        (col("p0") + 1).cast("long").as("rank"), col("total"))
+      .withColumn("rnd", expr(s"(rank - 1) div $NumShards"))
+      .withColumn("pos", (col("rank") - 1) % NumShards)
+      .withColumn("shard",
+        when(col("rnd") % 2 === 0, col("pos"))
+          .otherwise(lit(NumShards - 1) - col("pos")))
+      .localCheckpoint(true) // NumCells rows; all three grains read it
+    val perCell = ranked
+      .select(col("cell").cast("string").as("key"), lit("cell").as("grain"),
+        col("shard"), col("rank"), lit(1L).as("n_cells"),
+        col("n_members").as("n_vectors"), lit(0L).as("skew_e6"))
+    val perShard = ranked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_members")).as("n_vectors"),
+        max(col("total")).as("total"))
+      .withColumn("skew_e6", expr(
+        s"CAST(n_vectors AS DECIMAL(38,0)) * ${NumShards * 1000000L}" +
+          " div greatest(total, 1)"))
+      .select(concat(lit("~SHARD_"), col("shard").cast("string")).as("key"),
+        lit("shard").as("grain"), col("shard"), lit(0L).as("rank"),
+        col("n_cells"), col("n_vectors"), col("skew_e6"))
+    val totRow = perShard
+      .agg(sum(col("n_cells")).as("n_cells"), sum(col("n_vectors")).as("n_vectors"),
+        max(col("skew_e6")).as("skew_e6"))
+      .select(lit("~TOTAL").as("key"), lit("total").as("grain"),
+        lit(-1L).as("shard"), lit(0L).as("rank"), col("n_cells"),
+        col("n_vectors"), col("skew_e6"))
+    perCell.unionByName(perShard).unionByName(totRow).orderBy(col("key"))
+  }
+
+  private def s22OracleSql(cents: Seq[(Long, Array[Long])]): String =
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |cells AS (
+       | SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_members
+       | FROM scored WHERE rn = 1 GROUP BY 1),
+       |rk AS (
+       | SELECT a.cell, a.n_members,
+       |  1 + (SELECT count(*) FROM cells b
+       |       WHERE b.n_members > a.n_members
+       |          OR (b.n_members = a.n_members AND b.cell < a.cell)) AS rank
+       | FROM cells a),
+       |sh AS (
+       | SELECT cell, n_members, rank,
+       |  CASE WHEN ((rank - 1) // $NumShards) % 2 = 0
+       |   THEN (rank - 1) % $NumShards
+       |   ELSE ${NumShards - 1} - ((rank - 1) % $NumShards) END AS shard
+       | FROM rk),
+       |tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS total FROM cells),
+       |per_shard AS (
+       | SELECT shard, CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(sum(n_members) AS BIGINT) AS n_vectors
+       | FROM sh GROUP BY 1)
+       |SELECT key, grain, shard, rank, n_cells, n_vectors, skew_e6 FROM (
+       | SELECT CAST(cell AS VARCHAR) AS key, 'cell' AS grain,
+       |  CAST(shard AS BIGINT) AS shard, CAST(rank AS BIGINT) AS rank,
+       |  CAST(1 AS BIGINT) AS n_cells, n_members AS n_vectors,
+       |  CAST(0 AS BIGINT) AS skew_e6
+       | FROM sh
+       | UNION ALL
+       | SELECT '~SHARD_' || CAST(shard AS VARCHAR), 'shard',
+       |  CAST(shard AS BIGINT), CAST(0 AS BIGINT), n_cells, n_vectors,
+       |  CAST(CAST(n_vectors AS HUGEINT) * ${NumShards * 1000000L}
+       |    // greatest(total, 1) AS BIGINT)
+       | FROM per_shard CROSS JOIN tot
+       | UNION ALL
+       | SELECT '~TOTAL', 'total', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(sum(n_cells) AS BIGINT), CAST(sum(n_vectors) AS BIGINT),
+       |  CAST(max(CAST(CAST(n_vectors AS HUGEINT) * ${NumShards * 1000000L}
+       |    // greatest(total, 1) AS BIGINT)) AS BIGINT)
+       | FROM per_shard CROSS JOIN tot
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_shard_plan" -> (s22ShardPlan _),
     "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_graph_beam" -> (s19GraphBeam _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),

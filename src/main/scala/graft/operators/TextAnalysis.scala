@@ -1416,7 +1416,118 @@ object TextAnalysis {
        |FROM g JOIN t3 USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** t28: over-epoching cap — the "don't repeat any source more than 4
+    * epochs" rule every published mixture recipe carries. */
+  val EpochCap = 4L
+
+  /** t28: global token budget as a multiple of the corpus's natural
+    * supply — 3x forces the high-weight sources over the epoch cap on
+    * any near-uniform corpus (the regime the operator exists for). */
+  val BudgetMult = 3L
+
+  /** `t28_epoch_plan`: token-budget mixture scheduling — the planning
+    * step BETWEEN choosing data and packing it that nothing else in the
+    * t-family computes: t9 picks per-source keep RATES, t15 per-source
+    * QUOTAS, t18 per-document WEIGHTS, t12/m9 PACK a tape — but a real
+    * pretraining run starts from a global token BUDGET and a target
+    * mixture, and must turn "30% source A" into "A runs 2.3 epochs, B
+    * saturates its 4-epoch cap and forfeits the rest". Per source:
+    * natural token supply, target mixture weight (deterministic digit
+    * rule, t9's convention), budget-proportional target tokens, the
+    * epoch-cap verdict, realized tokens under the cap, ONE water-filling
+    * redistribution round of the capped sources' forfeit to the uncapped
+    * ones (pro-rata by weight — a second round would re-split the
+    * residue the same way; the single round is the published recipe and
+    * is what the spec replays), and exact e6 renders of final epochs and
+    * budget share.
+    *
+    * Arithmetic: everything is exact integer math in the source grain.
+    * The e6 renders multiply token counts by 1e6, which exceeds Long at
+    * ~9.2e12 tokens — real corpora sit past that, so both renders run in
+    * `Decimal(38,0)` (the q43 discipline; DuckDB mirrors in HUGEINT) and
+    * the epoch render is saturated at `EpochCap+1` epochs by `least`
+    * BEFORE the multiply, with the `over_after` flag carrying the
+    * truth — no value silently wraps at any corpus size.
+    *
+    * Scale: ONE corpus scan ends at the source-grained aggregate
+    * (map-side partial, |sources| rows, checkpointed); every later step
+    * is model-sized — two scalar aggregates attached `broadcast` (the
+    * p19 pattern), zero windows, zero driver collects. At 100 TB the
+    * plan's cost IS the token-count scan. */
+  def t28EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val weight = lit(1L) +
+      coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L)) % 10
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("source"), weight.as("weight"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("weight"))
+      .agg(sum(col("n_toks")).as("nat_toks"))
+      .localCheckpoint(true) // |sources| rows; totals + plan both read it
+    val tot = src.agg(sum(col("nat_toks")).as("t"), sum(col("weight")).as("w"))
+    val base = src.crossJoin(broadcast(tot))
+      .withColumn("budget", col("t") * BudgetMult)
+      .withColumn("target_toks", expr("budget * weight div w"))
+      .withColumn("capped",
+        when(col("target_toks") > col("nat_toks") * EpochCap, 1L).otherwise(0L))
+      .withColumn("realized_toks",
+        least(col("target_toks"), col("nat_toks") * EpochCap))
+    val pool = base.agg(
+      sum(col("target_toks") - col("realized_toks")).as("deficit"),
+      sum(when(col("capped") === 0, col("weight")).otherwise(0L)).as("wu"))
+    base.crossJoin(broadcast(pool))
+      .withColumn("extra_toks",
+        when(col("capped") === 0 && col("wu") > 0,
+          expr("deficit * weight div wu")).otherwise(0L))
+      .withColumn("final_toks", col("realized_toks") + col("extra_toks"))
+      .withColumn("over_after",
+        when(col("final_toks") > col("nat_toks") * EpochCap, 1L).otherwise(0L))
+      .withColumn("epochs_e6", expr(
+        s"CAST(least(final_toks, nat_toks * ${EpochCap + 1}) AS DECIMAL(38,0))" +
+          " * 1000000 div greatest(nat_toks, 1)"))
+      .withColumn("share_e6", expr(
+        "CAST(final_toks AS DECIMAL(38,0)) * 1000000 div greatest(budget, 1)"))
+      .select(col("source"), col("weight"), col("nat_toks"),
+        col("target_toks"), col("capped"), col("realized_toks"),
+        col("extra_toks"), col("final_toks"), col("over_after"),
+        col("epochs_e6"), col("share_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val t28OracleSql: String =
+    s"""WITH src AS (
+       | SELECT source,
+       |  1 + (COALESCE(CAST(NULLIF(regexp_extract(source, '(\\d+)', 1), '') AS BIGINT), 0) % 10) AS weight,
+       |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS nat_toks
+       | FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(nat_toks) AS BIGINT) AS t,
+       |  CAST(sum(weight) AS BIGINT) AS w FROM src),
+       |base AS (
+       | SELECT source, weight, nat_toks, $BudgetMult * t AS budget,
+       |  ($BudgetMult * t * weight) // w AS target_toks,
+       |  CASE WHEN ($BudgetMult * t * weight) // w > nat_toks * $EpochCap
+       |   THEN 1 ELSE 0 END AS capped,
+       |  least(($BudgetMult * t * weight) // w, nat_toks * $EpochCap) AS realized_toks
+       | FROM src CROSS JOIN tot),
+       |pool AS (SELECT CAST(sum(target_toks - realized_toks) AS BIGINT) AS deficit,
+       |  CAST(sum(CASE WHEN capped = 0 THEN weight ELSE 0 END) AS BIGINT) AS wu
+       | FROM base),
+       |fin AS (
+       | SELECT base.*, deficit, wu,
+       |  CASE WHEN capped = 0 AND wu > 0 THEN (deficit * weight) // wu
+       |   ELSE 0 END AS extra_toks
+       | FROM base CROSS JOIN pool)
+       |SELECT source, weight, nat_toks, target_toks, capped, realized_toks,
+       | extra_toks, realized_toks + extra_toks AS final_toks,
+       | CASE WHEN realized_toks + extra_toks > nat_toks * $EpochCap
+       |  THEN 1 ELSE 0 END AS over_after,
+       | CAST(CAST(least(realized_toks + extra_toks, nat_toks * ${EpochCap + 1})
+       |   AS HUGEINT) * 1000000 // greatest(nat_toks, 1) AS BIGINT) AS epochs_e6,
+       | CAST(CAST(realized_toks + extra_toks AS HUGEINT) * 1000000
+       |   // greatest(budget, 1) AS BIGINT) AS share_e6
+       |FROM fin ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_epoch_plan" -> (t28EpochPlan _),
     "t26_corpus_card" -> (t26CorpusCard _),
     "t25_langid_eval" -> (t25LangidEval _),
     "t24_classifier_score" -> (t24ClassifierScore _),
@@ -1697,6 +1808,7 @@ object TextAnalysis {
          |FROM b ORDER BY fbin""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
     "t27_bpe_train" -> t27OracleSql,
+    "t28_epoch_plan" -> t28OracleSql,
     "t17_context_chunks" -> t17OracleSql,
     "t15_stratified_sample" -> t15OracleSql,
     "t16_lm_score" -> t16OracleSql,

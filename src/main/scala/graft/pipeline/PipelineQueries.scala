@@ -1037,7 +1037,264 @@ object PipelineQueries {
       |FROM v LEFT JOIN yc p ON p.yr = v.yr - 1
       |ORDER BY version""".stripMargin
 
+  /** `p26_partition_evolution`: partition-SPEC evolution — the Iceberg
+    * metadata feature the p19-p25 family still lacked: a long-lived
+    * table changes its partitioning mid-life (here: month-grain files
+    * for the table's early years — spec v1 — then week-grain from the
+    * mid-year boundary on — spec v2), old files are NEVER rewritten, and
+    * every scan must plan across the MIXED layout. The planner here is
+    * honest about how that works in a real lakehouse: pruning never
+    * consults the spec's math — each file prunes on its own recorded
+    * min/max day STATS (the manifest contract, grain-agnostic), so v1
+    * and v2 files flow through one uniform planning pass. What the spec
+    * change buys is measured, not assumed: the fixed mid-month audit
+    * predicate forces boundary files to be read for rows they only
+    * partially contain, and `waste_rows` quantifies it — a month-grain
+    * boundary file wastes up to ~3 weeks of I/O where a week-grain file
+    * wastes days; the per-spec `~TOTAL` rows carry exactly that
+    * comparison (the number the evolution is judged by).
+    *
+    * Boundaries are data-derived in-plan (min/max year → the mid-year
+    * split and the straddling July-15→July-15 audit window attach as a
+    * broadcast 1-row aggregate, p19's pattern) — no collect, no config.
+    *
+    * Scale: the fact is touched ONCE (the (spec, file) aggregate —
+    * map-side partial); everything after runs on the file manifest
+    * (months + weeks — calendar-grained, ≤ ~6k rows per century
+    * regardless of fact size). The exact n_match per file is fused into
+    * the same single aggregation, p19's verification fusion. */
+  def p26PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("day"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"))
+    val bounds = o.agg(min(col("yr")).as("y_lo"), max(col("yr")).as("y_hi"))
+      .withColumn("y_mid", expr("(y_lo + y_hi + 1) div 2"))
+      .withColumn("p_lo", datediff(
+        make_date((col("y_mid") - 1).cast("int"), lit(7), lit(15)),
+        lit("1970-01-01")).cast("long"))
+      .withColumn("p_hi", datediff(
+        make_date(col("y_mid").cast("int"), lit(7), lit(15)),
+        lit("1970-01-01")).cast("long"))
+      .select(col("y_mid"), col("p_lo"), col("p_hi"))
+    val files = o.crossJoin(broadcast(bounds))
+      .withColumn("spec",
+        when(col("yr") < col("y_mid"), "v1_month").otherwise("v2_week"))
+      .withColumn("file_key",
+        when(col("yr") < col("y_mid"), col("mo"))
+          .otherwise(expr("day div 7")))
+      .groupBy(col("spec"), col("file_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("day")).as("d_lo"), max(col("day")).as("d_hi"),
+        sum(when(col("day") >= col("p_lo") && col("day") < col("p_hi"), 1L)
+          .otherwise(0L)).as("n_match"),
+        max(col("p_lo")).as("p_lo"), max(col("p_hi")).as("p_hi"))
+      .withColumn("must_read",
+        when(col("d_lo") < col("p_hi") && col("d_hi") >= col("p_lo"), 1L)
+          .otherwise(0L))
+      .withColumn("waste_rows",
+        when(col("must_read") === 1, col("n_rows") - col("n_match"))
+          .otherwise(0L))
+      .localCheckpoint(true) // manifest-sized; per-file + totals read it
+    val perFile = files.select(
+      concat(col("spec"), lit("_"), col("file_key").cast("string")).as("key"),
+      col("spec"), lit(1L).as("n_files"), col("n_rows"), col("must_read"),
+      col("n_match"), col("waste_rows"))
+    val perSpec = files.groupBy(col("spec"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("must_read")).as("must_read"),
+        sum(col("n_match")).as("n_match"),
+        sum(col("waste_rows")).as("waste_rows"))
+      .select(concat(lit("~TOTAL_"), col("spec")).as("key"), col("spec"),
+        col("n_files"), col("n_rows"), col("must_read"), col("n_match"),
+        col("waste_rows"))
+    val totRow = files
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("must_read")).as("must_read"),
+        sum(col("n_match")).as("n_match"),
+        sum(col("waste_rows")).as("waste_rows"))
+      .select(lit("~TOTAL").as("key"), lit("~TOTAL").as("spec"),
+        col("n_files"), col("n_rows"), col("must_read"), col("n_match"),
+        col("waste_rows"))
+    perFile.unionByName(perSpec).unionByName(totRow).orderBy(col("key"))
+  }
+
+  private val p26Oracle: String =
+    """WITH o AS (
+      | SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo
+      | FROM orders),
+      |b AS (
+      | SELECT (min(yr) + max(yr) + 1) // 2 AS y_mid FROM o),
+      |b2 AS (
+      | SELECT y_mid,
+      |  epoch_us(make_date(CAST(y_mid - 1 AS INTEGER), 7, 15)) // 86400000000 AS p_lo,
+      |  epoch_us(make_date(CAST(y_mid AS INTEGER), 7, 15)) // 86400000000 AS p_hi
+      | FROM b),
+      |f AS (
+      | SELECT CASE WHEN yr < y_mid THEN 'v1_month' ELSE 'v2_week' END AS spec,
+      |  CASE WHEN yr < y_mid THEN mo ELSE day // 7 END AS file_key,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(day) AS d_lo, max(day) AS d_hi,
+      |  CAST(sum(CASE WHEN day >= p_lo AND day < p_hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_match,
+      |  max(p_lo) AS p_lo, max(p_hi) AS p_hi
+      | FROM o CROSS JOIN b2 GROUP BY 1, 2),
+      |g AS (
+      | SELECT f.*,
+      |  CASE WHEN d_lo < p_hi AND d_hi >= p_lo THEN 1 ELSE 0 END AS must_read
+      | FROM f),
+      |h AS (
+      | SELECT g.*,
+      |  CASE WHEN must_read = 1 THEN n_rows - n_match ELSE 0 END AS waste_rows
+      | FROM g)
+      |SELECT key, spec, n_files, n_rows, must_read, n_match, waste_rows FROM (
+      | SELECT spec || '_' || CAST(file_key AS VARCHAR) AS key, spec,
+      |  CAST(1 AS BIGINT) AS n_files, n_rows, CAST(must_read AS BIGINT) AS must_read,
+      |  n_match, waste_rows
+      | FROM h
+      | UNION ALL
+      | SELECT '~TOTAL_' || spec, spec, CAST(count(*) AS BIGINT),
+      |  CAST(sum(n_rows) AS BIGINT), CAST(sum(must_read) AS BIGINT),
+      |  CAST(sum(n_match) AS BIGINT), CAST(sum(waste_rows) AS BIGINT)
+      | FROM h GROUP BY spec
+      | UNION ALL
+      | SELECT '~TOTAL', '~TOTAL', CAST(count(*) AS BIGINT),
+      |  CAST(sum(n_rows) AS BIGINT), CAST(sum(must_read) AS BIGINT),
+      |  CAST(sum(n_match) AS BIGINT), CAST(sum(waste_rows) AS BIGINT)
+      | FROM h
+      |) ORDER BY key""".stripMargin
+
+  /** p27: how many trailing snapshot versions stay time-travelable. 12
+    * landings = one calendar year of history, the common lakehouse
+    * default. */
+  val RetainVersions = 12L
+
+  /** `p27_expire_snapshots`: snapshot expiry + orphan-file reclamation —
+    * the GC step that makes p25's chain OPERABLE (Iceberg
+    * `expire_snapshots` / Delta VACUUM as a QUERY): a snapshot log that
+    * only ever grows keeps every compacted-away month-file on disk
+    * forever. Retention contract: the newest [[RetainVersions]] versions
+    * stay time-travelable, so a file may be physically deleted only when
+    * NO retained version references it. In p25's model a month-file is
+    * referenced from its landing version until the version before its
+    * year's compaction (`removed_v - 1`); year-files are never removed.
+    * Verdict per file: `live` (still in the head snapshot), `retained`
+    * (compacted away, but some retained version still resolves to it —
+    * deleting it would break as-of reads), `expire` (provably
+    * unreferenced; `reclaim_rows` is the payload the delete frees).
+    * Grains p26-style: per file, per verdict (`~TOTAL_<verdict>`), and
+    * `~TOTAL` — the reclaim number the GC run is judged by.
+    *
+    * Scale: the fact is touched ONCE (p25's month aggregation);
+    * everything after — the version window, the year-compaction join,
+    * the retention floor — runs on the calendar-grained manifest
+    * (≤1.2k rows/century), checkpointed once for its grain consumers.
+    * The retention floor attaches as a broadcast 1-row aggregate (p19's
+    * pattern); the year-to-compaction map is a calendar-sized broadcast
+    * self-join. Exactly how a real `expire_snapshots` plans: off
+    * metadata, never reading data files. */
+  def p27ExpireSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ver = monthManifest(spark, dir)
+      .withColumn("version",
+        row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      .localCheckpoint(true) // calendar-grained; 4 consumers below
+    val yrFirst = ver.groupBy(col("yr"))
+      .agg(min(col("version")).as("y_first"), sum(col("n_rows")).as("y_rows"))
+    val monthFiles = ver
+      .join(broadcast(yrFirst.select((col("yr") - 1).as("yr"),
+        col("y_first").as("removed_v"))), Seq("yr"), "left")
+      .select(concat(lit("month_"), col("mo").cast("string")).as("key"),
+        lit("month").as("kind"), col("version").as("born_v"),
+        coalesce(col("removed_v"), lit(-1L)).as("removed_v"), col("n_rows"))
+    val yearFiles = yrFirst.as("a")
+      .join(broadcast(yrFirst.select(col("yr"), col("y_first")).as("b")),
+        col("b.yr") === col("a.yr") + 1)
+      .select(concat(lit("year_"), col("a.yr").cast("string")).as("key"),
+        lit("year").as("kind"), col("b.y_first").as("born_v"),
+        lit(-1L).as("removed_v"), col("a.y_rows").as("n_rows"))
+    val floorV = ver.agg(max(col("version")).as("max_v"))
+      .select(greatest(col("max_v") - RetainVersions + 1, lit(1L))
+        .as("min_retained"))
+    val files = monthFiles.unionByName(yearFiles)
+      .crossJoin(broadcast(floorV))
+      .withColumn("verdict",
+        when(col("removed_v") === -1L, "live")
+          .when(col("removed_v") - 1 >= col("min_retained"), "retained")
+          .otherwise("expire"))
+      .withColumn("reclaim_rows",
+        when(col("verdict") === "expire", col("n_rows")).otherwise(0L))
+      .localCheckpoint(true) // manifest-sized; per-file + totals read it
+    val perFile = files.select(col("key"), col("verdict"),
+      lit(1L).as("n_files"), col("born_v"), col("removed_v"), col("n_rows"),
+      col("reclaim_rows"))
+    val perVerdict = files.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("reclaim_rows")).as("reclaim_rows"))
+      .select(concat(lit("~TOTAL_"), col("verdict")).as("key"), col("verdict"),
+        col("n_files"), lit(-1L).as("born_v"), lit(-1L).as("removed_v"),
+        col("n_rows"), col("reclaim_rows"))
+    val totRow = files
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("reclaim_rows")).as("reclaim_rows"))
+      .select(lit("~TOTAL").as("key"), lit("~TOTAL").as("verdict"),
+        col("n_files"), lit(-1L).as("born_v"), lit(-1L).as("removed_v"),
+        col("n_rows"), col("reclaim_rows"))
+    perFile.unionByName(perVerdict).unionByName(totRow).orderBy(col("key"))
+  }
+
+  private val p27Oracle: String =
+    s"""WITH mf AS (
+       | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+       |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       | FROM orders GROUP BY 1, 2),
+       |ver AS (
+       | SELECT mf.*, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version
+       | FROM mf),
+       |yf AS (
+       | SELECT yr, min(version) AS y_first, CAST(sum(n_rows) AS BIGINT) AS y_rows
+       | FROM ver GROUP BY 1),
+       |fl AS (SELECT greatest(max(version) - $RetainVersions + 1, 1) AS min_retained FROM ver),
+       |files AS (
+       | SELECT 'month_' || CAST(mo AS VARCHAR) AS key, 'month' AS kind,
+       |  version AS born_v, COALESCE(n.y_first, -1) AS removed_v, v.n_rows
+       | FROM ver v LEFT JOIN yf n ON n.yr = v.yr + 1
+       | UNION ALL
+       | SELECT 'year_' || CAST(a.yr AS VARCHAR), 'year', b.y_first, -1, a.y_rows
+       | FROM yf a JOIN yf b ON b.yr = a.yr + 1),
+       |vd AS (
+       | SELECT files.*,
+       |  CASE WHEN removed_v = -1 THEN 'live'
+       |   WHEN removed_v - 1 >= min_retained THEN 'retained'
+       |   ELSE 'expire' END AS verdict
+       | FROM files CROSS JOIN fl),
+       |rc AS (
+       | SELECT vd.*, CASE WHEN verdict = 'expire' THEN n_rows ELSE CAST(0 AS BIGINT) END AS reclaim_rows
+       | FROM vd)
+       |SELECT key, verdict, n_files, born_v, removed_v, n_rows, reclaim_rows FROM (
+       | SELECT key, verdict, CAST(1 AS BIGINT) AS n_files, born_v, removed_v,
+       |  n_rows, reclaim_rows
+       | FROM rc
+       | UNION ALL
+       | SELECT '~TOTAL_' || verdict, verdict, CAST(count(*) AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(reclaim_rows) AS BIGINT)
+       | FROM rc GROUP BY verdict
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', CAST(count(*) AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(reclaim_rows) AS BIGINT)
+       | FROM rc
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_expire_snapshots" -> (p27ExpireSnapshots _),
+    "p26_partition_evolution" -> (p26PartitionEvolution _),
     "p25_snapshot_chain" -> (p25SnapshotChain _),
     "p24_overlap_depth" -> (p24OverlapDepth _),
     "p23_bloom_index" -> (p23BloomIndex _),
@@ -1067,6 +1324,8 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p27_expire_snapshots" -> p27Oracle,
+    "p26_partition_evolution" -> p26Oracle,
     "p25_snapshot_chain" -> p25Oracle,
     "p24_overlap_depth" -> p24Oracle,
     "p23_bloom_index" -> p23Oracle,

@@ -59,6 +59,15 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.burstSuspects(walls, cpus).isEmpty)
   }
 
+  test("a rep-0 maximum never matches: first-rep JIT warmup burns cpu " +
+    "in the same slow-and-proportionally-expensive signature as weather " +
+    "(r15: d10 rep-0 wall 6.6/cpu 31.9 vs warm 2.7/7.5), so a rep-0-slow " +
+    "query is unattributable and the gate refuses to guess") {
+    val walls = Seq("d10_dedup_fuzzy" -> Seq(6.61, 2.71, 3.28))
+    val cpus = Map("d10_dedup_fuzzy" -> Seq(31.9, 7.5, 8.3))
+    assert(Bench.burstSuspects(walls, cpus).isEmpty)
+  }
+
   test("a single GC outlier does not flag the run: the gate needs " +
     "BurstMinSuspects simultaneous suspects") {
     val one = Seq("q18_approx_stats" -> Seq(1.4, 6.4, 2.8))

@@ -1582,4 +1582,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"${got.size} probes; ndcg_e6 " +
       s"${got.values.map(_._8).min}-${got.values.map(_._8).max}")
   }
+
+  test("s22: serpentine shard placement replays literally from the " +
+    "operator's own cell grain — total-order ranks, boustrophedon deal, " +
+    "load conservation across all three grains") {
+    val rows = Similarity.s22ShardPlan(spark, sf).collect()
+    val s = Similarity.NumShards
+    val cells = rows.filter(_.getAs[String]("grain") == "cell")
+      .map(r => (r.getAs[String]("key").toLong, r.getAs[Long]("rank"),
+        r.getAs[Long]("shard"), r.getAs[Long]("n_vectors")))
+    // ranks are the strict (size desc, cell asc) total order, 1..N
+    assert(cells.map(_._2).sorted.toSeq == (1L to cells.length).toSeq)
+    val byRank = cells.sortBy(_._2)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1),
+        s"rank order broken between cells ${a._1} and ${b._1}")
+    case _ => ()
+    }
+    // the serpentine deal: round r left-to-right when even, reversed odd
+    byRank.foreach { case (cell, rank, shard, _) =>
+      val r0 = rank - 1
+      val expected =
+        if ((r0 / s) % 2 == 0) r0 % s else s - 1 - (r0 % s)
+      assert(shard == expected, s"cell $cell rank $rank -> shard $shard")
+    }
+    // shard grain: conservation and the decimal hotness render
+    val shards = rows.filter(_.getAs[String]("grain") == "shard")
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_cells"), r.getAs[Long]("n_vectors"),
+          r.getAs[Long]("skew_e6"))).toMap
+    val total = cells.map(_._4).sum
+    assert(shards.keySet == (0L until s).toSet, "a shard got no cells")
+    shards.foreach { case (k, (nc, nv, skew)) =>
+      val mine = cells.filter(_._3 == k)
+      assert(nc == mine.length && nv == mine.map(_._4).sum, s"shard $k load")
+      assert(skew == nv * s * 1000000L / total, s"shard $k skew render")
+    }
+    val tot = rows.find(_.getAs[String]("grain") == "total").get
+    assert(tot.getAs[Long]("n_vectors") == total &&
+      tot.getAs[Long]("n_cells") == cells.length &&
+      tot.getAs[Long]("skew_e6") == shards.values.map(_._3).max)
+    // the deal balances: no shard carries more than ceil(N/S) cells
+    assert(shards.values.map(_._1).max <=
+      (cells.length + s - 1) / s, "serpentine gave a shard extra cells")
+    info(s"${cells.length} cells over $s shards; hottest " +
+      s"${tot.getAs[Long]("skew_e6")} e6 (1e6 = balanced)")
+  }
 }

@@ -444,4 +444,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.values.exists(_._7 > 0L), "no same-source collision anywhere")
     assert(got.values.forall(v => v._5 > 1L), "a single-source batch dealt")
   }
+
+  test("m11: aspect bucketing replays literally — packed argmin over the " +
+    "ladder, integer fit inside the bucket, pad/batch arithmetic — and " +
+    "the corpus spreads over several buckets with every image conserved") {
+    val rows = Multimodal.m11AspectBuckets(spark, sf).collect()
+    val lad = Multimodal.AspectLadder
+    val batch = Multimodal.AspectBatchSize
+    // independent replay from the raw documents table
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getLong(0) % 3 == 0)
+      .map { r =>
+        val h60 = java.lang.Long.parseLong(md5hex(r.getString(1)).take(15), 16)
+        (64L + h60 % 1856L, 64L + (h60 / 2048L) % 1056L)
+      }
+    val picked = docs.map { case (w, h) =>
+      val pack = lad.zipWithIndex.map { case ((bw, bh), i) =>
+        (math.max(w * bh, h * bw) * 1000000000L /
+          math.min(w * bh, h * bw)) * 16 + i
+      }.min
+      val bid = (pack % 16).toInt
+      val (bw, bh) = lad(bid)
+      val (sw, sh) =
+        if (w * bh >= h * bw) (bw, h * bw / w) else (w * bh / h, bh)
+      // the fit is a FIT: scaled dims never exceed the bucket, and the
+      // pinned axis is exact
+      assert(sw <= bw && sh <= bh, s"($w,$h) -> ($sw,$sh) spills $bid")
+      assert(sw == bw || sh == bh, s"($w,$h) pinned axis lost in $bid")
+      (bid, bw * bh - sw * sh)
+    }
+    val expect = picked.groupBy(_._1).map { case (bid, xs) =>
+      bid.toLong -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val perBucket = rows.filter(_.getAs[String]("key") != "~TOTAL")
+      .map(r => r.getAs[Long]("bucket_id") -> r).toMap
+    assert(perBucket.keySet == expect.keySet, "bucket occupancy diverged")
+    expect.foreach { case (bid, (n, pad)) =>
+      val r = perBucket(bid)
+      val (bw, bh) = lad(bid.toInt)
+      assert(r.getAs[String]("key") == s"${bw}x$bh" &&
+        r.getAs[Long]("bw") == bw && r.getAs[Long]("bh") == bh, s"dims $bid")
+      assert(r.getAs[Long]("n_images") == n, s"count $bid")
+      assert(r.getAs[Long]("pad_px") == pad, s"pad $bid")
+      assert(r.getAs[Long]("pad_e6") == pad * 1000000L / (n * bw * bh),
+        s"pad_e6 $bid")
+      val nb = (n + batch - 1) / batch
+      assert(r.getAs[Long]("n_batches") == nb &&
+        r.getAs[Long]("tail_slots") == nb * batch - n, s"batches $bid")
+    }
+    // the ladder discriminates on this corpus (bucketing is non-vacuous)
+    // and every image lands in exactly one bucket
+    assert(expect.size >= 3, s"only ${expect.size} buckets occupied")
+    val tot = rows.find(_.getAs[String]("key") == "~TOTAL").get
+    assert(tot.getAs[Long]("n_images") == docs.length.toLong &&
+      tot.getAs[Long]("pad_px") == picked.map(_._2).sum,
+      "~TOTAL does not foot to the images")
+    info(s"${docs.length} images over ${expect.size}/${lad.size} buckets; " +
+      s"overall pad ${tot.getAs[Long]("pad_e6")} e6")
+  }
 }

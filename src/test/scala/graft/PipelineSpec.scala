@@ -1127,4 +1127,143 @@ class PipelineSpec extends AnyFunSuite {
     assert(last.getAs[java.math.BigDecimal]("live_cents").longValueExact == totCents,
       "final live_cents does not foot to the fact")
   }
+
+  test("p26: mixed-spec scan planning replays from the raw fact — files " +
+    "partition the table under the right per-era spec, stats pruning is " +
+    "exact (skipped => zero matches, hit => every match accounted), and " +
+    "the week-grain era wastes less boundary I/O than the month era") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.p26PartitionEvolution(spark, sf).collect()
+    val days = Tables.load(spark, sf, "orders")
+      .select(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"),
+        year(col("o_orderdate")).cast("long"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val yMid = (days.map(_._2).min + days.map(_._2).max + 1) / 2
+    val pLo = java.time.LocalDate.of((yMid - 1).toInt, 7, 15).toEpochDay
+    val pHi = java.time.LocalDate.of(yMid.toInt, 7, 15).toEpochDay
+    // independent file layout: month files before yMid, week files after
+    val expect = days.groupBy { case (d, yr, mo) =>
+      if (yr < yMid) ("v1_month", mo) else ("v2_week", d / 7)
+    }.map { case ((spec, k), xs) =>
+      s"${spec}_$k" -> (spec, xs.length.toLong,
+        xs.count(x => x._1 >= pLo && x._1 < pHi).toLong,
+        xs.map(_._1).min, xs.map(_._1).max)
+    }
+    val perFile = rows.filter(r => !r.getAs[String]("key").startsWith("~"))
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(perFile.keySet == expect.keySet, "file layout diverged")
+    expect.foreach { case (key, (spec, n, nMatch, dLo, dHi)) =>
+      val r = perFile(key)
+      val mustRead = if (dLo < pHi && dHi >= pLo) 1L else 0L
+      assert(r.getAs[String]("spec") == spec && r.getAs[Long]("n_rows") == n &&
+        r.getAs[Long]("n_match") == nMatch &&
+        r.getAs[Long]("must_read") == mustRead, s"file $key")
+      // pruning exactness: a skipped file may hide no match; a read
+      // file's waste is exactly its non-matching rows
+      if (mustRead == 0) assert(nMatch == 0, s"skipped file $key had matches")
+      assert(r.getAs[Long]("waste_rows") ==
+        (if (mustRead == 1) n - nMatch else 0L), s"waste $key")
+    }
+    // the per-spec totals foot, and evolution PAYS: the month era's
+    // boundary file drags up to ~3 wasted weeks where the week era's
+    // drags days — per must-read file, v1 wastes strictly more
+    def totalOf(spec: String) =
+      rows.find(_.getAs[String]("key") == s"~TOTAL_$spec").get
+    val (v1, v2) = (totalOf("v1_month"), totalOf("v2_week"))
+    Seq("n_files", "n_rows", "must_read", "n_match", "waste_rows").foreach {
+      c =>
+        assert(v1.getAs[Long](c) == perFile.values
+          .filter(_.getAs[String]("spec") == "v1_month")
+          .map(x => if (c == "n_files") 1L else x.getAs[Long](c)).sum,
+          s"~TOTAL_v1 $c")
+    }
+    val w1 = v1.getAs[Long]("waste_rows").toDouble /
+      math.max(v1.getAs[Long]("must_read"), 1L)
+    val w2 = v2.getAs[Long]("waste_rows").toDouble /
+      math.max(v2.getAs[Long]("must_read"), 1L)
+    assert(v1.getAs[Long]("waste_rows") > 0,
+      "month-era boundary waste vacuous — predicate missed the era")
+    assert(w2 < w1, s"week files should waste less per read ($w2 vs $w1)")
+    val tot = rows.find(_.getAs[String]("key") == "~TOTAL").get
+    assert(tot.getAs[Long]("n_rows") == days.length.toLong &&
+      tot.getAs[Long]("n_files") == expect.size.toLong,
+      "~TOTAL does not foot to the fact")
+    info(s"${expect.size} files (v1 ${v1.getAs[Long]("n_files")} months, " +
+      s"v2 ${v2.getAs[Long]("n_files")} weeks); waste/read file " +
+      s"v1 ${"%.1f".format(w1)} vs v2 ${"%.1f".format(w2)} rows")
+  }
+
+  test("p27: snapshot expiry replays from the raw fact — reference " +
+    "windows, the retention floor, all three verdicts — with every arm " +
+    "non-vacuous and time-travel safety (no retained version references " +
+    "an expired file)") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.p27ExpireSnapshots(spark, sf).collect()
+    // independent replay: version chain off the raw orders table
+    val months = Tables.load(spark, sf, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case ((mo, yr), xs) =>
+        (mo, yr, xs.length.toLong)
+      }.toSeq.sortBy(_._1)
+    val version = months.zipWithIndex
+      .map { case ((mo, _, _), i) => mo -> (i + 1L) }.toMap
+    val yFirst = months.groupBy(_._2).map { case (yr, xs) =>
+      yr -> xs.map(m => version(m._1)).min
+    }
+    val yRows = months.groupBy(_._2).map { case (yr, xs) =>
+      yr -> xs.map(_._3).sum
+    }
+    val maxV = months.length.toLong
+    val minRet = math.max(maxV - PipelineQueries.RetainVersions + 1, 1L)
+    def verdict(removedV: Long): String =
+      if (removedV == -1L) "live"
+      else if (removedV - 1 >= minRet) "retained" else "expire"
+    val expect = months.map { case (mo, yr, n) =>
+      val rv = yFirst.getOrElse(yr + 1, -1L)
+      s"month_$mo" -> ("month", version(mo), rv, n, verdict(rv))
+    }.toMap ++ yFirst.keys.filter(y => yFirst.contains(y + 1)).map { y =>
+      s"year_$y" -> ("year", yFirst(y + 1), -1L, yRows(y), "live")
+    }
+    val perFile = rows.filter(r => !r.getAs[String]("key").startsWith("~"))
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(perFile.keySet == expect.keySet, "file set diverged")
+    expect.foreach { case (key, (_, bv, rv, n, vd)) =>
+      val r = perFile(key)
+      assert(r.getAs[Long]("born_v") == bv && r.getAs[Long]("removed_v") == rv
+        && r.getAs[Long]("n_rows") == n && r.getAs[String]("verdict") == vd,
+        s"file $key")
+      assert(r.getAs[Long]("reclaim_rows") ==
+        (if (vd == "expire") n else 0L), s"reclaim $key")
+    }
+    // all three arms live on the shipped chain — live months (open year),
+    // retained (compacted inside the horizon), expire (older)
+    val byVerdict = expect.values.groupBy(_._5).map { case (v, xs) =>
+      v -> xs.map(_._4).sum
+    }
+    Seq("live", "retained", "expire").foreach { v =>
+      assert(byVerdict.contains(v), s"verdict $v vacuous on this chain")
+      val t = rows.find(_.getAs[String]("key") == s"~TOTAL_$v").get
+      assert(t.getAs[Long]("n_rows") == byVerdict(v), s"~TOTAL_$v rows")
+    }
+    // time-travel safety: every retained version's as-of read resolves
+    // only to files NOT expired — an expired month-file's whole
+    // reference window [born_v, removed_v-1] sits below the floor
+    expect.values.filter(_._5 == "expire").foreach { case (_, _, rv, _, _) =>
+      assert(rv - 1 < minRet, "an expired file is referenced by a " +
+        "retained version — as-of would read a deleted file")
+    }
+    val tot = rows.find(_.getAs[String]("key") == "~TOTAL").get
+    assert(tot.getAs[Long]("n_files") == expect.size.toLong &&
+      tot.getAs[Long]("reclaim_rows") ==
+        byVerdict.getOrElse("expire", 0L),
+      "~TOTAL does not foot")
+    info(s"${expect.size} files, floor v$minRet/$maxV; reclaim " +
+      s"${tot.getAs[Long]("reclaim_rows")} rows across " +
+      s"${expect.values.count(_._5 == "expire")} expirable files")
+  }
 }

@@ -778,4 +778,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     info(s"${got.size} sources; keep rates " +
       s"${got.values.map(_._8).min}-${got.values.map(_._8).max} e6")
   }
+
+  test("t28: the token-budget epoch plan replays literally — weights, " +
+    "targets, the 4-epoch cap, one water-filling round — and both cap " +
+    "arms are non-vacuous with conservation under the budget") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.t28EpochPlan(spark, sf).collect()
+    // independent replay from the raw documents table
+    val nat = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    def weight(s: String): Long =
+      1 + ("""\d+""".r.findFirstIn(s).map(_.toLong).getOrElse(0L) % 10)
+    // nat.keys is a Set — materialize to Seq BEFORE mapping to weights/
+    // deficits, or equal values collapse (src3 and src13 share weight 4)
+    val srcs = nat.keys.toSeq
+    val T = nat.values.sum
+    val W = srcs.map(weight).sum
+    val B = TextAnalysis.BudgetMult * T
+    val cap = TextAnalysis.EpochCap
+    val target = srcs.map(s => s -> B * weight(s) / W).toMap
+    val capped = srcs.map(s => s -> (target(s) > cap * nat(s))).toMap
+    val realized = srcs.map(s =>
+      s -> math.min(target(s), cap * nat(s))).toMap
+    val deficit = srcs.map(s => target(s) - realized(s)).sum
+    val wu = srcs.filterNot(capped).map(weight).sum
+    val extra = srcs.map(s => s ->
+      (if (!capped(s) && wu > 0) deficit * weight(s) / wu else 0L)).toMap
+    assert(rows.length == nat.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("weight") == weight(s), s"weight $s")
+      assert(r.getAs[Long]("nat_toks") == nat(s), s"nat $s")
+      assert(r.getAs[Long]("target_toks") == target(s), s"target $s")
+      assert(r.getAs[Long]("capped") == (if (capped(s)) 1L else 0L), s"cap $s")
+      assert(r.getAs[Long]("realized_toks") == realized(s), s"realized $s")
+      assert(r.getAs[Long]("extra_toks") == extra(s), s"extra $s")
+      val fin = realized(s) + extra(s)
+      assert(r.getAs[Long]("final_toks") == fin, s"final $s")
+      assert(r.getAs[Long]("epochs_e6") ==
+        math.min(fin, (cap + 1) * nat(s)) * 1000000L / math.max(nat(s), 1L),
+        s"epochs $s")
+      assert(r.getAs[Long]("share_e6") == fin * 1000000L / B, s"share $s")
+    }
+    // both arms live: the high-weight sources cap, the low-weight ones
+    // absorb the forfeit (the regime the operator exists for)
+    assert(capped.values.exists(identity), "no source capped — vacuous")
+    assert(capped.values.exists(!_), "every source capped — vacuous")
+    assert(deficit > 0 && extra.values.exists(_ > 0),
+      "the water-filling round moved nothing")
+    // conservation: floors only ever LOSE tokens, never invent them
+    val finals = rows.map(_.getAs[Long]("final_toks")).sum
+    assert(finals <= B, "final plan exceeds the budget")
+    assert(finals >= rows.map(_.getAs[Long]("realized_toks")).sum,
+      "redistribution lost realized tokens")
+    info(s"${rows.length} sources, ${capped.count(_._2)} capped, " +
+      s"deficit $deficit of budget $B redistributed")
+  }
 }
