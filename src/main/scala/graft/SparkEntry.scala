@@ -49,6 +49,7 @@ object SparkEntry {
     case "s12_index_drift" => Similarity.confirmS12Materialized(dir)
     case "s17_tombstone_plan" => Similarity.confirmS17Materialized(dir)
     case "s22_shard_plan" => Similarity.confirmS22Materialized(dir)
+    case "s23_route_fanout" => Similarity.confirmS23Materialized(dir)
     case "s20_nprobe_sweep" => Similarity.confirmS20Materialized(dir)
     case "s14_ivf_pq" => Similarity.confirmS14Materialized(dir)
     case "d12_semantic_dedup" => Similarity.confirmD12Materialized(dir)

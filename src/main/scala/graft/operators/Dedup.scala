@@ -1244,6 +1244,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d19_split_leakage" -> d19OracleSql,
     "d18_dup_spans" -> d18OracleSql,
     "d16_source_overlap" -> d16OracleSql,
     "d17_containment_dedup" -> d17OracleSql,
@@ -1680,7 +1681,131 @@ object Dedup {
        |FROM per_doc JOIN nt USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** d19: t5's stable split rule (md5-bucket 0-79 train / 80-89 val /
+    * 90-99 test), duplicated here verbatim so the leakage audit tags
+    * documents EXACTLY as the split materializer does — any drift between
+    * the two would audit a split nobody built. */
+  private def splitOf(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = md5Long60(idCol.cast("string")) % 100
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** `d19_split_leakage`: NEAR-dup contamination across t5's train/val/
+    * test splits — the eval-integrity audit t6's exact-shingle report
+    * cannot give: a lightly-edited train document in the test split shares
+    * few exact shingles yet makes the eval score a memorization
+    * measurement. A hash split is uniform BY DESIGN, so near-dup clusters
+    * straddle splits at base rates (~2·p·(1−p) of all dup pairs) — this
+    * operator finds each one: every confirmed near-dup pair (d3's full
+    * MinHash→LSH→exact-Jaccard pipeline, same τ) with EXACTLY one end in
+    * train is normalized to (train_doc, eval_doc) and rolled to the eval
+    * grain — per contaminated eval doc: its split, how many train
+    * near-dups reach it, the worst (max-Jaccard, ties → lowest id) train
+    * offender — the "drop these from eval (or from train)" list — plus
+    * `~TOTAL_val`/`~TOTAL_test`/`~TOTAL` rollups, the contamination rate
+    * the split is judged by. The worst-offender pick is two aggregates +
+    * an equi-join back on (eval_doc, max_jac) — no window, identical
+    * arithmetic in both engines.
+    *
+    * Scale: the pair table is d3's LSH-bounded candidate set (pairs ≪
+    * corpus — banding bounds fan-out per bucket, no all-pairs step);
+    * split tagging is a projection on that table; everything after runs
+    * on the (tiny) cross-split subset, checkpointed once for its three
+    * grain consumers. */
+  def d19SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    val pairs = jaccardPairs(arrays, Some(minhashCandidates(arrays)),
+      alreadyCheckpointed = true)
+    val leaks = pairs
+      .withColumn("s1", splitOf(col("doc_id_1")))
+      .withColumn("s2", splitOf(col("doc_id_2")))
+      .filter((col("s1") === "train") =!= (col("s2") === "train"))
+      .select(
+        when(col("s1") === "train", col("doc_id_1"))
+          .otherwise(col("doc_id_2")).as("train_doc"),
+        when(col("s1") === "train", col("doc_id_2"))
+          .otherwise(col("doc_id_1")).as("eval_doc"),
+        when(col("s1") === "train", col("s2")).otherwise(col("s1"))
+          .as("split"),
+        col("jaccard_e6"))
+      .localCheckpoint(true) // cross-split pairs; 3 grain consumers
+    val perDocAgg = leaks.groupBy(col("eval_doc"), col("split"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        max(col("jaccard_e6")).as("worst_jac_e6"))
+    val perDoc = perDocAgg
+      .join(leaks.select(col("eval_doc"), col("jaccard_e6").as("worst_jac_e6"),
+        col("train_doc")), Seq("eval_doc", "worst_jac_e6"))
+      .groupBy(col("eval_doc"), col("split"), col("n_train_dups"),
+        col("worst_jac_e6"))
+      .agg(min(col("train_doc")).as("worst_train_doc"))
+      .select(col("eval_doc").cast("string").as("key"), col("split"),
+        lit(1L).as("n_docs"), col("n_train_dups"), col("worst_train_doc"),
+        col("worst_jac_e6"))
+      .localCheckpoint(true) // eval-doc grain; per-split + total read it
+    val perSplit = perDoc.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_train_dups")).as("n_train_dups"),
+        max(col("worst_jac_e6")).as("worst_jac_e6"))
+      .select(concat(lit("~TOTAL_"), col("split")).as("key"), col("split"),
+        col("n_docs"), col("n_train_dups"), lit(-1L).as("worst_train_doc"),
+        col("worst_jac_e6"))
+    val totRow = perDoc
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_train_dups")).as("n_train_dups"),
+        max(col("worst_jac_e6")).as("worst_jac_e6"))
+      .select(lit("~TOTAL").as("key"), lit("~TOTAL").as("split"),
+        col("n_docs"), coalesce(col("n_train_dups"), lit(0L)).as("n_train_dups"),
+        lit(-1L).as("worst_train_doc"),
+        coalesce(col("worst_jac_e6"), lit(-1L)).as("worst_jac_e6"))
+    perDoc.unionByName(perSplit).unionByName(totRow).orderBy(col("key"))
+  }
+
+  private lazy val d19OracleSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCandCte,
+       |p AS (${jaccardSelectSql("JOIN cand ON cd1 = a.doc_id AND cd2 = b.doc_id")}),
+       |sp AS (
+       | SELECT doc_id_1, doc_id_2, jaccard_e6,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id_1 AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |   WHEN CAST(('0x' || substr(md5(CAST(doc_id_1 AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |   ELSE 'test' END AS s1,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id_2 AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |   WHEN CAST(('0x' || substr(md5(CAST(doc_id_2 AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |   ELSE 'test' END AS s2
+       | FROM p),
+       |lk AS (
+       | SELECT CASE WHEN s1 = 'train' THEN doc_id_1 ELSE doc_id_2 END AS train_doc,
+       |  CASE WHEN s1 = 'train' THEN doc_id_2 ELSE doc_id_1 END AS eval_doc,
+       |  CASE WHEN s1 = 'train' THEN s2 ELSE s1 END AS split, jaccard_e6
+       | FROM sp WHERE (s1 = 'train') <> (s2 = 'train')),
+       |g AS (
+       | SELECT eval_doc, split, CAST(count(*) AS BIGINT) AS n_train_dups,
+       |  max(jaccard_e6) AS worst_jac_e6
+       | FROM lk GROUP BY 1, 2),
+       |d AS (
+       | SELECT g.eval_doc, g.split, g.n_train_dups, g.worst_jac_e6,
+       |  min(l.train_doc) AS worst_train_doc
+       | FROM g JOIN lk l ON l.eval_doc = g.eval_doc
+       |   AND l.jaccard_e6 = g.worst_jac_e6
+       | GROUP BY 1, 2, 3, 4)
+       |SELECT key, split, n_docs, n_train_dups, worst_train_doc, worst_jac_e6
+       |FROM (
+       | SELECT CAST(eval_doc AS VARCHAR) AS key, split,
+       |  CAST(1 AS BIGINT) AS n_docs, n_train_dups, worst_train_doc,
+       |  worst_jac_e6
+       | FROM d
+       | UNION ALL
+       | SELECT '~TOTAL_' || split, split, CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_train_dups) AS BIGINT), CAST(-1 AS BIGINT),
+       |  max(worst_jac_e6)
+       | FROM d GROUP BY split
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', CAST(count(*) AS BIGINT),
+       |  COALESCE(CAST(sum(n_train_dups) AS BIGINT), 0),
+       |  CAST(-1 AS BIGINT), COALESCE(max(worst_jac_e6), -1)
+       | FROM d
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_split_leakage" -> (d19SplitLeakage _),
     "d18_dup_spans" -> (d18DupSpans _),
     "d16_source_overlap" -> (d16SourceOverlap _),
     "d17_containment_dedup" -> (d17ContainmentDedup _),

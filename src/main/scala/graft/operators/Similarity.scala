@@ -574,6 +574,9 @@ object Similarity {
     }) ++ (confirmedS22.toMap match {
       case one if one.size == 1 => Map("s22_shard_plan" -> s22OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS23.toMap match {
+      case one if one.size == 1 => Map("s23_route_fanout" -> s23OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -2645,18 +2648,16 @@ object Similarity {
     * grain consumers). In a production store the cell stats come
     * straight from the index manifest and the whole plan is
     * metadata-sized (p19/p20's model). */
-  def s22ShardPlan(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val (cents, data) = kmeansOver(e)
-    pendingS22.put(dir, cents)
-    val cells = assignCells(data, cents)
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"))
+  /** Serpentine (boustrophedon) cell → shard placement over cell sizes —
+    * the LPT deal shared by s22 (the placement report) and s23 (the
+    * routing audit). Input: (cell, n_members); output the checkpointed
+    * (cell, n_members, rank, shard, total) frame, NumCells rows. */
+  private def serpentinePlacement(cells: DataFrame): DataFrame = {
     val packed = cells.agg(
       sort_array(collect_list(struct(
         (-col("n_members")).as("neg"), col("cell"), col("n_members")))).as("arr"),
       sum(col("n_members")).as("total"))
-    val ranked = packed
+    packed
       .select(col("total"), posexplode(col("arr")).as(Seq("p0", "s")))
       .select(col("s.cell").as("cell"), col("s.n_members").as("n_members"),
         (col("p0") + 1).cast("long").as("rank"), col("total"))
@@ -2665,7 +2666,17 @@ object Similarity {
       .withColumn("shard",
         when(col("rnd") % 2 === 0, col("pos"))
           .otherwise(lit(NumShards - 1) - col("pos")))
-      .localCheckpoint(true) // NumCells rows; all three grains read it
+      .localCheckpoint(true) // NumCells rows; every grain consumer reads it
+  }
+
+  def s22ShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (cents, data) = kmeansOver(e)
+    pendingS22.put(dir, cents)
+    val cells = assignCells(data, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val ranked = serpentinePlacement(cells)
     val perCell = ranked
       .select(col("cell").cast("string").as("key"), lit("cell").as("grain"),
         col("shard"), col("rank"), lit(1L).as("n_cells"),
@@ -2735,7 +2746,152 @@ object Similarity {
        | FROM per_shard CROSS JOIN tot
        |) ORDER BY key""".stripMargin
 
+  // ------------------- s23: probe routing fan-out over the shard plan
+
+  private val pendingS23 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS23 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS23Materialized(dir: String): Unit =
+    pendingS23.get(dir).foreach(cs => confirmedS23.put(dir, cs))
+
+  /** s23: cells each probe routes to — the serving nprobe dial. */
+  val RouteNprobe = 4
+
+  /** `s23_route_fanout`: the routing audit that closes the serving loop
+    * (build s3 → tune s20 → PLACE s22 → ROUTE s23): an IVF query fans
+    * out to the shards holding its nprobe nearest cells, and per-query
+    * fan-out times tail latency and network cost — the number a
+    * placement is judged by UNDER TRAFFIC, which s22's static load
+    * balance cannot see (perfectly balanced shards can still put every
+    * probe's cells on [[NumShards]] different machines). Per probe: the
+    * cells it routes to ([[RouteNprobe]] nearest, s20's ranked-prefix
+    * model), the distinct shards those cells live on under s22's
+    * serpentine placement (`n_shards` = the fan-out), and `fanout_e6` =
+    * fan-out·1e6. Per shard (`~SHARD_k`): distinct cells touched,
+    * distinct probes served, posting-list reads (`hits`), and its
+    * `fanout_e6` = load share (hits·1e6 div total hits — 1e6/S =
+    * balanced traffic, a hotter value says the HOT cells clustered).
+    * `~TOTAL`: mean fan-out e6 (Σ per-probe fan-out·1e6 div probes).
+    *
+    * Scale: probe→cell ranking is the broadcast-model scan s20 uses
+    * (model-sized, no join); the placement is [[serpentinePlacement]]'s
+    * NumCells-row frame joined broadcast; everything after runs on
+    * (probes × nprobe) rows, checkpointed once for its three grain
+    * consumers. In production the placement map IS the index manifest —
+    * the whole audit is metadata-sized except the (tiny) probe scan. */
+  def s23RouteFanout(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, data) = kmeansWithData(spark, dir)
+    pendingS23.put(dir, cents)
+    val placed = serpentinePlacement(
+      assignCells(data, cents).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members")))
+    val eC = data
+      .withColumn("_cos", cosineMatrix(col("embedding"), centroidMatrix(cents)))
+    val topCells = slice(reverse(array_sort(scoredCells(cents, col("_cos")))),
+      1, RouteNprobe)
+    val routes = eC.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"),
+        posexplode(transform(topCells, c => c.getField("cid"))))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("cell_rank"),
+        col("col").as("cell"))
+      .join(broadcast(placed.select(col("cell"), col("shard"))), Seq("cell"))
+      .localCheckpoint(true) // probes x nprobe rows; 3 grain consumers
+    val perProbe = routes.groupBy(col("probe_id"))
+      .agg(countDistinct(col("cell")).as("n_cells"),
+        countDistinct(col("shard")).as("n_shards"),
+        count(lit(1)).as("hits"))
+      .select(col("probe_id").cast("string").as("key"),
+        lit("probe").as("grain"), lit(-1L).as("shard"), col("n_cells"),
+        col("n_shards"), lit(1L).as("n_probes"), col("hits"),
+        (col("n_shards") * 1000000L).as("fanout_e6"))
+      .localCheckpoint(true) // probe grain; the total row re-reads it
+    val totHits = routes.agg(count(lit(1)).as("total_hits"))
+    val perShard = routes.groupBy(col("shard"))
+      .agg(countDistinct(col("cell")).as("n_cells"),
+        countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("hits"))
+      .crossJoin(broadcast(totHits))
+      .select(concat(lit("~SHARD_"), col("shard").cast("string")).as("key"),
+        lit("shard").as("grain"), col("shard"), col("n_cells"), lit(1L).as("n_shards"),
+        col("n_probes"), col("hits"),
+        expr("hits * 1000000 div greatest(total_hits, 1)").as("fanout_e6"))
+    val totRow = routes
+      .agg(countDistinct(col("cell")).as("n_cells"),
+        countDistinct(col("shard")).as("n_shards"),
+        countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("hits"))
+      .crossJoin(broadcast(
+        perProbe.agg(sum(col("fanout_e6")).as("fsum"))))
+      .select(lit("~TOTAL").as("key"), lit("total").as("grain"),
+        lit(-1L).as("shard"), col("n_cells"), col("n_shards"),
+        col("n_probes"), col("hits"),
+        expr("fsum div greatest(n_probes, 1)").as("fanout_e6"))
+    perProbe.unionByName(perShard).unionByName(totRow).orderBy(col("key"))
+  }
+
+  private def s23OracleSql(cents: Seq[(Long, Array[Long])]): String =
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |cells AS (
+       | SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_members
+       | FROM scored WHERE rn = 1 GROUP BY 1),
+       |rk AS (
+       | SELECT a.cell, a.n_members,
+       |  1 + (SELECT count(*) FROM cells b
+       |       WHERE b.n_members > a.n_members
+       |          OR (b.n_members = a.n_members AND b.cell < a.cell)) AS rank
+       | FROM cells a),
+       |sh AS (
+       | SELECT cell, n_members, rank,
+       |  CASE WHEN ((rank - 1) // $NumShards) % 2 = 0
+       |   THEN (rank - 1) % $NumShards
+       |   ELSE ${NumShards - 1} - ((rank - 1) % $NumShards) END AS shard
+       | FROM rk),
+       |routes AS (
+       | SELECT s.vec_id AS probe_id, s.rn AS cell_rank, s.cid AS cell,
+       |  h.shard
+       | FROM scored s JOIN sh h ON h.cell = s.cid
+       | WHERE s.vec_id < $NumProbes AND s.rn <= $RouteNprobe),
+       |pp AS (
+       | SELECT probe_id, CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+       |  CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+       |  CAST(count(*) AS BIGINT) AS hits
+       | FROM routes GROUP BY 1),
+       |th AS (SELECT CAST(count(*) AS BIGINT) AS total_hits FROM routes),
+       |ps AS (
+       | SELECT shard, CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+       |  CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+       |  CAST(count(*) AS BIGINT) AS hits
+       | FROM routes GROUP BY 1)
+       |SELECT key, grain, shard, n_cells, n_shards, n_probes, hits,
+       | fanout_e6 FROM (
+       | SELECT CAST(probe_id AS VARCHAR) AS key, 'probe' AS grain,
+       |  CAST(-1 AS BIGINT) AS shard, n_cells, n_shards,
+       |  CAST(1 AS BIGINT) AS n_probes, hits, n_shards * 1000000 AS fanout_e6
+       | FROM pp
+       | UNION ALL
+       | SELECT '~SHARD_' || CAST(shard AS VARCHAR), 'shard',
+       |  CAST(shard AS BIGINT), n_cells, CAST(1 AS BIGINT), n_probes, hits,
+       |  hits * 1000000 // greatest(total_hits, 1)
+       | FROM ps CROSS JOIN th
+       | UNION ALL
+       | SELECT '~TOTAL', 'total', CAST(-1 AS BIGINT),
+       |  CAST(count(DISTINCT cell) AS BIGINT),
+       |  CAST(count(DISTINCT shard) AS BIGINT),
+       |  CAST(count(DISTINCT probe_id) AS BIGINT), CAST(count(*) AS BIGINT),
+       |  (SELECT CAST(sum(n_shards) AS BIGINT) * 1000000 FROM pp)
+       |    // greatest((SELECT count(DISTINCT probe_id) FROM routes), 1)
+       | FROM routes
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_route_fanout" -> (s23RouteFanout _),
     "s22_shard_plan" -> (s22ShardPlan _),
     "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_graph_beam" -> (s19GraphBeam _),
