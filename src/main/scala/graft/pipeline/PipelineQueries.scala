@@ -1292,7 +1292,125 @@ object PipelineQueries {
        | FROM rc
        |) ORDER BY key""".stripMargin
 
+  /** p28: how many snapshot versions the replica trails the primary. 10
+    * landings puts the replica across the last year boundary on the
+    * shipped chain, so the delta exercises compaction (ship a year-file,
+    * retire its month-files) as well as plain appends. */
+  val ReplicaLag = 10L
+
+  /** `p28_replication_delta`: incremental metadata replication — the
+    * cross-site sync step p25's chain enables (Iceberg changelog /
+    * multi-region lakehouse mirroring as a QUERY): a replica that last
+    * synced at version `head − lag` needs exactly the LIVE-SET DIFF, not
+    * a re-listing — `ship` rows (files live at head but not on the
+    * replica) and `delete` rows (files the replica holds that head
+    * compacted away). Crossing a year boundary the delta is the
+    * compaction itself: one year-file ships, its month-files retire —
+    * the shape that makes log-shipping cheap (a century of versions
+    * never re-transfers closed years). Rollups per action
+    * (`~TOTAL_ship`/`~TOTAL_delete`) and `~TOTAL` carry the transfer
+    * bill (files + rows) the sync is judged by.
+    *
+    * Both version cursors are data-derived in-plan: the head and replica
+    * (mo, yr) marks attach as broadcast 1-row joins off the SAME
+    * versioned manifest (p19's pattern — no collect, no config), and
+    * live-set membership is pure calendar arithmetic on (yr, mo) — p25's
+    * live-set rule (year-files for years before the cursor's year,
+    * month-files for its open year) applied twice and diffed.
+    *
+    * Scale: the fact is touched ONCE (p25's month aggregation);
+    * everything after runs on the calendar-grained manifest (≤1.2k
+    * rows/century), checkpointed once for its grain consumers. A real
+    * deployment reads the two manifests — the whole plan is
+    * metadata-sized. */
+  def p28ReplicationDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ver = monthManifest(spark, dir)
+      .withColumn("version",
+        row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      .localCheckpoint(true) // calendar-grained; cursors + delta read it
+    val heads = ver.agg(max(col("version")).as("v_head"))
+      .withColumn("v_rep", greatest(col("v_head") - ReplicaLag, lit(1L)))
+    val hMark = ver.join(broadcast(heads), col("version") === col("v_head"))
+      .select(col("mo").as("mo_h"), col("yr").as("yr_h"))
+    val rMark = ver.join(broadcast(heads), col("version") === col("v_rep"))
+      .select(col("mo").as("mo_r"), col("yr").as("yr_r"))
+    val marked = ver.crossJoin(broadcast(hMark)).crossJoin(broadcast(rMark))
+    val shipMonths = marked
+      .filter(col("yr") === col("yr_h") && col("mo") <= col("mo_h") &&
+        (col("yr_r") < col("yr_h") || col("mo") > col("mo_r")))
+      .select(concat(lit("month_"), col("mo").cast("string")).as("key"),
+        lit("ship").as("action"), lit("month").as("kind"),
+        lit(1L).as("n_files"), col("n_rows"))
+    val deleteMonths = marked
+      .filter(col("yr") === col("yr_r") && col("mo") <= col("mo_r") &&
+        col("yr_r") < col("yr_h"))
+      .select(concat(lit("month_"), col("mo").cast("string")).as("key"),
+        lit("delete").as("action"), lit("month").as("kind"),
+        lit(1L).as("n_files"), col("n_rows"))
+    val shipYears = marked
+      .filter(col("yr") >= col("yr_r") && col("yr") < col("yr_h"))
+      .groupBy(col("yr"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .select(concat(lit("year_"), col("yr").cast("string")).as("key"),
+        lit("ship").as("action"), lit("year").as("kind"),
+        lit(1L).as("n_files"), col("n_rows"))
+    val delta = shipMonths.unionByName(deleteMonths).unionByName(shipYears)
+      .localCheckpoint(true) // delta-sized; per-file + totals read it
+    val perAction = delta.groupBy(col("action"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .select(concat(lit("~TOTAL_"), col("action")).as("key"), col("action"),
+        lit("~").as("kind"), col("n_files"), col("n_rows"))
+    val totRow = delta
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("~TOTAL").as("key"), lit("~TOTAL").as("action"),
+        lit("~").as("kind"), col("n_files"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+    delta.unionByName(perAction).unionByName(totRow)
+      .orderBy(col("key"), col("action"))
+  }
+
+  private val p28Oracle: String =
+    s"""WITH mf AS (
+       | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+       |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       | FROM orders GROUP BY 1, 2),
+       |ver AS (
+       | SELECT mf.*, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version
+       | FROM mf),
+       |hd AS (SELECT max(version) AS v_head,
+       |  greatest(max(version) - $ReplicaLag, 1) AS v_rep FROM ver),
+       |hm AS (SELECT mo AS mo_h, yr AS yr_h FROM ver, hd WHERE version = v_head),
+       |rm AS (SELECT mo AS mo_r, yr AS yr_r FROM ver, hd WHERE version = v_rep),
+       |mk AS (SELECT ver.*, mo_h, yr_h, mo_r, yr_r FROM ver CROSS JOIN hm CROSS JOIN rm),
+       |delta AS (
+       | SELECT 'month_' || CAST(mo AS VARCHAR) AS key, 'ship' AS action,
+       |  'month' AS kind, CAST(1 AS BIGINT) AS n_files, n_rows
+       | FROM mk WHERE yr = yr_h AND mo <= mo_h
+       |  AND (yr_r < yr_h OR mo > mo_r)
+       | UNION ALL
+       | SELECT 'month_' || CAST(mo AS VARCHAR), 'delete', 'month',
+       |  CAST(1 AS BIGINT), n_rows
+       | FROM mk WHERE yr = yr_r AND mo <= mo_r AND yr_r < yr_h
+       | UNION ALL
+       | SELECT 'year_' || CAST(yr AS VARCHAR), 'ship', 'year',
+       |  CAST(1 AS BIGINT), CAST(sum(n_rows) AS BIGINT)
+       | FROM mk WHERE yr >= yr_r AND yr < yr_h GROUP BY yr)
+       |SELECT key, action, kind, n_files, n_rows FROM (
+       | SELECT * FROM delta
+       | UNION ALL
+       | SELECT '~TOTAL_' || action, action, '~', CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_rows) AS BIGINT)
+       | FROM delta GROUP BY action
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', '~', CAST(count(*) AS BIGINT),
+       |  COALESCE(CAST(sum(n_rows) AS BIGINT), 0)
+       | FROM delta
+       |) ORDER BY key, action""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p28_replication_delta" -> (p28ReplicationDelta _),
     "p27_expire_snapshots" -> (p27ExpireSnapshots _),
     "p26_partition_evolution" -> (p26PartitionEvolution _),
     "p25_snapshot_chain" -> (p25SnapshotChain _),
@@ -1324,6 +1442,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p28_replication_delta" -> p28Oracle,
     "p27_expire_snapshots" -> p27Oracle,
     "p26_partition_evolution" -> p26Oracle,
     "p25_snapshot_chain" -> p25Oracle,

@@ -1266,4 +1266,58 @@ class PipelineSpec extends AnyFunSuite {
       s"${tot.getAs[Long]("reclaim_rows")} rows across " +
       s"${expect.values.count(_._5 == "expire")} expirable files")
   }
+
+  test("p28: the replication delta is exactly the live-set diff — " +
+    "applying it to the replica's resolved file set reproduces the " +
+    "head's, deletes only touch files the replica holds, and all three " +
+    "delta arms are live on the shipped chain") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.p28ReplicationDelta(spark, sf).collect()
+    // independent replay: p25's live-set rule at both cursors
+    val months = Tables.load(spark, sf, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case ((mo, yr), xs) => (mo, yr, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    def liveAt(v: Int): Set[String] = {
+      val (moV, yrV) = (months(v - 1)._1, months(v - 1)._2)
+      months.filter(m => m._2 < yrV).map(m => s"year_${m._2}").toSet ++
+        months.filter(m => m._2 == yrV && m._1 <= moV).map(m => s"month_${m._1}")
+    }
+    val vHead = months.length
+    val vRep = math.max(vHead - PipelineQueries.ReplicaLag.toInt, 1)
+    val headLive = liveAt(vHead)
+    val repLive = liveAt(vRep)
+    val ships = rows.filter(r => r.getAs[String]("action") == "ship" &&
+      !r.getAs[String]("key").startsWith("~")).map(_.getAs[String]("key")).toSet
+    val dels = rows.filter(r => r.getAs[String]("action") == "delete" &&
+      !r.getAs[String]("key").startsWith("~")).map(_.getAs[String]("key")).toSet
+    assert(ships == headLive -- repLive, "ship set is not the live diff")
+    assert(dels == repLive -- headLive, "delete set is not the live diff")
+    // the sync property the operator exists for
+    assert(repLive -- dels ++ ships == headLive,
+      "applying the delta does not reproduce the head live set")
+    assert(dels.subsetOf(repLive) && (ships & repLive).isEmpty,
+      "delta touches files the replica state cannot support")
+    // the lag straddles a year boundary on the shipped chain: compaction
+    // appears in the delta (year ship + month retires), not just appends
+    assert(ships.exists(_.startsWith("year_")), "no year-file shipped")
+    assert(dels.nonEmpty, "no month-files retired")
+    assert(ships.exists(_.startsWith("month_")), "no month appends")
+    // row counts foot: a shipped year-file carries its whole year
+    val byKey = rows.filter(r => !r.getAs[String]("key").startsWith("~"))
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("n_rows")).toMap
+    months.groupBy(_._2).foreach { case (yr, xs) =>
+      if (byKey.contains(s"year_$yr"))
+        assert(byKey(s"year_$yr") == xs.map(_._3).sum, s"year_$yr rows")
+    }
+    val tot = rows.find(_.getAs[String]("key") == "~TOTAL").get
+    assert(tot.getAs[Long]("n_files") == (ships.size + dels.size).toLong,
+      "~TOTAL files")
+    info(s"replica v$vRep -> head v$vHead: ship ${ships.size} files, " +
+      s"retire ${dels.size}; transfer ${rows.filter(r =>
+        r.getAs[String]("key") == "~TOTAL_ship").head.getAs[Long]("n_rows")} rows")
+  }
 }
