@@ -648,8 +648,16 @@ object AnalyticsExt {
     cum.join(broadcast(mx), col("diff") === col("ks_num"))
       .groupBy(col("ta"), col("tb"), col("ks_num"))
       .agg(min(col("c")).as("at_cents"))
-      .select(col("ta").as("n_a"), col("tb").as("n_b"), col("ks_num"),
-        (col("ta").cast("decimal(38,0)") * col("tb")).as("denom"),
+      // the Decimal(38,0) math stays INTERNAL; the emitted envelope
+      // columns render as strings — exact at any scale, and hash-stable
+      // across engines (the driver hashes typed values, and an emitted
+      // DECIMAL never hash-matches DuckDB's render even when the values
+      // are bit-identical — r15's only two red rows were exactly the two
+      // emitted-decimal queries; PropertySpec pins the class out)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("ks_num").cast("string").as("ks_num"),
+        (col("ta").cast("decimal(38,0)") * col("tb"))
+          .cast("string").as("denom"),
         expr("ks_num * CAST(1000000 AS DECIMAL(38,0)) div " +
           "(CAST(ta AS DECIMAL(38,0)) * tb)").as("ks_e6"),
         col("at_cents"))
@@ -721,8 +729,8 @@ object AnalyticsExt {
         | FROM cum CROSS JOIN t),
         |mx AS (SELECT max(diff) AS ks_num FROM d)
         |SELECT t.ta AS n_a, t.tb AS n_b,
-        | CAST(mx.ks_num AS DECIMAL(38,0)) AS ks_num,
-        | CAST(CAST(t.ta AS HUGEINT) * t.tb AS DECIMAL(38,0)) AS denom,
+        | CAST(mx.ks_num AS VARCHAR) AS ks_num,
+        | CAST(CAST(t.ta AS HUGEINT) * t.tb AS VARCHAR) AS denom,
         | CAST(mx.ks_num * 1000000 // (CAST(t.ta AS HUGEINT) * t.tb) AS BIGINT) AS ks_e6,
         | (SELECT min(c) FROM d, mx WHERE d.diff = mx.ks_num) AS at_cents
         |FROM t CROSS JOIN mx""".stripMargin,

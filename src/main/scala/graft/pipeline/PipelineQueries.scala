@@ -928,9 +928,14 @@ object PipelineQueries {
     * years, which is what the year-closure trigger assumes; a production
     * chain would trigger on date, not adjacency). Per version: the
     * landing month, its row count, files added/removed by the snapshot,
-    * and the LIVE totals after it (file count, rows, running value in
-    * `Decimal(38,0)` — the q43 envelope discipline: a century of 100-TB
-    * landings stays exact).
+    * and the LIVE totals after it (file count, rows, running value —
+    * summed in `Decimal(38,0)`, the q43 envelope discipline: a century of
+    * 100-TB landings stays exact; EMITTED as digits-string, because an
+    * emitted DECIMAL column is hash-unsafe in the driver's typed-value
+    * check even when values are bit-identical — r15's two red rows).
+    * `live_files` folds the chain's own add/remove events cumulatively,
+    * so the count stays consistent even on a non-contiguous calendar
+    * (where a gap year's months simply never compact).
     *
     * [[p25AsOf]] is the read path: resolve any version to its live file
     * set (year-files for closed years + month-files for the in-progress
@@ -956,18 +961,27 @@ object PipelineQueries {
         sum(col("cents").cast("decimal(38,0)")).over(wCum))
       .withColumn("pos_in_yr", row_number()
         .over(Window.partitionBy(col("yr")).orderBy(col("mo"))).cast("long"))
-      .withColumn("yr_idx",
-        dense_rank().over(Window.orderBy(col("yr"))).cast("long"))
       .join(broadcast(yearCounts.select((col("yr") + 1).as("yr"),
         col("n_m").as("prev_n_m"))), Seq("yr"), "left")
       .withColumn("removed", when(col("pos_in_yr") === 1,
         coalesce(col("prev_n_m"), lit(0L))).otherwise(lit(0L)))
       .withColumn("added",
         lit(1L) + when(col("removed") > 0, 1L).otherwise(0L))
-      .withColumn("live_files", col("yr_idx") - 1 + col("pos_in_yr"))
+      // live_files from the CUMULATIVE add/remove events, not the
+      // yr_idx-1+pos_in_yr closed form: the closed form silently assumed
+      // contiguous calendar years (a gap year's months never compact —
+      // the yr+1 lookup misses — yet the closed form still counted a
+      // year-file for it, leaving the chain internally inconsistent).
+      // The event sum is consistent by construction on ANY calendar and
+      // identical on contiguous ones; still manifest-grained.
+      .withColumn("live_files", sum(col("added") - col("removed")).over(wCum))
       .select(col("version"), col("mo"), col("yr"), col("n_rows"),
-        col("added"), col("removed"), col("live_files"),
-        col("live_rows"), col("live_cents"))
+        col("added"), col("removed"), col("live_files"), col("live_rows"),
+        // emitted-decimal is hash-unsafe in the driver's typed-value
+        // check (r15's only red rows); the Decimal(38,0) running sum
+        // stays internal, the emitted column renders as digits — exact
+        // at any scale, hash-stable (PropertySpec pins the class out)
+        col("live_cents").cast("string").as("live_cents"))
       .orderBy(col("version"))
   }
 
@@ -1024,18 +1038,22 @@ object PipelineQueries {
       |  CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version,
       |  CAST(sum(n_rows) OVER (ORDER BY mo ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live_rows,
       |  CAST(sum(cents) OVER (ORDER BY mo ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS live_cents,
-      |  CAST(row_number() OVER (PARTITION BY yr ORDER BY mo) AS BIGINT) AS pos_in_yr,
-      |  CAST(dense_rank() OVER (ORDER BY yr) AS BIGINT) AS yr_idx
-      | FROM mf)
-      |SELECT v.version, v.mo, v.yr, v.n_rows,
-      | CAST(1 + CASE WHEN v.pos_in_yr = 1 AND COALESCE(p.n_m, 0) > 0
-      |   THEN 1 ELSE 0 END AS BIGINT) AS added,
-      | CAST(CASE WHEN v.pos_in_yr = 1 THEN COALESCE(p.n_m, 0) ELSE 0 END
-      |   AS BIGINT) AS removed,
-      | CAST(v.yr_idx - 1 + v.pos_in_yr AS BIGINT) AS live_files,
-      | v.live_rows, v.live_cents
-      |FROM v LEFT JOIN yc p ON p.yr = v.yr - 1
-      |ORDER BY version""".stripMargin
+      |  CAST(row_number() OVER (PARTITION BY yr ORDER BY mo) AS BIGINT) AS pos_in_yr
+      | FROM mf),
+      |ch AS (
+      | SELECT v.version, v.mo, v.yr, v.n_rows,
+      |  CAST(1 + CASE WHEN v.pos_in_yr = 1 AND COALESCE(p.n_m, 0) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS added,
+      |  CAST(CASE WHEN v.pos_in_yr = 1 THEN COALESCE(p.n_m, 0) ELSE 0 END
+      |    AS BIGINT) AS removed,
+      |  v.live_rows, v.live_cents
+      | FROM v LEFT JOIN yc p ON p.yr = v.yr - 1)
+      |SELECT version, mo, yr, n_rows, added, removed,
+      | CAST(sum(added - removed)
+      |   OVER (ORDER BY version ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |   AS live_files,
+      | live_rows, CAST(live_cents AS VARCHAR) AS live_cents
+      |FROM ch ORDER BY version""".stripMargin
 
   /** `p26_partition_evolution`: partition-SPEC evolution — the Iceberg
     * metadata feature the p19-p25 family still lacked: a long-lived

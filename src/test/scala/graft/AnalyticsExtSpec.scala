@@ -376,11 +376,14 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(row.length == 1)
     val r = row.head
     assert(r.getAs[Long]("n_a") == ta && r.getAs[Long]("n_b") == tb)
-    // ks_num/denom are Decimal(38,0) since the r15 overflow fix — exact
-    // integers far past the 64-bit envelope; compare as BigInt
-    assert(r.getAs[java.math.BigDecimal]("ks_num").toBigInteger ==
+    // ks_num/denom compute in Decimal(38,0) (the r15 overflow fix — exact
+    // integers far past the 64-bit envelope) but EMIT as strings since
+    // r16: an emitted DECIMAL column is hash-unsafe in the driver's
+    // typed-value check even when values are bit-identical (r15's only
+    // two red rows). Digits-exact compare via BigInt of the string.
+    assert(new java.math.BigInteger(r.getAs[String]("ks_num")) ==
       java.math.BigInteger.valueOf(ksNum), "KS numerator diverged")
-    assert(r.getAs[java.math.BigDecimal]("denom").toBigInteger ==
+    assert(new java.math.BigInteger(r.getAs[String]("denom")) ==
       java.math.BigInteger.valueOf(ta * tb))
     assert(r.getAs[Long]("ks_e6") == ksNum * 1000000L / (ta * tb))
     assert(r.getAs[Long]("at_cents") == atC, "argmax value diverged")

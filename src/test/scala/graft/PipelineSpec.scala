@@ -1124,7 +1124,11 @@ class PipelineSpec extends AnyFunSuite {
       .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
       .collect().map(_.getLong(0)).sum
     val last = chain.maxBy(_.getAs[Long]("version"))
-    assert(last.getAs[java.math.BigDecimal]("live_cents").longValueExact == totCents,
+    // live_cents sums in Decimal(38,0) internally but emits as a digits
+    // string since r16 (emitted DECIMAL is hash-unsafe in the driver's
+    // typed-value check — r15's red rows); exact compare via BigInt
+    assert(new java.math.BigInteger(last.getAs[String]("live_cents")) ==
+      java.math.BigInteger.valueOf(totCents),
       "final live_cents does not foot to the fact")
   }
 

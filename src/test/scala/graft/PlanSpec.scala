@@ -691,6 +691,37 @@ class PlanSpec extends AnyFunSuite {
       s"scale-unsafe plan shapes in:\n${offenders.mkString("\n")}")
   }
 
+  test("global: no verified query EMITS a DecimalType column — decimal " +
+    "math stays internal, envelopes render as BIGINT or digits-string") {
+    // The r15 class: the driver hash-checks TYPED values, and an emitted
+    // DECIMAL never hash-matches the oracle's render of the same values
+    // even when they are bit-identical (r15's only two red rows, q43 and
+    // p25, were exactly the two emitted-decimal queries; the other
+    // Decimal(38,0)-envelope operators — t28/s22/m11 — keep the decimal
+    // INTERNAL and emit BIGINT, and all pass). This pins the class shut
+    // at the schema level — a third emitted-decimal operator fails the
+    // suite, not the round. tools/check.py carries the same guard on the
+    // landed parquet. Recursive: a decimal buried in a struct/array
+    // lands in parquet just as hash-red as a top-level one.
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if hasDecimal(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"emitted DECIMAL columns (hash-unsafe vs the oracle):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("p17: exactly one pruned scan per configured table, and every " +
     "explode rides the 1-row aggregate — nothing row-sized survives " +
     "any scan") {
