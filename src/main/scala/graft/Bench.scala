@@ -152,15 +152,24 @@ object Bench {
       cpus: Map[String, Seq[Double]]): Seq[String] =
     walls.flatMap { case (name, w) =>
       val c = cpus.getOrElse(name, Nil)
-      if (w.size < 2 || c.size != w.size || c.exists(_ <= 0)) None
+      if (w.size < 2 || c.size != w.size) None
       else {
-        val slow = w.indexOf(w.max)
+        // the slow rep is the slowest WARM rep (indices >= 1), chosen
+        // explicitly: rep 0's own maximum is JIT-unattributable, but a
+        // wall-time TIE between rep 0 and a later rep must not resolve
+        // to rep 0 and mask genuine weather on the later one. cpu
+        // validity (-1 = unsupported) is required only at the two chosen
+        // reps — an invalid reading elsewhere doesn't blind the query.
+        val slow = 1 + w.tail.indexOf(w.tail.max)
         val fast = w.indexOf(w.min)
-        val wallRatio = w(slow) / math.max(w(fast), 1e-9)
-        val cpuRatio = c(slow) / math.max(c(fast), 1e-9)
-        if (slow != 0 && wallRatio >= BurstWallRatio &&
-          cpuRatio >= BurstCpuRatio) Some(name)
-        else None
+        if (slow == fast || c(slow) <= 0 || c(fast) <= 0) None
+        else {
+          val wallRatio = w(slow) / math.max(w(fast), 1e-9)
+          val cpuRatio = c(slow) / math.max(c(fast), 1e-9)
+          if (wallRatio >= BurstWallRatio && cpuRatio >= BurstCpuRatio)
+            Some(name)
+          else None
+        }
       }
     }
 

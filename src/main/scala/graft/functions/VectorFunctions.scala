@@ -34,15 +34,22 @@ object VectorFunctions {
     * every training query mints a fresh final model, so "cache forever"
     * would grow per suite run):
     *  - the cache is a small access-ordered LRU ([[MaxModels]]); evicting
-    *    an entry DESTROYS its broadcast. A query builds and runs its plans
-    *    promptly and touches ≤ ~6 models, so by the time a handle is 64
-    *    distinct models stale no live plan can still reference it;
+    *    an entry only DROPS the cache reference — it never destroys. A
+    *    destroy here would race a live plan: a plan built early but
+    *    executed late (or a localCheckpoint block recompute) after
+    *    >MaxModels churn would hit "Broadcast destroyed" at runtime, and
+    *    the destroy would run while holding the synchronizedMap mutex,
+    *    blocking concurrent plan builds. Once the evicted handle's last
+    *    plan reference is garbage, Spark's ContextCleaner reclaims the
+    *    executor blocks through its weak reference — the safe asynchronous
+    *    path for handles whose liveness the cache cannot know;
     *  - once-used transient models (each Lloyd iteration's centroids) are
     *    released EXPLICITLY by their producer ([[releaseModel]]) the moment
-    *    their one job has collected — synchronous cleanup, not
-    *    ContextCleaner churn during the next timed query;
-    *  - entries keyed by a stopped context are destroyed on natural LRU
-    *    turnover (destroy failures are swallowed). */
+    *    their one job has collected — the producer KNOWS the handle is
+    *    dead, so a synchronous destroy is safe there and spares the next
+    *    timed query the ContextCleaner churn;
+    *  - entries keyed by a stopped context fall out on natural LRU
+    *    turnover. */
   private val MaxModels = 64
   private val modelCache: java.util.Map[
       (org.apache.spark.SparkContext, AnyRef),
@@ -54,11 +61,7 @@ object VectorFunctions {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(org.apache.spark.SparkContext, AnyRef),
                                    org.apache.spark.broadcast.Broadcast[_]])
-            : Boolean = {
-          val evict = size() > MaxModels
-          if (evict) destroyQuietly(e.getValue)
-          evict
-        }
+            : Boolean = size() > MaxModels // drop only; see Lifecycle note
       })
 
   private def destroyQuietly(b: org.apache.spark.broadcast.Broadcast[_]): Unit =

@@ -825,6 +825,13 @@ object Dedup {
     // 2.1/4.1 MiB per run, exactly the sizes the r14 tail logged. With
     // model literals out of every closure, the artifact is fully
     // explained here and re-accepted on the rationale above.
+    // r16 closure, whole-suite this time (graft.TaskBinaryScan: every
+    // benchQueries entry at sf0.1 with per-query stderr markers): 5
+    // warnings total — 2x 2.1 MiB + 3x 4.1 MiB — ALL between this
+    // query's markers, zero anywhere else. The 2.1 MiB ones are this
+    // query's smaller candidate-side stages (same unknown-stats
+    // broadcast preallocation, half the frame); both sizes are constant
+    // in data, accepted.
     docs(spark, dir).select(col("doc_id")).filter(isNewDoc(col("doc_id")))
       .join(agg, Seq("doc_id"), "left")
       .join(best, Seq("doc_id"), "left")
@@ -1244,6 +1251,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d20_bloom_prefilter" -> d20OracleSql,
     "d19_split_leakage" -> d19OracleSql,
     "d18_dup_spans" -> d18OracleSql,
     "d16_source_overlap" -> d16OracleSql,
@@ -1804,7 +1812,143 @@ object Dedup {
        | FROM d
        |) ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d20
+
+  /** d20 bloom geometry. DELIBERATELY small: sized so the false-positive
+    * path is actually exercised at the verification scales (sf0.01 lands
+    * ~100 corpus keys per shard in 512 bits → a measurable fp rate) — a
+    * production deploy sizes ~10 bits/key for ~1% fp and grows capacity
+    * by ADDING SHARDS, never by rebuilding: the shard count is the dial
+    * that scales the filter with the corpus while each probe still
+    * touches exactly one shard's 16 words. */
+  final val D20Shards = 4L
+  final val D20Bits = 512L
+  final val D20WordBits = 32L // p23's idiom: the sign bit never carries a mask
+  final val D20Hashes = 3
+
+  /** `d20_bloom_prefilter`: the membership PRE-FILTER in front of
+    * incremental dedup — before d8's pairwise near-dup machinery runs, a
+    * daily batch is screened against a sharded bloom filter of the
+    * corpus's exact normalized-text hashes ("have we seen this content
+    * before"), the gate every crawl pipeline runs first: at 100 TB the
+    * corpus hash set is a join you do not want to pay per batch, while
+    * its bloom ships broadcast in KBs and answers most probes without
+    * touching the corpus at all. Same batch/corpus split as d8
+    * ([[isNewDoc]]). Per new-batch doc: its shard, the bloom verdict
+    * (`admitted` — must go to exact confirmation), the exact truth
+    * (`truly_dup`, the audit a deploy runs on a sample), and the
+    * false-positive flag; a `~TOTAL` row carries the counts and the e6
+    * fp rate over the batch. False negatives are impossible by
+    * construction and pinned in-result (truly_dup ⇒ admitted; the spec
+    * replays the whole filter bit-for-bit).
+    *
+    * Scale: the corpus is scanned ONCE to build the bloom, which
+    * collapses to ≤ shards×8 words at the FIRST shuffle (bit_or
+    * partials — p23's exact signed-64 idiom, identical in DuckDB); the
+    * bloom then attaches BROADCAST to the batch's probe rows, so
+    * screening is one batch-sized map join — no corpus-sized side ever
+    * reaches the probe. The truth audit joins hash-to-hash (equi,
+    * shuffle on the 60-bit key), test-scale verification work. */
+  def d20BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Long60, normText}
+    val hashed = docs(spark, dir)
+      .select(col("doc_id"), md5Long60(normText(col("text"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(D20Shards)))
+      .localCheckpoint(true) // one corpus scan; bloom + probes + truth read it
+    val corpus = hashed.filter(!isNewDoc(col("doc_id")))
+    val batch = hashed.filter(isNewDoc(col("doc_id")))
+    def positions(h: Column): Column =
+      pmod(md5Long60(concat_ws("|", lit("d20"), col("i"), h)), lit(D20Bits))
+    val bloom = corpus
+      .select(col("shard"), col("h"),
+        explode(expr(s"sequence(0, ${D20Hashes - 1})")).as("i"))
+      .withColumn("pos", positions(col("h")))
+      .groupBy(col("shard"), expr(s"pos div $D20WordBits").as("word"))
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(pos % $D20WordBits AS INT)))").as("bits"))
+    val probes = batch
+      .select(col("doc_id"), col("shard"), col("h"),
+        explode(expr(s"sequence(0, ${D20Hashes - 1})")).as("i"))
+      .withColumn("pos", positions(col("h")))
+      .withColumn("word", expr(s"pos div $D20WordBits"))
+      .withColumn("pmask",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $D20WordBits AS INT))"))
+      .join(broadcast(bloom), Seq("shard", "word"), "left")
+      .withColumn("hit",
+        when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("pmask")) =!= 0L,
+          1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(when(sum(col("hit")) === D20Hashes.toLong, 1L).otherwise(0L)
+        .as("admitted"))
+    val truth = batch.join(corpus.select(col("h")).distinct(), Seq("h"),
+        "left_semi")
+      .select(col("doc_id"), lit(1L).as("truly_dup"))
+    val per = batch.select(col("doc_id"), col("shard"))
+      .join(probes, Seq("doc_id"))
+      .join(truth, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("string").as("key"), col("shard"),
+        col("admitted"), coalesce(col("truly_dup"), lit(0L)).as("truly_dup"),
+        (col("admitted") - coalesce(col("truly_dup"), lit(0L)))
+          .as("false_pos"), lit(null).cast("long").as("fp_rate_e6"))
+      .localCheckpoint(true) // batch-sized; total row reads it
+    val tot = per.agg(count(lit(1)).as("n"), sum(col("admitted")).as("adm"),
+        sum(col("truly_dup")).as("dup"), sum(col("false_pos")).as("fp"))
+      .select(lit("~TOTAL").as("key"), lit(null).cast("long").as("shard"),
+        col("adm").as("admitted"), col("dup").as("truly_dup"),
+        col("fp").as("false_pos"),
+        expr("fp * 1000000L div n").as("fp_rate_e6"))
+    per.unionByName(tot).orderBy(col("key"))
+  }
+
+  private lazy val d20OracleSql: String =
+    s"""WITH hashed AS (
+       | SELECT doc_id,
+       |  CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS h,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= $NewBucketMin AS is_new
+       | FROM documents),
+       |sh AS (SELECT doc_id, h, h % $D20Shards AS shard, is_new FROM hashed),
+       |pos AS (
+       | SELECT doc_id, h, shard, is_new, i,
+       |  CAST(('0x' || substr(md5('d20|' || CAST(i AS VARCHAR) || '|' ||
+       |    CAST(h AS VARCHAR)), 1, 15)) AS BIGINT) % $D20Bits AS pos
+       | FROM (SELECT *, unnest(range($D20Hashes)) AS i FROM sh)),
+       |bloom AS (
+       | SELECT shard, pos // $D20WordBits AS word,
+       |  bit_or(1::BIGINT << CAST(pos % $D20WordBits AS INTEGER)) AS bits
+       | FROM pos WHERE NOT is_new GROUP BY 1, 2),
+       |probe AS (
+       | SELECT p.doc_id,
+       |  CASE WHEN sum(CASE WHEN COALESCE(b.bits, 0) &
+       |    (1::BIGINT << CAST(p.pos % $D20WordBits AS INTEGER)) <> 0
+       |    THEN 1 ELSE 0 END) = $D20Hashes THEN 1 ELSE 0 END AS admitted
+       | FROM pos p LEFT JOIN bloom b
+       |  ON b.shard = p.shard AND b.word = p.pos // $D20WordBits
+       | WHERE p.is_new GROUP BY 1),
+       |truth AS (
+       | SELECT DISTINCT b.doc_id FROM sh b
+       | WHERE b.is_new AND EXISTS (
+       |  SELECT 1 FROM sh c WHERE NOT c.is_new AND c.h = b.h)),
+       |per AS (
+       | SELECT CAST(s.doc_id AS VARCHAR) AS key, s.shard,
+       |  CAST(p.admitted AS BIGINT) AS admitted,
+       |  CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS truly_dup,
+       |  CAST(p.admitted - CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END
+       |    AS BIGINT) AS false_pos,
+       |  CAST(NULL AS BIGINT) AS fp_rate_e6
+       | FROM sh s JOIN probe p ON p.doc_id = s.doc_id
+       |  LEFT JOIN truth t ON t.doc_id = s.doc_id
+       | WHERE s.is_new)
+       |SELECT * FROM per
+       |UNION ALL
+       |SELECT '~TOTAL', CAST(NULL AS BIGINT),
+       | CAST(sum(admitted) AS BIGINT), CAST(sum(truly_dup) AS BIGINT),
+       | CAST(sum(false_pos) AS BIGINT),
+       | CAST(CAST(sum(false_pos) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+       |FROM per
+       |ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_bloom_prefilter" -> (d20BloomPrefilter _),
     "d19_split_leakage" -> (d19SplitLeakage _),
     "d18_dup_spans" -> (d18DupSpans _),
     "d16_source_overlap" -> (d16SourceOverlap _),

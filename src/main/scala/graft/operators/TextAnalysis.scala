@@ -1082,15 +1082,32 @@ object TextAnalysis {
     * replays rounds 1..r-1. */
   def t27BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeTrainedMerges(spark, dir)
+      .toDF("merge_round", "lhs", "rhs", "merged", "n_weighted", "n_types")
+      .orderBy(col("merge_round"))
+  }
+
+  /** The initial per-word symbol string — every single character wrapped
+    * in its own delimiter pair (`|s1||s2|…`; see [[t27BpeTrain]]). */
+  private def bpeSym0(word: Column): Column =
+    concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), "||"), lit("|"))
+
+  /** t27's training loop, shared with the t29 encoder: K greedy rounds
+    * over the (len≥2) word-frequency vocabulary, each a vocab-grained
+    * aggregate + 1-row collect (the Lloyd shape), the vocabulary
+    * re-checkpointed per round. Returns the learned merge table rows
+    * `(round, lhs, rhs, merged, n_weighted, n_types)` in round order. */
+  private def bpeTrainedMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long, Long)] = {
     val vocab = Tables.load(spark, dir, "documents")
       .select(explode(wsTokens(col("text"))).as("w"))
       .select(lower(col("w")).as("word"))
       .filter(col("word").rlike(BpeWordRe))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .filter(length(col("word")) >= 2)
-      .withColumn("sym", concat(lit("|"),
-        array_join(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), "||"), lit("|")))
+      .withColumn("sym", bpeSym0(col("word")))
     var cur = vocab.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long, Long)]()
     for (r <- 1 to BpeTrainRounds) {
@@ -1116,43 +1133,162 @@ object TextAnalysis {
         expr(s"replace(sym, '|$bl||$br|', '|$bl$br|')")).localCheckpoint(true)
     }
     merges.toSeq
-      .toDF("merge_round", "lhs", "rhs", "merged", "n_weighted", "n_types")
-      .orderBy(col("merge_round"))
   }
+
+  /** `t29_bpe_encode`: APPLY the trained tokenizer — the daily
+    * every-doc step a real pretraining pipeline runs between t27 (train)
+    * and t12/t28 (pack/schedule), closing the train→apply gap. The
+    * [[BpeTrainRounds]] learned merges are applied to the corpus in
+    * training order with t27's own delimiter-replace semantics (greedy
+    * leftmost, merges consuming earlier merges' symbols), and the output
+    * is the per-document tokenization card: word/char/token counts and
+    * the chars-per-token compression ratio (e6 integer) — the number a
+    * tokenizer is judged by.
+    *
+    * Scale: the merge table is the MODEL (K local strings from the
+    * Lloyd-shaped trainer); encoding runs once per distinct word TYPE —
+    * a K-deep chain of codegen'd `replace` calls over the vocabulary,
+    * which saturates on natural text regardless of corpus size — and
+    * docs join their words' token counts on the word key (shuffle join,
+    * NOT a broadcast: a 100-TB crawl's vocabulary is not worth betting
+    * the driver on), then collapse to the doc grain with map-side
+    * partials. No corpus-sized row ever carries a symbol string. */
+  def t29BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainedMerges(spark, dir)
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      .select(col("doc_id"), lower(col("w")).as("word"))
+      .filter(col("word").rlike(BpeWordRe))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+    // encode each word TYPE once: merges applied in round order, each
+    // rewriting the whole symbol string (no len≥2 filter here — a 1-char
+    // word is its own single token and every replace is a no-op on it)
+    val encoded = merges.foldLeft(
+      words.select(col("word")).distinct()
+        .withColumn("sym", bpeSym0(col("word")))) {
+      case (df, (_, bl, br, _, _, _)) =>
+        df.withColumn("sym", expr(s"replace(sym, '|$bl||$br|', '|$bl$br|')"))
+    }.select(col("word"),
+      size(expr("filter(split(sym, '[|]'), x -> x != '')"))
+        .cast("long").as("n_tok"))
+    words.join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_occ") * col("n_tok")).as("n_tokens"))
+      .withColumn("chars_per_token_e6",
+        expr("n_chars * 1000000L div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `t30_temperature_mix`: temperature-scaled source sampling — the
+    * published multilingual recipe (sample source i with probability
+    * ∝ nᵢ^α, α < 1, so low-resource sources are up-sampled without
+    * letting any single giant source dominate; T5's
+    * examples-proportional mixing / the XLM-R α-sampling family). α is
+    * fixed at 1/2 — not only a standard setting but the one exponent
+    * whose power function is EXACT cross-engine: IEEE-754 `sqrt` is
+    * correctly rounded in both Spark and DuckDB, where a general `pow`
+    * is not, so the floored integer weights below are bit-identical by
+    * construction. Weights are INTEGER square roots (`floor(sqrt(n))` —
+    * past 2^53 the double rounding may sit ±1 of the true isqrt, but
+    * identically so in both engines, and a ±1 on a ~10⁹ sampling weight
+    * is immaterial); integer weights make the normalizing sum
+    * order-independent where a float Σ√nᵢ would depend on reduction
+    * order. Per source: docs, tokens, natural share, temperature share,
+    * and the up/down-sampling boost (all e6, Decimal(38,0) internal /
+    * BIGINT emitted — the t28 envelope discipline).
+    *
+    * Scale: ONE corpus scan ends at the source-grained aggregate
+    * (map-side partial, |sources| rows, checkpointed); the totals attach
+    * as a broadcast 1-row aggregate. The plan's cost is the token-count
+    * scan, same as t28 — this is the dial you turn BEFORE t28 budgets
+    * epochs. */
+  def t30TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens"))).cast("long"))
+      .localCheckpoint(true) // |sources| rows; totals + shares read it
+    val tot = src.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_sqrt")).as("tot_sqrt"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * CAST(1000000 AS DECIMAL(38,0)) div tot_tokens")
+          .as("natural_share_e6"),
+        expr("w_sqrt * CAST(1000000 AS DECIMAL(38,0)) div tot_sqrt")
+          .as("temp_share_e6"),
+        expr("w_sqrt * CAST(tot_tokens AS DECIMAL(38,0)) * 1000000 div " +
+          "(CAST(tot_sqrt AS DECIMAL(38,0)) * n_tokens)").as("boost_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val t30OracleSql: String =
+    """WITH s AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY 1),
+      |w AS (
+      | SELECT s.*, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+      | FROM s),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+      |  CAST(sum(w_sqrt) AS BIGINT) AS tot_sqrt FROM w)
+      |SELECT source, n_docs, n_tokens,
+      | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot_tokens AS BIGINT)
+      |   AS natural_share_e6,
+      | CAST(CAST(w_sqrt AS HUGEINT) * 1000000 // tot_sqrt AS BIGINT)
+      |   AS temp_share_e6,
+      | CAST(CAST(w_sqrt AS HUGEINT) * tot_tokens * 1000000
+      |   // (CAST(tot_sqrt AS HUGEINT) * n_tokens) AS BIGINT) AS boost_e6
+      |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
 
   /** t27's oracle: the SAME K rounds unrolled as CTE groups — per round,
     * symbol split → pair explode → weighted argmax (identical tie-break)
     * → the same `replace` rewrite feeding the next round's group. */
+  private def bpeOracleRound(r: Int): String = {
+    val prev = s"v${r - 1}"
+    s"""s$r AS (
+       | SELECT word, freq, sym,
+       |  list_filter(string_split(sym, '|'), x -> x <> '') AS syms
+       | FROM $prev),
+       |p$r AS (
+       | SELECT word, freq, unnest(range(1, len(syms))) AS i, syms
+       | FROM s$r WHERE len(syms) >= 2),
+       |q$r AS (
+       | SELECT word, freq, syms[CAST(i AS INT)] AS lhs,
+       |  syms[CAST(i AS INT) + 1] AS rhs
+       | FROM p$r),
+       |b$r AS (
+       | SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n_weighted,
+       |  CAST(count(DISTINCT word) AS BIGINT) AS n_types
+       | FROM q$r GROUP BY 1, 2
+       | ORDER BY n_weighted DESC, lhs, rhs LIMIT 1),
+       |v$r AS (
+       | SELECT v.word, v.freq,
+       |  replace(v.sym, '|' || b.lhs || '||' || b.rhs || '|',
+       |          '|' || b.lhs || b.rhs || '|') AS sym
+       | FROM $prev v, b$r b)"""
+  }
+
   private lazy val t27OracleSql: String = {
-    def round(r: Int) = {
-      val prev = s"v${r - 1}"
-      s"""s$r AS (
-         | SELECT word, freq, sym,
-         |  list_filter(string_split(sym, '|'), x -> x <> '') AS syms
-         | FROM $prev),
-         |p$r AS (
-         | SELECT word, freq, unnest(range(1, len(syms))) AS i, syms
-         | FROM s$r WHERE len(syms) >= 2),
-         |q$r AS (
-         | SELECT word, freq, syms[CAST(i AS INT)] AS lhs,
-         |  syms[CAST(i AS INT) + 1] AS rhs
-         | FROM p$r),
-         |b$r AS (
-         | SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n_weighted,
-         |  CAST(count(DISTINCT word) AS BIGINT) AS n_types
-         | FROM q$r GROUP BY 1, 2
-         | ORDER BY n_weighted DESC, lhs, rhs LIMIT 1),
-         |v$r AS (
-         | SELECT v.word, v.freq,
-         |  replace(v.sym, '|' || b.lhs || '||' || b.rhs || '|',
-         |          '|' || b.lhs || b.rhs || '|') AS sym
-         | FROM $prev v, b$r b)"""
-    }
-    val rounds = (1 to BpeTrainRounds).map(round).mkString(",\n")
     val rows = (1 to BpeTrainRounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, " +
         s"n_weighted, n_types FROM b$r").mkString("\n UNION ALL ")
-    s"""WITH w AS (
+    s"""WITH $bpeTrainCtes
+       |SELECT * FROM (
+       | $rows)
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  /** The shared training-CTE chain (word freqs → v0 symbol strings → K
+    * argmax/rewrite round groups b1/v1 … bK/vK) — t27's oracle reads the
+    * chosen merges off b1..bK; t29's replays them onto the full word set. */
+  private lazy val bpeTrainCtes: String = {
+    val rounds = (1 to BpeTrainRounds).map(bpeOracleRound).mkString(",\n")
+    s"""w AS (
        | SELECT lower(unnest($tokSql)) AS word FROM documents),
        |vf AS (
        | SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
@@ -1162,10 +1298,45 @@ object TextAnalysis {
        |  '|' || array_to_string(list_transform(range(1, length(word) + 1),
        |    i -> substr(word, CAST(i AS INT), 1)), '||') || '|' AS sym
        | FROM vf WHERE length(word) >= 2),
-       |$rounds
-       |SELECT * FROM (
-       | $rows)
-       |ORDER BY merge_round""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** t29's oracle: the training chain's own b1..bK merges replayed in
+    * round order onto EVERY word type (u-chain — no len≥2 filter, same
+    * `replace` semantics), then the per-doc card off the doc×word counts. */
+  private lazy val t29OracleSql: String = {
+    val applies = (1 to BpeTrainRounds).map { r =>
+      s"""u$r AS (
+         | SELECT u.word,
+         |  replace(u.sym, '|' || b.lhs || '||' || b.rhs || '|',
+         |          '|' || b.lhs || b.rhs || '|') AS sym
+         | FROM u${r - 1} u, b$r b)"""
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |u0 AS (
+       | SELECT word,
+       |  '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INT), 1)), '||') || '|' AS sym
+       | FROM (SELECT DISTINCT word FROM w
+       |       WHERE regexp_matches(word, '^[a-z0-9]+$$'))),
+       |$applies,
+       |enc AS (
+       | SELECT word,
+       |  CAST(len(list_filter(string_split(sym, '|'), x -> x <> ''))
+       |    AS BIGINT) AS n_tok
+       | FROM u$BpeTrainRounds),
+       |dw AS (
+       | SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ FROM (
+       |  SELECT doc_id, lower(unnest($tokSql)) AS word FROM documents)
+       | WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1, 2)
+       |SELECT dw.doc_id,
+       | CAST(sum(n_occ) AS BIGINT) AS n_words,
+       | CAST(sum(n_occ * length(word)) AS BIGINT) AS n_chars,
+       | CAST(sum(n_occ * n_tok) AS BIGINT) AS n_tokens,
+       | CAST(sum(n_occ * length(word)) * 1000000
+       |   // sum(n_occ * n_tok) AS BIGINT) AS chars_per_token_e6
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** `t23_zipf_curve`: corpus health telemetry — the token
@@ -1527,6 +1698,8 @@ object TextAnalysis {
        |FROM fin ORDER BY source""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_temperature_mix" -> (t30TemperatureMix _),
+    "t29_bpe_encode" -> (t29BpeEncode _),
     "t28_epoch_plan" -> (t28EpochPlan _),
     "t26_corpus_card" -> (t26CorpusCard _),
     "t25_langid_eval" -> (t25LangidEval _),
@@ -1808,6 +1981,8 @@ object TextAnalysis {
          |FROM b ORDER BY fbin""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
     "t27_bpe_train" -> t27OracleSql,
+    "t30_temperature_mix" -> t30OracleSql,
+    "t29_bpe_encode" -> t29OracleSql,
     "t28_epoch_plan" -> t28OracleSql,
     "t17_context_chunks" -> t17OracleSql,
     "t15_stratified_sample" -> t15OracleSql,

@@ -1427,7 +1427,116 @@ object PipelineQueries {
        | FROM delta
        |) ORDER BY key, action""".stripMargin
 
+  /** `p29_bucketed_join`: q39's jumbo-order feed run over the BUCKETED
+    * fact layout ([[graft.sources.Bucketed]]) — the engine's recurring
+    * fact-fact workload on the layout the curation stage would maintain
+    * in production. Semantically identical to `q39_big_orders` (same
+    * oracle), but the per-order aggregate AND the orders⋈aggregate join
+    * both run on the storage partitioning: zero `Exchange
+    * hashpartitioning` anywhere in the plan (SourcesSpec pins it; this
+    * entry puts a NUMBER on it, so a regression of the engine's single
+    * biggest claimed scale win — deleting the fact-fact shuffle — is
+    * loud in the bench, not just red in a spec).
+    *
+    * The first call per (JVM, dir) pays the one-time layout write — in
+    * Bench that lands in sweep 1 and the 3-sweep median reports the
+    * steady-state read path, exactly the production split (the layout is
+    * written once per landing cycle, read by every downstream query). */
+  def p29BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = graft.sources.Bucketed.ensureFactLayout(spark, dir)
+    graft.sources.Bucketed.q39OverBuckets(spark, dir, li, ord)
+  }
+
+  // q39's oracle verbatim: the layout changes the PLAN, never the answer
+  private val p29Oracle: String =
+    """WITH big AS (
+      | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      | FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+      |SELECT c_custkey, c_name, o_orderkey,
+      | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+      | total_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  /** `p30_asof_read`: the time-travel READ path of the p25 snapshot
+    * chain as a first-class oracle query — [[p25AsOf]]'s live-set rule
+    * replayed fully IN-PLAN (no collect) for a deterministic version
+    * sample {1, ceil(head/2), head}, each resolved row tagged with its
+    * `sample_v`. Per sampled version: the live file set — one year-file
+    * per closed year (rows folded), one month-file per landed month of
+    * the in-progress year — exactly what an as-of scan would open.
+    *
+    * Scale: p28's cursor shape — the fact is touched once (the month
+    * manifest, checkpointed calendar-grained), the head version is a
+    * 1-row aggregate, the 3-row cursor set attaches by broadcast, and
+    * every live-set row comes from the ≤1.2k-row manifest. PipelineSpec
+    * pins row-identity with `p25AsOf` at each sampled version. */
+  def p30AsofRead(spark: SparkSession, dir: String): DataFrame = {
+    val mf = monthManifest(spark, dir).localCheckpoint(true)
+    // the whole snapshot log as ONE global aggregate: count + the
+    // mo-sorted (mo, yr) chain (collect_list over the calendar manifest —
+    // metadata-sized by construction, the s22 sort_array precedent). The
+    // v-th chain element IS version v, so no window and, crucially, the
+    // cursor frame below roots in a GLOBAL aggregate — the bounded-side
+    // shape PlanSpec's suite-wide nested-loop pin admits (a cursor built
+    // by joining back to the manifest would carry the checkpoint leaf
+    // into the BNLJ's broadcast side and fail it).
+    val chain = mf.agg(count(lit(1)).as("n_v"),
+      sort_array(collect_list(struct(col("mo"), col("yr")))).as("chain"))
+    val cursors = chain
+      .select(explode(expr("array_distinct(array(1L, (n_v + 1) div 2, n_v))"))
+        .as("sample_v"), col("chain"))
+      .select(col("sample_v"),
+        element_at(col("chain"), col("sample_v").cast("int")).as("at"))
+      .select(col("sample_v"), col("at.mo").as("mo_v"), col("at.yr").as("yr_v"))
+    // mo <= mo_v alone IS the live-month rule: yr < yr_v implies mo < mo_v
+    // on the calendar-total mo key, so the year/month split below only
+    // decides which FILE carries a live month, never liveness itself
+    val live = mf.crossJoin(broadcast(cursors))
+      .filter(col("mo") <= col("mo_v"))
+    val years = live.filter(col("yr") < col("yr_v"))
+      .groupBy(col("sample_v"), col("yr"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .select(col("sample_v"), lit("year").as("file_kind"),
+        col("yr").as("file_key"), col("n_rows"))
+    val months = live.filter(col("yr") === col("yr_v"))
+      .select(col("sample_v"), lit("month").as("file_kind"),
+        col("mo").as("file_key"), col("n_rows"))
+    years.unionByName(months)
+      .orderBy(col("sample_v"), col("file_kind"), col("file_key"))
+  }
+
+  private val p30Oracle: String =
+    """WITH mf AS (
+      | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      | FROM orders GROUP BY 1, 2),
+      |ver AS (
+      | SELECT mf.*, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version
+      | FROM mf),
+      |hd AS (SELECT max(version) AS n_v FROM ver),
+      |nv AS (SELECT DISTINCT sample_v FROM (
+      | SELECT unnest([CAST(1 AS BIGINT), (n_v + 1) // 2, n_v]) AS sample_v
+      | FROM hd)),
+      |cur AS (
+      | SELECT n.sample_v, v.mo AS mo_v, v.yr AS yr_v
+      | FROM nv n JOIN ver v ON v.version = n.sample_v),
+      |live AS (
+      | SELECT c.sample_v, c.yr_v, v.mo, v.yr, v.n_rows
+      | FROM ver v CROSS JOIN cur c WHERE v.mo <= c.mo_v)
+      |SELECT sample_v, 'year' AS file_kind, yr AS file_key,
+      | CAST(sum(n_rows) AS BIGINT) AS n_rows
+      |FROM live WHERE yr < yr_v GROUP BY 1, 3
+      |UNION ALL
+      |SELECT sample_v, 'month', mo, n_rows FROM live WHERE yr = yr_v
+      |ORDER BY sample_v, file_kind, file_key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p30_asof_read" -> (p30AsofRead _),
+    "p29_bucketed_join" -> (p29BucketedJoin _),
     "p28_replication_delta" -> (p28ReplicationDelta _),
     "p27_expire_snapshots" -> (p27ExpireSnapshots _),
     "p26_partition_evolution" -> (p26PartitionEvolution _),
@@ -1460,6 +1569,8 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p30_asof_read" -> p30Oracle,
+    "p29_bucketed_join" -> p29Oracle,
     "p28_replication_delta" -> p28Oracle,
     "p27_expire_snapshots" -> p27Oracle,
     "p26_partition_evolution" -> p26Oracle,

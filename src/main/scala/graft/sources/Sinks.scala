@@ -29,14 +29,29 @@ object Sinks {
       .parquet(dir)
 
   /** Bucketed managed table: subsequent equi-joins on `bucketCol` between
-    * tables bucketed the same way skip the shuffle entirely. */
+    * tables bucketed the same way skip the shuffle entirely.
+    *
+    * The write must survive a PRIOR JVM's leftovers: the in-memory
+    * catalog dies with its session but the managed table's warehouse dir
+    * does not, and `saveAsTable` refuses to adopt an orphan location
+    * (LOCATION_ALREADY_EXISTS — the second `graft.Verify` run of a round
+    * would fail p29 on it). Drop any registered table first, then clear
+    * the orphan dir. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int = 16): Unit =
+                    nBuckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Read back a partitioned dataset; filters on the partition columns
     * prune directories before any IO (assert via explain: PartitionFilters). */

@@ -432,9 +432,7 @@ object StreamPipelines {
     // GC superseded versions only AFTER the new one landed, keeping a
     // couple for recovery from a torn write of the latest
     versions().sorted.dropRight(UpsertKeepVersions + 1).foreach { v =>
-      val dir = new java.io.File(s"$stateDir/v$v")
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+      deleteVersionDir(new java.io.File(s"$stateDir/v$v"))
     }
     ()
   }
@@ -511,11 +509,26 @@ object StreamPipelines {
       }
     merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
     versions().sorted.dropRight(UpsertKeepVersions + 1).foreach { v =>
-      val dir = new java.io.File(s"$stateDir/v$v")
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+      deleteVersionDir(new java.io.File(s"$stateDir/v$v"))
     }
     ()
+  }
+
+  /** Recursive version-dir GC shared by the upsert/SCD2 sinks: a parquet
+    * output can contain a SUBDIRECTORY (a lingering _temporary from an
+    * interrupted write), and a non-recursive listFiles().delete() pass
+    * leaves it behind silently — File.delete() returns false on a
+    * non-empty dir and nothing notices, so torn state accumulates
+    * without error. Recurse, and say so on stderr if the root survives. */
+  private def deleteVersionDir(dir: java.io.File): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+      f.delete()
+    }
+    rec(dir)
+    if (dir.exists)
+      System.err.println(s"[stream-gc] could not delete $dir — torn state retained")
   }
 
   /** Latest state of an upsert sink dir. */

@@ -68,6 +68,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.burstSuspects(walls, cpus).isEmpty)
   }
 
+  test("a wall-time tie between rep 0 and a warm rep resolves to the " +
+    "WARM rep: the tie must not hide weather behind the rep-0 rule") {
+    val walls = Seq("s5_knn_join" -> Seq(4.0, 4.0, 1.0))
+    val cpus = Map("s5_knn_join" -> Seq(12.0, 12.0, 3.0))
+    assert(Bench.burstSuspects(walls, cpus) == Seq("s5_knn_join"))
+  }
+
+  test("an unsupported cpu reading at an UNCHOSEN rep does not blind the " +
+    "query: validity is required only at the chosen slow/fast reps") {
+    val walls = Seq("q23_range_join" -> Seq(2.0, 4.0, 1.0))
+    val cpus = Map("q23_range_join" -> Seq(-1.0, 6.0, 1.5))
+    assert(Bench.burstSuspects(walls, cpus) == Seq("q23_range_join"))
+  }
+
   test("a single GC outlier does not flag the run: the gate needs " +
     "BurstMinSuspects simultaneous suspects") {
     val one = Seq("q18_approx_stats" -> Seq(1.4, 6.4, 2.8))

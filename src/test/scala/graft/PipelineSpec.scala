@@ -1132,6 +1132,29 @@ class PipelineSpec extends AnyFunSuite {
       "final live_cents does not foot to the fact")
   }
 
+  test("p30: the in-plan as-of read is row-identical to p25AsOf at every " +
+    "sampled version, with year-file rows folded the same way") {
+    val nV = graft.pipeline.PipelineQueries.p25SnapshotChain(spark, sf)
+      .count()
+    val samples = Seq(1L, (nV + 1) / 2, nV).distinct
+    val got = graft.pipeline.PipelineQueries.p30AsofRead(spark, sf)
+      .collect()
+      .groupBy(_.getAs[Long]("sample_v")).view
+      .mapValues(_.map(r => (r.getAs[String]("file_kind"),
+        r.getAs[Long]("file_key"), r.getAs[Long]("n_rows"))).toSet)
+      .toMap
+    assert(got.keySet == samples.toSet,
+      s"sampled versions ${got.keySet}, expected $samples")
+    samples.foreach { v =>
+      val asOf = graft.pipeline.PipelineQueries.p25AsOf(spark, sf, v)
+        .collect()
+        .map(r => (r.getAs[String]("file_kind"), r.getAs[Long]("file_key"),
+          r.getAs[Long]("n_rows"))).toSet
+      assert(got(v) == asOf, s"as-of($v) live set diverged from p25AsOf")
+      assert(asOf.nonEmpty)
+    }
+  }
+
   test("p26: mixed-spec scan planning replays from the raw fact — files " +
     "partition the table under the right per-era spec, stats pruning is " +
     "exact (skipped => zero matches, hit => every match accounted), and " +

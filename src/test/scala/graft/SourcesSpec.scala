@@ -164,6 +164,26 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("p29: the MEASURED bucketed-join entry keeps the zero-hash-exchange " +
+    "contract and the bucket-aware scan — the bench row guards what the " +
+    "r15 pin above proves") {
+    val df = graft.pipeline.PipelineQueries.p29BucketedJoin(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash exchange in the p29 plan:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+    // the layout bootstrap is memoized: a second call must reuse the
+    // managed tables, not rewrite them (mtime pin on one bucket file)
+    val warehouse = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(warehouse, s"bkt_${tag}_lineitem")
+    assert(dir.exists, s"layout table dir missing at $dir")
+    val mtime = dir.lastModified
+    graft.pipeline.PipelineQueries.p29BucketedJoin(spark, sf)
+    assert(dir.lastModified == mtime, "second call rewrote the layout")
+  }
+
   test("mergeSchema read absorbs schema drift across files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evolve").toString + "/t"

@@ -657,6 +657,99 @@ class TextAnalysisSpec extends AnyFunSuite {
     info(got.map { case (r, _, _, m, w, _) => s"r$r:$m($w)" }.mkString(" "))
   }
 
+  test("t29: encoding replays the trained merges literally — greedy " +
+    "leftmost application per word in round order, per-doc counts and " +
+    "the e6 compression ratio, 1-char words as single tokens") {
+    // the trained merge table (its own correctness is the t27 test's job)
+    val merges = TextAnalysis.t27BpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Long]("merge_round"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (bl, br)) =>
+        var acc = Vector.empty[String]
+        for (s <- syms) {
+          if (acc.nonEmpty && acc.last == bl && s == br)
+            acc = acc.init :+ (bl + br)
+          else acc = acc :+ s
+        }
+        acc
+      }
+    val wordRe = "^[a-z0-9]+$".r
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.trim.split("\\s+").iterator.filter(_.nonEmpty)
+        .map(_.toLowerCase).filter(w => wordRe.findFirstIn(w).isDefined).toSeq
+      if (ws.isEmpty) None
+      else {
+        val nChars = ws.map(_.length.toLong).sum
+        val nToks = ws.map(w => encode(w).length.toLong).sum
+        Some((id, ws.size.toLong, nChars, nToks,
+          nChars * 1000000L / nToks))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.t29BpeEncode(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("chars_per_token_e6"))).toSeq
+    assert(got == expected, "per-doc encode card diverged from the " +
+      "literal greedy application of the trained merges")
+    // the encoder is only exercised if some word actually compressed
+    assert(expected.exists { case (_, _, c, t, _) => t < c },
+      "no word merged — the trained table never fired on the corpus")
+    // planted sanity: a word made of the first trained merge pair
+    // compresses by exactly that merge under the literal encoder
+    merges.headOption.foreach { case (bl, br) =>
+      assert(encode(bl + br).length < (bl + br).length ||
+        (bl + br).length == 1, "the first merge does not fire on its own pair")
+    }
+    info(s"${got.size} docs, corpus chars/token e6 = " +
+      s"${expected.map(_._3).sum * 1000000L / expected.map(_._4).sum}")
+  }
+
+  test("t30: temperature scaling replays the literal sqrt-weight recipe " +
+    "— integer square-root weights, exact e6 shares, and the defining " +
+    "property: small sources up-sample, large sources down-sample") {
+    val bySource = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), "\\S+".r.findAllIn(r.getString(1)).size.toLong))
+      .groupBy(_._1).view
+      .mapValues(ts => (ts.size.toLong, ts.map(_._2).sum)).toMap
+    val totTok = bySource.values.map(_._2).sum
+    val wts = bySource.view.mapValues { case (_, t) =>
+      math.sqrt(t.toDouble).toLong }.toMap
+    val totW = wts.values.sum
+    val expected = bySource.keys.toSeq.sorted.map { s =>
+      val (d, t) = bySource(s)
+      val w = wts(s)
+      (s, d, t,
+        BigInt(t) * 1000000 / totTok,
+        BigInt(w) * 1000000 / totW,
+        BigInt(w) * totTok * 1000000 / (BigInt(totW) * t))
+    }
+    val got = TextAnalysis.t30TemperatureMix(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), BigInt(r.getAs[Long]("natural_share_e6")),
+        BigInt(r.getAs[Long]("temp_share_e6")),
+        BigInt(r.getAs[Long]("boost_e6")))).toSeq
+    assert(got == expected, "temperature mix diverged from the literal replay")
+    // the recipe's point: α<1 compresses the share spectrum toward
+    // uniform — below-average-supply sources gain share, above-average
+    // ones lose it (both arms must exist or the corpus can't test this)
+    val up = got.filter(r => r._6 > 1000000)
+    val down = got.filter(r => r._6 < 1000000)
+    assert(up.nonEmpty && down.nonEmpty,
+      "corpus too uniform — no up- or no down-sampled source")
+    // the boost crossover is t = (Σt/Σ√t)², NOT the mean — the exact
+    // per-source values are already pinned by the replay equality above;
+    // here pin only the recipe's separation property: every up-sampled
+    // source has fewer tokens than every down-sampled one
+    assert(up.map(_._3).max < down.map(_._3).min,
+      "an up-sampled source out-sizes a down-sampled one")
+    info(got.map(r => s"${r._1}:${r._5}e6(${r._6}e6)").mkString(" "))
+  }
+
   test("t23: the frequency-of-frequencies banding replays the literal " +
     "rank-frequency curve — band totals, edges and cumulative ranks") {
     val freqs = Tables.load(spark, sf, "documents")
