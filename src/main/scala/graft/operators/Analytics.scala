@@ -611,7 +611,62 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** `q45_promo_revenue`: the TPC-H Q14 shape — the share of one
+    * month's revenue carried by promotional parts (the campaign-impact
+    * number marketing reads monthly). Exact integer cents (the q41
+    * idiom: `floor(price·(1−disc)·100)` per line, summed as BIGINT) and
+    * an e6 share render — no float ratio can disagree with the oracle.
+    *
+    * Scale: the shipdate window is PUSHED to the parquet scan (one
+    * month of the fact read, the rest pruned by min/max stats); part is
+    * a broadcast dim join; the result is ONE row from a global
+    * aggregate with map-side partials. At 100 TB this reads a month and
+    * moves a handful of partials. */
+  def q45PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    val part = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type").startsWith("PROMO").as("promo"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("promo"), col("rev_c")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("rev_c")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 1000000L div total_cents").as("promo_share_e6"))
+  }
+
+  /** `q46_top_supplier`: the TPC-H Q15 shape — the quarter's
+    * top-revenue supplier(s), stated in the textbook form (a revenue
+    * view + a scalar max subquery) by the oracle; ties all surface
+    * (revenue = max revenue), which the exact integer cents make
+    * deterministic where Q15's float revenue is famously not.
+    *
+    * Scale: one quarter-windowed fact scan (filter pushed) aggregates
+    * per supplier — ONE shuffle with map-side partials; the max is a
+    * 1-row broadcast back onto the supplier-grained aggregate (the q43
+    * argmax pattern), and the name lookup is a broadcast dim join. */
+  def q46TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("revenue_cents"))
+    val mx = rev.agg(max(col("revenue_cents")).as("max_rev"))
+    val sup = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    rev.join(broadcast(mx), col("revenue_cents") === col("max_rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_promo_revenue" -> q45PromoRevenue _,
+    "q46_top_supplier" -> q46TopSupplier _,
     "q44_late_ship_priority" -> q44LateShipPriority _,
     "q39_big_orders" -> q39BigOrders _,
     "q40_dormant_customers" -> q40DormantCustomers _,
@@ -631,6 +686,38 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    "q45_promo_revenue" ->
+      """WITH l AS (
+        | SELECT l_partkey,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'),
+        |a AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END)
+        |    AS BIGINT) AS promo_cents,
+        |  CAST(sum(rev_c) AS BIGINT) AS total_cents
+        | FROM l JOIN part ON l_partkey = p_partkey)
+        |SELECT promo_cents, total_cents,
+        | CAST(CAST(promo_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT)
+        |  AS promo_share_e6
+        |FROM a""".stripMargin,
+    // deliberately the TEXTBOOK Q15 form — revenue view + scalar max
+    // subquery: hash-matching it proves the broadcast-argmax plan
+    "q46_top_supplier" ->
+      """WITH revenue AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     // deliberately the TEXTBOOK Q4 form — a correlated EXISTS whose
     // predicate spans both tables: hash-matching it proves the
     // semi-join-with-inequality de-correlation

@@ -265,4 +265,60 @@ class AnalyticsSpec extends AnyFunSuite {
       .groupBy("o_orderkey").count().filter(col("count") > 1).count()
     assert(multi > 0, "no order has 2+ late lineitems — semi dedup untested")
   }
+
+  test("q45: the promo share replays brute-force in exact cents, the " +
+    "window filter reaches the scan, and both part classes contribute") {
+    val promo = Tables.load(spark, sf, "part").collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        r.getAs[String]("p_type").startsWith("PROMO")).toMap
+    val sep = java.time.LocalDateTime.of(1995, 9, 1, 0, 0)
+    val oct = java.time.LocalDateTime.of(1995, 10, 1, 0, 0)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .collect()
+      .filter(r => !r.getAs[java.time.LocalDateTime]("l_shipdate").isBefore(sep) &&
+        r.getAs[java.time.LocalDateTime]("l_shipdate").isBefore(oct))
+      .map(r => (promo(r.getAs[Long]("l_partkey")),
+        math.floor(r.getAs[Double]("l_extendedprice") *
+          (1 - r.getAs[Double]("l_discount")) * 100).toLong))
+    val total = li.map(_._2).sum
+    val promoC = li.filter(_._1).map(_._2).sum
+    val row = operators.Analytics.q45PromoRevenue(spark, sf).collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[Long]("promo_cents") == promoC)
+    assert(row.head.getAs[Long]("total_cents") == total)
+    assert(row.head.getAs[Long]("promo_share_e6") == promoC * 1000000L / total)
+    assert(promoC > 0L && promoC < total,
+      "the window must contain both promo and non-promo revenue")
+    val p = operators.Analytics.q45PromoRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate window not pushed to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast")
+  }
+
+  test("q46: the argmax replays brute-force — exact cents revenue, max " +
+    "selection, supplier names attached; no second fact pass") {
+    val jan = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val apr = java.time.LocalDateTime.of(1996, 4, 1, 0, 0)
+    val rev = Tables.load(spark, sf, "lineitem")
+      .select("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .collect()
+      .filter(r => !r.getAs[java.time.LocalDateTime]("l_shipdate").isBefore(jan) &&
+        r.getAs[java.time.LocalDateTime]("l_shipdate").isBefore(apr))
+      .map(r => (r.getAs[Long]("l_suppkey"),
+        math.floor(r.getAs[Double]("l_extendedprice") *
+          (1 - r.getAs[Double]("l_discount")) * 100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mx = rev.values.max
+    val winners = rev.filter(_._2 == mx).keySet
+    val names = Tables.load(spark, sf, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val got = operators.Analytics.q46TopSupplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name"),
+        r.getAs[Long]("revenue_cents")))
+    assert(got.map(_._1).toSet == winners, "winner set diverged")
+    assert(got.forall(g => g._3 == mx && g._2 == names(g._1)))
+    assert(got.nonEmpty)
+  }
 }
