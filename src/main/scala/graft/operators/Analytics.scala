@@ -664,9 +664,136 @@ object Analytics {
       .orderBy(col("s_suppkey"))
   }
 
+  /** `q47_volume_shipping`: the TPC-H Q7 shape — bilateral trade volume
+    * between two nations by ship year (supplier in one, customer in the
+    * other, both directions), the cross-border revenue report. Exact
+    * integer cents (the q41 floor idiom); years emit as BIGINT.
+    *
+    * Scale: the supplier side PRUNES the fact first — supplier filtered
+    * to the two nations broadcasts onto lineitem before anything
+    * fact-fact, so only the ~2/25 of lines sold by those nations reach
+    * the orderkey shuffle. The customer nation attaches the same way on
+    * the orders side (nation is a broadcast dim on both). One fact-fact
+    * shuffle on orderkey, then a 4-row aggregate with map-side
+    * partials. The oracle states the textbook nation-pair disjunction. */
+  def q47VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_13", "NATION_19"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("rev_c")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** `q48_market_share`: the TPC-H Q8 shape — one supplier nation's
+    * share of a region's market for one part type, by order year (the
+    * national-market-share number). Exact integer cents; the share is
+    * an e6 integer division — no float ratio can diverge.
+    *
+    * Scale: the part-type filter is the big pruner — it broadcasts onto
+    * the fact FIRST, so only that type's lines reach the orderkey
+    * shuffle; the market region restricts customers through broadcast
+    * nation/region dims on the orders side. One fact-fact shuffle, then
+    * a 2-row year aggregate with conditional map-side partials (the
+    * numerator rides the same pass as the denominator — no second
+    * scan). */
+  def q48MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val supNat = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(supNat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val mktCust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")
+          .join(broadcast(t(spark, dir, "region")
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(mktCust, col("o_custkey") === col("c_custkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_18", col("rev_c"))
+          .otherwise(0L)).as("nation_cents"),
+        sum(col("rev_c")).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        expr("nation_cents * 1000000L div total_cents").as("mkt_share_e6"))
+      .orderBy(col("o_year"))
+  }
+
+  /** `q49_returned_items`: the TPC-H Q10 shape — the quarter's top-20
+    * customers by revenue lost to returned lines (the churn-risk call
+    * list). Exact integer cents; ties break on c_custkey so the cut is
+    * deterministic on both engines.
+    *
+    * Scale: the order-date window pushes into the orders scan and the
+    * returnflag filter into the fact scan BEFORE the orderkey shuffle;
+    * customer attaches on the custkey-grained aggregate (not the line
+    * grain), nation broadcasts. The top-20 runs as
+    * TakeOrderedAndProject — per-partition top-20, one tiny merge, no
+    * global sort. */
+  def q49ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_c")).as("revenue_cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_promo_revenue" -> q45PromoRevenue _,
     "q46_top_supplier" -> q46TopSupplier _,
+    "q47_volume_shipping" -> q47VolumeShipping _,
+    "q48_market_share" -> q48MarketShare _,
+    "q49_returned_items" -> q49ReturnedItems _,
     "q44_late_ship_priority" -> q44LateShipPriority _,
     "q39_big_orders" -> q39BigOrders _,
     "q40_dormant_customers" -> q40DormantCustomers _,
@@ -718,6 +845,71 @@ object Analytics {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE revenue_cents = (SELECT max(revenue_cents) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    // deliberately the TEXTBOOK Q7 form — flat join with the
+    // nation-pair disjunction: hash-matching it proves the
+    // prune-before-shuffle rewrite
+    "q47_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |  OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+        | AND l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // deliberately the TEXTBOOK Q8 form — all-nations volume with a
+    // CASE share: hash-matching it proves the one-pass conditional
+    // aggregate
+    "q48_market_share" ->
+      """WITH vol AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    AS rev_c,
+        |  n1.n_name AS supp_nation
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN rev_c ELSE 0 END)
+        |   AS BIGINT) AS nation_cents,
+        | CAST(sum(rev_c) AS BIGINT) AS total_cents,
+        | CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN rev_c
+        |     ELSE 0 END) AS HUGEINT) * 1000000 // sum(rev_c) AS BIGINT)
+        |   AS mkt_share_e6
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // deliberately the TEXTBOOK Q10 form — line-grain join then a
+    // customer-grain aggregate: hash-matching it proves the
+    // aggregate-before-customer-attach rewrite
+    "q49_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+        | AND o_orderdate < TIMESTAMP '1996-01-01'
+        | AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     // deliberately the TEXTBOOK Q4 form — a correlated EXISTS whose
     // predicate spans both tables: hash-matching it proves the
     // semi-join-with-inequality de-correlation

@@ -1226,6 +1226,99 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** `t31_source_divergence`: how far each source's unigram
+    * distribution sits from the corpus-wide distribution — exact
+    * total-variation distance (TV = ½·Σ_t |p_t − q_t|), the
+    * domain-shift number a mixture designer reads BEFORE setting t30's
+    * temperature or t28's budgets (a source with high TV is the one
+    * whose up/down-sampling moves the mixture most). TV over the UNION
+    * vocabulary without densifying: absent terms contribute
+    * Σ_{t∉s} g_t·N_s = N_s·(N − Σ_{t∈s} g_t), so the per-source sum
+    * rewrites to Σ_{t∈s} (|c·N − g·N_s| − g·N_s) + N_s·N — only
+    * PRESENT (source, term) rows are ever touched. Each source also
+    * reports its most divergent term (largest |c·N − g·N_s|, smallest
+    * term on ties — deterministic because the deviations are exact
+    * integers). TV is rational, so unlike a KL/JS divergence no
+    * cross-engine log() can skew the hash; all products run in
+    * Decimal(38,0) (c·N overflows Long past ~10²⁶ token-pairs) and only
+    * BIGINT/string columns emit (the t28 envelope discipline).
+    *
+    * Scale: ONE corpus scan ends at the (source, term) aggregate
+    * (map-side partials; vocab×|sources| rows — orders of magnitude
+    * smaller than the corpus), checkpointed because three consumers
+    * read it (term totals, source totals, the deviation join). The g_t
+    * attach is a term-keyed shuffle join of two VOCAB-sized sides
+    * (never broadcast — a 100 TB corpus's vocabulary is not
+    * model-sized); source totals and the grand total attach broadcast.
+    * Zero windows; the argmax term is a min-of-struct aggregate riding
+    * the same grouped pass as the TV sum. */
+  def t31SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text")))
+          .as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab-grain; three consumers below
+    val g = st.groupBy(col("term")).agg(sum(col("c")).as("g"))
+    val ns = st.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_terms"))
+    val nTot = ns.agg(sum(col("n_toks")).as("n_all"))
+    st.join(g, "term")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("dev", expr(
+        "abs(CAST(c AS DECIMAL(38,0)) * n_all - CAST(g AS DECIMAL(38,0)) * n_toks)"))
+      .groupBy(col("source"), col("n_toks"), col("n_terms"), col("n_all"))
+      .agg(
+        sum(expr("dev - CAST(g AS DECIMAL(38,0)) * n_toks")).as("part_sum"),
+        min(struct(negate(col("dev")).as("nd"), col("term").as("t")))
+          .as("_top"))
+      .withColumn("tv_num",
+        expr("part_sum + CAST(n_toks AS DECIMAL(38,0)) * n_all"))
+      .select(col("source"), col("n_toks"), col("n_terms"),
+        expr("tv_num * 1000000 div (2 * CAST(n_toks AS DECIMAL(38,0)) * n_all)")
+          .as("tv_e6"),
+        col("_top.t").as("top_term"),
+        expr("(-_top.nd) * 1000000 div (2 * CAST(n_toks AS DECIMAL(38,0)) * n_all)")
+          .as("top_gap_e6"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: interpolates toksCaseSql, which is defined further down the
+  // object body — a strict val here would bake "null" into the SQL
+  private lazy val t31OracleSql: String =
+    s"""WITH st AS (
+       | SELECT source, unnest($toksCaseSql) AS term FROM documents),
+       |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       | FROM st GROUP BY 1, 2),
+       |g AS (SELECT term, CAST(sum(c) AS BIGINT) AS g FROM c GROUP BY 1),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_toks,
+       | CAST(count(*) AS BIGINT) AS n_terms FROM c GROUP BY 1),
+       |nt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS n_all FROM ns),
+       |dev AS (
+       | SELECT c.source, c.term, n_toks, n_terms, n_all,
+       |  abs(CAST(c AS HUGEINT) * n_all - CAST(g AS HUGEINT) * n_toks)
+       |    AS dev, CAST(g AS HUGEINT) * n_toks AS gn
+       | FROM c JOIN g USING (term) JOIN ns USING (source) CROSS JOIN nt),
+       |agg AS (
+       | SELECT source, n_toks, n_terms, n_all,
+       |  sum(dev - gn) + CAST(n_toks AS HUGEINT) * n_all AS tv_num
+       | FROM dev GROUP BY 1, 2, 3, 4),
+       |top AS (
+       | SELECT source, term AS top_term, dev AS top_dev,
+       |  row_number() OVER (PARTITION BY source ORDER BY dev DESC, term)
+       |    AS rn
+       | FROM dev)
+       |SELECT a.source, a.n_toks, a.n_terms,
+       | CAST(tv_num * 1000000 // (2 * CAST(a.n_toks AS HUGEINT) * a.n_all)
+       |   AS BIGINT) AS tv_e6,
+       | t.top_term,
+       | CAST(top_dev * 1000000 // (2 * CAST(a.n_toks AS HUGEINT) * a.n_all)
+       |   AS BIGINT) AS top_gap_e6
+       |FROM agg a JOIN top t ON a.source = t.source AND t.rn = 1
+       |ORDER BY a.source""".stripMargin
+
   private val t30OracleSql: String =
     """WITH s AS (
       | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1698,6 +1791,7 @@ object TextAnalysis {
        |FROM fin ORDER BY source""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_source_divergence" -> (t31SourceDivergence _),
     "t30_temperature_mix" -> (t30TemperatureMix _),
     "t29_bpe_encode" -> (t29BpeEncode _),
     "t28_epoch_plan" -> (t28EpochPlan _),
@@ -1981,6 +2075,7 @@ object TextAnalysis {
          |FROM b ORDER BY fbin""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
     "t27_bpe_train" -> t27OracleSql,
+    "t31_source_divergence" -> t31OracleSql,
     "t30_temperature_mix" -> t30OracleSql,
     "t29_bpe_encode" -> t29OracleSql,
     "t28_epoch_plan" -> t28OracleSql,

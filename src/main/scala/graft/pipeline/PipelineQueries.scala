@@ -1534,7 +1534,146 @@ object PipelineQueries {
       |SELECT sample_v, 'month', mo, n_rows FROM live WHERE yr = yr_v
       |ORDER BY sample_v, file_kind, file_key""".stripMargin
 
+  /** p31: rows per synthetic key-range file (the "clustered on the join
+    * key" layout under audit — a file is ~this many consecutive keys). */
+  val JoinPruneFileKeys = 1024L
+
+  /** p31: global bucket count for the pair-candidate banding — fixed, so
+    * the span explode is bounded by #files × #buckets at ANY corpus
+    * size (a fixed bucket WIDTH would explode the span list as the key
+    * space grows). */
+  val JoinPruneBuckets = 4096L
+
+  /** `p31_join_prune_plan`: file-level JOIN pruning audit — the manifest
+    * arithmetic behind "why cluster the fact on the join key": for a
+    * fact-fact join (orders ⋈ lineitem on orderkey), how many file
+    * PAIRS can the planner skip from min/max key stats alone, under two
+    * candidate layouts — `by_month` (the natural date-partitioned
+    * write: each file spans nearly the whole key range, so almost
+    * every pair survives) vs `by_keyrange` (the p29/p12 clustered
+    * write: tight disjoint spans, near-diagonal overlap). Per layout:
+    * file counts both sides, the m×n pair space, surviving pairs, and
+    * the pruned fraction (e6) — the number an Iceberg/Delta planner
+    * reads off manifest stats before scheduling a shuffle-free join.
+    *
+    * Scale: ONE scan per fact builds BOTH layouts' manifests via
+    * grouping sets (mo and key-file grain in the same pass, map-side
+    * partials); the pair test never nested-loops — file intervals
+    * explode into a FIXED global bucket grid ([[JoinPruneBuckets]]
+    * cells over the observed key range, width from a global-aggregate
+    * max attached broadcast) and candidates meet on a bucket EQUI-join
+    * (the q23 banding shape) with the interval predicate riding it;
+    * the span list is bounded by #files × #buckets regardless of
+    * corpus size, and everything after the manifest aggregates is
+    * manifest-grained. Zero windows. */
+  def p31JoinPrunePlan(spark: SparkSession, dir: String): DataFrame = {
+    val fk = JoinPruneFileKeys
+    def manifest(df: DataFrame, key: String, date: String): DataFrame =
+      df.select(
+          (year(col(date)) * 12 + month(col(date)) - 1).cast("long").as("mo"),
+          expr(s"$key div $fk").cast("long").as("kf"),
+          col(key).as("k"))
+        .groupingSets(Seq(Seq(col("mo")), Seq(col("kf"))),
+          col("mo"), col("kf"))
+        .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          when(col("mo").isNotNull, lit("by_month"))
+            .otherwise(lit("by_keyrange")).as("layout"),
+          coalesce(col("mo"), col("kf")).as("file_id"),
+          col("k_min"), col("k_max"), col("n_rows"))
+        .localCheckpoint(true) // manifest-sized; spans + totals read it
+    val oFiles = manifest(graft.Tables.load(spark, dir, "orders"),
+      "o_orderkey", "o_orderdate")
+    val lFiles = manifest(graft.Tables.load(spark, dir, "lineitem"),
+      "l_orderkey", "l_shipdate")
+    // bucket width from the observed key range — a GLOBAL aggregate off
+    // the (already tiny) orders manifest, broadcast onto both span
+    // builds (the sanctioned bounded-side crossjoin shape)
+    val width = oFiles.agg(
+      expr(s"max(k_max) div $JoinPruneBuckets + 1").as("bw"))
+    def spans(files: DataFrame): DataFrame =
+      files.crossJoin(broadcast(width))
+        .withColumn("b",
+          explode(sequence(expr("k_min div bw"), expr("k_max div bw"))))
+        .select(col("layout"), col("file_id"), col("k_min"), col("k_max"),
+          col("b"))
+    val pairs = spans(oFiles).alias("o")
+      .join(spans(lFiles).alias("l"),
+        col("o.layout") === col("l.layout") && col("o.b") === col("l.b") &&
+          col("o.k_min") <= col("l.k_max") &&
+          col("o.k_max") >= col("l.k_min"))
+      .select(col("o.layout").as("layout"), col("o.file_id").as("of"),
+        col("l.file_id").as("lf"))
+      .distinct()
+      .groupBy(col("layout")).agg(count(lit(1)).as("n_overlap_pairs"))
+    val oCnt = oFiles.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_ord_files"))
+    val lCnt = lFiles.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_li_files"))
+    oCnt.join(broadcast(lCnt), "layout")
+      .join(broadcast(pairs), Seq("layout"), "left")
+      .withColumn("n_overlap_pairs", coalesce(col("n_overlap_pairs"), lit(0L)))
+      .withColumn("n_pairs", col("n_ord_files") * col("n_li_files"))
+      .select(col("layout"), col("n_ord_files"), col("n_li_files"),
+        col("n_pairs"), col("n_overlap_pairs"),
+        expr("(n_pairs - n_overlap_pairs) * 1000000L div n_pairs")
+          .as("prune_e6"))
+      .orderBy(col("layout"))
+  }
+
+  private val p31Oracle: String =
+    s"""WITH om AS (
+       | SELECT 'by_month' AS layout,
+       |  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+       |    AS file_id,
+       |  CAST(min(o_orderkey) AS BIGINT) AS k_min,
+       |  CAST(max(o_orderkey) AS BIGINT) AS k_max
+       | FROM orders GROUP BY 2
+       | UNION ALL
+       | SELECT 'by_keyrange', o_orderkey // $JoinPruneFileKeys,
+       |  min(o_orderkey), max(o_orderkey)
+       | FROM orders GROUP BY 2),
+       |lm AS (
+       | SELECT 'by_month' AS layout,
+       |  CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+       |    AS file_id,
+       |  CAST(min(l_orderkey) AS BIGINT) AS k_min,
+       |  CAST(max(l_orderkey) AS BIGINT) AS k_max
+       | FROM lineitem GROUP BY 2
+       | UNION ALL
+       | SELECT 'by_keyrange', l_orderkey // $JoinPruneFileKeys,
+       |  min(l_orderkey), max(l_orderkey)
+       | FROM lineitem GROUP BY 2),
+       |w AS (SELECT max(k_max) // $JoinPruneBuckets + 1 AS bw FROM om),
+       |os AS (
+       | SELECT layout, file_id, k_min, k_max,
+       |  unnest(range(k_min // bw, k_max // bw + 1)) AS b
+       | FROM om CROSS JOIN w),
+       |ls AS (
+       | SELECT layout, file_id, k_min, k_max,
+       |  unnest(range(k_min // bw, k_max // bw + 1)) AS b
+       | FROM lm CROSS JOIN w),
+       |pairs AS (
+       | SELECT DISTINCT o.layout, o.file_id AS ofid, l.file_id AS lfid
+       | FROM os o JOIN ls l ON o.layout = l.layout AND o.b = l.b
+       |  AND o.k_min <= l.k_max AND o.k_max >= l.k_min),
+       |pc AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_overlap_pairs
+       | FROM pairs GROUP BY 1),
+       |oc AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_ord_files
+       | FROM om GROUP BY 1),
+       |lc AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_li_files
+       | FROM lm GROUP BY 1)
+       |SELECT layout, n_ord_files, n_li_files,
+       | n_ord_files * n_li_files AS n_pairs,
+       | COALESCE(n_overlap_pairs, 0) AS n_overlap_pairs,
+       | (n_ord_files * n_li_files - COALESCE(n_overlap_pairs, 0)) * 1000000
+       |   // (n_ord_files * n_li_files) AS prune_e6
+       |FROM oc JOIN lc USING (layout) LEFT JOIN pc USING (layout)
+       |ORDER BY layout""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p31_join_prune_plan" -> (p31JoinPrunePlan _),
     "p30_asof_read" -> (p30AsofRead _),
     "p29_bucketed_join" -> (p29BucketedJoin _),
     "p28_replication_delta" -> (p28ReplicationDelta _),
@@ -1569,6 +1708,7 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p31_join_prune_plan" -> p31Oracle,
     "p30_asof_read" -> p30Oracle,
     "p29_bucketed_join" -> p29Oracle,
     "p28_replication_delta" -> p28Oracle,

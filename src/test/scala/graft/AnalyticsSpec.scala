@@ -321,4 +321,135 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(g => g._3 == mx && g._2 == names(g._1)))
     assert(got.nonEmpty)
   }
+
+  test("q47: bilateral volume replays brute-force — both directions " +
+    "surface, same-nation trade is excluded, cents are exact") {
+    import java.time.LocalDateTime
+    val nation = Tables.load(spark, sf, "nation").collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[String]("n_name")).toMap
+    val suppNat = Tables.load(spark, sf, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        nation(r.getAs[Number]("s_nationkey").longValue)).toMap
+    val custNat = Tables.load(spark, sf, "customer").collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        nation(r.getAs[Number]("c_nationkey").longValue)).toMap
+    val ordCust = Tables.load(spark, sf, "orders").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val pair = Set("NATION_13", "NATION_19")
+    val lo = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = LocalDateTime.of(1998, 1, 1, 0, 0)
+    val want = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount").collect()
+      .filter { r =>
+        val d = r.getAs[LocalDateTime]("l_shipdate")
+        !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .flatMap { r =>
+        val sn = suppNat(r.getAs[Long]("l_suppkey"))
+        val cn = custNat(ordCust(r.getAs[Long]("l_orderkey")))
+        if (pair(sn) && pair(cn) && sn != cn)
+          Some(((sn, cn, r.getAs[LocalDateTime]("l_shipdate").getYear.toLong),
+            math.floor(r.getAs[Double]("l_extendedprice") *
+              (1 - r.getAs[Double]("l_discount")) * 100).toLong))
+        else None
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = operators.Analytics.q47VolumeShipping(spark, sf).collect()
+      .map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"),
+        r.getAs[Long]("l_year")) -> r.getAs[Long]("revenue_cents")).toMap
+    assert(got == want)
+    assert(got.keySet.map(k => (k._1, k._2)).size == 2,
+      "both trade directions must surface")
+  }
+
+  test("q48: market share replays brute-force — numerator rides the " +
+    "denominator pass, share is exact e6 integer division") {
+    import java.time.LocalDateTime
+    val nation = Tables.load(spark, sf, "nation").collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        (r.getAs[String]("n_name"),
+          r.getAs[Number]("n_regionkey").longValue)).toMap
+    val asia = Tables.load(spark, sf, "region").collect()
+      .filter(_.getAs[String]("r_name") == "ASIA")
+      .map(_.getAs[Number]("r_regionkey").longValue).toSet
+    val econ = Tables.load(spark, sf, "part").collect()
+      .filter(_.getAs[String]("p_type") == "ECONOMY")
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val suppNat = Tables.load(spark, sf, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        nation(r.getAs[Number]("s_nationkey").longValue)._1).toMap
+    val asiaCust = Tables.load(spark, sf, "customer").collect()
+      .filter(r => asia(nation(r.getAs[Number]("c_nationkey").longValue)._2))
+      .map(_.getAs[Long]("c_custkey")).toSet
+    val lo = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = LocalDateTime.of(1998, 1, 1, 0, 0)
+    val ordIn = Tables.load(spark, sf, "orders").collect()
+      .filter { r =>
+        val d = r.getAs[LocalDateTime]("o_orderdate")
+        !d.isBefore(lo) && d.isBefore(hi) &&
+          asiaCust(r.getAs[Long]("o_custkey"))
+      }
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[LocalDateTime]("o_orderdate").getYear.toLong).toMap
+    val byYear = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount").collect()
+      .filter(r => econ(r.getAs[Long]("l_partkey")) &&
+        ordIn.contains(r.getAs[Long]("l_orderkey")))
+      .map(r => (ordIn(r.getAs[Long]("l_orderkey")),
+        suppNat(r.getAs[Long]("l_suppkey")) == "NATION_18",
+        math.floor(r.getAs[Double]("l_extendedprice") *
+          (1 - r.getAs[Double]("l_discount")) * 100).toLong))
+      .groupBy(_._1)
+    val got = operators.Analytics.q48MarketShare(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("o_year")).toSeq == byYear.keys.toSeq.sorted)
+    got.foreach { r =>
+      val g = byYear(r.getAs[Long]("o_year"))
+      val nat = g.filter(_._2).map(_._3).sum
+      val tot = g.map(_._3).sum
+      assert(r.getAs[Long]("nation_cents") == nat)
+      assert(r.getAs[Long]("total_cents") == tot)
+      assert(r.getAs[Long]("mkt_share_e6") == nat * 1000000L / tot)
+      assert(nat > 0 && nat < tot,
+        "the share must be strictly between 0 and 1 to be a real test")
+    }
+    val p = operators.Analytics.q48MarketShare(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"part/supplier/nation prune joins must broadcast onto the fact:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"the order-date window must reach the orders scan:\n$p")
+  }
+
+  test("q49: returned-items top-20 replays brute-force with the " +
+    "custkey tie-break; the cut runs as TakeOrderedAndProject") {
+    import java.time.LocalDateTime
+    val lo = LocalDateTime.of(1995, 10, 1, 0, 0)
+    val hi = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val ordCust = Tables.load(spark, sf, "orders").collect()
+      .filter { r =>
+        val d = r.getAs[LocalDateTime]("o_orderdate")
+        !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val byCust = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .collect()
+      .filter(r => r.getAs[String]("l_returnflag") == "R" &&
+        ordCust.contains(r.getAs[Long]("l_orderkey")))
+      .map(r => (ordCust(r.getAs[Long]("l_orderkey")),
+        math.floor(r.getAs[Double]("l_extendedprice") *
+          (1 - r.getAs[Double]("l_discount")) * 100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = byCust.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+    val got = operators.Analytics.q49ReturnedItems(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Long]("revenue_cents"))
+    assert(got.toSeq == want)
+    val p = operators.Analytics.q49ReturnedItems(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must not be a global sort:\n$p")
+  }
 }

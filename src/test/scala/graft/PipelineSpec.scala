@@ -1347,4 +1347,53 @@ class PipelineSpec extends AnyFunSuite {
       s"retire ${dels.size}; transfer ${rows.filter(r =>
         r.getAs[String]("key") == "~TOTAL_ship").head.getAs[Long]("n_rows")} rows")
   }
+
+  test("p31: the banded pair test replays a literal all-pairs interval " +
+    "check per layout, and the layouts separate — keyrange prunes, " +
+    "month-partitioned does not") {
+    import java.time.LocalDateTime
+    val fk = graft.pipeline.PipelineQueries.JoinPruneFileKeys
+    def manifests(rows: Seq[(Long, LocalDateTime)])
+        : Map[String, Map[Long, (Long, Long)]] = {
+      def agg(keyed: Seq[(Long, Long)]) = keyed.groupBy(_._1).view
+        .mapValues(ks => (ks.map(_._2).min, ks.map(_._2).max)).toMap
+      Map(
+        "by_month" -> agg(rows.map { case (k, d) =>
+          (d.getYear * 12L + d.getMonthValue - 1, k) }),
+        "by_keyrange" -> agg(rows.map { case (k, _) => (k / fk, k) }))
+    }
+    val oMan = manifests(Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1))).toSeq)
+    val lMan = manifests(Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1))).toSeq)
+    val got = graft.pipeline.PipelineQueries.p31JoinPrunePlan(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_ord_files"), r.getAs[Long]("n_li_files"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("n_overlap_pairs"),
+          r.getAs[Long]("prune_e6"))).toMap
+    assert(got.keySet == Set("by_month", "by_keyrange"))
+    got.foreach { case (layout, (nO, nL, nP, nOv, prune)) =>
+      val o = oMan(layout); val l = lMan(layout)
+      assert(nO == o.size.toLong && nL == l.size.toLong && nP == nO * nL)
+      // the literal quadratic pair check the banding must reproduce
+      val ov = o.values.flatMap(a => l.values.filter(b =>
+        a._1 <= b._2 && a._2 >= b._1)).size.toLong
+      assert(nOv == ov, s"$layout: banding missed/invented pairs")
+      assert(prune == (nP - ov) * 1000000L / nP)
+    }
+    assert(got("by_keyrange")._5 > got("by_month")._5,
+      "the clustered layout must out-prune the date layout or the " +
+        "audit demonstrates nothing")
+    // the clustered layout's overlap is near-diagonal: every orders
+    // key-file overlaps its own lineitem twin (same key space), so the
+    // surviving pairs sit at ~max(n,m), not n*m
+    val (kO, kL, _, kOv, _) = got("by_keyrange")
+    assert(kOv < 3 * math.max(kO, kL),
+      s"keyrange overlap $kOv not near-diagonal (files $kO x $kL)")
+    info(got.toSeq.sortBy(_._1).map { case (lay, t) =>
+      s"$lay: ${t._4}/${t._3} pairs survive (prune ${t._5}e-6)" }
+      .mkString("; "))
+  }
 }

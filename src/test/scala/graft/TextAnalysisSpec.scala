@@ -930,4 +930,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     info(s"${rows.length} sources, ${capped.count(_._2)} capped, " +
       s"deficit $deficit of budget $B redistributed")
   }
+
+  test("t31: total-variation divergence replays the literal dense " +
+    "formula — the sparse union-vocabulary rewrite, the exact e6 TV, " +
+    "and the deterministic most-divergent term") {
+    // one flat (source, term) occurrence list — every count below is a
+    // plain length over it, so no aggregation step can silently drop mass
+    val occ = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+")
+        .filter(_.nonEmpty).map(r.getString(0) -> _))
+    val cST = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nS = occ.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val g = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nAll = occ.length.toLong
+    val got = TextAnalysis.t31SourceDivergence(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("tv_e6"), r.getAs[String]("top_term"),
+          r.getAs[Long]("top_gap_e6"))).toMap
+    assert(got.keySet == nS.keySet)
+    nS.keys.foreach { s =>
+      val ns = nS(s)
+      val c = cST.collect { case ((`s`, t), n) => t -> n }
+      // the DENSE formula over the union vocabulary — every term of
+      // every source, including the ones absent from s
+      // .iterator: g.keys is a Set and a Set.map DEDUPS equal
+      // deviations — two terms with identical |dev| must both count
+      val tvNum = g.keys.iterator.map { t =>
+        (BigInt(c.getOrElse(t, 0L)) * nAll - BigInt(g(t)) * ns).abs
+      }.sum
+      val (gotToks, gotTerms, gotTv, gotTop, gotGap) = got(s)
+      assert(gotToks == ns && gotTerms == c.size.toLong)
+      assert(BigInt(gotTv) == tvNum * 1000000 / (2 * BigInt(ns) * nAll),
+        s"TV diverged for $s")
+      // argmax over PRESENT terms only (an absent term's deviation
+      // g_t*n_s never exceeds a present top at these corpora; the
+      // operator's contract is the most divergent term OF the source)
+      val topDev = c.keys.iterator.map { t =>
+        (BigInt(c(t)) * nAll - BigInt(g(t)) * ns).abs }.max
+      val topTerm = c.keys.filter(t =>
+        (BigInt(c(t)) * nAll - BigInt(g(t)) * ns).abs == topDev).min
+      assert(gotTop == topTerm, s"top term diverged for $s")
+      assert(BigInt(gotGap) == topDev * 1000000 / (2 * BigInt(ns) * nAll))
+      assert(gotTv > 0, s"source $s indistinguishable from the corpus — " +
+        "the statistic is untested")
+    }
+    info(got.toSeq.sortBy(_._1)
+      .map(r => s"${r._1}:${r._2._3}e6@${r._2._4}").mkString(" "))
+  }
 }
