@@ -1251,6 +1251,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d21_crosslang_dups" -> d21OracleSql,
     "d20_bloom_prefilter" -> d20OracleSql,
     "d19_split_leakage" -> d19OracleSql,
     "d18_dup_spans" -> d18OracleSql,
@@ -1947,7 +1948,79 @@ object Dedup {
        |FROM per
        |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d21
+
+  /** `d21_crosslang_dups`: cross-language near-duplicate audit — d2's
+    * exact near-dup pairs gated to documents whose LABELED languages
+    * differ, each side enriched with t3's predicted language and the
+    * pair classified: `cross_lingual` (both predictions confirm their
+    * labels — genuinely near-identical content under two language tags:
+    * shared boilerplate, templated numbers, translation skeletons),
+    * `mislabel_1`/`mislabel_2` (exactly one side's prediction disagrees
+    * with its label — the metadata, not the content, is wrong), or
+    * `both_mislabeled`. The blind spot this audits is structural:
+    * production dedup SHARDS BY LANGUAGE (the only way per-language
+    * corpora stay independently rebuildable), so a near-dup pair
+    * straddling two lang tags survives every per-shard pass — and a
+    * lang mislabel additionally poisons language-balanced sampling
+    * (t9/t28 read those tags). This is the d16 composition pattern
+    * pointed at the lang axis with t3's verified predictor as the
+    * adjudicator.
+    *
+    * Scale: the pair table is d2's prefix-filtered exact-Jaccard output
+    * (LSH/posting-bounded, never n²); t3 is ONE documents scan; the
+    * attribution is two doc-key equi-joins of the pair-grained table
+    * against t3's three-column projection — nothing here adds
+    * fact-sized work to what d2 + t3 already pay, and the verdict is a
+    * per-row CASE. */
+  def d21CrosslangDups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d2DedupNgram(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard_e6"))
+    val t3 = TextAnalysis.t3LangId(spark, dir)
+      .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"))
+    val a = t3.select(col("doc_id").as("doc_id_1"),
+      col("labeled_lang").as("lang_1"), col("predicted_lang").as("pred_1"))
+    val b = t3.select(col("doc_id").as("doc_id_2"),
+      col("labeled_lang").as("lang_2"), col("predicted_lang").as("pred_2"))
+    pairs.join(a, Seq("doc_id_1")).join(b, Seq("doc_id_2"))
+      .filter(col("lang_1") =!= col("lang_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        col("lang_1"), col("lang_2"), col("pred_1"), col("pred_2"),
+        col("jaccard_e6"),
+        when(col("pred_1") === col("lang_1") && col("pred_2") === col("lang_2"),
+          lit("cross_lingual"))
+          .when(col("pred_1") =!= col("lang_1") && col("pred_2") === col("lang_2"),
+            lit("mislabel_1"))
+          .when(col("pred_1") === col("lang_1") && col("pred_2") =!= col("lang_2"),
+            lit("mislabel_2"))
+          .otherwise(lit("both_mislabeled")).as("verdict"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  private lazy val d21OracleSql: String =
+    s"""WITH $shinglesCte,
+       |p AS (${jaccardSelectSql("")}),
+       |t3 AS (
+       |${TextAnalysis.t3OracleSql})
+       |SELECT p.doc_id_1, p.doc_id_2,
+       | a.labeled_lang AS lang_1, b.labeled_lang AS lang_2,
+       | a.predicted_lang AS pred_1, b.predicted_lang AS pred_2,
+       | p.jaccard_e6,
+       | CASE
+       |  WHEN a.predicted_lang = a.labeled_lang
+       |   AND b.predicted_lang = b.labeled_lang THEN 'cross_lingual'
+       |  WHEN a.predicted_lang <> a.labeled_lang
+       |   AND b.predicted_lang = b.labeled_lang THEN 'mislabel_1'
+       |  WHEN a.predicted_lang = a.labeled_lang
+       |   AND b.predicted_lang <> b.labeled_lang THEN 'mislabel_2'
+       |  ELSE 'both_mislabeled' END AS verdict
+       |FROM p JOIN t3 a ON a.doc_id = p.doc_id_1
+       | JOIN t3 b ON b.doc_id = p.doc_id_2
+       |WHERE a.labeled_lang <> b.labeled_lang
+       |ORDER BY p.doc_id_1, p.doc_id_2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_crosslang_dups" -> (d21CrosslangDups _),
     "d20_bloom_prefilter" -> (d20BloomPrefilter _),
     "d19_split_leakage" -> (d19SplitLeakage _),
     "d18_dup_spans" -> (d18DupSpans _),

@@ -1045,7 +1045,109 @@ object Multimodal {
        |) ORDER BY key""".stripMargin
   }
 
+  /** m12: frame width for scene segmentation — deliberately NOT the
+    * payload's 16-byte generator period (12 of 64 bytes → 5 frames whose
+    * phases differ), so consecutive frame signatures actually vary; the
+    * m2 sampler's 16-byte frames would all alias to the same digest. */
+  val SceneFrameBytes = 12
+
+  /** m12: hamming cut threshold on the 60-bit frame signatures — the
+    * expected distance of two independent digests is 30, so >= 30
+    * splits real transitions from near-identical frames down the
+    * middle. */
+  val SceneCutBits = 30
+
+  /** `m12_scene_segmentation`: shot/scene detection over each video's
+    * frame stream — consecutive-frame signature distance, a cut where
+    * the hamming gap reaches [[SceneCutBits]], then scene count and the
+    * longest run (the numbers a frame-sampling curriculum reads before
+    * deciding how many frames per clip to keep). The "signature" is the
+    * 60-bit md5 of each [[SceneFrameBytes]]-byte frame — the stubbed
+    * stand-in for a perceptual hash, swap at will; everything downstream
+    * is engine-exact integer arithmetic either way.
+    *
+    * Scale: ZERO shuffles and zero joins — the entire segmentation is a
+    * per-row fold (transform → signature array, zip of neighbours →
+    * hamming array, aggregate → cut count / longest run), so the
+    * payload dies inside its own row's projection and the operator's
+    * cost is exactly the video scan; the only exchange is the output
+    * sort. No window: the per-video "lag" is an element_at on the
+    * in-row array. */
+  def m12SceneSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val fb = SceneFrameBytes
+    val sigs = expr(
+      s"""transform(sequence(0, CAST(length(content) div $fb AS INT) - 1),
+         | i -> CAST(conv(substring(md5(lower(hex(
+         |        substring(content, 1 + i * $fb, $fb)))), 1, 15), 16, 10)
+         |      AS LONG))""".stripMargin)
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .filter(length(col("content")) >= fb)
+      .select(col("doc_id"), sigs.as("sigs"))
+      .withColumn("hams", expr(
+        """transform(sequence(2, size(sigs)),
+          | i -> bit_count(element_at(sigs, i - 1) ^ element_at(sigs, i)))"""
+          .stripMargin))
+      .withColumn("cuts", expr(
+        s"transform(hams, h -> CASE WHEN h >= $SceneCutBits THEN 1L ELSE 0L END)"))
+      .select(col("doc_id"),
+        size(col("sigs")).cast("long").as("n_frames"),
+        expr("aggregate(cuts, 0L, (a, c) -> a + c)").as("n_cuts"),
+        (expr("aggregate(cuts, 0L, (a, c) -> a + c)") + 1L).as("n_scenes"),
+        expr(
+          """aggregate(cuts, named_struct('run', 1L, 'mx', 1L),
+            | (a, c) -> named_struct(
+            |   'run', IF(c = 1L, 1L, a.run + 1L),
+            |   'mx', greatest(a.mx, IF(c = 1L, 1L, a.run + 1L))),
+            | a -> a.mx)""".stripMargin).as("max_scene_len"),
+        expr("aggregate(hams, 0L, (a, h) -> a + h)").as("sum_ham"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m12Oracle: String =
+    s"""WITH v AS (
+       | SELECT doc_id, repeat(md5(text), 4) AS hx FROM documents
+       | WHERE CAST(doc_id % 3 AS INTEGER) = 2
+       |  AND len(repeat(md5(text), 4)) // 2 >= $SceneFrameBytes),
+       |f AS (
+       | SELECT doc_id, i,
+       |  CAST(('0x' || substr(md5(substr(hx,
+       |    1 + CAST(i AS INTEGER) * ${2 * SceneFrameBytes},
+       |    ${2 * SceneFrameBytes})), 1, 15)) AS BIGINT) AS sig
+       | FROM (SELECT doc_id, hx,
+       |   unnest(range(0, len(hx) // ${2 * SceneFrameBytes})) AS i FROM v)),
+       |h AS (
+       | SELECT doc_id, i, sig,
+       |  lag(sig) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       | FROM f),
+       |c AS (
+       | SELECT doc_id, i,
+       |  CASE WHEN prev IS NULL THEN NULL
+       |   ELSE bit_count(xor(sig, prev)) END AS ham,
+       |  CASE WHEN prev IS NOT NULL
+       |    AND bit_count(xor(sig, prev)) >= $SceneCutBits
+       |   THEN 1 ELSE 0 END AS cut
+       | FROM h),
+       |s AS (
+       | SELECT doc_id, i, ham, cut,
+       |  sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS scene_id
+       | FROM c),
+       |sl AS (SELECT doc_id, scene_id, CAST(count(*) AS BIGINT) AS slen
+       | FROM s GROUP BY 1, 2),
+       |agg AS (
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(cut) AS BIGINT) AS n_cuts,
+       |  CAST(sum(cut) + 1 AS BIGINT) AS n_scenes,
+       |  CAST(COALESCE(sum(ham), 0) AS BIGINT) AS sum_ham
+       | FROM s GROUP BY 1)
+       |SELECT a.doc_id, n_frames, n_cuts, n_scenes,
+       | m.max_scene_len, sum_ham
+       |FROM agg a JOIN (SELECT doc_id, max(slen) AS max_scene_len
+       | FROM sl GROUP BY 1) m ON a.doc_id = m.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m12_scene_segmentation" -> m12Oracle,
     "m11_aspect_buckets" -> m11Oracle,
     "m10_batch_negatives" -> m10Oracle,
     "m6_mix_manifest" -> m6Oracle,
@@ -1059,6 +1161,7 @@ object Multimodal {
     "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_scene_segmentation" -> (m12SceneSegmentation _),
     "m11_aspect_buckets" -> (m11AspectBuckets _),
     "m10_batch_negatives" -> (m10BatchNegatives _),
     "m9_pack_interleaved" -> (m9PackInterleaved _),

@@ -577,6 +577,9 @@ object Similarity {
     }) ++ (confirmedS23.toMap match {
       case one if one.size == 1 => Map("s23_route_fanout" -> s23OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS24.toMap match {
+      case one if one.size == 1 => Map("s24_tuning_frontier" -> s24OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -2890,7 +2893,85 @@ object Similarity {
        | FROM routes
        |) ORDER BY key""".stripMargin
 
+  // ------------------- s24: sweep → Pareto frontier + marginal knee
+
+  private val pendingS24 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS24 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS24Materialized(dir: String): Unit =
+    pendingS24.get(dir).foreach(cs => confirmedS24.put(dir, cs))
+
+  /** `s24_tuning_frontier`: the DECISION layer over s20's recall/cost
+    * sweep — which nprobe settings are Pareto-efficient (no other
+    * setting reaches ≥ recall at ≤ candidate cost with one strictly
+    * better), and each step's marginal price (Δrecall per Δcandidate,
+    * e6) — the number an operator reads to find the knee where another
+    * probe stops paying. All integer arithmetic off the sweep's exact
+    * e6 recalls and candidate counts; ties in the dominance test are
+    * handled by the strictness clause, so the flag is deterministic.
+    *
+    * Scale: the sweep itself is s20's plan (probe-bounded candidate
+    * generation; nothing fact-sized). The frontier math runs on the
+    * ≤|budgets|-row sweep folded into ONE global aggregate
+    * (sort_array(collect_list) — the p30 cursor idiom), then unrolled
+    * by posexplode with per-row array lambdas for dominance and
+    * element_at for the lag — no window, no self-join, and the only
+    * generate roots in a 1-row aggregate (the sanctioned p17 shape). */
+  def s24TuningFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val sweep = s20NprobeSweep(spark, dir)
+    pendingS20.get(dir).foreach(cs => pendingS24.put(dir, cs))
+    val chain = sweep.agg(sort_array(collect_list(struct(
+      col("nprobe"), col("n_candidates"), col("recall_e6")))).as("ch"))
+    chain
+      .select(col("ch"), posexplode(col("ch")))
+      .select(col("ch"), col("pos"),
+        col("col.nprobe").as("nprobe"),
+        col("col.n_candidates").as("cur_cand"),
+        col("col.recall_e6").as("cur_recall"))
+      .withColumn("is_pareto", expr(
+        "CASE WHEN exists(ch, b -> (b.recall_e6 >= cur_recall AND " +
+          "b.n_candidates <= cur_cand) AND (b.recall_e6 > cur_recall OR " +
+          "b.n_candidates < cur_cand)) THEN 0L ELSE 1L END"))
+      .withColumn("marg_candidates", expr(
+        "cur_cand - CASE WHEN pos = 0 THEN 0L " +
+          "ELSE element_at(ch, pos).n_candidates END"))
+      .withColumn("marg_recall_e6", expr(
+        "cur_recall - CASE WHEN pos = 0 THEN 0L " +
+          "ELSE element_at(ch, pos).recall_e6 END"))
+      .select(col("nprobe"), col("cur_cand").as("n_candidates"),
+        col("cur_recall").as("recall_e6"), col("is_pareto"),
+        col("marg_candidates"), col("marg_recall_e6"),
+        expr("marg_recall_e6 * 1000000L div greatest(marg_candidates, 1L)")
+          .as("marg_eff_e6"))
+      .orderBy(col("nprobe"))
+  }
+
+  private def s24OracleSql(cents: Seq[(Long, Array[Long])]): String =
+    s"""WITH sweep AS (
+       |${s20OracleSql(cents)}
+       |),
+       |lagged AS (
+       | SELECT nprobe, n_candidates, recall_e6,
+       |  COALESCE(lag(n_candidates) OVER (ORDER BY nprobe), 0) AS pc,
+       |  COALESCE(lag(recall_e6) OVER (ORDER BY nprobe), 0) AS pr
+       | FROM sweep)
+       |SELECT a.nprobe, a.n_candidates, a.recall_e6,
+       | CASE WHEN EXISTS (SELECT 1 FROM sweep b
+       |   WHERE b.recall_e6 >= a.recall_e6
+       |    AND b.n_candidates <= a.n_candidates
+       |    AND (b.recall_e6 > a.recall_e6
+       |     OR b.n_candidates < a.n_candidates))
+       |  THEN 0 ELSE 1 END AS is_pareto,
+       | a.n_candidates - pc AS marg_candidates,
+       | a.recall_e6 - pr AS marg_recall_e6,
+       | (a.recall_e6 - pr) * 1000000
+       |   // greatest(a.n_candidates - pc, 1) AS marg_eff_e6
+       |FROM lagged a ORDER BY a.nprobe""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_tuning_frontier" -> (s24TuningFrontier _),
     "s23_route_fanout" -> (s23RouteFanout _),
     "s22_shard_plan" -> (s22ShardPlan _),
     "s20_nprobe_sweep" -> (s20NprobeSweep _),

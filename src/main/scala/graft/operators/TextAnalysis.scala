@@ -1577,8 +1577,9 @@ object TextAnalysis {
       .orderBy(col("labeled_lang"), col("predicted_lang"))
   }
 
-  // shared by the t3 entry and t25's confusion-matrix CTE
-  private lazy val t3OracleSql: String =
+  // shared by the t3 entry, t25's confusion-matrix CTE and d21's
+  // cross-language dup audit (Dedup.scala)
+  private[operators] lazy val t3OracleSql: String =
     s"""WITH s AS (
        | SELECT doc_id, lang AS labeled_lang,
        |  ${stopCountSql(stopwords("de"))} AS score_de,

@@ -1541,8 +1541,13 @@ object PipelineQueries {
   /** p31: global bucket count for the pair-candidate banding — fixed, so
     * the span explode is bounded by #files × #buckets at ANY corpus
     * size (a fixed bucket WIDTH would explode the span list as the key
-    * space grows). */
-  val JoinPruneBuckets = 4096L
+    * space grows). Deliberately COARSE: a wide-span layout (by_month)
+    * coincides with every other file in every bucket, so the band
+    * join's match count is #buckets × pairs-per-bucket — at 4096
+    * buckets that was a measured 10s bench row, at 256 it is ~16x
+    * cheaper, and coarseness never changes the ANSWER (the interval
+    * predicate riding the join decides; buckets only band candidates). */
+  val JoinPruneBuckets = 256L
 
   /** `p31_join_prune_plan`: file-level JOIN pruning audit — the manifest
     * arithmetic behind "why cluster the fact on the join key": for a

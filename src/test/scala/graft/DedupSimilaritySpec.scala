@@ -1793,4 +1793,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${tot.getAs[Long]("false_pos")} false positives " +
       s"(${tot.getAs[Long]("fp_rate_e6")}e6)")
   }
+
+  test("s24: the frontier replays a literal dominance + marginal pass " +
+    "over the s20 sweep it rides") {
+    val sweep = Similarity.s20NprobeSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("recall_e6"))).sortBy(_._1)
+    val got = Similarity.s24TuningFrontier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("recall_e6"), r.getAs[Long]("is_pareto"),
+        r.getAs[Long]("marg_candidates"), r.getAs[Long]("marg_recall_e6"),
+        r.getAs[Long]("marg_eff_e6"))).sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == sweep.toSeq,
+      "the frontier must carry the sweep's own rows verbatim")
+    got.zipWithIndex.foreach { case ((np, cand, rec, pareto, mc, mr, eff), i) =>
+      // literal quadratic dominance test
+      val dominated = sweep.exists { case (_, c2, r2) =>
+        r2 >= rec && c2 <= cand && (r2 > rec || c2 < cand) }
+      assert(pareto == (if (dominated) 0L else 1L), s"pareto flag at $np")
+      val (pc, pr) = if (i == 0) (0L, 0L) else (sweep(i - 1)._2, sweep(i - 1)._3)
+      assert(mc == cand - pc && mr == rec - pr, s"marginals at $np")
+      assert(eff == mr * 1000000L / math.max(mc, 1L), s"marginal price at $np")
+    }
+    // a monotone-recall sweep's frontier keeps every strictly-cheaper-
+    // and-weaker prefix point; at minimum the cheapest config survives
+    assert(got.exists(_._4 == 1L), "empty Pareto set is impossible")
+    // the sweep grows candidates with nprobe, so marginal costs are
+    // positive past the first row — the knee statistic is well-defined
+    assert(got.tail.forall(_._5 >= 0L), "candidate count shrank with nprobe")
+    info(got.map(g => s"np${g._1}:${g._3}e6@${g._2}c " +
+      s"${if (g._4 == 1) "PARETO" else "dom"} eff=${g._7}").mkString(" "))
+  }
+
+  test("d21: cross-language dup audit is exactly d2's pairs gated to " +
+    "differing lang labels, with t3's prediction adjudicating each side") {
+    val pairs = Dedup.d2DedupNgram(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Long]("jaccard_e6")))
+    val t3 = graft.operators.TextAnalysis.t3LangId(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("labeled_lang"), r.getAs[String]("predicted_lang")))
+      .toMap
+    val expected = pairs.flatMap { case (a, b, j) =>
+      val ((l1, p1), (l2, p2)) = (t3(a), t3(b))
+      if (l1 == l2) None else Some((a, b) -> {
+        val verdict =
+          if (p1 == l1 && p2 == l2) "cross_lingual"
+          else if (p1 != l1 && p2 == l2) "mislabel_1"
+          else if (p1 == l1 && p2 != l2) "mislabel_2"
+          else "both_mislabeled"
+        (l1, l2, p1, p2, j, verdict)
+      })
+    }.toMap
+    val got = Dedup.d21CrosslangDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2")) ->
+        (r.getAs[String]("lang_1"), r.getAs[String]("lang_2"),
+          r.getAs[String]("pred_1"), r.getAs[String]("pred_2"),
+          r.getAs[Long]("jaccard_e6"), r.getAs[String]("verdict"))).toMap
+    assert(got == expected, "audit diverged from the d2 x t3 replay")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // the corpus ships lang-tag noise: mislabels must actually appear,
+    // in more than one class — otherwise the CASE arms are dead code
+    val verdicts = got.values.map(_._6).toSet
+    assert(verdicts.exists(_.startsWith("mislabel")) && verdicts.size >= 2,
+      s"expected multiple verdict regimes, got $verdicts")
+    info(s"${got.size} cross-lang dup pairs over ${pairs.length} total; " +
+      got.values.groupBy(_._6).view.mapValues(_.size).toMap.toSeq
+        .sortBy(_._1).mkString(" "))
+  }
 }

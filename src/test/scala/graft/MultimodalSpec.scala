@@ -506,4 +506,49 @@ class MultimodalSpec extends AnyFunSuite {
     info(s"${docs.length} images over ${expect.size}/${lad.size} buckets; " +
       s"overall pad ${tot.getAs[Long]("pad_e6")} e6")
   }
+
+  test("m12: the per-row fold replays a literal JVM md5 segmentation — " +
+    "signatures, hamming cuts, scene runs — and both cut regimes exist") {
+    val fb = Multimodal.SceneFrameBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sig(bytes: Array[Byte]): Long = {
+      val hx = bytes.map("%02x".format(_)).mkString
+      val dig = md.digest(hx.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(dig.substring(0, 15), 16)
+    }
+    val expect = Multimodal.mediaTable(spark, sf)
+      .filter(col("media_type") === "video").select("doc_id", "content")
+      .collect().map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val n = bytes.length / fb
+        val sigs = (0 until n).map(i => sig(bytes.slice(i * fb, (i + 1) * fb)))
+        val hams = sigs.sliding(2).map(p =>
+          java.lang.Long.bitCount(p(0) ^ p(1)).toLong).toSeq
+        val cuts = hams.map(h => if (h >= Multimodal.SceneCutBits) 1L else 0L)
+        // scene runs: split frame stream at cuts, longest segment
+        val runs = cuts.foldLeft(List(1L)) { (acc, c) =>
+          if (c == 1L) 1L :: acc else (acc.head + 1L) :: acc.tail }
+        (r.getAs[Long]("doc_id"),
+          (n.toLong, cuts.sum, cuts.sum + 1L, runs.max, hams.sum))
+      }.toMap
+    val got = Multimodal.m12SceneSegmentation(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          r.getAs[Long]("n_scenes"), r.getAs[Long]("max_scene_len"),
+          r.getAs[Long]("sum_ham"))).toMap
+    assert(got == expect, "segmentation diverged from the literal replay")
+    assert(got.nonEmpty)
+    val cutCounts = got.values.map(_._2).toSeq
+    assert(cutCounts.exists(_ > 0) && cutCounts.exists(_ == 0),
+      "corpus must exercise both the cut and the no-cut regime")
+    // zero-shuffle pin: nothing before the output sort exchanges
+    val p = Multimodal.m12SceneSegmentation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"segmentation must not shuffle before the output sort:\n$p")
+    info(s"${got.size} videos, cut distribution " +
+      cutCounts.groupBy(identity).view.mapValues(_.size).toMap.toSeq
+        .sortBy(_._1).mkString(" "))
+  }
 }
