@@ -788,7 +788,187 @@ object Analytics {
       .limit(20)
   }
 
+  /** `q50_product_margin`: the TPC-H Q9 shape — per-nation, per-year
+    * margin on one product line (parts named like a noun), the
+    * product-profitability report. The dataset ships no partsupp, so
+    * cost is the retail-price proxy: margin = discounted revenue minus
+    * retail value of the shipped quantity, all exact integer cents (the
+    * q41 floor idiom at line grain; quantities are integral and cast
+    * BIGINT before multiplying).
+    *
+    * Scale: the part-name filter broadcasts onto the fact FIRST, so
+    * only that product line's lines reach the orderkey shuffle;
+    * supplier/nation broadcast; orders joins once on orderkey for the
+    * year. One fact-fact shuffle, then a |nations|×|years| aggregate
+    * with map-side partials. */
+  def q50ProductMargin(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .filter(col("p_name").contains("rod"))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("retail_c"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("rev_c") - col("retail_c") * col("qty"))
+        .as("margin_cents"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** `q51_important_parts`: the TPC-H Q11 shape — the parts carrying an
+    * outsized share of total revenue, kept by a GLOBAL-aggregate
+    * threshold (revenue strictly above 1.5x the mean part revenue —
+    * Q11's `HAVING > sum(..) * fraction`, restated scale-free so the
+    * cut stays meaningful as the part count grows with the corpus; at
+    * the shipped skew 2x keeps nothing, 1.5x keeps the genuine head).
+    * Shares render e6; the threshold compares in exact integers
+    * (`rev > (3·total) div (2·n_parts)`).
+    *
+    * Scale: ONE fact scan collapses to part grain at the first shuffle
+    * (map-side partials); the threshold is a 1-row aggregate OF that
+    * part-grain table broadcast back onto it (the q46 scalar-argmax
+    * pattern) — the fact is never read twice, nothing part-grained is
+    * ever resorted globally except the final small output. */
+  def q51ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("revenue_cents"))
+    val scalar = rev.agg(sum(col("revenue_cents")).as("total_c"),
+      count(lit(1)).as("n_parts"))
+    rev.join(broadcast(scalar))
+      .filter(col("revenue_cents") > expr("(3L * total_c) div (2L * n_parts)"))
+      .select(col("l_partkey").as("p_partkey"), col("revenue_cents"),
+        expr("revenue_cents * 1000000L div total_c").as("share_e6"))
+      .orderBy(col("revenue_cents").desc, col("p_partkey"))
+  }
+
+  /** `q52_ship_delay_modes`: the TPC-H Q12 shape — order-priority mix
+    * per shipping bucket (the dataset ships no l_shipmode, so the
+    * bucket is the DERIVED service tier: days from order to ship —
+    * FAST < 30 ≤ MED < 75 ≤ SLOW), the "are urgent orders actually
+    * shipping faster" report. Line-grain counts split by critical
+    * (1-URGENT/2-HIGH) vs other priority — Q12's conditional aggregate
+    * verbatim; day arithmetic is integer (midnight timestamps).
+    *
+    * Scale: the ship-year window pushes into the fact scan; ONE
+    * fact-fact shuffle on orderkey, then a 3-row aggregate with
+    * conditional map-side partials — both counts ride one pass. */
+  def q52ShipDelayModes(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(when(col("delay_days") < 30, "FAST")
+        .when(col("delay_days") < 75, "MED")
+        .otherwise("SLOW").as("ship_tier"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("critical_lines"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("other_lines"))
+      .orderBy(col("ship_tier"))
+  }
+
+  /** `q53_supplier_diversity`: the TPC-H Q16 shape — how many distinct
+    * suppliers actually ship each (brand, type) segment, the
+    * single-source-risk report; the part↔supplier relation comes from
+    * OBSERVED trade (lineitem pairs — the dataset ships no partsupp).
+    * Q16's two exclusions, restated: one brand excluded outright, and
+    * below-mean-balance suppliers excluded by NOT IN — the mean test in
+    * exact integer cents cross-multiplication (`bal·n < total`), never
+    * a float average.
+    *
+    * Scale: the supplier blacklist is supplier-grain (a 1-row scalar
+    * broadcast onto the supplier dim, then a broadcast semi onto the
+    * fact); part broadcasts; the fact collapses to DISTINCT (brand,
+    * type, suppkey) at the first shuffle (partial distinct map-side),
+    * then a |segments|-grain exact distinct count. */
+  def q53SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val supBal = t(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        floor(col("s_acctbal") * 100).cast("long").as("bal_c"))
+    val balScalar = supBal.agg(sum(col("bal_c")).as("tot_bal"),
+      count(lit(1)).as("n_sup"))
+    val keepSup = supBal.join(broadcast(balScalar))
+      .filter(col("bal_c") * col("n_sup") >= col("tot_bal"))
+      .select(col("s_suppkey"))
+    val part = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(keepSup), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  /** `q54_dominant_supplier`: the TPC-H Q20 shape — suppliers holding a
+    * DOMINANT position (strictly more than half of a part's shipped
+    * quantity in the year) on any part of one product line, rolled to
+    * the supplier with their dominant-part count — the
+    * concentration-risk list procurement reads before renegotiating.
+    * Q20's correlated-aggregate threshold, in exact integers
+    * (`2·sq > total_q`; integral quantities cast BIGINT at line grain).
+    *
+    * Scale: the part-name filter broadcasts onto the year-windowed fact
+    * scan, which collapses to (part, supplier) grain at the first
+    * shuffle; the per-part total is an aggregate OF that small table
+    * joined back on partkey (pair-grain, never fact-grain); the
+    * verdict filter, supplier rollup and broadcast name/nation lookups
+    * all run on supplier-grain rows. */
+  def q54DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val sq = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("sq"))
+    val tq = sq.groupBy(col("l_partkey")).agg(sum(col("sq")).as("total_q"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    sq.join(tq, Seq("l_partkey"))
+      .filter(col("sq") * 2 > col("total_q"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"), sum(col("sq")).as("dominant_qty"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_dominant_parts"), col("dominant_qty"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_product_margin" -> q50ProductMargin _,
+    "q51_important_parts" -> q51ImportantParts _,
+    "q52_ship_delay_modes" -> q52ShipDelayModes _,
+    "q53_supplier_diversity" -> q53SupplierDiversity _,
+    "q54_dominant_supplier" -> q54DominantSupplier _,
     "q45_promo_revenue" -> q45PromoRevenue _,
     "q46_top_supplier" -> q46TopSupplier _,
     "q47_volume_shipping" -> q47VolumeShipping _,
@@ -813,6 +993,90 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    // deliberately the TEXTBOOK Q9 form — flat 5-way join with the
+    // name LIKE: hash-matching it proves the prune-before-shuffle plan
+    "q50_product_margin" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |     AS BIGINT)
+        |   - CAST(floor(p_retailprice * 100) AS BIGINT)
+        |     * CAST(l_quantity AS BIGINT)) AS BIGINT) AS margin_cents
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%rod%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // deliberately the TEXTBOOK Q11 form — HAVING against a scalar
+    // subquery over the same grouped view: hash-matching it proves the
+    // broadcast-scalar threshold plan
+    "q51_important_parts" ->
+      """WITH rev AS (
+        | SELECT l_partkey AS p_partkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        | FROM lineitem GROUP BY 1)
+        |SELECT p_partkey, revenue_cents,
+        | CAST(CAST(revenue_cents AS HUGEINT) * 1000000
+        |   // (SELECT sum(revenue_cents) FROM rev) AS BIGINT) AS share_e6
+        |FROM rev
+        |WHERE revenue_cents > (SELECT 3 * sum(revenue_cents) // (2 * count(*))
+        |  FROM rev)
+        |ORDER BY revenue_cents DESC, p_partkey""".stripMargin,
+    // deliberately the TEXTBOOK Q12 form — CASE-bucketed conditional
+    // counts: hash-matching it proves the one-pass conditional aggregate
+    "q52_ship_delay_modes" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30
+        |  THEN 'FAST'
+        |  WHEN datediff('day', o_orderdate, l_shipdate) < 75 THEN 'MED'
+        |  ELSE 'SLOW' END AS ship_tier,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // deliberately the TEXTBOOK Q16 form — count(DISTINCT) with a NOT IN
+    // sub-select: hash-matching it proves the broadcast-semi exclusion
+    "q53_supplier_diversity" ->
+      """SELECT p_brand, p_type,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        | AND l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier
+        |  WHERE CAST(floor(s_acctbal * 100) AS BIGINT)
+        |     * (SELECT count(*) FROM supplier)
+        |    < (SELECT sum(CAST(floor(s_acctbal * 100) AS BIGINT))
+        |       FROM supplier))
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+    // deliberately the TEXTBOOK Q20 form — a correlated aggregate
+    // threshold inside the qualifying subquery: hash-matching it proves
+    // the aggregate-then-join-back de-correlation
+    "q54_dominant_supplier" ->
+      """WITH sq AS (
+        | SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_name LIKE '%widget%'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY 1, 2),
+        |dom AS (
+        | SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominant_parts,
+        |  CAST(sum(sq) AS BIGINT) AS dominant_qty
+        | FROM sq a
+        | WHERE 2 * sq > (SELECT sum(sq) FROM sq b
+        |   WHERE b.l_partkey = a.l_partkey)
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name, n_dominant_parts, dominant_qty
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q45_promo_revenue" ->
       """WITH l AS (
         | SELECT l_partkey,

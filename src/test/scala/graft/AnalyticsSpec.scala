@@ -452,4 +452,154 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-20 must not be a global sort:\n$p")
   }
+
+  test("q50: product margin replays brute-force — retail-cost cents per " +
+    "line, nation/year rollup; part and dims broadcast") {
+    val retail = Tables.load(spark, sf, "part").collect()
+      .filter(_.getAs[String]("p_name").contains("rod"))
+      .map(r => r.getAs[Long]("p_partkey") ->
+        math.floor(r.getAs[Double]("p_retailprice") * 100).toLong).toMap
+    val nation = Tables.load(spark, sf, "nation").collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[String]("n_name")).toMap
+    val supNat = Tables.load(spark, sf, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        nation(r.getAs[Number]("s_nationkey").longValue)).toMap
+    val ordYear = Tables.load(spark, sf, "orders").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[java.time.LocalDateTime]("o_orderdate").getYear.toLong).toMap
+    val expect = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .collect()
+      .filter(r => retail.contains(r.getAs[Long]("l_partkey")))
+      .map { r =>
+        val rev = math.floor(r.getAs[Double]("l_extendedprice") *
+          (1 - r.getAs[Double]("l_discount")) * 100).toLong
+        val cost = retail(r.getAs[Long]("l_partkey")) *
+          r.getAs[Double]("l_quantity").toLong
+        ((supNat(r.getAs[Long]("l_suppkey")),
+          ordYear(r.getAs[Long]("l_orderkey"))), rev - cost)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = operators.Analytics.q50ProductMargin(spark, sf).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")) ->
+        r.getAs[Long]("margin_cents")).toMap
+    assert(got == expect, "margin rollup diverged from the replay")
+    assert(got.nonEmpty && got.keys.map(_._1).toSet.size > 1,
+      "multiple nations must trade the product line")
+    val p = operators.Analytics.q50ProductMargin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "part/dim joins must broadcast")
+  }
+
+  test("q51: the important-parts threshold replays brute-force — strict " +
+    "integer 1.5x-mean cut, e6 shares, revenue-desc order") {
+    val rev = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getAs[Long]("l_partkey"),
+        math.floor(r.getAs[Double]("l_extendedprice") *
+          (1 - r.getAs[Double]("l_discount")) * 100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = rev.values.sum
+    val thr = 3L * total / (2L * rev.size)
+    val want = rev.filter(_._2 > thr).toSeq
+      .sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => (k, v, v * 1000000L / total) }
+    val got = operators.Analytics.q51ImportantParts(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("revenue_cents"),
+        r.getAs[Long]("share_e6"))).toSeq
+    assert(got == want, "threshold cut diverged from the replay")
+    assert(got.nonEmpty && got.size < rev.size,
+      "the 1.5x-mean cut must keep some parts and drop others")
+  }
+
+  test("q52: delay tiers replay brute-force — integer day buckets, " +
+    "critical/other counts partition the window exactly") {
+    import java.time.LocalDateTime
+    val lo = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = LocalDateTime.of(1998, 1, 1, 0, 0)
+    val ord = Tables.load(spark, sf, "orders").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[LocalDateTime]("o_orderdate"),
+          r.getAs[String]("o_orderpriority"))).toMap
+    val lines = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_shipdate").collect()
+      .filter { r =>
+        val d = r.getAs[LocalDateTime]("l_shipdate")
+        !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .map { r =>
+        val (od, pri) = ord(r.getAs[Long]("l_orderkey"))
+        val days = java.time.temporal.ChronoUnit.DAYS.between(
+          od.toLocalDate, r.getAs[LocalDateTime]("l_shipdate").toLocalDate)
+        val tier = if (days < 30) "FAST" else if (days < 75) "MED" else "SLOW"
+        (tier, pri == "1-URGENT" || pri == "2-HIGH")
+      }
+    val expect = lines.groupBy(_._1).view.mapValues(g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)).toMap
+    val got = operators.Analytics.q52ShipDelayModes(spark, sf).collect()
+      .map(r => r.getAs[String]("ship_tier") ->
+        (r.getAs[Long]("critical_lines"), r.getAs[Long]("other_lines"))).toMap
+    assert(got == expect, "tier counts diverged from the replay")
+    assert(got.keySet == Set("FAST", "MED", "SLOW"),
+      "the corpus must exercise all three tiers")
+    assert(got.values.map(v => v._1 + v._2).sum == lines.length.toLong)
+  }
+
+  test("q53: supplier diversity replays brute-force — below-mean " +
+    "suppliers excluded in exact cents, distinct counts per segment") {
+    val bal = Tables.load(spark, sf, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        math.floor(r.getAs[Double]("s_acctbal") * 100).toLong).toMap
+    val totBal = bal.values.sum
+    val keep = bal.filter { case (_, b) => b * bal.size >= totBal }.keySet
+    assert(keep.size < bal.size && keep.nonEmpty,
+      "the mean cut must actually exclude someone")
+    val seg = Tables.load(spark, sf, "part").collect()
+      .filter(_.getAs[String]("p_brand") != "Brand#13")
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[String]("p_type"))).toMap
+    val expect = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey").collect()
+      .filter(r => seg.contains(r.getAs[Long]("l_partkey")) &&
+        keep(r.getAs[Long]("l_suppkey")))
+      .map(r => (seg(r.getAs[Long]("l_partkey")), r.getAs[Long]("l_suppkey")))
+      .distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = operators.Analytics.q53SupplierDiversity(spark, sf).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type")) ->
+        r.getAs[Long]("supplier_cnt")).toMap
+    assert(got == expect, "diversity counts diverged from the replay")
+    assert(got.nonEmpty)
+  }
+
+  test("q54: dominant suppliers replay brute-force — strict majority of " +
+    "each part's year quantity, rolled to the supplier") {
+    import java.time.LocalDateTime
+    val lo = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = LocalDateTime.of(1997, 1, 1, 0, 0)
+    val widget = Tables.load(spark, sf, "part").collect()
+      .filter(_.getAs[String]("p_name").contains("widget"))
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val sq = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .filter { r =>
+        val d = r.getAs[LocalDateTime]("l_shipdate")
+        widget(r.getAs[Long]("l_partkey")) && !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .map(r => ((r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")),
+        r.getAs[Double]("l_quantity").toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tq = sq.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expect = sq.filter { case ((p, _), q) => 2 * q > tq(p) }.toSeq
+      .map { case ((_, s), q) => (s, q) }
+      .groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val got = operators.Analytics.q54DominantSupplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        (r.getAs[Long]("n_dominant_parts"), r.getAs[Long]("dominant_qty"))).toMap
+    assert(got == expect, "dominance rollup diverged from the replay")
+    assert(got.nonEmpty, "the corpus must contain dominant positions")
+  }
 }
