@@ -52,6 +52,7 @@ object SparkEntry {
     case "s23_route_fanout" => Similarity.confirmS23Materialized(dir)
     case "s20_nprobe_sweep" => Similarity.confirmS20Materialized(dir)
     case "s24_tuning_frontier" => Similarity.confirmS24Materialized(dir)
+    case "s25_cell_rebalance" => Similarity.confirmS25Materialized(dir)
     case "s14_ivf_pq" => Similarity.confirmS14Materialized(dir)
     case "d12_semantic_dedup" => Similarity.confirmD12Materialized(dir)
     case "d15_prototype_prune" => Similarity.confirmD15Materialized(dir)

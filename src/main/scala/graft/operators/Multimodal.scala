@@ -1146,7 +1146,89 @@ object Multimodal {
        | FROM sl GROUP BY 1) m ON a.doc_id = m.doc_id
        |ORDER BY a.doc_id""".stripMargin
 
+  /** m13: pyramid floor — levels halve until the short side would drop
+    * under this; the m1 dim stub guarantees level 0 qualifies. */
+  val PyramidMinSide = 64L
+
+  /** `m13_storage_pyramid`: the mip/thumbnail pyramid plan per image —
+    * how many power-of-two levels each image carries (halving until the
+    * short side falls under [[PyramidMinSide]]), the pixel cost of every
+    * level, and the storage overhead vs the base image (e6; the
+    * geometric-series theory says +1/3, truncation makes each image's
+    * exact number its own) — the storage-planning arithmetic behind
+    * multi-resolution vision training (NaViT-style random-res sampling
+    * wants the pyramid precomputed) and preview serving. Dims come from
+    * the m1 decode stub in the scan projection (the m11 idiom); all
+    * level math is integer halving, identical in both engines.
+    *
+    * Scale: ONE documents scan; levels/pixels/overhead are per-row array
+    * lambdas over a 7-element literal sequence (no explode reaches a
+    * shuffle — the payload and its levels die in the row's projection);
+    * the image-grained frame is checkpointed once for its two grain
+    * consumers (per-image rows + the `~TOTAL` fold). */
+  def m13StoragePyramid(spark: SparkSession, dir: String): DataFrame = {
+    val h60 = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val per = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0) // m1's media_type = 'image' arm
+      .select(col("doc_id"), h60.as("h60"))
+      .select(col("doc_id"), expr("64 + h60 % 1856").as("w"),
+        expr("64 + (h60 div 2048) % 1056").as("h"))
+      .withColumn("lv", expr(
+        "filter(transform(sequence(0, 6), k -> named_struct(" +
+          "'mn', least(w div shiftleft(1L, k), h div shiftleft(1L, k)), " +
+          "'px', (w div shiftleft(1L, k)) * (h div shiftleft(1L, k)))), " +
+          s"s -> s.mn >= $PyramidMinSide)"))
+      .select(col("doc_id"), col("w"), col("h"),
+        size(col("lv")).cast("long").as("n_levels"),
+        (col("w") * col("h")).as("base_px"),
+        expr("aggregate(lv, 0L, (a, s) -> a + s.px)").as("total_px"))
+      .localCheckpoint(true) // image-grained; per-image + ~TOTAL read it
+    val rows = per.select(col("doc_id").cast("string").as("key"),
+      col("w"), col("h"), col("n_levels"), col("base_px"), col("total_px"),
+      expr("(total_px - base_px) * 1000000L div base_px").as("overhead_e6"))
+    val tot = per.agg(sum(col("n_levels")).as("n_levels"),
+        sum(col("base_px")).as("base_px"), sum(col("total_px")).as("total_px"))
+      .select(lit("~TOTAL").as("key"), lit(null).cast("long").as("w"),
+        lit(null).cast("long").as("h"), col("n_levels"), col("base_px"),
+        col("total_px"),
+        expr("(total_px - base_px) * 1000000L div base_px").as("overhead_e6"))
+    rows.unionByName(tot).orderBy(col("key"))
+  }
+
+  private lazy val m13Oracle: String =
+    s"""WITH img AS (
+       | SELECT doc_id, 64 + h60 % 1856 AS w, 64 + (h60 // 2048) % 1056 AS h
+       | FROM (SELECT doc_id,
+       |   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h60
+       |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0)),
+       |lv AS (
+       | SELECT doc_id, w, h,
+       |  (w // (1::BIGINT << k)) * (h // (1::BIGINT << k)) AS px
+       | FROM (SELECT doc_id, w, h, unnest(range(0, 7)) AS k FROM img)
+       | WHERE least(w // (1::BIGINT << k), h // (1::BIGINT << k))
+       |   >= $PyramidMinSide),
+       |per AS (
+       | SELECT CAST(doc_id AS VARCHAR) AS key, w, h,
+       |  CAST(count(*) AS BIGINT) AS n_levels,
+       |  CAST(w * h AS BIGINT) AS base_px,
+       |  CAST(sum(px) AS BIGINT) AS total_px
+       | FROM lv GROUP BY 1, 2, 3)
+       |SELECT * FROM (
+       | SELECT key, w, h, n_levels, base_px, total_px,
+       |  CAST((total_px - base_px) * 1000000 // base_px AS BIGINT)
+       |    AS overhead_e6
+       | FROM per
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(sum(n_levels) AS BIGINT), CAST(sum(base_px) AS BIGINT),
+       |  CAST(sum(total_px) AS BIGINT),
+       |  CAST((sum(total_px) - sum(base_px)) * 1000000 // sum(base_px)
+       |    AS BIGINT)
+       | FROM per
+       |) ORDER BY key""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m13_storage_pyramid" -> m13Oracle,
     "m12_scene_segmentation" -> m12Oracle,
     "m11_aspect_buckets" -> m11Oracle,
     "m10_batch_negatives" -> m10Oracle,
@@ -1161,6 +1243,7 @@ object Multimodal {
     "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_storage_pyramid" -> (m13StoragePyramid _),
     "m12_scene_segmentation" -> (m12SceneSegmentation _),
     "m11_aspect_buckets" -> (m11AspectBuckets _),
     "m10_batch_negatives" -> (m10BatchNegatives _),

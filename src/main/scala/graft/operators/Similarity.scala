@@ -580,6 +580,9 @@ object Similarity {
     }) ++ (confirmedS24.toMap match {
       case one if one.size == 1 => Map("s24_tuning_frontier" -> s24OracleSql(one.head._2))
       case _ => Map.empty
+    }) ++ (confirmedS25.toMap match {
+      case one if one.size == 1 => Map("s25_cell_rebalance" -> s25OracleSql(one.head._2))
+      case _ => Map.empty
     })
 
   /** s5 band signatures: the identical 64-plane literals, sliced per the
@@ -2970,7 +2973,125 @@ object Similarity {
        |   // greatest(a.n_candidates - pc, 1) AS marg_eff_e6
        |FROM lagged a ORDER BY a.nprobe""".stripMargin
 
+  // ------------------- s25: overfull-cell split / rebalance plan
+
+  private val pendingS25 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+  private val confirmedS25 =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Long])]]
+
+  def confirmS25Materialized(dir: String): Unit =
+    pendingS25.get(dir).foreach(cs => confirmedS25.put(dir, cs))
+
+  /** s25 overfull threshold, as a fraction of the mean cell size:
+    * cap = ceil(9·N/(8·k)), i.e. 12.5% above mean. Deliberately tight —
+    * the md5-uniform synthetic corpus yields near-balanced cells
+    * (max/mean ≈ 1.2), so a production-loose 2x cap would never fire at
+    * verification scale; a real drifting index trips ANY fixed fraction
+    * eventually and the arithmetic is identical. */
+  val RebalanceCapNum = 9L
+  val RebalanceCapDen = 8L
+
+  /** `s25_cell_rebalance`: the index-maintenance step between monitoring
+    * (s12 sees cells drift hot) and placement (s22 packs whatever cells
+    * exist): which IVF cells exceed the size cap, how many subcells each
+    * splits into (`ceil(n/cap)`), and the post-split balance — planned
+    * BEFORE tail latency pages anyone. Per cell: members, overfull flag,
+    * subcell count, post-split cell size, and its own skew contribution
+    * (`n·k·1e6/N`); `~TOTAL`: members, overfull count, cells after
+    * splitting, the post-split max size, and the post-split imbalance
+    * (`post_max·cells_after·1e6/N` — 1e6 = perfectly balanced). Skews
+    * ride Decimal(38,0) internally and emit BIGINT via `div` (the q43
+    * discipline — n·k wraps ~10¹⁷ vectors·cells).
+    *
+    * Scale: one assignment scan (broadcast-model cosineMatrix) ends at
+    * the map-side-partial cell aggregate; everything after runs on
+    * NumCells rows, checkpointed once for its two grain consumers; the
+    * cap scalar is a 1-row broadcast (the q46 pattern). */
+  def s25CellRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (cents, data) = kmeansOver(e)
+    pendingS25.put(dir, cents)
+    val cells = assignCells(data, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val scal = cells.agg(sum(col("n_members")).as("total"),
+      count(lit(1)).as("k"))
+    val per = cells.join(broadcast(scal))
+      .withColumn("cap", expr(
+        s"($RebalanceCapNum * total + $RebalanceCapDen * k - 1L)" +
+          s" div ($RebalanceCapDen * k)"))
+      .withColumn("overfull", (col("n_members") > col("cap")).cast("long"))
+      .withColumn("n_subcells", expr(
+        "CASE WHEN n_members > cap THEN (n_members + cap - 1L) div cap" +
+          " ELSE 1L END"))
+      .withColumn("post_members",
+        expr("(n_members + n_subcells - 1L) div n_subcells"))
+      .localCheckpoint(true) // NumCells rows; both grains below read it
+    val rows = per.select(col("cell").cast("string").as("key"),
+      lit("cell").as("grain"), col("n_members"), col("overfull"),
+      col("n_subcells"), col("post_members"),
+      expr("CAST(n_members AS DECIMAL(38,0)) * k * 1000000" +
+        " div greatest(total, 1)").as("skew_e6"))
+    val tot = per
+      .agg(sum(col("n_members")).as("n_members"),
+        sum(col("overfull")).as("overfull"),
+        sum(col("n_subcells")).as("n_subcells"),
+        max(col("post_members")).as("post_members"))
+      .select(lit("~TOTAL").as("key"), lit("total").as("grain"),
+        col("n_members"), col("overfull"), col("n_subcells"),
+        col("post_members"),
+        expr("CAST(post_members AS DECIMAL(38,0)) * n_subcells * 1000000" +
+          " div greatest(n_members, 1)").as("skew_e6"))
+    rows.unionByName(tot).orderBy(col("key"))
+  }
+
+  private def s25OracleSql(cents: Seq[(Long, Array[Long])]): String =
+    s"""WITH cents(cid, cent) AS (VALUES
+       |  ${centroidRowsSql(cents)}),
+       |scored AS (
+       | SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       | FROM embeddings e CROSS JOIN cents c),
+       |cells AS (
+       | SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_members
+       | FROM scored WHERE rn = 1 GROUP BY 1),
+       |scal AS (SELECT CAST(sum(n_members) AS BIGINT) AS total,
+       |  CAST(count(*) AS BIGINT) AS k FROM cells),
+       |p AS (
+       | SELECT cell, n_members, total, k,
+       |  ($RebalanceCapNum * total + $RebalanceCapDen * k - 1)
+       |    // ($RebalanceCapDen * k) AS cap
+       | FROM cells CROSS JOIN scal),
+       |p2 AS (
+       | SELECT cell, n_members, total, k,
+       |  CASE WHEN n_members > cap THEN 1 ELSE 0 END AS overfull,
+       |  CASE WHEN n_members > cap THEN (n_members + cap - 1) // cap
+       |   ELSE 1 END AS n_subcells
+       | FROM p),
+       |p3 AS (SELECT *,
+       |  (n_members + n_subcells - 1) // n_subcells AS post_members
+       | FROM p2)
+       |SELECT key, grain, n_members, overfull, n_subcells, post_members,
+       | skew_e6 FROM (
+       | SELECT CAST(cell AS VARCHAR) AS key, 'cell' AS grain, n_members,
+       |  CAST(overfull AS BIGINT) AS overfull,
+       |  CAST(n_subcells AS BIGINT) AS n_subcells,
+       |  CAST(post_members AS BIGINT) AS post_members,
+       |  CAST(CAST(n_members AS HUGEINT) * k * 1000000
+       |    // greatest(total, 1) AS BIGINT) AS skew_e6
+       | FROM p3
+       | UNION ALL
+       | SELECT '~TOTAL', 'total', CAST(sum(n_members) AS BIGINT),
+       |  CAST(sum(overfull) AS BIGINT), CAST(sum(n_subcells) AS BIGINT),
+       |  CAST(max(post_members) AS BIGINT),
+       |  CAST(CAST(max(post_members) AS HUGEINT) * sum(n_subcells)
+       |    * 1000000 // greatest(sum(n_members), 1) AS BIGINT)
+       | FROM p3
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_cell_rebalance" -> (s25CellRebalance _),
     "s24_tuning_frontier" -> (s24TuningFrontier _),
     "s23_route_fanout" -> (s23RouteFanout _),
     "s22_shard_plan" -> (s22ShardPlan _),

@@ -1791,7 +1791,143 @@ object TextAnalysis {
        |   // greatest(budget, 1) AS BIGINT) AS share_e6
        |FROM fin ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t32
+
+  /** `t32_readability`: per-document readability — sentence/word/
+    * syllable-proxy counts and the Flesch reading-ease + Flesch-Kincaid
+    * grade formulas in EXACT integer e3 arithmetic (`206835 −
+    * (1015·w) div s − (84600·syl) div w`; the syllable proxy is the
+    * vowel-group count, the standard cheap stand-in), plus a 4-band
+    * render. The curriculum/quality signal a corpus build sorts on:
+    * curriculum schedules feed easy→hard, and readability outliers
+    * (both extremes) are a cheap garbage detector t2's ratios miss.
+    *
+    * Scale: a pure per-row projection over ONE documents scan — three
+    * codegen'd regexp_count matcher walks, integer divisions, a CASE;
+    * no shuffle except the output sort. */
+  def t32Readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_sentences",
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)))
+      .withColumn("n_words",
+        greatest(regexp_count(col("text"), lit("\\S+")).cast("long"), lit(1L)))
+      .withColumn("n_syllables",
+        greatest(regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long"),
+          lit(1L)))
+      .withColumn("fre_e3", expr(
+        "206835 - (1015 * n_words) div n_sentences" +
+          " - (84600 * n_syllables) div n_words"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"), col("fre_e3"),
+        expr("(390 * n_words) div n_sentences" +
+          " + (11800 * n_syllables) div n_words - 15590").as("fk_grade_e3"),
+        when(col("fre_e3") >= 90000L, "elementary")
+          .when(col("fre_e3") >= 60000L, "plain")
+          .when(col("fre_e3") >= 30000L, "difficult")
+          .otherwise("academic").as("band"))
+      .orderBy(col("doc_id"))
+
+  private lazy val t32OracleSql: String =
+    """WITH c AS (
+      | SELECT doc_id,
+      |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |  greatest(len(regexp_extract_all(text, '\S+')), 1) AS n_words,
+      |  greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+      |    AS n_syllables
+      | FROM documents),
+      |f AS (
+      | SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_syllables AS BIGINT) AS n_syllables,
+      |  CAST(206835 - (1015 * n_words) // n_sentences
+      |   - (84600 * n_syllables) // n_words AS BIGINT) AS fre_e3,
+      |  CAST((390 * n_words) // n_sentences
+      |   + (11800 * n_syllables) // n_words - 15590 AS BIGINT) AS fk_grade_e3
+      | FROM c)
+      |SELECT doc_id, n_sentences, n_words, n_syllables, fre_e3, fk_grade_e3,
+      | CASE WHEN fre_e3 >= 90000 THEN 'elementary'
+      |  WHEN fre_e3 >= 60000 THEN 'plain'
+      |  WHEN fre_e3 >= 30000 THEN 'difficult'
+      |  ELSE 'academic' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t33
+
+  /** `t33_ngram_coverage`: held-out n-gram coverage — what fraction of
+    * each eval split's DISTINCT unigrams and bigrams also occur in
+    * train. The generalization telemetry t6's contamination report is
+    * the inverse of: t6 flags eval content the model may have memorized;
+    * t33 measures how much eval content the training distribution even
+    * covers (low bigram coverage = the eval tests composition the corpus
+    * never exhibits; near-1.0 unigram coverage with low bigram coverage
+    * is the healthy shape). Splits are t5's md5 buckets verbatim.
+    *
+    * Scale: grams hash to 60-bit longs INSIDE the scan (the t6 idiom —
+    * 8-byte shuffle keys, the oracle hashes identically) and collapse to
+    * DISTINCT (split, order, hash) at the first shuffle (partial
+    * distinct map-side, vocabulary-scale thereafter); coverage is one
+    * gram-keyed left join of eval grams against train grams — the t6
+    * posting shape, never doc×doc — and a 4-row rollup. */
+  def t33NgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.load(spark, dir, "documents")
+      .select(splitCol(col("doc_id")).as("split"), wsTokens(col("text")).as("toks"))
+    val uni = toked.select(col("split"), lit(1L).as("ngram_order"),
+      explode(col("toks")).as("g"))
+    val bi = toked.filter(size(col("toks")) >= 2)
+      .select(col("split"), lit(2L).as("ngram_order"),
+        explode(expr("transform(sequence(2, size(toks)), " +
+          "i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"))
+          .as("g"))
+    val grams = uni.unionByName(bi)
+      .select(col("split"), col("ngram_order"),
+        md5Long60(concat(col("ngram_order").cast("string"), lit(":"), col("g")))
+          .as("h"))
+      .distinct()
+      .localCheckpoint(true) // both join sides below derive from it
+    val train = grams.filter(col("split") === "train")
+      .select(col("ngram_order"), col("h"), lit(1L).as("in_train"))
+    grams.filter(col("split").isin("val", "test"))
+      .join(train, Seq("ngram_order", "h"), "left")
+      .groupBy(col("split"), col("ngram_order"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_covered"))
+      .select(col("split"), col("ngram_order"), col("n_grams"), col("n_covered"),
+        expr("n_covered * 1000000L div n_grams").as("coverage_e6"))
+      .orderBy(col("split"), col("ngram_order"))
+  }
+
+  private lazy val t33OracleSql: String =
+    s"""WITH d AS (
+       | SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |   ELSE 'test' END AS split,
+       |  $toksCaseSql AS toks
+       | FROM documents),
+       |uni AS (SELECT split, 1 AS ngram_order, unnest(toks) AS g FROM d),
+       |bi AS (SELECT split, 2 AS ngram_order,
+       |  unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS g
+       | FROM d),
+       |grams AS (
+       | SELECT DISTINCT split, ngram_order,
+       |  CAST(('0x' || substr(md5(CAST(ngram_order AS VARCHAR) || ':' || g),
+       |    1, 15)) AS BIGINT) AS h
+       | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |train AS (SELECT ngram_order, h FROM grams WHERE split = 'train')
+       |SELECT e.split, CAST(e.ngram_order AS BIGINT) AS ngram_order,
+       | CAST(count(*) AS BIGINT) AS n_grams,
+       | CAST(sum(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |   AS n_covered,
+       | CAST(sum(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END) * 1000000
+       |   // count(*) AS BIGINT) AS coverage_e6
+       |FROM grams e LEFT JOIN train t
+       | ON e.ngram_order = t.ngram_order AND e.h = t.h
+       |WHERE e.split IN ('val', 'test')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_readability" -> (t32Readability _),
+    "t33_ngram_coverage" -> (t33NgramCoverage _),
     "t31_source_divergence" -> (t31SourceDivergence _),
     "t30_temperature_mix" -> (t30TemperatureMix _),
     "t29_bpe_encode" -> (t29BpeEncode _),
@@ -2076,6 +2212,8 @@ object TextAnalysis {
          |FROM b ORDER BY fbin""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
     "t27_bpe_train" -> t27OracleSql,
+    "t32_readability" -> t32OracleSql,
+    "t33_ngram_coverage" -> t33OracleSql,
     "t31_source_divergence" -> t31OracleSql,
     "t30_temperature_mix" -> t30OracleSql,
     "t29_bpe_encode" -> t29OracleSql,

@@ -1825,6 +1825,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${if (g._4 == 1) "PARETO" else "dom"} eff=${g._7}").mkString(" "))
   }
 
+  test("s25: the rebalance plan replays literal cap/split arithmetic over " +
+    "the same cell sizes s22 places, and both regimes occur") {
+    val sizes = Similarity.s22ShardPlan(spark, sf).collect()
+      .filter(_.getAs[String]("grain") == "cell")
+      .map(r => r.getAs[String]("key").toLong -> r.getAs[Long]("n_vectors"))
+      .toMap
+    val (n, k) = (sizes.values.sum, sizes.size.toLong)
+    val cap = (Similarity.RebalanceCapNum * n + Similarity.RebalanceCapDen * k
+      - 1L) / (Similarity.RebalanceCapDen * k)
+    val expect = sizes.map { case (cell, m) =>
+      val over = m > cap
+      val sub = if (over) (m + cap - 1L) / cap else 1L
+      cell.toString -> (m, if (over) 1L else 0L, sub, (m + sub - 1L) / sub,
+        m * k * 1000000L / n)
+    }
+    val all = Similarity.s25CellRebalance(spark, sf).collect()
+    val (totRow, perRows) = all.partition(_.getAs[String]("key") == "~TOTAL")
+    val got = perRows.map(r => r.getAs[String]("key") ->
+      (r.getAs[Long]("n_members"), r.getAs[Long]("overfull"),
+        r.getAs[Long]("n_subcells"), r.getAs[Long]("post_members"),
+        r.getAs[Long]("skew_e6"))).toMap
+    assert(got == expect, "rebalance plan diverged from the literal replay")
+    assert(totRow.length == 1)
+    val t = totRow.head
+    val after = expect.values.map(_._3).sum
+    val postMax = expect.values.map(_._4).max
+    assert(t.getAs[Long]("n_members") == n &&
+      t.getAs[Long]("overfull") == expect.values.map(_._2).sum &&
+      t.getAs[Long]("n_subcells") == after &&
+      t.getAs[Long]("post_members") == postMax &&
+      t.getAs[Long]("skew_e6") == postMax * after * 1000000L / n,
+      "~TOTAL must conserve and restate the per-cell arithmetic")
+    assert(expect.values.exists(_._2 == 1L) && expect.values.exists(_._2 == 0L),
+      "the corpus must exercise both the split and the keep regime")
+    // splitting must actually improve the planned max cell size
+    assert(postMax < sizes.values.max,
+      "post-split max must shrink below the pre-split max")
+    info(s"$k cells, ${expect.values.map(_._2).sum} overfull at cap $cap -> " +
+      s"$after cells, max ${sizes.values.max} -> $postMax, " +
+      s"imbalance ${t.getAs[Long]("skew_e6")}e6")
+  }
+
   test("d21: cross-language dup audit is exactly d2's pairs gated to " +
     "differing lang labels, with t3's prediction adjudicating each side") {
     val pairs = Dedup.d2DedupNgram(spark, sf).collect()

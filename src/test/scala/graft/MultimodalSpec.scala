@@ -551,4 +551,42 @@ class MultimodalSpec extends AnyFunSuite {
       cutCounts.groupBy(identity).view.mapValues(_.size).toMap.toSeq
         .sortBy(_._1).mkString(" "))
   }
+
+  test("m13: the pyramid plan replays literal integer halving per image — " +
+    "levels, pixels, overhead — and the level distribution has spread") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0).select("doc_id", "text").collect()
+      .map { r =>
+        val hx = md.digest(r.getString(1).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h60 = java.lang.Long.parseLong(hx.substring(0, 15), 16)
+        val (w, h) = (64L + h60 % 1856L, 64L + (h60 / 2048L) % 1056L)
+        val px = (0 to 6).map(k => (w >> k, h >> k))
+          .takeWhile { case (sw, sh) =>
+            math.min(sw, sh) >= Multimodal.PyramidMinSide }
+          .map { case (sw, sh) => sw * sh }
+        val (base, tot) = (w * h, px.sum)
+        r.getAs[Long]("doc_id").toString ->
+          (w, h, px.size.toLong, base, tot, (tot - base) * 1000000L / base)
+      }.toMap
+    val all = Multimodal.m13StoragePyramid(spark, sf).collect()
+    val (totRow, perRows) = all.partition(_.getAs[String]("key") == "~TOTAL")
+    val got = perRows.map(r => r.getAs[String]("key") ->
+      (r.getAs[Long]("w"), r.getAs[Long]("h"), r.getAs[Long]("n_levels"),
+        r.getAs[Long]("base_px"), r.getAs[Long]("total_px"),
+        r.getAs[Long]("overhead_e6"))).toMap
+    assert(got == expect, "pyramid plan diverged from the literal replay")
+    assert(totRow.length == 1)
+    val t = totRow.head
+    assert(t.getAs[Long]("base_px") == expect.values.map(_._4).sum &&
+      t.getAs[Long]("total_px") == expect.values.map(_._5).sum &&
+      t.getAs[Long]("n_levels") == expect.values.map(_._3).sum,
+      "~TOTAL must conserve the per-image sums")
+    val lvls = expect.values.map(_._3).toSet
+    assert(lvls.size >= 2, s"level distribution must have spread, got $lvls")
+    info(s"${got.size} images over levels " + expect.values.groupBy(_._3)
+      .view.mapValues(_.size).toMap.toSeq.sortBy(_._1).mkString(" ") +
+      s"; corpus overhead ${t.getAs[Long]("overhead_e6")}e6")
+  }
 }

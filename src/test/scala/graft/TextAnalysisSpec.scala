@@ -979,4 +979,72 @@ class TextAnalysisSpec extends AnyFunSuite {
     info(got.toSeq.sortBy(_._1)
       .map(r => s"${r._1}:${r._2._3}e6@${r._2._4}").mkString(" "))
   }
+
+  test("t32: readability replays the literal integer Flesch formulas — " +
+    "counts, e3 scores, bands — and multiple bands occur") {
+    val expect = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect().map { r =>
+      val text = r.getString(1)
+      def cnt(re: String) =
+        math.max(re.r.findAllIn(text).size.toLong, 1L)
+      val s = cnt("[.!?]+"); val w = cnt("\\S+")
+      val syl = cnt("[aeiouyAEIOUY]+")
+      val fre = 206835L - 1015L * w / s - 84600L * syl / w
+      val fk = 390L * w / s + 11800L * syl / w - 15590L
+      val band = if (fre >= 90000L) "elementary" else if (fre >= 60000L) "plain"
+        else if (fre >= 30000L) "difficult" else "academic"
+      r.getAs[Long]("doc_id") -> (s, w, syl, fre, fk, band)
+    }.toMap
+    val got = operators.TextAnalysis.t32Readability(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_syllables"),
+        r.getAs[Long]("fre_e3"), r.getAs[Long]("fk_grade_e3"),
+        r.getAs[String]("band"))).toMap
+    assert(got == expect, "readability diverged from the literal replay")
+    val bands = got.values.map(_._6).toSet
+    assert(bands.size >= 2, s"corpus must span multiple bands, got $bands")
+    info(s"${got.size} docs over bands " + got.values.groupBy(_._6).view
+      .mapValues(_.size).toMap.toSeq.sortBy(_._1).mkString(" "))
+  }
+
+  test("t33: n-gram coverage replays a literal set computation over t5's " +
+    "split rule, and both full- and partial-coverage regimes occur") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hx.substring(0, 15), 16) % 100
+    }
+    def split(id: Long): String = {
+      val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val bySplit = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val uni = toks.map(t => (1L, t))
+        val bi = toks.sliding(2).filter(_.size == 2)
+          .map(p => (2L, p(0) + " " + p(1))).toSeq
+        split(r.getAs[Long]("doc_id")) -> (uni ++ bi)
+      }
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+    val train = bySplit.getOrElse("train", Set.empty)
+    val expect = (for {
+      sp <- Seq("test", "val"); n <- Seq(1L, 2L)
+      grams = bySplit(sp).filter(_._1 == n)
+      cov = grams.count(train.contains).toLong
+    } yield (sp, n) -> (grams.size.toLong, cov,
+      cov * 1000000L / grams.size)).toMap
+    val got = operators.TextAnalysis.t33NgramCoverage(spark, sf).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("ngram_order")) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_covered"),
+          r.getAs[Long]("coverage_e6"))).toMap
+    assert(got == expect, "coverage diverged from the literal set replay")
+    assert(got.values.exists(v => v._1 == v._2) &&
+      got.values.exists(v => v._2 < v._1),
+      "corpus must exercise both full and partial coverage")
+    info(got.toSeq.sortBy(_._1).map { case ((sp, n), (g, c, e)) =>
+      s"$sp/$n-gram: $c/$g (${e}e6)" }.mkString(" "))
+  }
 }
