@@ -1251,6 +1251,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d22_keeper_policy" -> d22OracleSql,
     "d21_crosslang_dups" -> d21OracleSql,
     "d20_bloom_prefilter" -> d20OracleSql,
     "d19_split_leakage" -> d19OracleSql,
@@ -2019,7 +2020,108 @@ object Dedup {
        |WHERE a.labeled_lang <> b.labeled_lang
        |ORDER BY p.doc_id_1, p.doc_id_2""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+
+  /** `d22_keeper_policy`: which representative each near-dup cluster
+    * should KEEP — the min-id policy d1/d6 apply (cheap, deterministic,
+    * join-free) audited against the quality policy a curated corpus
+    * actually wants (keep the highest t2 quality score; tie → min id).
+    * Per cluster: size, both keepers, both keepers' scores, the quality
+    * left on the table (`delta_e6 = q_best − q_minid`) and a changed
+    * flag; `~TOTAL` conserves members/changed/deltas. The audit that
+    * decides whether upgrading the keeper election is worth a quality
+    * join at the next corpus build — run BEFORE flipping a policy that
+    * changes which bytes 10¹¹ training docs contribute.
+    *
+    * Scale: clusters are d6's pair-bounded components (docs in near-dup
+    * pairs only — never the whole corpus); quality attaches by ONE
+    * doc-key equi-join of that bounded set against t2's two-column
+    * projection; both elections collapse in ONE per-cluster aggregate
+    * with map-side partials — the argmax is `max(struct(q, −doc))`, no
+    * window, no join-back (the oracle states the textbook
+    * max-then-join-back form; hash-matching proves the rewrite). */
+  def d22KeeperPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val cl = d6DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = TextAnalysis.t2TextQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score_e6").as("q"))
+    val per = cl.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("doc_id") === col("cluster_id"), col("q")))
+          .as("q_minid_e6"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("cluster_id"), col("n_members"), col("q_minid_e6"),
+        col("best.q").as("q_best_e6"), (-col("best.nd")).as("keeper_quality"))
+      .withColumn("changed",
+        (col("keeper_quality") =!= col("cluster_id")).cast("long"))
+      .withColumn("delta_e6", col("q_best_e6") - col("q_minid_e6"))
+      .localCheckpoint(true) // cluster-grained; both grains below read it
+    val rows = per.select(col("cluster_id").cast("string").as("key"),
+      col("n_members"), col("changed"),
+      col("cluster_id").as("keeper_minid"), col("keeper_quality"),
+      col("q_minid_e6"), col("q_best_e6"), col("delta_e6"))
+    val tot = per.agg(sum(col("n_members")).as("n_members"),
+        sum(col("changed")).as("changed"),
+        sum(col("q_minid_e6")).as("q_minid_e6"),
+        sum(col("q_best_e6")).as("q_best_e6"),
+        sum(col("delta_e6")).as("delta_e6"))
+      .select(lit("~TOTAL").as("key"), col("n_members"), col("changed"),
+        lit(null).cast("long").as("keeper_minid"),
+        lit(null).cast("long").as("keeper_quality"),
+        col("q_minid_e6"), col("q_best_e6"), col("delta_e6"))
+    rows.unionByName(tot).orderBy(col("key"))
+  }
+
+  private lazy val d22OracleSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |p AS (${jaccardSelectSql("")}),
+       |edges AS (
+       | SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+       | UNION ALL SELECT doc_id_2, doc_id_1 FROM p),
+       |reach(v, l) AS (
+       | SELECT DISTINCT a, a FROM edges
+       | UNION
+       | SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v),
+       |cc AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+       |tq AS (
+       |${TextAnalysis.t2OracleSql}),
+       |j AS (
+       | SELECT cc.doc_id, cc.cluster_id, tq.quality_score_e6 AS q
+       | FROM cc JOIN tq ON cc.doc_id = tq.doc_id),
+       |mx AS (SELECT cluster_id, max(q) AS q_best FROM j GROUP BY 1),
+       |bk AS (
+       | SELECT j.cluster_id, CAST(min(j.doc_id) AS BIGINT) AS keeper_quality
+       | FROM j JOIN mx ON j.cluster_id = mx.cluster_id AND j.q = mx.q_best
+       | GROUP BY 1),
+       |per AS (
+       | SELECT j.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(max(CASE WHEN j.doc_id = j.cluster_id THEN j.q END) AS BIGINT)
+       |    AS q_minid_e6
+       | FROM j GROUP BY 1),
+       |full_rows AS (
+       | SELECT per.cluster_id, per.n_members,
+       |  CAST(CASE WHEN bk.keeper_quality <> per.cluster_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS changed,
+       |  CAST(per.cluster_id AS BIGINT) AS keeper_minid, bk.keeper_quality,
+       |  per.q_minid_e6, CAST(mx.q_best AS BIGINT) AS q_best_e6,
+       |  CAST(mx.q_best - per.q_minid_e6 AS BIGINT) AS delta_e6
+       | FROM per JOIN mx ON per.cluster_id = mx.cluster_id
+       |  JOIN bk ON per.cluster_id = bk.cluster_id)
+       |SELECT * FROM (
+       | SELECT CAST(cluster_id AS VARCHAR) AS key, n_members, changed,
+       |  keeper_minid, keeper_quality, q_minid_e6, q_best_e6, delta_e6
+       | FROM full_rows
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(sum(n_members) AS BIGINT),
+       |  CAST(sum(changed) AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(sum(q_minid_e6) AS BIGINT),
+       |  CAST(sum(q_best_e6) AS BIGINT), CAST(sum(delta_e6) AS BIGINT)
+       | FROM full_rows
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_keeper_policy" -> (d22KeeperPolicy _),
     "d21_crosslang_dups" -> (d21CrosslangDups _),
     "d20_bloom_prefilter" -> (d20BloomPrefilter _),
     "d19_split_leakage" -> (d19SplitLeakage _),

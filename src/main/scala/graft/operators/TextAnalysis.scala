@@ -1577,6 +1577,28 @@ object TextAnalysis {
       .orderBy(col("labeled_lang"), col("predicted_lang"))
   }
 
+  // shared by the t2 entry and d22's keeper-policy audit (Dedup.scala)
+  private[operators] lazy val t2OracleSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  ${stopCountSql(stopwords("en"))} AS n_stop,
+       |  CAST(greatest(len($tokSql), 1) AS DOUBLE) AS n_toks,
+       |  CAST(len(list_distinct($tokSql)) AS DOUBLE) AS n_uniq,
+       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_d,
+       |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+       |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_norm
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(floor(n_stop / n_toks * 1000000) AS BIGINT) AS stop_ratio_e6,
+       | CAST(floor(n_uniq / n_toks * 1000000) AS BIGINT) AS uniq_ratio_e6,
+       | CAST(floor(n_punct / n_chars_d * 1000000) AS BIGINT) AS punct_ratio_e6,
+       | CAST(floor(n_digit / n_chars_d * 1000000) AS BIGINT) AS digit_ratio_e6,
+       | CAST(floor(len_norm * 1000000) AS BIGINT) AS len_norm_e6,
+       | CAST(floor((0.25 * (1.0 - n_stop / n_toks) + 0.25 * (n_uniq / n_toks)
+       |   + 0.3 * len_norm + 0.2 * (1.0 - n_punct / n_chars_d)) * 1000000) AS BIGINT) AS quality_score_e6
+       |FROM base""".stripMargin
+
   // shared by the t3 entry, t25's confusion-matrix CTE and d21's
   // cross-language dup audit (Dedup.scala)
   private[operators] lazy val t3OracleSql: String =
@@ -2244,26 +2266,7 @@ object TextAnalysis {
          | round(CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
          |   / greatest(CASE WHEN length($trimSql) = 0 THEN 0 ELSE len($tokSql) END, 1), 4) AS avg_token_len
          |FROM documents""".stripMargin,
-    "t2_text_quality" ->
-      s"""WITH base AS (
-         | SELECT doc_id,
-         |  ${stopCountSql(stopwords("en"))} AS n_stop,
-         |  CAST(greatest(len($tokSql), 1) AS DOUBLE) AS n_toks,
-         |  CAST(len(list_distinct($tokSql)) AS DOUBLE) AS n_uniq,
-         |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_d,
-         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
-         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
-         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_norm
-         | FROM documents)
-         |SELECT doc_id,
-         | CAST(floor(n_stop / n_toks * 1000000) AS BIGINT) AS stop_ratio_e6,
-         | CAST(floor(n_uniq / n_toks * 1000000) AS BIGINT) AS uniq_ratio_e6,
-         | CAST(floor(n_punct / n_chars_d * 1000000) AS BIGINT) AS punct_ratio_e6,
-         | CAST(floor(n_digit / n_chars_d * 1000000) AS BIGINT) AS digit_ratio_e6,
-         | CAST(floor(len_norm * 1000000) AS BIGINT) AS len_norm_e6,
-         | CAST(floor((0.25 * (1.0 - n_stop / n_toks) + 0.25 * (n_uniq / n_toks)
-         |   + 0.3 * len_norm + 0.2 * (1.0 - n_punct / n_chars_d)) * 1000000) AS BIGINT) AS quality_score_e6
-         |FROM base""".stripMargin,
+    "t2_text_quality" -> t2OracleSql,
     "t3_lang_id" -> t3OracleSql,
     "t4_fingerprint" ->
       """WITH n AS (

@@ -1825,6 +1825,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${if (g._4 == 1) "PARETO" else "dom"} eff=${g._7}").mkString(" "))
   }
 
+  test("d22: the keeper-policy audit replays both elections literally from " +
+    "d6's clusters and t2's scores, and both regimes occur") {
+    val clusters = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val q = graft.operators.TextAnalysis.t2TextQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quality_score_e6"))
+      .toMap
+    val expect = clusters.groupBy(_._2).map { case (cid, ms) =>
+      val members = ms.map(_._1)
+      val qMin = q(cid) // the min-id keeper IS the cluster label
+      val best = members.map(d => (q(d), -d)).max
+      val keeperQ = -best._2
+      cid.toString -> (members.size.toLong,
+        if (keeperQ != cid) 1L else 0L, cid, keeperQ, qMin, best._1,
+        best._1 - qMin)
+    }
+    val all = Dedup.d22KeeperPolicy(spark, sf).collect()
+    val (totRow, perRows) = all.partition(_.getAs[String]("key") == "~TOTAL")
+    val got = perRows.map(r => r.getAs[String]("key") ->
+      (r.getAs[Long]("n_members"), r.getAs[Long]("changed"),
+        r.getAs[Long]("keeper_minid"), r.getAs[Long]("keeper_quality"),
+        r.getAs[Long]("q_minid_e6"), r.getAs[Long]("q_best_e6"),
+        r.getAs[Long]("delta_e6"))).toMap
+    assert(got == expect, "elections diverged from the literal replay")
+    assert(totRow.length == 1)
+    val t = totRow.head
+    assert(t.getAs[Long]("n_members") == expect.values.map(_._1).sum &&
+      t.getAs[Long]("changed") == expect.values.map(_._2).sum &&
+      t.getAs[Long]("delta_e6") == expect.values.map(_._7).sum,
+      "~TOTAL must conserve the per-cluster sums")
+    // the quality keeper must actually differ somewhere AND agree somewhere,
+    // or the audit's CASE arms are dead code on this corpus
+    assert(expect.values.exists(_._2 == 1L) && expect.values.exists(_._2 == 0L),
+      "corpus must exercise both the changed and the unchanged regime")
+    // quality election never loses to min-id
+    assert(expect.values.forall(_._7 >= 0L), "delta_e6 must be >= 0")
+    info(s"${expect.size} clusters, ${expect.values.map(_._2).sum} changed, " +
+      s"total delta ${expect.values.map(_._7).sum}e6")
+  }
+
   test("s25: the rebalance plan replays literal cap/split arithmetic over " +
     "the same cell sizes s22 places, and both regimes occur") {
     val sizes = Similarity.s22ShardPlan(spark, sf).collect()
