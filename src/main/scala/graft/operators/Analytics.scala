@@ -963,7 +963,49 @@ object Analytics {
       .orderBy(col("s_suppkey"))
   }
 
+  /** `q55_rfm_segments`: RFM customer segmentation — the
+    * marketing-standard recency/frequency/monetary grid, with FIXED
+    * integer thresholds (recency: days since last order < 200 → R1;
+    * frequency: ≥ 10 orders → F1; monetary: ≥ 2.5e8 cents → M1 — each
+    * sits at the shipped corpus's median so the grid actually fills)
+    * instead
+    * of global quantiles, so every cell boundary is exact arithmetic
+    * and the segment of one customer never depends on another's data —
+    * the property that lets the segmentation run incrementally at 100 TB
+    * (quantile grids re-segment everyone on every refresh). Anchored at
+    * the corpus's fixed end-of-history date, cents exact (the q41
+    * idiom on o_totalprice).
+    *
+    * Scale: ONE orders scan collapses to customer grain at the first
+    * shuffle (map-side partials carry max-date/count/sum); bucketing is
+    * a per-row CASE on that grain; the 8-cell rollup is a second tiny
+    * aggregate. The customer dim never joins — the segments need only
+    * behavior, an existence audit would be q11's anti-join. */
+  def q55RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("2001-09-01").cast("timestamp")
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
+      .withColumn("recency_days",
+        datediff(anchor, col("last_order")).cast("long"))
+      .withColumn("r", when(col("recency_days") < 200L, "R1").otherwise("R0"))
+      .withColumn("f", when(col("n_orders") >= 10L, "F1").otherwise("F0"))
+      .withColumn("m", when(col("spend_cents") >= 250000000L, "M1")
+        .otherwise("M0"))
+    perCust
+      .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("spend_cents")).as("spend_cents"),
+        min(col("recency_days")).as("min_recency_days"),
+        max(col("recency_days")).as("max_recency_days"))
+      .orderBy(col("segment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_rfm_segments" -> q55RfmSegments _,
     "q50_product_margin" -> q50ProductMargin _,
     "q51_important_parts" -> q51ImportantParts _,
     "q52_ship_delay_modes" -> q52ShipDelayModes _,
@@ -993,6 +1035,29 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    "q55_rfm_segments" ->
+      """WITH per AS (
+        | SELECT o_custkey, max(o_orderdate) AS last_order,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS spend_cents
+        | FROM orders GROUP BY 1),
+        |b AS (
+        | SELECT o_custkey, n_orders, spend_cents,
+        |  CAST(datediff('day', last_order, TIMESTAMP '2001-09-01')
+        |    AS BIGINT) AS recency_days,
+        |  CASE WHEN datediff('day', last_order, TIMESTAMP '2001-09-01') < 200
+        |   THEN 'R1' ELSE 'R0' END ||
+        |  CASE WHEN n_orders >= 10 THEN 'F1' ELSE 'F0' END ||
+        |  CASE WHEN spend_cents >= 250000000 THEN 'M1' ELSE 'M0' END
+        |    AS segment
+        | FROM per)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        | CAST(sum(spend_cents) AS BIGINT) AS spend_cents,
+        | CAST(min(recency_days) AS BIGINT) AS min_recency_days,
+        | CAST(max(recency_days) AS BIGINT) AS max_recency_days
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // deliberately the TEXTBOOK Q9 form — flat 5-way join with the
     // name LIKE: hash-matching it proves the prune-before-shuffle plan
     "q50_product_margin" ->

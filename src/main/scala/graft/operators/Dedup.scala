@@ -40,6 +40,13 @@ object Dedup {
     * engines compare VARCHAR bytewise, so the chunks are oracle-safe. 24
     * bits keeps per-seed collision noise at ~n_shingles/2^24 — negligible
     * — where 16-bit chunks would visibly inflate band collisions. */
+  /** d23's (bands × rows-per-band) grid over the [[MinhashSeeds]]
+    * signature — from the all-candidates end (8×1) through the deployed
+    * d3 config (4×2) to the strictest (1×8). Declared with the top-level
+    * constants: the strict `oracle` map forces the lazy d23 SQL at
+    * object init, which must find this already initialized. */
+  val D23Configs: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
   val MinhashChunkHex = 6
   val MinhashChunksPerDigest = 5
 
@@ -251,19 +258,7 @@ object Dedup {
     * over the exploded shingle arrays, band signatures, band-bucket
     * equi-join, distinct (d1 < d2) pairs. */
   private def minhashCandidates(arrays: DataFrame): DataFrame = {
-    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("h"))
-    // all k minhashes in ONE pass: base digests materialized per shingle
-    // row, k chunk-min() aggregates per doc — no seed explosion, partial
-    // (map-side) mins, a single shuffle on doc_id. minhash_i = min over
-    // shingles of chunk i%5 of md5((i/5) ':' shingle-hash) — the 60-bit
-    // shingle hash rendered as decimal digits, identically in both engines.
-    val nDigests = (MinhashSeeds + MinhashChunksPerDigest - 1) / MinhashChunksPerDigest
-    val withM = (0 until nDigests).foldLeft(sh)((df, k) =>
-      df.withColumn(s"m$k", md5(concat(lit(k.toString), lit(":"), col("h").cast("string")))))
-    val mins = (0 until MinhashSeeds).map(i =>
-      min(substring(col(s"m${i / MinhashChunksPerDigest}"),
-        1 + MinhashChunkHex * (i % MinhashChunksPerDigest), MinhashChunkHex)).as(s"h$i"))
-    val mh = withM.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val mh = minhashTable(arrays)
     // band b's signature = md5 of its minhashes in seed order
     val bandCols = (0 until MinhashSeeds / BandsOf).map { b =>
       val parts = (0 until BandsOf).map(r => col(s"h${b * BandsOf + r}"))
@@ -275,6 +270,25 @@ object Dedup {
       .join(sig.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** The per-doc minhash signature frame (doc_id, h0..h{k-1}) shared by
+    * [[minhashCandidates]] (d3/d10's fixed banding) and d23's banding
+    * sweep: all k minhashes in ONE pass — base digests materialized per
+    * shingle row, k chunk-min() aggregates per doc, no seed explosion,
+    * partial (map-side) mins, a single shuffle on doc_id. minhash_i =
+    * min over shingles of chunk i%5 of md5((i/5) ':' shingle-hash) — the
+    * 60-bit shingle hash rendered as decimal digits, identically in both
+    * engines. */
+  private def minhashTable(arrays: DataFrame): DataFrame = {
+    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("h"))
+    val nDigests = (MinhashSeeds + MinhashChunksPerDigest - 1) / MinhashChunksPerDigest
+    val withM = (0 until nDigests).foldLeft(sh)((df, k) =>
+      df.withColumn(s"m$k", md5(concat(lit(k.toString), lit(":"), col("h").cast("string")))))
+    val mins = (0 until MinhashSeeds).map(i =>
+      min(substring(col(s"m${i / MinhashChunksPerDigest}"),
+        1 + MinhashChunkHex * (i % MinhashChunksPerDigest), MinhashChunkHex)).as(s"h$i"))
+    withM.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** d10: a pair is a fuzzy dup when edit distance ≤ max(len)/EditDen. */
@@ -1251,6 +1265,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d23_banding_sweep" -> d23OracleSql,
     "d22_keeper_policy" -> d22OracleSql,
     "d21_crosslang_dups" -> d21OracleSql,
     "d20_bloom_prefilter" -> d20OracleSql,
@@ -2120,7 +2135,129 @@ object Dedup {
        | FROM full_rows
        |) ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d23
+
+  /** The exact LSH s-curve value at the operating threshold: the
+    * probability 1 − (1 − τ^r)^b that a pair at Jaccard exactly
+    * τ = [[TauNum]]/[[TauDen]] lands in some band bucket, floored to e6.
+    * Pure rational arithmetic over the config literals (denominator
+    * [[TauDen]]^(r·b) ≤ 5^8 — BigInt makes the floor exact), so both
+    * engines carry the SAME literal. */
+  def lshTheoryE6(b: Int, r: Int): Long = {
+    val (num, den) = (BigInt(TauNum), BigInt(TauDen))
+    val missBand = den.pow(r) - num.pow(r) // (1 − τ^r) · den^r
+    val pDen = den.pow(r * b)
+    val pNum = pDen - missBand.pow(b) // (1 − (1−τ^r)^b) · den^(rb)
+    (BigInt(1000000) * pNum / pDen).toLong
+  }
+
+  /** `d23_banding_sweep`: the (b × r) tuning curve for MinHash+LSH —
+    * candidate count, recall and precision against d2's exact pairs for
+    * every banding of the [[MinhashSeeds]]-hash signature, next to the
+    * exact s-curve theory value at τ ([[lshTheoryE6]]) — the dial d3's
+    * deploy (4×2) was set by, kept measured so signature changes show
+    * their cost (d13 sweeps the CONFIRM threshold; d11 audits ONE
+    * config's candidates; this sweeps the CANDIDATE geometry). Measured
+    * recall can sit above theory-at-τ — theory is the worst case at
+    * exactly τ, real pairs sit above it.
+    *
+    * Scale: ONE minhash pass (the d3 table, map-side chunk-mins); all
+    * configs' band signatures ride one ≤Σb-entry per-doc array explode
+    * (signature-grained, never corpus×configs scans); each config's
+    * candidates come from the same band-bucket equi-join shape d3 runs
+    * (bounded by collision probability — the 8×1 bucket blow-up is the
+    * permissive END of the sweep, visible in its n_candidates, never a
+    * doc×doc join); the truth join is pair-grained against d2's
+    * prefix-filtered output. */
+  def d23BandingSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arrays = shingleArrays(spark, dir).localCheckpoint(true)
+    val truth = jaccardPairs(arrays, None, alreadyCheckpointed = true)
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"),
+        lit(1L).as("is_true"))
+      .localCheckpoint(true) // joined by the scalar count AND per config
+    val mh = minhashTable(arrays)
+    val entries = D23Configs.zipWithIndex.flatMap { case ((b, r), ci) =>
+      (0 until b).map { band =>
+        val parts = (0 until r).map(j => col(s"h${band * r + j}"))
+        struct(lit(ci.toLong).as("cfg"), lit(band).as("band"),
+          md5(concat_ws("|", parts: _*)).as("bsig"))
+      }
+    }
+    val sig = mh.select(col("doc_id"), explode(array(entries: _*)).as("e"))
+      .select(col("doc_id"), col("e.cfg").as("cfg"), col("e.band").as("band"),
+        col("e.bsig").as("bsig"))
+      .localCheckpoint(true) // both sides of the bucket join
+    val cand = sig.select(col("doc_id").as("d1"), col("cfg"), col("band"), col("bsig"))
+      .join(sig.select(col("doc_id").as("d2"), col("cfg"), col("band"), col("bsig")),
+        Seq("cfg", "band", "bsig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("cfg"), col("d1"), col("d2")).distinct()
+    val perCfg = cand.join(truth.drop("is_true"), Seq("d1", "d2"), "left_semi")
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_hits"))
+      .join(cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates")),
+        Seq("cfg"), "right")
+    val cfgRows = D23Configs.zipWithIndex
+      .map { case ((b, r), ci) => (ci.toLong, b.toLong, r.toLong, lshTheoryE6(b, r)) }
+      .toDF("cfg", "bands", "rows_per_band", "theory_e6")
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    broadcast(cfgRows).join(perCfg, Seq("cfg"), "left")
+      .join(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true_pairs"),
+        expr("coalesce(n_hits, 0L) * 1000000L div greatest(n_true_pairs, 1L)")
+          .as("recall_e6"),
+        expr("coalesce(n_hits, 0L) * 1000000L div greatest(coalesce(n_candidates, 0L), 1L)")
+          .as("precision_e6"),
+        col("theory_e6"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  private lazy val d23OracleSql: String = {
+    val cfgValues = D23Configs.zipWithIndex.map { case ((b, r), ci) =>
+      s"($ci, $b, $r, ${lshTheoryE6(b, r)})" }.mkString(", ")
+    s"""WITH $shinglesCte,
+       |p AS (${jaccardSelectSql("")}),
+       |mh AS (
+       | SELECT doc_id, r.seed,
+       |  min(substr(md5(CAST(r.seed // $MinhashChunksPerDigest AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
+       |      1 + $MinhashChunkHex * (r.seed % $MinhashChunksPerDigest), $MinhashChunkHex)) AS mh
+       | FROM docsh, range($MinhashSeeds) r(seed) GROUP BY doc_id, r.seed),
+       |cfg(cfg, bands, rows_per_band, theory_e6) AS (VALUES $cfgValues),
+       |sig AS (
+       | SELECT m.doc_id, c.cfg, m.seed // c.rows_per_band AS band,
+       |  md5(string_agg(m.mh, '|' ORDER BY m.seed)) AS bsig
+       | FROM mh m JOIN cfg c ON m.seed < c.bands * c.rows_per_band
+       | GROUP BY 1, 2, 3),
+       |cand AS (
+       | SELECT DISTINCT a.cfg, a.doc_id AS d1, b.doc_id AS d2
+       | FROM sig a JOIN sig b ON a.cfg = b.cfg AND a.band = b.band
+       |  AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |tr AS (SELECT doc_id_1 AS d1, doc_id_2 AS d2 FROM p),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM tr),
+       |agg AS (
+       | SELECT cand.cfg, CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(sum(CASE WHEN tr.d1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_hits
+       | FROM cand LEFT JOIN tr ON cand.d1 = tr.d1 AND cand.d2 = tr.d2
+       | GROUP BY 1)
+       |SELECT CAST(c.bands AS BIGINT) AS bands,
+       | CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+       | CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+       | CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, n_true_pairs,
+       | CAST(COALESCE(n_hits, 0) * 1000000
+       |   // greatest(n_true_pairs, 1) AS BIGINT) AS recall_e6,
+       | CAST(COALESCE(n_hits, 0) * 1000000
+       |   // greatest(COALESCE(n_candidates, 0), 1) AS BIGINT) AS precision_e6,
+       | CAST(c.theory_e6 AS BIGINT) AS theory_e6
+       |FROM cfg c LEFT JOIN agg ON c.cfg = agg.cfg CROSS JOIN nt
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_banding_sweep" -> (d23BandingSweep _),
     "d22_keeper_policy" -> (d22KeeperPolicy _),
     "d21_crosslang_dups" -> (d21CrosslangDups _),
     "d20_bloom_prefilter" -> (d20BloomPrefilter _),

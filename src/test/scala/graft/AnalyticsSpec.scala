@@ -602,4 +602,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expect, "dominance rollup diverged from the replay")
     assert(got.nonEmpty, "the corpus must contain dominant positions")
   }
+
+  test("q55: RFM segments replay brute-force — per-customer buckets on " +
+    "the fixed integer thresholds, full 8-cell grid occupied") {
+    import java.time.LocalDateTime
+    val anchor = LocalDateTime.of(2001, 9, 1, 0, 0)
+    val per = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[LocalDateTime]("o_orderdate"),
+        math.floor(r.getAs[Double]("o_totalprice") * 100).toLong))
+      .groupBy(_._1).map { case (c, os) =>
+        val rec = java.time.temporal.ChronoUnit.DAYS.between(
+          os.map(_._2).max.toLocalDate, anchor.toLocalDate)
+        (c, rec, os.size.toLong, os.map(_._3).sum)
+      }
+    val expect = per.groupBy { case (_, rec, n, s) =>
+      (if (rec < 200) "R1" else "R0") + (if (n >= 10) "F1" else "F0") +
+        (if (s >= 250000000L) "M1" else "M0")
+    }.map { case (seg, cs) =>
+      seg -> (cs.size.toLong, cs.map(_._3).sum, cs.map(_._4).sum,
+        cs.map(_._2).min, cs.map(_._2).max)
+    }
+    val got = operators.Analytics.q55RfmSegments(spark, sf).collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("spend_cents"), r.getAs[Long]("min_recency_days"),
+          r.getAs[Long]("max_recency_days"))).toMap
+    assert(got == expect, "segments diverged from the replay")
+    assert(got.keySet.size == 8,
+      s"all 8 RFM cells must be occupied, got ${got.keySet}")
+    assert(got.values.map(_._1).sum == per.size.toLong,
+      "every customer lands in exactly one segment")
+  }
 }

@@ -1825,6 +1825,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${if (g._4 == 1) "PARETO" else "dom"} eff=${g._7}").mkString(" "))
   }
 
+  test("d23: the banding sweep's deployed config matches d3's own candidate " +
+    "machinery, the theory literals are exact rationals, and the sweep " +
+    "is monotone") {
+    val rows = Dedup.d23BandingSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_true_pairs"), r.getAs[Long]("recall_e6"),
+        r.getAs[Long]("precision_e6"), r.getAs[Long]("theory_e6")))
+      .sortBy(_._2)
+    assert(rows.map(r => (r._1.toInt, r._2.toInt)).toSeq ==
+      Dedup.D23Configs.sortBy(_._2), "config grid diverged")
+    // theory literals replay the exact rational fold
+    def theory(b: Int, r: Int): Long = {
+      val (n, d) = (BigInt(Dedup.TauNum), BigInt(Dedup.TauDen))
+      val miss = (d.pow(r) - n.pow(r)).pow(b)
+      ((d.pow(r * b) - miss) * BigInt(1000000) / d.pow(r * b)).toLong
+    }
+    rows.foreach(r => assert(r._8 == theory(r._1.toInt, r._2.toInt),
+      s"theory at ${r._1}x${r._2}"))
+    // the deployed (4x2) row IS d3's banding: its candidate count must
+    // equal the d3 candidate machinery's own pair count (same bands)
+    val d3pairs = Dedup.d3DedupMinhash(spark, sf).collect()
+    val deployed = rows.find(r => r._1 == 4L && r._2 == 2L).get
+    assert(deployed._4 == d3pairs.length.toLong,
+      "the 4x2 hits must equal d3's confirmed pair count (recall there " +
+        "is what d3 ships)")
+    // coarser bands only ADD candidate opportunities: candidates and
+    // recall are monotone non-increasing as rows_per_band grows
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sorted.reverse),
+      "candidates must shrink as banding tightens")
+    assert(rows.map(_._6).sameElements(rows.map(_._6).sorted.reverse),
+      "recall must shrink as banding tightens")
+    // both regimes: some config misses truth, some config over-generates
+    assert(rows.exists(_._6 < 1000000L) && rows.exists(r => r._3 > r._4),
+      "sweep must show both the recall loss and the precision loss end")
+    info(rows.map(r => s"${r._1}x${r._2}: cand=${r._3} recall=${r._6}e6 " +
+      s"prec=${r._7}e6 theory=${r._8}e6").mkString(" "))
+  }
+
   test("d22: the keeper-policy audit replays both elections literally from " +
     "d6's clusters and t2's scores, and both regimes occur") {
     val clusters = Dedup.d6DedupClusters(spark, sf).collect()
