@@ -1265,6 +1265,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d24_df_profile" -> d24OracleSql,
     "d23_banding_sweep" -> d23OracleSql,
     "d22_keeper_policy" -> d22OracleSql,
     "d21_crosslang_dups" -> d21OracleSql,
@@ -2256,7 +2257,89 @@ object Dedup {
        |ORDER BY rows_per_band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d24
+
+  /** `d24_df_profile`: the shingle document-frequency profile and
+    * posting-list COST MODEL — per log2 df bucket: distinct shingles,
+    * posting rows, and the exact unfiltered candidate-pair volume
+    * (Σ df·(df−1)/2 — what a naive shingle equi-join would generate from
+    * that bucket), with e6 shares; `~TOTAL` carries the corpus-wide
+    * numbers. This is the capacity-planning pass an operator runs
+    * BEFORE d2/d17 at a new corpus scale: the pair volume concentrates
+    * in the top df buckets, and this table is what sizes the
+    * prefix-filter block size / containment hash blocks (and predicts
+    * what d23's permissive bandings will cost). Pair counts ride
+    * Decimal(38,0) and emit as digits-strings (the q43 discipline —
+    * Σ df² wraps BIGINT long before 100 TB); shares emit BIGINT via
+    * `div`.
+    *
+    * Scale: one shingle scan collapses to the distinct-shingle df
+    * aggregate (map-side partials), that collapses to ≤64 log2 buckets;
+    * the bucket frame is checkpointed once for its two grain
+    * consumers — nothing beyond the df aggregate is corpus-sized. */
+  def d24DfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val pairsCol = expr(
+      "CAST(CAST(df AS DECIMAL(38,0)) * (df - 1L) / 2 AS DECIMAL(38,0))")
+    val per = shingleRows(spark, dir)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("long").as("fbin"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(pairsCol).as("pairs"))
+      .localCheckpoint(true) // <=64 rows; per-bucket + ~TOTAL read it
+    val scal = per.agg(sum(col("n_postings")).as("tot_post"),
+      sum(col("pairs")).as("tot_pairs"))
+    val rows = per.join(broadcast(scal))
+      .select(lpad(col("fbin").cast("string"), 2, "0").as("key"),
+        col("fbin"), col("n_shingles"), col("n_postings"),
+        expr("n_postings * 1000000L div greatest(tot_post, 1L)")
+          .as("posting_share_e6"),
+        col("pairs").cast("string").as("cand_pairs"),
+        expr("pairs * 1000000 div greatest(tot_pairs, 1)")
+          .as("pair_share_e6"))
+    val tot = per.agg(sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_postings")).as("n_postings"),
+        sum(col("pairs")).as("pairs"))
+      .select(lit("~TOTAL").as("key"), lit(null).cast("long").as("fbin"),
+        col("n_shingles"), col("n_postings"),
+        lit(1000000L).as("posting_share_e6"),
+        col("pairs").cast("string").as("cand_pairs"),
+        lit(1000000L).as("pair_share_e6"))
+    rows.unionByName(tot).orderBy(col("key"))
+  }
+
+  private lazy val d24OracleSql: String =
+    s"""WITH $shinglesCte,
+       |dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+       | FROM docsh GROUP BY h),
+       |per AS (
+       | SELECT CAST(length(bin(df)) AS BIGINT) AS fbin,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(df) AS BIGINT) AS n_postings,
+       |  CAST(sum(CAST(df AS HUGEINT) * (df - 1) // 2) AS HUGEINT) AS pairs
+       | FROM dfreq GROUP BY 1),
+       |scal AS (SELECT CAST(sum(n_postings) AS BIGINT) AS tot_post,
+       |  CAST(sum(pairs) AS HUGEINT) AS tot_pairs FROM per)
+       |SELECT * FROM (
+       | SELECT lpad(CAST(fbin AS VARCHAR), 2, '0') AS key, fbin,
+       |  n_shingles, n_postings,
+       |  CAST(n_postings * 1000000 // greatest(tot_post, 1) AS BIGINT)
+       |    AS posting_share_e6,
+       |  CAST(pairs AS VARCHAR) AS cand_pairs,
+       |  CAST(pairs * 1000000 // greatest(tot_pairs, 1) AS BIGINT)
+       |    AS pair_share_e6
+       | FROM per CROSS JOIN scal
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(NULL AS BIGINT),
+       |  CAST(sum(n_shingles) AS BIGINT), CAST(sum(n_postings) AS BIGINT),
+       |  CAST(1000000 AS BIGINT),
+       |  CAST(CAST(sum(pairs) AS HUGEINT) AS VARCHAR),
+       |  CAST(1000000 AS BIGINT)
+       | FROM per
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_df_profile" -> (d24DfProfile _),
     "d23_banding_sweep" -> (d23BandingSweep _),
     "d22_keeper_policy" -> (d22KeeperPolicy _),
     "d21_crosslang_dups" -> (d21CrosslangDups _),

@@ -1825,6 +1825,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${if (g._4 == 1) "PARETO" else "dom"} eff=${g._7}").mkString(" "))
   }
 
+  test("d24: the df profile replays a literal shingle df histogram — log2 " +
+    "bins, exact pair volumes, conserving shares and ~TOTAL") {
+    // literal shingle df: distinct word-3-shingles per doc, counted
+    val dfreq = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = dfreq.values.groupBy(df => 64 - java.lang.Long
+      .numberOfLeadingZeros(df)).map { case (bin, dfs) =>
+      bin.toLong -> (dfs.size.toLong, dfs.sum,
+        dfs.map(df => BigInt(df) * (df - 1) / 2).sum)
+    }
+    val all = Dedup.d24DfProfile(spark, sf).collect()
+    val (totRow, perRows) = all.partition(_.getAs[String]("key") == "~TOTAL")
+    val got = perRows.map(r => r.getAs[Long]("fbin") ->
+      (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_postings"),
+        BigInt(r.getAs[String]("cand_pairs")))).toMap
+    assert(got == expect, "df histogram diverged from the literal replay")
+    val (totPost, totPairs) = (expect.values.map(_._2).sum,
+      expect.values.map(_._3).sum)
+    perRows.foreach { r =>
+      val e = expect(r.getAs[Long]("fbin"))
+      assert(r.getAs[Long]("posting_share_e6") ==
+        e._2 * 1000000L / math.max(totPost, 1L), s"posting share at $r")
+      assert(BigInt(r.getAs[Long]("pair_share_e6")) ==
+        e._3 * 1000000 / totPairs.max(BigInt(1)), s"pair share at $r")
+    }
+    assert(totRow.length == 1 &&
+      totRow.head.getAs[Long]("n_shingles") == expect.values.map(_._1).sum &&
+      totRow.head.getAs[Long]("n_postings") == totPost &&
+      BigInt(totRow.head.getAs[String]("cand_pairs")) == totPairs,
+      "~TOTAL must conserve the per-bucket sums")
+    assert(expect.size >= 3, "the corpus must span several df buckets")
+    assert(expect.contains(1L) && expect(1L)._3 == BigInt(0),
+      "the df=1 bucket generates zero candidate pairs by construction")
+    info(expect.toSeq.sortBy(_._1).map { case (b, (s, p, c)) =>
+      s"2^$b: $s shingles $p postings $c pairs" }.mkString(" "))
+  }
+
   test("d23: the banding sweep's deployed config matches d3's own candidate " +
     "machinery, the theory literals are exact rationals, and the sweep " +
     "is monotone") {
