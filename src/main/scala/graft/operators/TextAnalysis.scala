@@ -1947,7 +1947,87 @@ object TextAnalysis {
        |WHERE e.split IN ('val', 'test')
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+
+  /** t34's candidate context length, in whitespace tokens — near the
+    * corpus median so both the fits-whole and the truncated regime are
+    * exercised at every verification scale. */
+  val ContextLenTokens = 64L
+
+  /** `t34_length_histogram`: the document-length histogram + truncation
+    * loss curve — per log2 token-length bucket: doc count, token count
+    * and share, and the tokens LOST if every doc is truncated at
+    * [[ContextLenTokens]] (with the bucket's e6 loss rate); `~TOTAL`
+    * carries the corpus loss rate — the number that decides a
+    * max_seq_len (t12 PACKS at a chosen length, t17 CHUNKS past it;
+    * this is the planning table read before choosing it). All integer:
+    * token counts are codegen'd matcher walks, the bucket is the bit
+    * length, loss is `greatest(n − L, 0)`.
+    *
+    * Scale: ONE documents scan collapses to ≤64 log2 buckets at the
+    * first shuffle (map-side partials); the bucket frame checkpoints
+    * once for its two grain consumers; the share scalar is the same
+    * aggregate's total (no second scan). */
+  def t34LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val L = ContextLenTokens
+    val per = Tables.load(spark, dir, "documents")
+      .select(regexp_count(col("text"), lit("\\S+")).cast("long").as("n"))
+      .groupBy(length(bin(col("n"))).cast("long").as("fbin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        sum(greatest(col("n") - L, lit(0L))).as("lost_tokens"))
+      .localCheckpoint(true) // <=64 rows; per-bucket + ~TOTAL read it
+    val scal = per.agg(sum(col("n_tokens")).as("tot"))
+    val rows = per.join(broadcast(scal))
+      .select(lpad(col("fbin").cast("string"), 2, "0").as("key"),
+        col("fbin"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L div greatest(tot, 1L)")
+          .as("token_share_e6"),
+        col("lost_tokens"),
+        expr("lost_tokens * 1000000L div greatest(n_tokens, 1L)")
+          .as("loss_e6"))
+    val tot = per.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("lost_tokens")).as("lost_tokens"))
+      .select(lit("~TOTAL").as("key"), lit(null).cast("long").as("fbin"),
+        col("n_docs"), col("n_tokens"), lit(1000000L).as("token_share_e6"),
+        col("lost_tokens"),
+        expr("lost_tokens * 1000000L div greatest(n_tokens, 1L)")
+          .as("loss_e6"))
+    rows.unionByName(tot).orderBy(col("key"))
+  }
+
+  private lazy val t34OracleSql: String =
+    s"""WITH t AS (
+       | SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+       | FROM documents),
+       |per AS (
+       | SELECT CAST(length(bin(n)) AS BIGINT) AS fbin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(greatest(n - $ContextLenTokens, 0)) AS BIGINT)
+       |    AS lost_tokens
+       | FROM t GROUP BY 1),
+       |scal AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+       |SELECT * FROM (
+       | SELECT lpad(CAST(fbin AS VARCHAR), 2, '0') AS key, fbin, n_docs,
+       |  n_tokens,
+       |  CAST(n_tokens * 1000000 // greatest(tot, 1) AS BIGINT)
+       |    AS token_share_e6,
+       |  lost_tokens,
+       |  CAST(lost_tokens * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+       |    AS loss_e6
+       | FROM per CROSS JOIN scal
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(NULL AS BIGINT), CAST(sum(n_docs) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT), CAST(1000000 AS BIGINT),
+       |  CAST(sum(lost_tokens) AS BIGINT),
+       |  CAST(sum(lost_tokens) * 1000000
+       |    // greatest(sum(n_tokens), 1) AS BIGINT)
+       | FROM per
+       |) ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_length_histogram" -> (t34LengthHistogram _),
     "t32_readability" -> (t32Readability _),
     "t33_ngram_coverage" -> (t33NgramCoverage _),
     "t31_source_divergence" -> (t31SourceDivergence _),
@@ -2234,6 +2314,7 @@ object TextAnalysis {
          |FROM b ORDER BY fbin""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
     "t27_bpe_train" -> t27OracleSql,
+    "t34_length_histogram" -> t34OracleSql,
     "t32_readability" -> t32OracleSql,
     "t33_ngram_coverage" -> t33OracleSql,
     "t31_source_divergence" -> t31OracleSql,

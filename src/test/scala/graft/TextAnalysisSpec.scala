@@ -1047,4 +1047,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     info(got.toSeq.sortBy(_._1).map { case ((sp, n), (g, c, e)) =>
       s"$sp/$n-gram: $c/$g (${e}e6)" }.mkString(" "))
   }
+
+  test("t34: the length histogram replays a literal token-count fold — " +
+    "log2 bins, truncation loss at L, conservation — both regimes occur") {
+    val L = operators.TextAnalysis.ContextLenTokens
+    val lens = Tables.load(spark, sf, "documents").select("text").collect()
+      .map(r => "\\S+".r.findAllIn(r.getString(0)).size.toLong)
+    val expect = lens.groupBy(n => 64L - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (bin, ns) =>
+        bin -> (ns.size.toLong, ns.sum, ns.map(n => math.max(n - L, 0L)).sum)
+      }
+    val all = operators.TextAnalysis.t34LengthHistogram(spark, sf).collect()
+    val (totRow, perRows) = all.partition(_.getAs[String]("key") == "~TOTAL")
+    val tot = lens.sum
+    perRows.foreach { r =>
+      val e = expect(r.getAs[Long]("fbin"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("lost_tokens")) == e, s"bucket diverged at $r")
+      assert(r.getAs[Long]("token_share_e6") == e._2 * 1000000L / tot &&
+        r.getAs[Long]("loss_e6") == e._3 * 1000000L / math.max(e._2, 1L),
+        s"shares diverged at $r")
+    }
+    assert(perRows.map(_.getAs[Long]("fbin")).toSet == expect.keySet)
+    assert(totRow.length == 1 &&
+      totRow.head.getAs[Long]("n_docs") == lens.length.toLong &&
+      totRow.head.getAs[Long]("n_tokens") == tot &&
+      totRow.head.getAs[Long]("lost_tokens") == expect.values.map(_._3).sum,
+      "~TOTAL must conserve the per-bucket sums")
+    // the threshold sits near the median: some buckets lose tokens and
+    // some lose none, or the planning curve is degenerate
+    assert(expect.values.exists(_._3 > 0L) && expect.values.exists(_._3 == 0L),
+      "corpus must exercise both the truncated and the fits regime")
+    info(expect.toSeq.sortBy(_._1).map { case (b, (d, n, l)) =>
+      s"2^$b: $d docs $n toks lost $l" }.mkString(" ") +
+      s"; corpus loss ${totRow.head.getAs[Long]("loss_e6")}e6 at L=$L")
+  }
 }
