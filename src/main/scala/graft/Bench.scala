@@ -32,11 +32,12 @@ import org.apache.spark.sql.SparkSession
   * a compute-bound plan is the host-starvation signature, diagnosable
   * from the artifact alone.
   *
-  * Output discipline: stdout carries EXACTLY one compact JSON line (medians
-  * only, adaptive 2/1 decimals, basename sf tag, and since round 8
-  * per-query keys shortened to their unique `<family><number>` prefix —
-  * the driver's tail budget; raw sweeps keep 3 decimals, FULL query
-  * names and the full sf dir in BENCH_SPREAD.json). The harness that collects the bench keeps only the
+  * Output discipline: stdout carries EXACTLY one compact JSON line — the
+  * all-query total, `nq`, the validity verdict, and a HEADLINE subset of
+  * per-query medians (canaries + the [[HeadlineCount]] most expensive,
+  * centisecond precision, `<family><number>` keys); the authoritative
+  * FULL per-query medians (3 decimals, full names) plus raw sweeps live
+  * in BENCH_SPREAD.json. The harness that collects the bench keeps only the
   * last ~2KB of output, and a spread object inlined into that line made it
   * longer than the capture window — the line's opening brace fell off and
   * the JSON never parsed (BENCH_r04/r05 `"parsed": null`). The spread now
@@ -52,6 +53,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val Reps = 3
   val DefaultSfDir = "/root/testdata/sf0.1"
+
+  /** How many of the most-expensive queries ride the stdout metric line
+    * beside the canaries (the full per-query medians live in
+    * BENCH_SPREAD.json's `medians`). 60 covers ~85% of total wall at the
+    * round-17 surface and keeps the worst-case line comfortably inside
+    * the driver's 2000-char tail at any future query count. */
+  val HeadlineCount = 60
 
   /** Throttle canaries: three trivial queries (pure scan/agg, unchanged
     * since round 1) whose clean-environment floors are known from solo
@@ -240,17 +248,24 @@ object Bench {
     // a comma-decimal locale would emit malformed JSON
     def fmt(t: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-    // stdout medians carry 1 decimal under 10s and whole seconds above
-    // (capped at 999): the metric line must fit the driver's 2000-char
-    // output tail, and at 82 queries every value character counts — this
-    // rendering bounds EVERY value at 3 chars ("0.9"/"9.9"/"999"), which
-    // is what keeps the worst-case line under the window with room for
-    // future operators (the round-6 2-decimal form overflowed the
-    // projection at 82). 100ms resolution is far below this VM's
-    // documented noise (single shots move ±30%; the 3-decimal raw sweeps
-    // are in BENCH_SPREAD.json). AnalyticsSpec projects the worst-case
-    // line length from the live query set and fails BEFORE an overflow.
-    // Trailing zeros stripped ("0.4"->"0.4", "2.0"->"2"): valid JSON,
+    // stdout medians carry CENTISECONDS under 10s and whole seconds
+    // above (capped at 999). Until round 16 every query rode the stdout
+    // line at 1-decimal precision, but that scheme hit both of its walls
+    // at once: at 180 queries the worst-case line was 1842/1920 chars
+    // (one more birth batch overflows the driver's 2000-char tail and
+    // zeroes the round's bench — the BENCH_r04/r05 failure mode), and
+    // 100ms granularity kept minting phantom 2x breaches on 0.3s-bar
+    // queries (q16 rendered 0.6 vs bar 0.298 two rounds running; the
+    // raw spreads dissolved it every time). Since round 17 the stdout
+    // map is therefore a HEADLINE SUBSET — the canaries plus the
+    // [[HeadlineCount]] most expensive queries by this run's own medians
+    // (~85% of total wall) — and the full per-query story moved to
+    // BENCH_SPREAD.json's `medians` object (3 decimals, full names, no
+    // budget), which BASELINE.md's comparison rule reads. The subset
+    // plus centiseconds fits the tail with >1200 chars of headroom at
+    // ANY future query count; `nq` on the line says how many queries the
+    // total covers so the subset is self-describing.
+    // Trailing zeros stripped ("0.40"->"0.4", "2.00"->"2"): valid JSON,
     // same information. A median above 999s renders as the SENTINEL -1
     // (a negative time is impossible, so a reader of the metric line
     // alone can tell a capped value from a true 999s — the raw number is
@@ -261,7 +276,7 @@ object Bench {
     def fmt2(t0: Double): String = {
       if (t0 > 999.0) return "-1"
       val s = String.format(java.util.Locale.ROOT,
-        if (t0 < 10) "%.1f" else "%.0f", Double.box(t0))
+        if (t0 < 10) "%.2f" else "%.0f", Double.box(t0))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
@@ -281,8 +296,17 @@ object Bench {
     require(canaryFloor.keySet.subsetOf(named.map(_._1).toSet),
       s"canary queries missing from benchQueries: " +
         s"${canaryFloor.keySet.diff(named.map(_._1).toSet)}")
-    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(median(v)) }
-      .mkString("{", ",", "}")
+    // the headline subset: canaries (the gate's evidence must be on the
+    // line) + the HeadlineCount most expensive medians — rendered in
+    // name order like every earlier round so diffs stay stable
+    val headline: Set[String] = {
+      val byCost = results.sortBy { case (_, v) => -median(v) }
+        .take(HeadlineCount).map(_._1).toSet
+      byCost ++ canaryFloor.keySet
+    }
+    val qs = results.collect { case (k, v) if headline(k) =>
+      "\"" + shortName(k) + "\":" + fmt2(median(v))
+    }.mkString("{", ",", "}")
     def spreadObj(rs: Seq[(String, Seq[Double])]): String = rs.map { case (k, v) =>
       "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -298,8 +322,14 @@ object Bench {
     // self-describing about WHICH queries carried the weather
     val bursts = burstSuspects(results, cpuReps.toMap)
     val burstsJson = bursts.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // `medians` is the authoritative per-query record BASELINE.md's
+    // comparison rule reads (3 decimals, FULL names — the stdout line
+    // only carries the headline subset at centisecond precision)
+    val mediansJson = results.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(median(v))
+    }.mkString("{", ",", "}")
     val spreadLine =
-      s"""{"metric":"spread","reps":$Reps,"sf":"$sfDir","clamped":$clampedJson,"burst_suspects":$burstsJson,"spread":${spreadObj(results)},"cpu":${spreadObj(cpuReps)}}"""
+      s"""{"metric":"spread","reps":$Reps,"sf":"$sfDir","clamped":$clampedJson,"burst_suspects":$burstsJson,"medians":$mediansJson,"spread":${spreadObj(results)},"cpu":${spreadObj(cpuReps)}}"""
     // the canary gate: a majority of the three trivial canaries over
     // CanaryFactor× their clean floors means the environment, not the
     // code, set this run's numbers. The burst arm ORs in: either way the
@@ -331,7 +361,7 @@ object Bench {
     // tail budget at 81 queries
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
     val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfTag","env_throttled":$envThrottled}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfTag","env_throttled":$envThrottled}""")
     spark.stop()
   }
 }

@@ -636,7 +636,8 @@ object Analytics {
           .as("promo_cents"),
         sum(col("rev_c")).as("total_cents"))
       .select(col("promo_cents"), col("total_cents"),
-        expr("promo_cents * 1000000L div total_cents").as("promo_share_e6"))
+        expr("promo_cents * CAST(1000000 AS DECIMAL(38,0)) div total_cents")
+          .as("promo_share_e6"))
   }
 
   /** `q46_top_supplier`: the TPC-H Q15 shape — the quarter's
@@ -749,7 +750,8 @@ object Analytics {
           .otherwise(0L)).as("nation_cents"),
         sum(col("rev_c")).as("total_cents"))
       .select(col("o_year"), col("nation_cents"), col("total_cents"),
-        expr("nation_cents * 1000000L div total_cents").as("mkt_share_e6"))
+        expr("nation_cents * CAST(1000000 AS DECIMAL(38,0)) div total_cents")
+          .as("mkt_share_e6"))
       .orderBy(col("o_year"))
   }
 
@@ -849,9 +851,11 @@ object Analytics {
     val scalar = rev.agg(sum(col("revenue_cents")).as("total_c"),
       count(lit(1)).as("n_parts"))
     rev.join(broadcast(scalar))
-      .filter(col("revenue_cents") > expr("(3L * total_c) div (2L * n_parts)"))
+      .filter(col("revenue_cents") >
+        expr("3 * CAST(total_c AS DECIMAL(38,0)) div (2 * n_parts)"))
       .select(col("l_partkey").as("p_partkey"), col("revenue_cents"),
-        expr("revenue_cents * 1000000L div total_c").as("share_e6"))
+        expr("revenue_cents * CAST(1000000 AS DECIMAL(38,0)) div total_c")
+          .as("share_e6"))
       .orderBy(col("revenue_cents").desc, col("p_partkey"))
   }
 

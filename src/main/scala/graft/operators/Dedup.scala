@@ -1861,7 +1861,7 @@ object Dedup {
     * replays the whole filter bit-for-bit).
     *
     * Scale: the corpus is scanned ONCE to build the bloom, which
-    * collapses to ≤ shards×8 words at the FIRST shuffle (bit_or
+    * collapses to ≤ shards×(D20Bits/32) = shards×16 words at the FIRST shuffle (bit_or
     * partials — p23's exact signed-64 idiom, identical in DuckDB); the
     * bloom then attaches BROADCAST to the batch's probe rows, so
     * screening is one batch-sized map join — no corpus-sized side ever
@@ -1914,7 +1914,7 @@ object Dedup {
       .select(lit("~TOTAL").as("key"), lit(null).cast("long").as("shard"),
         col("adm").as("admitted"), col("dup").as("truly_dup"),
         col("fp").as("false_pos"),
-        expr("fp * 1000000L div n").as("fp_rate_e6"))
+        expr("fp * CAST(1000000 AS DECIMAL(38,0)) div n").as("fp_rate_e6"))
     per.unionByName(tot).orderBy(col("key"))
   }
 
@@ -2208,9 +2208,11 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_true_pairs"),
-        expr("coalesce(n_hits, 0L) * 1000000L div greatest(n_true_pairs, 1L)")
+        expr("coalesce(n_hits, 0L) * CAST(1000000 AS DECIMAL(38,0))" +
+          " div greatest(n_true_pairs, 1)")
           .as("recall_e6"),
-        expr("coalesce(n_hits, 0L) * 1000000L div greatest(coalesce(n_candidates, 0L), 1L)")
+        expr("coalesce(n_hits, 0L) * CAST(1000000 AS DECIMAL(38,0))" +
+          " div greatest(coalesce(n_candidates, 0L), 1)")
           .as("precision_e6"),
         col("theory_e6"))
       .orderBy(col("rows_per_band"))
@@ -2292,7 +2294,7 @@ object Dedup {
     val rows = per.join(broadcast(scal))
       .select(lpad(col("fbin").cast("string"), 2, "0").as("key"),
         col("fbin"), col("n_shingles"), col("n_postings"),
-        expr("n_postings * 1000000L div greatest(tot_post, 1L)")
+        expr("n_postings * CAST(1000000 AS DECIMAL(38,0)) div greatest(tot_post, 1)")
           .as("posting_share_e6"),
         col("pairs").cast("string").as("cand_pairs"),
         expr("pairs * 1000000 div greatest(tot_pairs, 1)")

@@ -1085,8 +1085,12 @@ object Multimodal {
       .filter(length(col("content")) >= fb)
       .select(col("doc_id"), sigs.as("sigs"))
       .withColumn("hams", expr(
-        """transform(sequence(2, size(sigs)),
-          | i -> bit_count(element_at(sigs, i - 1) ^ element_at(sigs, i)))"""
+        // size(sigs)=1 would make sequence(2, 1) DESCEND (default step -1)
+        // and element_at(sigs, 2) out-of-bounds — ANSI error. Guard with an
+        // explicit empty-pair case (oracle: n_cuts=0, sum_ham=0, 1 scene).
+        """IF(size(sigs) < 2, CAST(array() AS ARRAY<INT>),
+          | transform(sequence(2, size(sigs)),
+          |  i -> bit_count(element_at(sigs, i - 1) ^ element_at(sigs, i))))"""
           .stripMargin))
       .withColumn("cuts", expr(
         s"transform(hams, h -> CASE WHEN h >= $SceneCutBits THEN 1L ELSE 0L END)"))
@@ -1185,13 +1189,15 @@ object Multimodal {
       .localCheckpoint(true) // image-grained; per-image + ~TOTAL read it
     val rows = per.select(col("doc_id").cast("string").as("key"),
       col("w"), col("h"), col("n_levels"), col("base_px"), col("total_px"),
-      expr("(total_px - base_px) * 1000000L div base_px").as("overhead_e6"))
+      expr("(total_px - base_px) * CAST(1000000 AS DECIMAL(38,0)) div base_px")
+        .as("overhead_e6"))
     val tot = per.agg(sum(col("n_levels")).as("n_levels"),
         sum(col("base_px")).as("base_px"), sum(col("total_px")).as("total_px"))
       .select(lit("~TOTAL").as("key"), lit(null).cast("long").as("w"),
         lit(null).cast("long").as("h"), col("n_levels"), col("base_px"),
         col("total_px"),
-        expr("(total_px - base_px) * 1000000L div base_px").as("overhead_e6"))
+        expr("(total_px - base_px) * CAST(1000000 AS DECIMAL(38,0)) div base_px")
+        .as("overhead_e6"))
     rows.unionByName(tot).orderBy(col("key"))
   }
 

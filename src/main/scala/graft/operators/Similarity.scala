@@ -2946,7 +2946,8 @@ object Similarity {
       .select(col("nprobe"), col("cur_cand").as("n_candidates"),
         col("cur_recall").as("recall_e6"), col("is_pareto"),
         col("marg_candidates"), col("marg_recall_e6"),
-        expr("marg_recall_e6 * 1000000L div greatest(marg_candidates, 1L)")
+        expr("marg_recall_e6 * CAST(1000000 AS DECIMAL(38,0))" +
+          " div greatest(marg_candidates, 1)")
           .as("marg_eff_e6"))
       .orderBy(col("nprobe"))
   }

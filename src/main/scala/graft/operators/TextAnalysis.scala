@@ -1178,7 +1178,7 @@ object TextAnalysis {
         sum(col("n_occ") * length(col("word")).cast("long")).as("n_chars"),
         sum(col("n_occ") * col("n_tok")).as("n_tokens"))
       .withColumn("chars_per_token_e6",
-        expr("n_chars * 1000000L div n_tokens"))
+        expr("n_chars * CAST(1000000 AS DECIMAL(38,0)) div n_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -1914,7 +1914,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("in_train"), lit(0L))).as("n_covered"))
       .select(col("split"), col("ngram_order"), col("n_grams"), col("n_covered"),
-        expr("n_covered * 1000000L div n_grams").as("coverage_e6"))
+        expr("n_covered * CAST(1000000 AS DECIMAL(38,0)) div n_grams")
+          .as("coverage_e6"))
       .orderBy(col("split"), col("ngram_order"))
   }
 
@@ -1980,10 +1981,10 @@ object TextAnalysis {
     val rows = per.join(broadcast(scal))
       .select(lpad(col("fbin").cast("string"), 2, "0").as("key"),
         col("fbin"), col("n_docs"), col("n_tokens"),
-        expr("n_tokens * 1000000L div greatest(tot, 1L)")
+        expr("n_tokens * CAST(1000000 AS DECIMAL(38,0)) div greatest(tot, 1)")
           .as("token_share_e6"),
         col("lost_tokens"),
-        expr("lost_tokens * 1000000L div greatest(n_tokens, 1L)")
+        expr("lost_tokens * CAST(1000000 AS DECIMAL(38,0)) div greatest(n_tokens, 1)")
           .as("loss_e6"))
     val tot = per.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -1991,7 +1992,7 @@ object TextAnalysis {
       .select(lit("~TOTAL").as("key"), lit(null).cast("long").as("fbin"),
         col("n_docs"), col("n_tokens"), lit(1000000L).as("token_share_e6"),
         col("lost_tokens"),
-        expr("lost_tokens * 1000000L div greatest(n_tokens, 1L)")
+        expr("lost_tokens * CAST(1000000 AS DECIMAL(38,0)) div greatest(n_tokens, 1)")
           .as("loss_e6"))
     rows.unionByName(tot).orderBy(col("key"))
   }

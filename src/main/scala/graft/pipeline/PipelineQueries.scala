@@ -1622,7 +1622,7 @@ object PipelineQueries {
       .withColumn("n_pairs", col("n_ord_files") * col("n_li_files"))
       .select(col("layout"), col("n_ord_files"), col("n_li_files"),
         col("n_pairs"), col("n_overlap_pairs"),
-        expr("(n_pairs - n_overlap_pairs) * 1000000L div n_pairs")
+        expr("(n_pairs - n_overlap_pairs) * CAST(1000000 AS DECIMAL(38,0)) div n_pairs")
           .as("prune_e6"))
       .orderBy(col("layout"))
   }

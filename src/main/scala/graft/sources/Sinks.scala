@@ -41,9 +41,14 @@ object Sinks {
                     nBuckets: Int = 16): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    // Ask the catalog where the managed table WOULD land rather than
+    // string-building `<warehouse>/<table>` — that layout only holds for
+    // the default database (non-default dbs use `<db>.db/<table>`, Hive
+    // catalogs their own scheme), and a missed orphan dir resurrects the
+    // LOCATION_ALREADY_EXISTS failure this pre-delete exists to prevent.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

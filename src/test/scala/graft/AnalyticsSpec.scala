@@ -40,31 +40,28 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("the bench metric line fits the driver's 2000-char output tail") {
     // the driver parses the stdout JSON from a 2000-char tail; sbt appends
-    // a ~75-char [success] line after it. Project the line's length from
-    // the live query set: per query `"name":NN.NNN,` plus the fixed
-    // envelope. Fails BEFORE an operator addition silently overflows the
-    // window and zeroes the round's bench (BENCH_r04/r05 `parsed: null`).
-    // render the actual line shape with worst-case values under Bench's
-    // ADAPTIVE rendering (%.1f + zero-strip under 10s -> "0.9"/"9.9";
-    // %.0f capped at 999 above -> "999": every value is <= 3 chars), and
-    // the basename sf tag the line actually carries. Budget: 2000-char
-    // tail minus ~80 chars for the sbt "[success] Total time..." line
-    // that lands after ours.
-    // envelope includes the round-8 validity verdict at its widest form
-    // (env_throttled:false); the >999s clamp renders in-band as the
-    // 2-char per-query sentinel -1, never as an extra envelope field.
+    // a ~75-char [success] line after it. Since round 17 the line's
+    // queries object is a HEADLINE SUBSET — canaries + the HeadlineCount
+    // most expensive medians (full per-query medians ride
+    // BENCH_SPREAD.json, no budget there) — so project the subset at its
+    // widest: the LONGEST HeadlineCount+3 short keys in the live set,
+    // every value at fmt2's widest form (%.2f + zero-strip under 10s ->
+    // "9.99"; %.0f capped -> "999"; the -1 clamp sentinel). Fails BEFORE
+    // an operator addition silently overflows the window and zeroes the
+    // round's bench (BENCH_r04/r05 `parsed: null`).
     // Keys are Bench's short `<family><number>` prefixes — project their
     // uniqueness here too, so a name collision fails the suite before it
     // makes the metric line ambiguous.
     val shorts = SparkEntry.benchQueries.keySet.toSeq.map(_.takeWhile(_ != '_'))
     assert(shorts.distinct.size == shorts.size,
       s"short bench keys collide: ${shorts.diff(shorts.distinct).distinct}")
+    val widestKeys = shorts.sortBy(-_.length).take(Bench.HeadlineCount + 3)
     def sample(worst: String) = {
-      val qs = shorts.map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
-      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.1","env_throttled":false}"""
+      val qs = widestKeys.map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
+      s"""{"metric":"total","value":99999.9,"unit":"sec","nq":99999,"queries":$qs,"sf":"sf0.1","env_throttled":false}"""
     }
-    // the four samples cover each fmt2 arm at its widest
-    val worst = Seq("0.9", "9.9", "999", "-1").map(sample(_).length).max
+    // the samples cover each fmt2 arm at its widest
+    val worst = Seq("9.99", "999", "-1").map(sample(_).length).max
     assert(worst < 2000 - 80,
       s"projected bench line $worst chars — trim decimals or shorten " +
         "names before the driver's 2000-char tail cuts the opening brace")
