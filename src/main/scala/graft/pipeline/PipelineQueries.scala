@@ -1447,6 +1447,44 @@ object PipelineQueries {
     graft.sources.Bucketed.q39OverBuckets(spark, dir, li, ord)
   }
 
+  /** `p34_bucketed_priority` / `p35_bucketed_semi` / `p36_bucketed_trade`
+    * / `p37_bucketed_returns` / `p38_bucketed_delay`: the rest of the
+    * recurring fact-fact family run over the SAME bucketed layout p29
+    * proved out — q3 (inner join + bucket-key aggregate: the whole plan
+    * is hash-exchange-FREE), q44 (semi join with the lateness
+    * inequality), q47 (bilateral trade: partitioning preserved through
+    * broadcast dim joins on both sides), q49 (the customer-grain
+    * aggregate keeps its own algebra-required shuffle — only the fact
+    * shuffle is deleted), q52 (ship-tier mix). Each is semantically
+    * identical to its q-twin — the oracle is the q-twin's SQL verbatim,
+    * so the layout changes the PLAN, never the answer — and each has a
+    * BASELINE row, so a regression of any deleted exchange is loud in
+    * the bench. At 100 TB these five queries repay the bucketed write
+    * every landing cycle: the orderkey shuffle they shared is the
+    * engine's single biggest recurring cost, and `SourcesSpec` pins per
+    * twin that NO exchange partitions on the orderkey while the
+    * unbucketed form pays ≥1. */
+  def p34BucketedPriority(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = graft.sources.Bucketed.ensureFactLayout(spark, dir)
+    graft.sources.Bucketed.q3OverBuckets(spark, dir, li, ord)
+  }
+  def p35BucketedSemi(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = graft.sources.Bucketed.ensureFactLayout(spark, dir)
+    graft.sources.Bucketed.q44OverBuckets(spark, dir, li, ord)
+  }
+  def p36BucketedTrade(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = graft.sources.Bucketed.ensureFactLayout(spark, dir)
+    graft.sources.Bucketed.q47OverBuckets(spark, dir, li, ord)
+  }
+  def p37BucketedReturns(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = graft.sources.Bucketed.ensureFactLayout(spark, dir)
+    graft.sources.Bucketed.q49OverBuckets(spark, dir, li, ord)
+  }
+  def p38BucketedDelay(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = graft.sources.Bucketed.ensureFactLayout(spark, dir)
+    graft.sources.Bucketed.q52OverBuckets(spark, dir, li, ord)
+  }
+
   // q39's oracle verbatim: the layout changes the PLAN, never the answer
   private val p29Oracle: String =
     """WITH big AS (
@@ -1678,6 +1716,11 @@ object PipelineQueries {
        |ORDER BY layout""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p34_bucketed_priority" -> (p34BucketedPriority _),
+    "p35_bucketed_semi" -> (p35BucketedSemi _),
+    "p36_bucketed_trade" -> (p36BucketedTrade _),
+    "p37_bucketed_returns" -> (p37BucketedReturns _),
+    "p38_bucketed_delay" -> (p38BucketedDelay _),
     "p31_join_prune_plan" -> (p31JoinPrunePlan _),
     "p30_asof_read" -> (p30AsofRead _),
     "p29_bucketed_join" -> (p29BucketedJoin _),
@@ -1713,6 +1756,18 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    // the bucketed twins reuse their q-twin's oracle VERBATIM: the
+    // layout changes the plan, never the answer (the p29 rule)
+    "p34_bucketed_priority" ->
+      graft.operators.Analytics.oracle("q3_shipping_priority"),
+    "p35_bucketed_semi" ->
+      graft.operators.Analytics.oracle("q44_late_ship_priority"),
+    "p36_bucketed_trade" ->
+      graft.operators.Analytics.oracle("q47_volume_shipping"),
+    "p37_bucketed_returns" ->
+      graft.operators.Analytics.oracle("q49_returned_items"),
+    "p38_bucketed_delay" ->
+      graft.operators.Analytics.oracle("q52_ship_delay_modes"),
     "p31_join_prune_plan" -> p31Oracle,
     "p30_asof_read" -> p30Oracle,
     "p29_bucketed_join" -> p29Oracle,

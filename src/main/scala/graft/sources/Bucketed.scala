@@ -75,6 +75,154 @@ object Bucketed {
     * `rangepartitioning` for the global orderBy. At 100 TB that is the
     * difference between shuffling the full lineitem fact per run and
     * shuffling 20 result rows. */
+  /** q3's shipping-priority feed over the bucketed layout — semantically
+    * identical to `Analytics.q3ShippingPriority` (same oracle). The
+    * orderkey sort-merge join runs on the storage partitioning, and the
+    * (o_orderkey, o_orderdate, o_orderpriority) aggregate is ALSO
+    * exchange-free — `HashPartitioning(o_orderkey)` satisfies any
+    * clustering that contains the bucket key — so with the segment dim
+    * broadcast and the top-20 a TakeOrdered, the whole plan carries
+    * ZERO hash exchanges (SourcesSpec pins it). */
+  def q3OverBuckets(spark: SparkSession, dir: String,
+                    lineitemTable: String, ordersTable: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = spark.table(ordersTable).filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = spark.table(lineitemTable).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q44's late-ship priority count over the bucketed layout — the SEMI
+    * join shape: orders semi-joins lineitem on the bucket key (plus the
+    * cross-table lateness inequality as the extra join condition), so
+    * the only hash exchange left in the plan moves the 5-row priority
+    * partials. Semantically identical to
+    * `Analytics.q44LateShipPriority` (same oracle). */
+  def q44OverBuckets(spark: SparkSession, dir: String,
+                     lineitemTable: String, ordersTable: String): DataFrame = {
+    val ord = spark.table(ordersTable)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = spark.table(lineitemTable)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q47's bilateral trade volume over the bucketed layout — both fact
+    * sides keep their storage partitioning through the broadcast dim
+    * joins (a BroadcastHashJoin preserves the streamed side's
+    * partitioning), so the orderkey sort-merge join is exchange-free and
+    * the only hash exchange left moves the ≤|nation-pairs|×|years|
+    * aggregate partials. Semantically identical to
+    * `Analytics.q47VolumeShipping` (same oracle; the customer-nation
+    * dim attaches by broadcast here — it is nation-filtered to ~2/25 of
+    * customers, the same dim-sized side the supplier half already
+    * broadcasts). */
+  def q47OverBuckets(spark: SparkSession, dir: String,
+                     lineitemTable: String, ordersTable: String): DataFrame = {
+    val nat = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_13", "NATION_19"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = spark.table(lineitemTable)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val ord = spark.table(ordersTable)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("rev_c")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** q49's returned-revenue churn list over the bucketed layout — the
+    * orderkey sort-merge join is exchange-free; the customer-grain
+    * aggregate and the name lookup keep q49's own shape (that shuffle
+    * is the algebra — the group key is not the bucket key).
+    * Semantically identical to `Analytics.q49ReturnedItems` (same
+    * oracle). */
+  def q49OverBuckets(spark: SparkSession, dir: String,
+                     lineitemTable: String, ordersTable: String): DataFrame = {
+    val ord = spark.table(ordersTable)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.table(lineitemTable)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_c")).as("revenue_cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q52's ship-tier priority mix over the bucketed layout — the
+    * orderkey sort-merge join is exchange-free; the only hash exchange
+    * left moves 3 tier-partial rows. Semantically identical to
+    * `Analytics.q52ShipDelayModes` (same oracle). */
+  def q52OverBuckets(spark: SparkSession, dir: String,
+                     lineitemTable: String, ordersTable: String): DataFrame = {
+    val ord = spark.table(ordersTable)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    spark.table(lineitemTable)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(when(col("delay_days") < 30, "FAST")
+        .when(col("delay_days") < 75, "MED")
+        .otherwise("SLOW").as("ship_tier"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("critical_lines"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("other_lines"))
+      .orderBy(col("ship_tier"))
+  }
+
   def q39OverBuckets(spark: SparkSession, dir: String,
                      lineitemTable: String, ordersTable: String): DataFrame = {
     val big = spark.table(lineitemTable)

@@ -164,6 +164,69 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed twins p34-p38: NO exchange partitions on the orderkey " +
+    "(the fact shuffle is deleted) while each unbucketed q-twin pays at " +
+    "least one — and every twin matches its q-twin row-for-row") {
+    import graft.sources.Bucketed
+    import graft.operators.Analytics
+    val (liT, ordT) = Bucketed.writeFactLayout(
+      spark, sf, nBuckets = 4, prefix = "r17bkt_")
+    // a plan LINE that both repartitions by hash AND mentions the order
+    // key is the fact shuffle the layout exists to delete (group-by
+    // shuffles on other keys — q49's customer grain — are the algebra
+    // and stay)
+    def orderkeyExchanges(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
+    // pin the sort-merge shape: without this AQE would broadcast small
+    // sides at sf0.001 and the no-exchange claim would be vacuous
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.getOption(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val cases: Seq[(String,
+          (SparkSession, String, String, String) => org.apache.spark.sql.DataFrame,
+          (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+        ("p34/q3", Bucketed.q3OverBuckets, Analytics.q3ShippingPriority),
+        ("p35/q44", Bucketed.q44OverBuckets, Analytics.q44LateShipPriority),
+        ("p36/q47", Bucketed.q47OverBuckets, Analytics.q47VolumeShipping),
+        ("p37/q49", Bucketed.q49OverBuckets, Analytics.q49ReturnedItems),
+        ("p38/q52", Bucketed.q52OverBuckets, Analytics.q52ShipDelayModes))
+      cases.foreach { case (name, twin, orig) =>
+        val b = twin(spark, sf, liT, ordT)
+        val bp = b.queryExecution.executedPlan.toString
+        assert(orderkeyExchanges(bp) == 0,
+          s"$name: orderkey exchange survived in the bucketed plan:\n$bp")
+        assert(bp.contains("Bucketed: true"),
+          s"$name: scan not bucket-aware:\n$bp")
+        val op = orig(spark, sf).queryExecution.executedPlan.toString
+        assert(orderkeyExchanges(op) > 0,
+          s"$name: the unbucketed form lost its orderkey exchange — " +
+            s"the comparison is vacuous:\n$op")
+        val a = b.collect().map(_.toString).toSeq
+        val o = orig(spark, sf).collect().map(_.toString).toSeq
+        assert(a == o, s"$name: bucketed result diverged from the q-twin")
+        assert(a.nonEmpty, s"$name: empty result proves nothing")
+      }
+      // q3's twin goes further: bucket-key aggregate + broadcast dim +
+      // TakeOrdered means the WHOLE plan is hash-exchange-free (p29's
+      // q39 claim, now held by a second query shape)
+      val q3p = Bucketed.q3OverBuckets(spark, sf, liT, ordT)
+        .queryExecution.executedPlan.toString
+      assert(!q3p.contains("Exchange hashpartitioning"),
+        s"hash exchange in the p34 plan:\n$q3p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      savedAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("p29: the MEASURED bucketed-join entry keeps the zero-hash-exchange " +
     "contract and the bucket-aware scan — the bench row guards what the " +
     "r15 pin above proves") {
