@@ -1715,7 +1715,217 @@ object PipelineQueries {
        |FROM oc JOIN lc USING (layout) LEFT JOIN pc USING (layout)
        |ORDER BY layout""".stripMargin
 
+  /** `p32_deletion_read`: the merge-on-read half of p21's erasure story
+    * — the Iceberg v2 / Delta deletion-vector READ path. p21 PLANS the
+    * rewrite; until the rewrite runs, every query must read the fact
+    * THROUGH the delete mask (victim keys = p21's every-[[ErasureMod]]th
+    * customer). Per z-layout file: the physical row count, the masked
+    * (deleted-but-not-yet-rewritten) rows, the live rows a reader
+    * actually surfaces, and a live-row digest (sum of live order keys —
+    * `Decimal(38,0)` internally, emitted as a digits-string, the p25
+    * envelope discipline) that the spec foots against the REWRITTEN
+    * table: read-through-mask ≡ post-rewrite, the invariant
+    * merge-on-read exists to guarantee. `read_path` is the per-file
+    * planning decision a real DV read makes off the manifest alone:
+    * files with no attached deletes stream `direct` (zero mask work),
+    * files with victims pay the `masked` merge — both arms non-vacuous
+    * on the shipped corpus (spec-pinned).
+    *
+    * Scale: the delete-key list is BROADCAST (request-sized) into the
+    * ONE grouped scan that builds the per-file verdicts — an equi-join,
+    * never a range probe; no fact rewrite, no window, no fact-fact
+    * join; everything after the first aggregate is manifest-grained.
+    * The mask here is equality-grain (Iceberg v2 equality deletes —
+    * per-file delete keys): positional vectors bind to physical parquet
+    * row indexes, which the engine surfaces at scan time; deriving them
+    * in-query would need a corpus-wide rank, exactly the unbounded
+    * window shape the suite bans. */
+  def p32DeletionRead(spark: SparkSession, dir: String): DataFrame = {
+    val req = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % ErasureMod === 0)
+      .select(col("c_custkey").as("rk"))
+    val per = zkeyedOrders(spark, dir)
+      .withColumn("zcell",
+        shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
+      .join(broadcast(req), col("cust") === col("rk"), "left")
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("rk")).as("n_deleted"),
+        sum(when(col("rk").isNull, 1L).otherwise(0L)).as("n_live"),
+        coalesce(
+          sum(when(col("rk").isNull, col("o_orderkey").cast("decimal(38,0)"))),
+          lit(0).cast("decimal(38,0)")).as("live_dec"))
+      .localCheckpoint(true) // manifest-sized; per-file rows + ~TOTAL read it
+    val rows = per.select(col("zcell").cast("string").as("zcell"),
+      when(col("n_deleted") > 0, "masked").otherwise("direct").as("read_path"),
+      col("n_rows"), col("n_deleted"), col("n_live"),
+      col("live_dec").cast("string").as("live_key_sum"))
+    val tot = per.agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_deleted")).as("n_deleted"),
+        sum(col("n_live")).as("n_live"),
+        sum(col("live_dec")).as("live_dec"))
+      .select(lit("~TOTAL").as("zcell"), lit("~TOTAL").as("read_path"),
+        col("n_rows"), col("n_deleted"), col("n_live"),
+        col("live_dec").cast("string").as("live_key_sum"))
+    rows.unionByName(tot).orderBy(col("zcell"), col("read_path"))
+  }
+
+  private val p32Oracle: String = {
+    val grid = 1L << ZGridBits
+    val shift = 2 * ZGridBits - ZFileBits
+    s"""WITH o AS (
+       | SELECT o_orderkey, epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  o_custkey AS cust
+       | FROM orders),
+       |s AS (SELECT min(day) AS day_min, max(day) AS day_max,
+       |  min(cust) AS cust_min, max(cust) AS cust_max FROM o),
+       |g AS (
+       | SELECT o_orderkey, cust,
+       |  ((day - day_min) * $grid) // (day_max - day_min + 1) AS xn,
+       |  ((cust - cust_min) * $grid) // (cust_max - cust_min + 1) AS yn
+       | FROM o CROSS JOIN s),
+       |z AS (
+       | SELECT o_orderkey, cust, CAST(list_sum(list_transform(range(0, 16), i ->
+       |    (((xn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER)))
+       |    + (((yn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER) + 1))))
+       |   AS BIGINT) AS zkey
+       | FROM g),
+       |req AS (SELECT c_custkey AS rk FROM customer WHERE c_custkey % $ErasureMod = 0),
+       |per AS (
+       | SELECT zkey >> $shift AS zcell,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(rk) AS BIGINT) AS n_deleted,
+       |  CAST(count(*) - count(rk) AS BIGINT) AS n_live,
+       |  coalesce(sum(CASE WHEN rk IS NULL
+       |    THEN CAST(o_orderkey AS HUGEINT) END), 0) AS live_dec
+       | FROM z LEFT JOIN req ON rk = cust GROUP BY 1)
+       |SELECT zcell, read_path, n_rows, n_deleted, n_live, live_key_sum
+       |FROM (
+       | SELECT CAST(zcell AS VARCHAR) AS zcell,
+       |  CASE WHEN n_deleted > 0 THEN 'masked' ELSE 'direct' END AS read_path,
+       |  n_rows, n_deleted, n_live, CAST(live_dec AS VARCHAR) AS live_key_sum
+       | FROM per
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(n_deleted) AS BIGINT), CAST(sum(n_live) AS BIGINT),
+       |  CAST(sum(live_dec) AS VARCHAR)
+       | FROM per)
+       |ORDER BY zcell, read_path""".stripMargin
+  }
+
+  /** `p33_cdc_changelog`: the ROW-grain changelog between two snapshot
+    * versions of the p25 chain — Delta CDF / Iceberg changelog-scan as
+    * a QUERY, the feed downstream consumers actually subscribe to where
+    * p28 ships FILES. Between the subscriber's cursor (head −
+    * [[ReplicaLag]], p28's replica convention) and head, every landed
+    * month is an `insert` event carrying exactly its rows; a year
+    * compaction inside the window is a `rewrite` event carrying ZERO
+    * rows — the rewrite moves `prev_n_m + 1` files (the churn p28's
+    * file diff must ship) but changes no row, which is precisely why a
+    * row-grain subscriber is cheaper than a file mirror: the closed
+    * year never re-transfers. Both event arms are non-vacuous on the
+    * shipped corpus (the lag straddles a year boundary; spec-pinned).
+    *
+    * Scale: the fact is touched ONCE (p25's month aggregation);
+    * versions, cursors and the window all run on the calendar-grained
+    * manifest (≤1.2k rows/century), the cursor pair attaching as a
+    * broadcast 1-row aggregate — a real changelog scan reads the
+    * snapshot log, never the data. Oracle: the p25 CTE chain plus the
+    * p28 cursor CTEs, changelog arms as unions. */
+  def p33CdcChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ver = monthManifest(spark, dir)
+      .withColumn("version",
+        row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      .withColumn("pos_in_yr", row_number()
+        .over(Window.partitionBy(col("yr")).orderBy(col("mo"))).cast("long"))
+      .localCheckpoint(true) // calendar-grained; cursors + window read it
+    val yc = ver.groupBy(col("yr")).agg(count(lit(1)).as("n_m"))
+    val heads = ver.agg(max(col("version")).as("v_head"))
+      .withColumn("v_lo", greatest(col("v_head") - ReplicaLag, lit(1L)))
+    val w = ver.crossJoin(broadcast(heads))
+      .filter(col("version") > col("v_lo") && col("version") <= col("v_head"))
+      .join(broadcast(yc.select((col("yr") + 1).as("yr"),
+        col("n_m").as("prev_n_m"))), Seq("yr"), "left")
+      .withColumn("prev_n_m", coalesce(col("prev_n_m"), lit(0L)))
+    def vkey = concat(lit("v"), lpad(col("version").cast("string"), 4, "0"))
+    val ins = w.select(vkey.as("key"), lit("insert").as("change"),
+      col("version"), col("mo"), col("yr"), lit(1L).as("n_events"),
+      col("n_rows"), lit(1L).as("n_files_touched"))
+    val rw = w.filter(col("pos_in_yr") === 1 && col("prev_n_m") > 0)
+      .select(vkey.as("key"), lit("rewrite").as("change"),
+        col("version"), col("mo"), col("yr"), lit(1L).as("n_events"),
+        lit(0L).as("n_rows"), (col("prev_n_m") + 1L).as("n_files_touched"))
+    val delta = ins.unionByName(rw)
+      .localCheckpoint(true) // window-sized; events + totals read it
+    def totRow(src: DataFrame, key: org.apache.spark.sql.Column,
+               change: org.apache.spark.sql.Column) =
+      src.agg(count(lit(1)).as("n_events"), sum(col("n_rows")).as("n_rows"),
+          sum(col("n_files_touched")).as("n_files_touched"))
+        .select(key.as("key"), change.as("change"),
+          lit(null).cast("long").as("version"),
+          lit(null).cast("long").as("mo"), lit(null).cast("long").as("yr"),
+          col("n_events"), col("n_rows"), col("n_files_touched"))
+    val perChange = delta.groupBy(col("change"))
+      .agg(count(lit(1)).as("n_events"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_files_touched")).as("n_files_touched"))
+      .select(concat(lit("~TOTAL_"), col("change")).as("key"), col("change"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("long").as("mo"), lit(null).cast("long").as("yr"),
+        col("n_events"), col("n_rows"), col("n_files_touched"))
+    delta.unionByName(perChange)
+      .unionByName(totRow(delta, lit("~TOTAL"), lit("~TOTAL")))
+      .orderBy(col("key"), col("change"))
+  }
+
+  private val p33Oracle: String =
+    s"""WITH mf AS (
+       | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+       |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       | FROM orders GROUP BY 1, 2),
+       |yc AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_m FROM mf GROUP BY 1),
+       |v AS (
+       | SELECT mf.*, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version,
+       |  CAST(row_number() OVER (PARTITION BY yr ORDER BY mo) AS BIGINT) AS pos_in_yr
+       | FROM mf),
+       |hd AS (SELECT max(version) AS v_head,
+       |  greatest(max(version) - $ReplicaLag, 1) AS v_lo FROM v),
+       |w AS (
+       | SELECT v.*, COALESCE(p.n_m, 0) AS prev_n_m
+       | FROM v CROSS JOIN hd LEFT JOIN yc p ON p.yr = v.yr - 1
+       | WHERE version > v_lo AND version <= v_head),
+       |delta AS (
+       | SELECT 'v' || lpad(CAST(version AS VARCHAR), 4, '0') AS key,
+       |  'insert' AS change, version, mo, yr, CAST(1 AS BIGINT) AS n_events,
+       |  n_rows, CAST(1 AS BIGINT) AS n_files_touched
+       | FROM w
+       | UNION ALL
+       | SELECT 'v' || lpad(CAST(version AS VARCHAR), 4, '0'), 'rewrite',
+       |  version, mo, yr, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+       |  prev_n_m + 1
+       | FROM w WHERE pos_in_yr = 1 AND prev_n_m > 0)
+       |SELECT key, change, version, mo, yr, n_events, n_rows,
+       | n_files_touched
+       |FROM (
+       | SELECT * FROM delta
+       | UNION ALL
+       | SELECT '~TOTAL_' || change, change, CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(n_files_touched) AS BIGINT)
+       | FROM delta GROUP BY change
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(n_files_touched) AS BIGINT)
+       | FROM delta)
+       |ORDER BY key, change""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p32_deletion_read" -> (p32DeletionRead _),
+    "p33_cdc_changelog" -> (p33CdcChangelog _),
     "p34_bucketed_priority" -> (p34BucketedPriority _),
     "p35_bucketed_semi" -> (p35BucketedSemi _),
     "p36_bucketed_trade" -> (p36BucketedTrade _),
@@ -1756,6 +1966,8 @@ object PipelineQueries {
     "p7_incremental_merge" -> (Merge.p7IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
+    "p32_deletion_read" -> p32Oracle,
+    "p33_cdc_changelog" -> p33Oracle,
     // the bucketed twins reuse their q-twin's oracle VERBATIM: the
     // layout changes the plan, never the answer (the p29 rule)
     "p34_bucketed_priority" ->

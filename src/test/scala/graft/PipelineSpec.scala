@@ -1396,4 +1396,123 @@ class PipelineSpec extends AnyFunSuite {
       s"$lay: ${t._4}/${t._3} pairs survive (prune ${t._5}e-6)" }
       .mkString("; "))
   }
+
+  test("p32: the merge-on-read path is row-identical to the POST-REWRITE " +
+    "table per file, direct files provably carry no deletes, and the " +
+    "~TOTAL row foots — the deletion-vector invariant") {
+    import org.apache.spark.sql.functions._
+    val out = PipelineQueries.p32DeletionRead(spark, sf).collect()
+    val (tot, per) = out.partition(_.getAs[String]("zcell") == "~TOTAL")
+    assert(per.nonEmpty && tot.length == 1)
+    // both planning arms live on the shipped corpus
+    assert(per.exists(_.getAs[String]("read_path") == "masked"),
+      "no masked file — the merge path is untested")
+    assert(per.exists(_.getAs[String]("read_path") == "direct"),
+      "no direct file — the fast path is untested")
+    per.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        r.getAs[Long]("n_deleted") + r.getAs[Long]("n_live"),
+        s"row conservation broken at zcell ${r.getAs[String]("zcell")}")
+      if (r.getAs[String]("read_path") == "direct")
+        assert(r.getAs[Long]("n_deleted") == 0L, "direct file had deletes")
+      else assert(r.getAs[Long]("n_deleted") > 0L, "masked file had none")
+    }
+    // the REWRITTEN table: drop victim keys for real, re-aggregate the
+    // same layout — merge-on-read must agree file-by-file
+    val victims = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % PipelineQueries.ErasureMod === 0)
+      .select(col("c_custkey").as("rk"))
+    val rewritten = PipelineQueries.zkeyedOrders(spark, sf)
+      .withColumn("zcell", shiftrightunsigned(col("zkey"),
+        2 * PipelineQueries.ZGridBits - PipelineQueries.ZFileBits))
+      .join(victims, col("cust") === col("rk"), "left_anti")
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ks"))
+      .collect()
+      .map(r => r.getAs[Long]("zcell").toString ->
+        (r.getAs[Long]("n"), r.getAs[Long]("ks").toString)).toMap
+    per.foreach { r =>
+      val z = r.getAs[String]("zcell")
+      rewritten.get(z) match {
+        case Some((n, ks)) =>
+          assert(r.getAs[Long]("n_live") == n, s"live count diverged at $z")
+          assert(r.getAs[String]("live_key_sum") == ks,
+            s"live digest diverged at $z")
+        case None => // file vanished entirely in the rewrite
+          assert(r.getAs[Long]("n_live") == 0L,
+            s"$z absent post-rewrite but the masked read kept rows")
+      }
+    }
+    // every post-rewrite file exists in the read too (no file invented
+    // or lost by the mask)
+    val readZ = per.map(_.getAs[String]("zcell")).toSet
+    assert(rewritten.keySet.subsetOf(readZ), "post-rewrite file missing")
+    // ~TOTAL foots
+    val t = tot.head
+    assert(t.getAs[Long]("n_rows") == per.map(_.getAs[Long]("n_rows")).sum)
+    assert(t.getAs[Long]("n_deleted") ==
+      per.map(_.getAs[Long]("n_deleted")).sum)
+    assert(t.getAs[Long]("n_live") == per.map(_.getAs[Long]("n_live")).sum)
+    assert(t.getAs[String]("live_key_sum") ==
+      per.map(r => BigInt(r.getAs[String]("live_key_sum"))).sum.toString)
+    info(s"${per.count(_.getAs[String]("read_path") == "masked")} masked / " +
+      s"${per.count(_.getAs[String]("read_path") == "direct")} direct files, " +
+      s"${t.getAs[Long]("n_deleted")} rows masked")
+  }
+
+  test("p33: the changelog between the cursors carries EXACTLY the landed " +
+    "months' rows as inserts, year compactions are row-silent rewrites " +
+    "moving the closed year's files, and both arms are live") {
+    import org.apache.spark.sql.functions._
+    val out = PipelineQueries.p33CdcChangelog(spark, sf).collect()
+    val events = out.filterNot(_.getAs[String]("key").startsWith("~"))
+    val ins = events.filter(_.getAs[String]("change") == "insert")
+    val rws = events.filter(_.getAs[String]("change") == "rewrite")
+    assert(ins.nonEmpty, "no insert events")
+    assert(rws.nonEmpty, "no rewrite events — the lag must straddle a " +
+      "year boundary on the shipped chain")
+    // replay the chain from the raw fact
+    val months = Tables.load(spark, sf, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .groupBy(col("mo"), col("yr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val head = months.length.toLong
+    val vLo = math.max(head - PipelineQueries.ReplicaLag, 1L)
+    // the window is exactly (v_lo, head]
+    assert(ins.map(_.getAs[Long]("version")).toSet ==
+      ((vLo + 1) to head).toSet, "insert window drifted")
+    // each insert carries exactly its month's rows
+    val rowsByMo = months.map(m => m._1 -> m._3).toMap
+    ins.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == rowsByMo(r.getAs[Long]("mo")),
+        s"insert v${r.getAs[Long]("version")} rows diverged")
+      assert(r.getAs[Long]("n_files_touched") == 1L)
+    }
+    // rewrites: row-silent, at the first month of a year whose previous
+    // year landed, moving prev-year-months + 1 files
+    val monthsPerYr = months.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rws.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 0L, "a rewrite changed rows — " +
+        "compaction must be invisible at row grain")
+      val yr = r.getAs[Long]("yr")
+      assert(r.getAs[Long]("n_files_touched") == monthsPerYr(yr - 1) + 1L,
+        s"rewrite at yr $yr file churn diverged")
+      // it shares its version with that month's insert
+      assert(ins.exists(_.getAs[Long]("version") == r.getAs[Long]("version")))
+    }
+    // totals foot; the changelog ships strictly fewer rows than p28's
+    // file diff when a compaction is in the window (the operator's point)
+    val totI = out.find(_.getAs[String]("key") == "~TOTAL_insert").get
+    assert(totI.getAs[Long]("n_rows") == ins.map(_.getAs[Long]("n_rows")).sum)
+    val shippedByFiles = PipelineQueries.p28ReplicationDelta(spark, sf)
+      .collect().find(_.getAs[String]("key") == "~TOTAL_ship").get
+      .getAs[Long]("n_rows")
+    assert(totI.getAs[Long]("n_rows") < shippedByFiles,
+      "row-grain subscription did not beat the file mirror")
+    info(s"${ins.length} inserts (${totI.getAs[Long]("n_rows")} rows) vs " +
+      s"file-diff ship of $shippedByFiles rows; ${rws.length} rewrite(s)")
+  }
 }
