@@ -1997,6 +1997,130 @@ object TextAnalysis {
     rows.unionByName(tot).orderBy(col("key"))
   }
 
+  /** `t35_tokenizer_roundtrip`: the audit a tokenizer ships with — does
+    * `decode(encode(w))` reproduce the corpus, and what falls outside
+    * the vocabulary? Every RAW whitespace token (case preserved — the
+    * encoder's `lower()` is itself a loss this audit must see) is
+    * judged per type: `exact` (decode reproduces the raw form),
+    * `casefold` (decode reproduces only the lowercased form — the
+    * case-folding loss), `oov` (the [[BpeWordRe]] gate rejects it — the
+    * byte-fallback population, priced by its `n_chars`), and
+    * `mismatch` (decode broke the word — impossible by construction
+    * since merges only join adjacent symbols, so the row must NEVER
+    * appear; its absence in the hash-checked result is the decoder's
+    * falsifiable no-loss claim, and the spec asserts it on planted
+    * words too). Per verdict: types, occurrences, chars, tokens, and
+    * the occurrence share (e6, Decimal envelope).
+    *
+    * Scale: t29's exact shape — the merge table is the model, encoding
+    * and decoding run once per distinct word TYPE (a K-deep codegen'd
+    * `replace` chain over the vocabulary), raw types join their
+    * decoded twins on the word key, and the corpus collapses to ≤4
+    * verdict rows at the second aggregate. No corpus-sized row ever
+    * carries a symbol string. */
+  def t35TokenizerRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    t35Core(Tables.load(spark, dir, "documents"),
+      bpeTrainedMerges(spark, dir))
+
+  /** t35's corpus-independent core, split out so the spec can replay it
+    * on planted words against a known merge table. */
+  private[graft] def t35Core(docs: DataFrame,
+      merges: Seq[(Long, String, String, String, Long, Long)]): DataFrame = {
+    val raws = docs.select(explode(wsTokens(col("text"))).as("w_raw"))
+      .groupBy(col("w_raw")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("word", lower(col("w_raw")))
+      .withColumn("in_vocab", col("word").rlike(BpeWordRe))
+    val encoded = merges.foldLeft(
+      raws.filter(col("in_vocab")).select(col("word")).distinct()
+        .withColumn("sym", bpeSym0(col("word")))) {
+      case (df, (_, bl, br, _, _, _)) =>
+        df.withColumn("sym", expr(s"replace(sym, '|$bl||$br|', '|$bl$br|')"))
+    }.select(col("word"),
+      size(expr("filter(split(sym, '[|]'), x -> x != '')"))
+        .cast("long").as("n_tok"),
+      // decode = strip the delimiters: symbols carry no '|' (words match
+      // ^[a-z0-9]+$), so dropping every pipe concatenates the symbols
+      expr("replace(sym, '|', '')").as("decoded"))
+    val per = raws.join(encoded, Seq("word"), "left")
+      .withColumn("verdict",
+        when(!col("in_vocab"), "oov")
+          .when(col("decoded") === col("w_raw"), "exact")
+          .when(col("decoded") === col("word"), "casefold")
+          .otherwise("mismatch"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n_occ")).as("n_occ"),
+        sum(col("n_occ") * length(col("w_raw")).cast("long")).as("n_chars"),
+        coalesce(sum(col("n_occ") * col("n_tok")), lit(0L)).as("n_tokens"))
+      .localCheckpoint(true) // <=4 rows; shares + ~TOTAL read it
+    val scal = per.agg(sum(col("n_occ")).as("tot_occ"))
+    val rows = per.join(broadcast(scal))
+      .select(col("verdict"), col("n_types"), col("n_occ"), col("n_chars"),
+        col("n_tokens"),
+        expr("n_occ * CAST(1000000 AS DECIMAL(38,0)) div tot_occ")
+          .as("occ_share_e6"))
+    val tot = per.agg(sum(col("n_types")).as("n_types"),
+        sum(col("n_occ")).as("n_occ"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(lit("~TOTAL").as("verdict"), col("n_types"), col("n_occ"),
+        col("n_chars"), col("n_tokens"), lit(1000000L).as("occ_share_e6"))
+    rows.unionByName(tot).orderBy(col("verdict"))
+  }
+
+  private lazy val t35OracleSql: String = {
+    val applies = (1 to BpeTrainRounds).map { r =>
+      s"""u$r AS (
+         | SELECT u.word,
+         |  replace(u.sym, '|' || b.lhs || '||' || b.rhs || '|',
+         |          '|' || b.lhs || b.rhs || '|') AS sym
+         | FROM u${r - 1} u, b$r b)"""
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |u0 AS (
+       | SELECT word,
+       |  '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INT), 1)), '||') || '|' AS sym
+       | FROM (SELECT DISTINCT lower(w_raw) AS word FROM (
+       |        SELECT unnest($tokSql) AS w_raw FROM documents)
+       |       WHERE regexp_matches(lower(w_raw), '^[a-z0-9]+$$'))),
+       |$applies,
+       |enc AS (
+       | SELECT word,
+       |  CAST(len(list_filter(string_split(sym, '|'), x -> x <> ''))
+       |    AS BIGINT) AS n_tok,
+       |  replace(sym, '|', '') AS decoded
+       | FROM u$BpeTrainRounds),
+       |raws AS (
+       | SELECT w_raw, CAST(count(*) AS BIGINT) AS n_occ FROM (
+       |  SELECT unnest($tokSql) AS w_raw FROM documents)
+       | WHERE length(w_raw) > 0 GROUP BY 1),
+       |per AS (
+       | SELECT CASE
+       |   WHEN NOT regexp_matches(lower(r.w_raw), '^[a-z0-9]+$$') THEN 'oov'
+       |   WHEN e.decoded = r.w_raw THEN 'exact'
+       |   WHEN e.decoded = lower(r.w_raw) THEN 'casefold'
+       |   ELSE 'mismatch' END AS verdict,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(r.n_occ) AS BIGINT) AS n_occ,
+       |  CAST(sum(r.n_occ * length(r.w_raw)) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(sum(r.n_occ * e.n_tok), 0) AS BIGINT) AS n_tokens
+       | FROM raws r LEFT JOIN enc e ON e.word = lower(r.w_raw)
+       | GROUP BY 1),
+       |tot AS (SELECT sum(n_occ) AS tot_occ FROM per)
+       |SELECT verdict, n_types, n_occ, n_chars, n_tokens, occ_share_e6
+       |FROM (
+       | SELECT verdict, n_types, n_occ, n_chars, n_tokens,
+       |  CAST(CAST(n_occ AS HUGEINT) * 1000000 // tot_occ AS BIGINT)
+       |    AS occ_share_e6
+       | FROM per CROSS JOIN tot
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(sum(n_types) AS BIGINT),
+       |  CAST(sum(n_occ) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT), CAST(1000000 AS BIGINT)
+       | FROM per)
+       |ORDER BY verdict""".stripMargin
+  }
+
   private lazy val t34OracleSql: String =
     s"""WITH t AS (
        | SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
@@ -2029,6 +2153,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t34_length_histogram" -> (t34LengthHistogram _),
+    "t35_tokenizer_roundtrip" -> (t35TokenizerRoundtrip _),
     "t32_readability" -> (t32Readability _),
     "t33_ngram_coverage" -> (t33NgramCoverage _),
     "t31_source_divergence" -> (t31SourceDivergence _),
@@ -2316,6 +2441,7 @@ object TextAnalysis {
     "t22_bpe_merges" -> t22OracleSql,
     "t27_bpe_train" -> t27OracleSql,
     "t34_length_histogram" -> t34OracleSql,
+    "t35_tokenizer_roundtrip" -> t35OracleSql,
     "t32_readability" -> t32OracleSql,
     "t33_ngram_coverage" -> t33OracleSql,
     "t31_source_divergence" -> t31OracleSql,

@@ -632,4 +632,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == per.size.toLong,
       "every customer lands in exactly one segment")
   }
+
+  test("e6 share idiom: the Decimal(38,0) envelope stays exact past the " +
+    "Long x1e6 wrap point (the r16 ADVICE overflow class)") {
+    import spark.implicits._
+    // cents sum a 100 TB corpus plausibly reaches: 1e13 cents ($100B).
+    // Plain Long math wraps at ~9.2e12 x 1e6; the envelope must not.
+    val big = 10000000000000L
+    val df = Seq((big, 4 * big)).toDF("num", "den")
+    val ok = df.selectExpr(
+      "num * CAST(1000000 AS DECIMAL(38,0)) div den AS share_ok")
+    val r = ok.collect().head
+    assert(r.getAs[Long]("share_ok") == 250000L,
+      "Decimal-envelope share must be exact at 1e13 cents")
+    assert(ok.schema("share_ok").dataType.typeName == "long",
+      "emitted share must stay BIGINT (decimal emit is hash-unsafe)")
+    // the pre-fix form as the visible failure witness: under ANSI
+    // (Spark 4 default) the x1e6 Long product overflows and the query
+    // DIES at exactly the corpus size where the oracle stays exact
+    val boom = intercept[Exception] {
+      df.selectExpr("num * 1000000 div den AS s").collect()
+    }
+    assert(boom.getMessage.toUpperCase.contains("OVERFLOW"),
+      s"plain-Long form no longer overflows — this guard test is stale: $boom")
+  }
 }

@@ -1082,4 +1082,53 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"2^$b: $d docs $n toks lost $l" }.mkString(" ") +
       s"; corpus loss ${totRow.head.getAs[Long]("loss_e6")}e6 at L=$L")
   }
+
+  test("t35: planted round-trip — exact/casefold/oov verdicts partition " +
+    "the corpus, a mismatch row never appears, shares are e6-exact") {
+    import spark.implicits._
+    // known merge table: a+b -> ab, ab+c -> abc
+    val merges = Seq(
+      (1L, "a", "b", "ab", 0L, 0L),
+      (2L, "ab", "c", "abc", 0L, 0L))
+    // abc: full-merge exact (1 token); ABC: casefold loss; ba: merges
+    // never fire (2 tokens); don't: OOV (apostrophe); abab: repeated
+    // merged symbol, the global-replace stress for the decoder
+    val docs = Seq(
+      (0L, "abc ABC abc"),
+      (1L, "ba don't ba"),
+      (2L, "abab")).toDF("doc_id", "text")
+    val got = TextAnalysis.t35Core(docs, merges).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("occ_share_e6")))).toMap
+    // the falsifiable no-loss claim: decode(encode(w)) == w for every
+    // in-vocab word, so the mismatch verdict must be unpopulated
+    assert(!got.contains("mismatch"),
+      "decode broke a planted word — the round-trip no-loss claim failed")
+    assert(got("exact") == ((3L, 5L, 14L, 8L, 714285L)),
+      s"exact arm diverged: ${got("exact")}")
+    assert(got("casefold") == ((1L, 1L, 3L, 1L, 142857L)),
+      s"casefold arm diverged: ${got("casefold")}")
+    assert(got("oov") == ((1L, 1L, 5L, 0L, 142857L)),
+      s"oov arm diverged: ${got("oov")}")
+    assert(got("~TOTAL") == ((5L, 7L, 22L, 9L, 1000000L)),
+      "~TOTAL must conserve the per-verdict sums")
+  }
+
+  test("t35: corpus run populates exact, never mismatch, and ~TOTAL " +
+    "conserves the per-verdict sums") {
+    // the synthetic corpus is all-lowercase alnum, so casefold/oov stay
+    // empty here — the planted test above covers those regimes
+    val rows = TextAnalysis.t35TokenizerRoundtrip(spark, sf).collect()
+    val verdicts = rows.map(_.getAs[String]("verdict")).toSet
+    assert(!verdicts.contains("mismatch"),
+      "corpus round-trip minted a mismatch — decoder broke a real word")
+    assert(verdicts.contains("exact"), s"no in-vocab word at all: $verdicts")
+    val (tot, per) = rows.partition(_.getAs[String]("verdict") == "~TOTAL")
+    assert(tot.length == 1)
+    for (c <- Seq("n_types", "n_occ", "n_chars", "n_tokens"))
+      assert(tot.head.getAs[Long](c) == per.map(_.getAs[Long](c)).sum,
+        s"~TOTAL does not conserve $c")
+  }
 }
