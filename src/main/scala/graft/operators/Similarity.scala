@@ -387,7 +387,12 @@ object Similarity {
   def knnEdges(spark: SparkSession, dir: String): DataFrame =
     s5KnnJoin(spark, dir)
 
-  def s5KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** s5/s26 shared: the undirected banded-candidate SCORED pairs
+    * (va < vb, floored e6 cosine) — s5 mirrors+ranks the full set into
+    * the layer-0 graph; s26 re-links the level>=l subsets into its
+    * upper-layer graphs (an upper HNSW layer is its own small-world
+    * graph over a sample, not a filtered view of layer 0's top-K). */
+  private[graft] def knnScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     val pl = planesFor(KnnBands * KnnPlanesPerBand)
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     // one fused 64-plane pass per row; band b = the b-th
@@ -419,6 +424,11 @@ object Similarity {
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
       .select(col("va"), col("vb"),
         floor(cosineFast(col("ea"), col("eb")) * lit(1000000.0)).cast("long").as("cos_e6"))
+    scored
+  }
+
+  def s5KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val scored = knnScoredPairs(spark, dir)
     val mirrored = scored.select(explode(array(
         struct(col("va").as("vec_id"), col("vb").as("neighbor_id"), col("cos_e6")),
         struct(col("vb").as("vec_id"), col("va").as("neighbor_id"), col("cos_e6")))).as("p"))
@@ -683,6 +693,7 @@ object Similarity {
 
   private lazy val staticOracle: Map[String, String] = Map(
     "s19_graph_beam" -> s19OracleSql,
+    "s26_hnsw_layers" -> s26OracleSql,
     "s18_sq8_quantize" -> s18OracleSql,
     "s15_hybrid_search" -> s15OracleSql,
     "s16_filtered_ann" -> s16OracleSql,
@@ -2471,6 +2482,205 @@ object Similarity {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  val HnswLevelMod = 4 // s26: geometric layer sampling, P(level >= l) = 4^-l
+  val HnswMaxLevel = 2 // s26: layers 0..2
+  val HnswUpperWidth = 2 // s26: beam width in the upper layers
+  val HnswUpperRounds = 2 // s26: greedy rounds per upper layer
+  val HnswBeamRounds = 3 // s26: layer-0 beam rounds (s19's dial)
+
+  /** `s26_hnsw_layers`: the LAYERED graph-ANN query — s19 beams over a
+    * flat kNN graph from 4 fixed entries; a production HNSW descends a
+    * layer hierarchy instead, and this operator completes that story.
+    * Every vector draws a deterministic geometric level from the md5
+    * convention (t5's split rule: level 2 iff md5_60 % 16 = 0, level 1
+    * iff % 4 = 0 — P(level>=l) = 4^-l), each upper layer RE-LINKS its
+    * own members from the banded-candidate pairs (not a filtered view
+    * of layer 0's top-K — an upper layer is its own small-world graph),
+    * and the search descends: from the single global entry point (min
+    * vec_id of the highest populated layer), [[HnswUpperRounds]] greedy
+    * rounds of width [[HnswUpperWidth]] per upper layer, then
+    * [[HnswBeamRounds]] full-width beam rounds on layer 0, reporting
+    * the top [[BeamTopK]]. The entry set rides along in every round's
+    * candidate frame so a probe that IS the entry point still descends
+    * through its neighbors.
+    *
+    * Scale: the layer assignment is one map-side expression; layer l's
+    * graph re-rank touches only the level>=l sample of the banded pairs
+    * (4^-2l of the pair mass — the layer-2 graph of a 100 TB corpus is
+    * 1/256 of its pair work, and the checkpointed pair frame is built
+    * ONCE and shared by all three layers); the query phase is s19's
+    * probe-grained machinery — every frontier is <= probes x (width+1)
+    * x (1 + degree) rows, embeddings attach by key equi-join, probes
+    * broadcast. Ranking is on floored e6 integers with id tie-breaks,
+    * so beam membership is engine-exact and the oracle replays the
+    * identical unrolled rounds. */
+  def s26HnswLayers(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val h = graft.functions.TextFunctions.md5Long60(col("vec_id").cast("string"))
+    val lvl = e.select(col("vec_id"),
+        when(h % 16 === 0, 2).when(h % 4 === 0, 1).otherwise(0).as("lvl"))
+      .localCheckpoint(true)
+    val pairs = knnScoredPairs(spark, dir).localCheckpoint(true)
+    def layerGraph(l: Int): DataFrame = {
+      val p2 =
+        if (l == 0) pairs
+        else {
+          val members = lvl.filter(col("lvl") >= l).select(col("vec_id"))
+          pairs
+            .join(members.select(col("vec_id").as("va")), Seq("va"))
+            .join(members.select(col("vec_id").as("vb")), Seq("vb"))
+        }
+      val mirrored = p2.select(explode(array(
+          struct(col("va").as("g_src"), col("vb").as("g_dst"), col("cos_e6")),
+          struct(col("vb").as("g_src"), col("va").as("g_dst"), col("cos_e6")))).as("p"))
+        .select(col("p.g_src"), col("p.g_dst"), col("p.cos_e6"))
+      val w = Window.partitionBy(col("g_src"))
+        .orderBy(col("cos_e6").desc, col("g_dst"))
+      mirrored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= KnnK)
+        .select(col("g_src"), col("g_dst"))
+        .localCheckpoint(true)
+    }
+    val g2 = layerGraph(2); val g1 = layerGraph(1); val g0 = layerGraph(0)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .localCheckpoint(true)
+    val entryRow = lvl.agg(
+        min(when(col("lvl") >= 2, col("vec_id"))).as("e2"),
+        min(when(col("lvl") >= 1, col("vec_id"))).as("e1"),
+        min(col("vec_id")).as("e0"))
+      .select(coalesce(col("e2"), col("e1"), col("e0")).as("cand"))
+    val entry = probes.select(col("probe_id"))
+      .crossJoin(broadcast(entryRow)).localCheckpoint(true)
+    val cembs = e.select(col("vec_id").as("cand"), col("embedding").as("ce"))
+    def score(cands: DataFrame, width: Int): DataFrame = {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_e6").desc, col("cand"))
+      cands
+        .join(cembs, Seq("cand"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("cand"),
+          floor(cosineFast(col("pe"), col("ce")) * lit(1000000.0))
+            .cast("long").as("cos_e6"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= width)
+        .select(col("probe_id"), col("cand"), col("cos_e6"))
+    }
+    def round(beam: Option[DataFrame], graph: DataFrame, width: Int): DataFrame = {
+      val base = beam match {
+        case Some(b) => b.select(col("probe_id"), col("cand")).union(entry)
+        case None => entry
+      }
+      val nb = base.join(graph, col("cand") === col("g_src"))
+        .select(col("probe_id"), col("g_dst").as("cand"))
+      val candSet = base.union(nb)
+        .filter(col("cand") =!= col("probe_id")).distinct()
+      score(candSet, width).localCheckpoint(true)
+    }
+    var beam: Option[DataFrame] = None
+    for (_ <- 1 to HnswUpperRounds) beam = Some(round(beam, g2, HnswUpperWidth))
+    for (_ <- 1 to HnswUpperRounds) beam = Some(round(beam, g1, HnswUpperWidth))
+    for (_ <- 1 to HnswBeamRounds) beam = Some(round(beam, g0, BeamWidth))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_e6").desc, col("cand"))
+    beam.get
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BeamTopK)
+      .select(col("probe_id"), col("rank"), col("cand").as("neighbor_id"),
+        col("cos_e6"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  private lazy val s26OracleSql: String = {
+    val cos = cosSql("p.pe", "ce.embedding")
+    def scoreCte(name: String, candCte: String, width: Int): String =
+      s"""$name AS (
+         | SELECT probe_id, cand, cos_e6 FROM (
+         |  SELECT c.probe_id, c.cand,
+         |   CAST(floor($cos * 1000000.0) AS BIGINT) AS cos_e6,
+         |   row_number() OVER (PARTITION BY c.probe_id
+         |     ORDER BY CAST(floor($cos * 1000000.0) AS BIGINT) DESC, c.cand) AS r
+         |  FROM $candCte c
+         |   JOIN embeddings ce ON ce.vec_id = c.cand
+         |   JOIN probes p ON p.probe_id = c.probe_id)
+         | WHERE r <= $width)""".stripMargin
+    def layerGraphCte(name: String, minLvl: Int): String = {
+      val flt =
+        if (minLvl == 0) ""
+        else
+          s""" JOIN lvl la ON la.vec_id = s.v1 AND la.lvl >= $minLvl
+             | JOIN lvl lb ON lb.vec_id = s.v2 AND lb.lvl >= $minLvl""".stripMargin
+      s"""$name AS (
+         | SELECT g_src, g_dst FROM (
+         |  SELECT g_src, g_dst, row_number() OVER (PARTITION BY g_src
+         |    ORDER BY cos_e6 DESC, g_dst) AS r
+         |  FROM (
+         |   SELECT s.v1 AS g_src, s.v2 AS g_dst, s.cos_e6 FROM kscored s$flt
+         |   UNION ALL
+         |   SELECT s.v2, s.v1, s.cos_e6 FROM kscored s$flt))
+         | WHERE r <= $KnnK)""".stripMargin
+    }
+    // rounds 1..7: (graph, width); round 1 has no prior beam
+    val layers = Seq.fill(HnswUpperRounds)(("g2", HnswUpperWidth)) ++
+      Seq.fill(HnswUpperRounds)(("g1", HnswUpperWidth)) ++
+      Seq.fill(HnswBeamRounds)(("g0", BeamWidth))
+    val rounds = layers.zipWithIndex.map { case ((g, width), i) =>
+      val r = i + 1
+      val base =
+        if (r == 1) "SELECT probe_id, cand FROM entryset"
+        else
+          s"""SELECT probe_id, cand FROM beam${r - 1}
+             |  UNION ALL SELECT probe_id, cand FROM entryset""".stripMargin
+      s"""base$r AS (
+         | $base),
+         |cand$r AS (
+         | SELECT DISTINCT probe_id, cand FROM (
+         |  SELECT probe_id, cand FROM base$r
+         |  UNION ALL
+         |  SELECT b.probe_id, g.g_dst AS cand
+         |  FROM base$r b JOIN $g g ON b.cand = g.g_src)
+         | WHERE cand <> probe_id),
+         |${scoreCte(s"beam$r", s"cand$r", width)}""".stripMargin
+    }.mkString(",\n")
+    val nRounds = layers.size
+    s"""WITH sigs AS (
+       |$knnBandSql),
+       |kcand AS (
+       | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+       | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
+       |  AND s1.vec_id < s2.vec_id),
+       |kscored AS (
+       | SELECT c.v1, c.v2,
+       |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
+       | FROM kcand c JOIN embeddings a ON a.vec_id = c.v1
+       |  JOIN embeddings b ON b.vec_id = c.v2),
+       |lvl AS (
+       | SELECT vec_id, CASE WHEN h % 16 = 0 THEN 2
+       |   WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+       | FROM (SELECT vec_id,
+       |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM embeddings)),
+       |${layerGraphCte("g2", 2)},
+       |${layerGraphCte("g1", 1)},
+       |${layerGraphCte("g0", 0)},
+       |ent AS (
+       | SELECT coalesce(min(CASE WHEN lvl >= 2 THEN vec_id END),
+       |   min(CASE WHEN lvl >= 1 THEN vec_id END), min(vec_id)) AS cand
+       | FROM lvl),
+       |probes AS (
+       | SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       | WHERE vec_id < $NumProbes),
+       |entryset AS (SELECT probe_id, cand FROM probes CROSS JOIN ent),
+       |$rounds
+       |SELECT probe_id, rank, cand AS neighbor_id, cos_e6 FROM (
+       | SELECT probe_id, cand, cos_e6,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_e6 DESC, cand) AS BIGINT) AS rank
+       | FROM beam$nRounds)
+       |WHERE rank <= $BeamTopK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   val SweepBudgets = Seq(1, 2, 4, 8) // s20: nprobe budgets swept (<= NumCells)
 
   /** `s20_nprobe_sweep`: the IVF recall/cost tuning curve — d13's
@@ -3098,6 +3308,7 @@ object Similarity {
     "s22_shard_plan" -> (s22ShardPlan _),
     "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_graph_beam" -> (s19GraphBeam _),
+    "s26_hnsw_layers" -> (s26HnswLayers _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),

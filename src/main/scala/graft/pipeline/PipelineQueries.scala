@@ -1609,26 +1609,31 @@ object PipelineQueries {
     * the span list is bounded by #files × #buckets regardless of
     * corpus size, and everything after the manifest aggregates is
     * manifest-grained. Zero windows. */
-  def p31JoinPrunePlan(spark: SparkSession, dir: String): DataFrame = {
+  /** p31/p39 shared: BOTH candidate layouts' manifests for one fact in a
+    * single grouping-sets scan (mo and key-file grain in the same pass,
+    * map-side partials), checkpointed at manifest size. */
+  private def layoutManifests(df: DataFrame, key: String, date: String): DataFrame = {
     val fk = JoinPruneFileKeys
-    def manifest(df: DataFrame, key: String, date: String): DataFrame =
-      df.select(
-          (year(col(date)) * 12 + month(col(date)) - 1).cast("long").as("mo"),
-          expr(s"$key div $fk").cast("long").as("kf"),
-          col(key).as("k"))
-        .groupingSets(Seq(Seq(col("mo")), Seq(col("kf"))),
-          col("mo"), col("kf"))
-        .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"),
-          count(lit(1)).as("n_rows"))
-        .select(
-          when(col("mo").isNotNull, lit("by_month"))
-            .otherwise(lit("by_keyrange")).as("layout"),
-          coalesce(col("mo"), col("kf")).as("file_id"),
-          col("k_min"), col("k_max"), col("n_rows"))
-        .localCheckpoint(true) // manifest-sized; spans + totals read it
-    val oFiles = manifest(graft.Tables.load(spark, dir, "orders"),
+    df.select(
+        (year(col(date)) * 12 + month(col(date)) - 1).cast("long").as("mo"),
+        expr(s"$key div $fk").cast("long").as("kf"),
+        col(key).as("k"))
+      .groupingSets(Seq(Seq(col("mo")), Seq(col("kf"))),
+        col("mo"), col("kf"))
+      .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        when(col("mo").isNotNull, lit("by_month"))
+          .otherwise(lit("by_keyrange")).as("layout"),
+        coalesce(col("mo"), col("kf")).as("file_id"),
+        col("k_min"), col("k_max"), col("n_rows"))
+      .localCheckpoint(true) // manifest-sized; spans + totals read it
+  }
+
+  def p31JoinPrunePlan(spark: SparkSession, dir: String): DataFrame = {
+    val oFiles = layoutManifests(graft.Tables.load(spark, dir, "orders"),
       "o_orderkey", "o_orderdate")
-    val lFiles = manifest(graft.Tables.load(spark, dir, "lineitem"),
+    val lFiles = layoutManifests(graft.Tables.load(spark, dir, "lineitem"),
       "l_orderkey", "l_shipdate")
     // bucket width from the observed key range — a GLOBAL aggregate off
     // the (already tiny) orders manifest, broadcast onto both span
@@ -1714,6 +1719,184 @@ object PipelineQueries {
        |   // (n_ord_files * n_li_files) AS prune_e6
        |FROM oc JOIN lc USING (layout) LEFT JOIN pc USING (layout)
        |ORDER BY layout""".stripMargin
+
+  /** p39: the canonical what-if predicate box — the middle quarter of
+    * the observed key range (lo = 3/8 max, hi = 5/8 max), the p19-style
+    * probe a layout's skip-rate is judged by. */
+  val AdvisorBoxLoEighths = 3L
+  val AdvisorBoxHiEighths = 5L
+
+  /** `p39_layout_advisor`: the what-if layout recommendation composing
+    * the engine's four manifest audits (p16 file counts, p19 scan-box
+    * skipping, p24 overlap crowding, p31 join pruning) into ONE
+    * decision row per candidate layout of the orders fact — `by_month`
+    * (date-partitioned write) vs `by_keyrange` (p12/p29's clustered
+    * write). Per layout: manifest sizes, the three planning fractions
+    * (e6) a lakehouse planner reads off min/max stats alone —
+    * `join_prune_e6` (file pairs skippable in the orderkey fact-fact
+    * join, p31's number), `scan_prune_e6` (files provably outside the
+    * canonical middle-quarter key box, p19's number), `overlap_frac_e6`
+    * (fraction of file pairs whose key ranges collide, p24's crowding
+    * normalized to [0,1e6]) — an equal-weight integer composite
+    * `score_e6`, and the `recommended` flag on the argmax (ties break
+    * on layout name). The row an engineer reads INSTEAD of four audits
+    * before choosing the curation write path.
+    *
+    * Scale: everything derives from the SAME one-scan-per-fact
+    * grouping-sets manifests p31 builds ([[layoutManifests]],
+    * checkpointed, shared); both pair tests (join + self-overlap) ride
+    * the fixed [[JoinPruneBuckets]]-cell banding grid — span lists
+    * bounded by #files x #buckets at any corpus size, candidates meet
+    * on a bucket EQUI-join with the interval predicate riding it; the
+    * box test and the scoring are manifest-grained scalars; the
+    * recommendation argmax is one global aggregate broadcast back (the
+    * q46 scalar pattern — no window at all). Shares ride Decimal(38,0)
+    * and emit BIGINT (the t30/s25 envelope). */
+  def p39LayoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val oFiles = layoutManifests(graft.Tables.load(spark, dir, "orders"),
+      "o_orderkey", "o_orderdate")
+    val lFiles = layoutManifests(graft.Tables.load(spark, dir, "lineitem"),
+      "l_orderkey", "l_shipdate")
+    val scalars = oFiles.agg(
+      expr(s"max(k_max) div $JoinPruneBuckets + 1").as("bw"),
+      max(col("k_max")).as("maxk"))
+    def spans(files: DataFrame): DataFrame =
+      files.crossJoin(broadcast(scalars))
+        .withColumn("b",
+          explode(sequence(expr("k_min div bw"), expr("k_max div bw"))))
+        .select(col("layout"), col("file_id"), col("k_min"), col("k_max"),
+          col("b"))
+    val joinPairs = spans(oFiles).alias("o")
+      .join(spans(lFiles).alias("l"),
+        col("o.layout") === col("l.layout") && col("o.b") === col("l.b") &&
+          col("o.k_min") <= col("l.k_max") &&
+          col("o.k_max") >= col("l.k_min"))
+      .select(col("o.layout").as("layout"), col("o.file_id").as("of"),
+        col("l.file_id").as("lf"))
+      .distinct()
+      .groupBy(col("layout")).agg(count(lit(1)).as("n_join_pairs"))
+    val selfPairs = spans(oFiles).alias("a")
+      .join(spans(oFiles).alias("c"),
+        col("a.layout") === col("c.layout") && col("a.b") === col("c.b") &&
+          col("a.file_id") < col("c.file_id") &&
+          col("a.k_min") <= col("c.k_max") &&
+          col("a.k_max") >= col("c.k_min"))
+      .select(col("a.layout").as("layout"), col("a.file_id").as("af"),
+        col("c.file_id").as("cf"))
+      .distinct()
+      .groupBy(col("layout")).agg(count(lit(1)).as("n_self_pairs"))
+    val boxed = oFiles.crossJoin(broadcast(scalars))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("k_max") < expr(s"maxk div 8 * $AdvisorBoxLoEighths") ||
+            col("k_min") > expr(s"maxk div 8 * $AdvisorBoxHiEighths"), 1L)
+          .otherwise(0L)).as("n_skipped"))
+    val lCnt = lFiles.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_li_files"))
+    val scored = boxed.join(broadcast(lCnt), "layout")
+      .join(broadcast(joinPairs), Seq("layout"), "left")
+      .join(broadcast(selfPairs), Seq("layout"), "left")
+      .withColumn("n_join_pairs", coalesce(col("n_join_pairs"), lit(0L)))
+      .withColumn("n_self_pairs", coalesce(col("n_self_pairs"), lit(0L)))
+      .select(col("layout"), col("n_files"), col("n_li_files"),
+        expr("(n_files * n_li_files - n_join_pairs)" +
+          " * CAST(1000000 AS DECIMAL(38,0)) div (n_files * n_li_files)")
+          .as("join_prune_e6"),
+        expr("n_skipped * CAST(1000000 AS DECIMAL(38,0)) div n_files")
+          .as("scan_prune_e6"),
+        expr("2 * n_self_pairs * CAST(1000000 AS DECIMAL(38,0))" +
+          " div greatest(n_files * (n_files - 1), 1)")
+          .as("overlap_frac_e6"))
+      .withColumn("score_e6", expr(
+        "(join_prune_e6 + scan_prune_e6 + (1000000 - overlap_frac_e6)) div 3"))
+      .localCheckpoint(true) // 2 rows; argmax + emit both read it
+    // argmax without a window: one global aggregate picks (max score,
+    // min layout-name on ties) — the q46 broadcast-scalar pattern, so
+    // the plan carries no unpartitioned window even at 2 rows
+    val best = scored
+      .agg(min(struct((col("score_e6") * -1).as("neg"),
+        col("layout").as("layout"))).as("b"))
+      .select(col("b.layout").as("best_layout"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("recommended",
+        when(col("layout") === col("best_layout"), 1L).otherwise(0L))
+      .drop("best_layout")
+      .orderBy(col("layout"))
+  }
+
+  private val p39Oracle: String =
+    s"""WITH om AS (
+       | SELECT 'by_month' AS layout,
+       |  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+       |    AS file_id,
+       |  CAST(min(o_orderkey) AS BIGINT) AS k_min,
+       |  CAST(max(o_orderkey) AS BIGINT) AS k_max
+       | FROM orders GROUP BY 2
+       | UNION ALL
+       | SELECT 'by_keyrange', o_orderkey // $JoinPruneFileKeys,
+       |  min(o_orderkey), max(o_orderkey)
+       | FROM orders GROUP BY 2),
+       |lm AS (
+       | SELECT 'by_month' AS layout,
+       |  CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+       |    AS file_id,
+       |  CAST(min(l_orderkey) AS BIGINT) AS k_min,
+       |  CAST(max(l_orderkey) AS BIGINT) AS k_max
+       | FROM lineitem GROUP BY 2
+       | UNION ALL
+       | SELECT 'by_keyrange', l_orderkey // $JoinPruneFileKeys,
+       |  min(l_orderkey), max(l_orderkey)
+       | FROM lineitem GROUP BY 2),
+       |w AS (SELECT max(k_max) // $JoinPruneBuckets + 1 AS bw,
+       |  max(k_max) AS maxk FROM om),
+       |os AS (
+       | SELECT layout, file_id, k_min, k_max,
+       |  unnest(range(k_min // bw, k_max // bw + 1)) AS b
+       | FROM om CROSS JOIN w),
+       |ls AS (
+       | SELECT layout, file_id, k_min, k_max,
+       |  unnest(range(k_min // bw, k_max // bw + 1)) AS b
+       | FROM lm CROSS JOIN w),
+       |jp AS (
+       | SELECT layout, CAST(count(*) AS BIGINT) AS n_join_pairs FROM (
+       |  SELECT DISTINCT o.layout, o.file_id AS ofid, l.file_id AS lfid
+       |  FROM os o JOIN ls l ON o.layout = l.layout AND o.b = l.b
+       |   AND o.k_min <= l.k_max AND o.k_max >= l.k_min) GROUP BY 1),
+       |sp AS (
+       | SELECT layout, CAST(count(*) AS BIGINT) AS n_self_pairs FROM (
+       |  SELECT DISTINCT a.layout, a.file_id AS af, c.file_id AS cf
+       |  FROM os a JOIN os c ON a.layout = c.layout AND a.b = c.b
+       |   AND a.file_id < c.file_id
+       |   AND a.k_min <= c.k_max AND a.k_max >= c.k_min) GROUP BY 1),
+       |bx AS (
+       | SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN k_max < maxk // 8 * $AdvisorBoxLoEighths
+       |    OR k_min > maxk // 8 * $AdvisorBoxHiEighths
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+       | FROM om CROSS JOIN w GROUP BY 1),
+       |lc AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_li_files
+       | FROM lm GROUP BY 1),
+       |e AS (
+       | SELECT b.layout, b.n_files, lc.n_li_files,
+       |  CAST((b.n_files * lc.n_li_files - COALESCE(jp.n_join_pairs, 0))
+       |    * 1000000 // (b.n_files * lc.n_li_files) AS BIGINT)
+       |    AS join_prune_e6,
+       |  CAST(b.n_skipped * 1000000 // b.n_files AS BIGINT)
+       |    AS scan_prune_e6,
+       |  CAST(2 * COALESCE(sp.n_self_pairs, 0) * 1000000
+       |    // greatest(b.n_files * (b.n_files - 1), 1) AS BIGINT)
+       |    AS overlap_frac_e6
+       | FROM bx b JOIN lc USING (layout)
+       |  LEFT JOIN jp USING (layout) LEFT JOIN sp USING (layout)),
+       |s AS (
+       | SELECT *, CAST((join_prune_e6 + scan_prune_e6
+       |   + (1000000 - overlap_frac_e6)) // 3 AS BIGINT) AS score_e6
+       | FROM e)
+       |SELECT layout, n_files, n_li_files, join_prune_e6, scan_prune_e6,
+       | overlap_frac_e6, score_e6,
+       | CAST(CASE WHEN row_number() OVER (ORDER BY score_e6 DESC, layout) = 1
+       |   THEN 1 ELSE 0 END AS BIGINT) AS recommended
+       |FROM s ORDER BY layout""".stripMargin
 
   /** `p32_deletion_read`: the merge-on-read half of p21's erasure story
     * — the Iceberg v2 / Delta deletion-vector READ path. p21 PLANS the
@@ -1926,6 +2109,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p32_deletion_read" -> (p32DeletionRead _),
     "p33_cdc_changelog" -> (p33CdcChangelog _),
+    "p39_layout_advisor" -> (p39LayoutAdvisor _),
     "p34_bucketed_priority" -> (p34BucketedPriority _),
     "p35_bucketed_semi" -> (p35BucketedSemi _),
     "p36_bucketed_trade" -> (p36BucketedTrade _),
@@ -1970,6 +2154,7 @@ object PipelineQueries {
     "p33_cdc_changelog" -> p33Oracle,
     // the bucketed twins reuse their q-twin's oracle VERBATIM: the
     // layout changes the plan, never the answer (the p29 rule)
+    "p39_layout_advisor" -> p39Oracle,
     "p34_bucketed_priority" ->
       graft.operators.Analytics.oracle("q3_shipping_priority"),
     "p35_bucketed_semi" ->

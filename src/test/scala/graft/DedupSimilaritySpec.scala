@@ -1434,6 +1434,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"escaped-entry results: ${got.values.count(v => !entries.contains(v._1))}")
   }
 
+  test("s26: the layered HNSW descent replays literally in Scala — " +
+    "geometric md5 levels, per-layer re-linked graphs, entry fallback, " +
+    "and the 7 unrolled rounds — and the upper layers are populated") {
+    import operators.Similarity.{BeamTopK, BeamWidth, HnswBeamRounds,
+      HnswUpperRounds, HnswUpperWidth, NumProbes, KnnK}
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val lvl = vecs.keys.map { id =>
+      val h = md5Long60(id.toString)
+      id -> (if (h % 16 == 0) 2 else if (h % 4 == 0) 1 else 0)
+    }.toMap
+    assert(lvl.values.exists(_ >= 1) && lvl.values.exists(_ >= 2),
+      "geometric sampling left an upper layer empty — the descent is " +
+        s"vacuous at this corpus size (counts: ${lvl.values.groupBy(identity).view.mapValues(_.size).toMap})")
+    // per-layer graphs re-linked from s5's scored pair artifact
+    val pairs = operators.Similarity.knnScoredPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Long]("cos_e6")))
+    def layerGraph(l: Int): Map[Long, Seq[Long]] = {
+      val p2 = pairs.filter { case (a, b, _) => lvl(a) >= l && lvl(b) >= l }
+      val mirrored = p2.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      mirrored.groupBy(_._1).view.mapValues(_.toSeq
+        .sortBy { case (_, dst, c) => (-c, dst) }.take(KnnK).map(_._2)).toMap
+    }
+    val graphs = Map(2 -> layerGraph(2), 1 -> layerGraph(1), 0 -> layerGraph(0))
+    val entry = Seq(2, 1).view.flatMap(l =>
+        lvl.collect { case (id, v) if v >= l => id }.toSeq.sorted.headOption)
+      .headOption.getOrElse(vecs.keys.min)
+    val probes = vecs.keys.filter(_ < NumProbes).toSeq.sorted
+    val layers = Seq.fill(HnswUpperRounds)((2, HnswUpperWidth)) ++
+      Seq.fill(HnswUpperRounds)((1, HnswUpperWidth)) ++
+      Seq.fill(HnswBeamRounds)((0, BeamWidth))
+    val expected = probes.flatMap { p =>
+      def top(c: Set[Long], n: Int): Seq[Long] = c.toSeq
+        .map(id => (id, cosE6(vecs(p), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+      var beam = Seq.empty[Long]
+      for ((l, width) <- layers) {
+        val base = beam.toSet + entry
+        val cand = (base ++
+          base.flatMap(c => graphs(l).getOrElse(c, Seq.empty))) - p
+        beam = top(cand, width)
+      }
+      top(beam.toSet, BeamTopK).zipWithIndex.map { case (id, i) =>
+        (p, i + 1L) -> (id, cosE6(vecs(p), vecs(id)))
+      }
+    }.toMap
+    val got = operators.Similarity.s26HnswLayers(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("cos_e6"))).toMap
+    assert(got == expected, "layered descent diverged from literal replay")
+    assert(got.nonEmpty, "the shipped corpus must exercise the shape")
+    // the descent must escape the entry point, or the hierarchy did no work
+    assert(got.values.exists { case (id, _) => id != entry },
+      "every result is the entry point — the walk never moved")
+    info(s"entry $entry (lvl ${lvl(entry)}); levels: " +
+      s"${lvl.values.groupBy(identity).view.mapValues(_.size).toMap}; " +
+      s"${got.size} rows over ${probes.size} probes")
+  }
+
   test("s20: each budget's results equal s3 run AT that nprobe, hit " +
     "counts replay against s1, and the curve is monotone in nprobe") {
     import operators.Similarity

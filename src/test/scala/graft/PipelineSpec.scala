@@ -1515,4 +1515,102 @@ class PipelineSpec extends AnyFunSuite {
     info(s"${ins.length} inserts (${totI.getAs[Long]("n_rows")} rows) vs " +
       s"file-diff ship of $shippedByFiles rows; ${rws.length} rewrite(s)")
   }
+
+  test("p39: the advisor row replays literally from raw facts — " +
+    "manifests, quadratic pair truths, box skipping, integer score — " +
+    "and exactly one layout is recommended (the one the replay picks)") {
+    import java.time.LocalDateTime
+    def monthsOf(ts: LocalDateTime): Long = {
+      val ld = ts.toLocalDate
+      ld.getYear.toLong * 12 + ld.getMonthValue - 1
+    }
+    val fk = PipelineQueries.JoinPruneFileKeys
+    def manifests(rows: Seq[(Long, LocalDateTime)]): Map[String, Map[Long, (Long, Long)]] = Map(
+      "by_month" -> rows.groupBy { case (_, d) => monthsOf(d) }
+        .map { case (f, rs) => f -> (rs.map(_._1).min, rs.map(_._1).max) },
+      "by_keyrange" -> rows.groupBy { case (k, _) => k / fk }
+        .map { case (f, rs) => f -> (rs.map(_._1).min, rs.map(_._1).max) })
+    val ords = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1))).toSeq
+    val lis = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1))).toSeq
+    val om = manifests(ords); val lm = manifests(lis)
+    val maxk = om.values.flatMap(_.values.map(_._2)).max
+    val (lo, hi) = (maxk / 8 * 3, maxk / 8 * 5)
+    def ov(a: (Long, Long), b: (Long, Long)) = a._1 <= b._2 && a._2 >= b._1
+    val expect = om.keys.map { lay =>
+      val of = om(lay); val lf = lm(lay)
+      val nJoin = of.values.flatMap(a => lf.values.filter(ov(a, _))).size.toLong
+      val nSelf = of.toSeq.combinations(2)
+        .count { case Seq((_, a), (_, b)) => ov(a, b) }.toLong
+      val nF = of.size.toLong; val nL = lf.size.toLong
+      val jp = (nF * nL - nJoin) * 1000000L / (nF * nL)
+      val sp = of.values.count { case (mn, mx) => mx < lo || mn > hi }
+        .toLong * 1000000L / nF
+      val ofr = 2L * nSelf * 1000000L / math.max(nF * (nF - 1), 1L)
+      lay -> ((nF, nL, jp, sp, ofr, (jp + sp + (1000000L - ofr)) / 3))
+    }.toMap
+    val rec = expect.toSeq
+      .sortBy { case (lay, v) => (-v._6, lay) }.head._1
+    val got = PipelineQueries.p39LayoutAdvisor(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("n_li_files"),
+          r.getAs[Long]("join_prune_e6"), r.getAs[Long]("scan_prune_e6"),
+          r.getAs[Long]("overlap_frac_e6"), r.getAs[Long]("score_e6"),
+          r.getAs[Long]("recommended")))).toMap
+    assert(got.keySet == Set("by_month", "by_keyrange"))
+    got.foreach { case (lay, (nf, nl, jp, sp, ofr, sc, _)) =>
+      assert((nf, nl, jp, sp, ofr, sc) == expect(lay),
+        s"$lay metrics diverged from the quadratic replay: " +
+          s"got ${(nf, nl, jp, sp, ofr, sc)} want ${expect(lay)}")
+    }
+    assert(got.values.map(_._7).toSeq.sorted == Seq(0L, 1L),
+      "exactly one layout must be recommended")
+    assert(got.find(_._2._7 == 1L).get._1 == rec,
+      "the recommended layout diverged from the replay's argmax")
+    // the advisor only earns its keep if the layouts actually separate
+    assert(got("by_keyrange")._6 != got("by_month")._6,
+      "degenerate corpus: both layouts score identically")
+    info(s"recommended $rec; scores " +
+      got.view.mapValues(_._6).toMap.toString)
+  }
+
+  test("schedule: Airflow tick semantics — interval-close due rule, " +
+    "catchup backlog vs latest-only collapse, idempotent polls, and " +
+    "runDue threading logical times through the Runner") {
+    import graft.pipeline.{Runner, Schedule}
+    val st0 = Schedule.init(intervalMs = 10L, catchup = true, epochMs = 100L)
+    // a tick's interval must CLOSE before it is due: logical 100 runs
+    // at wall 110, not at 100
+    val (stA, runA, skipA) = Schedule.poll(st0, 109L)
+    assert(runA.isEmpty && skipA.isEmpty && stA == st0, "due before close")
+    val (stB, runB, skipB) = Schedule.poll(st0, 110L)
+    assert(runB == Seq(100L) && skipB.isEmpty)
+    // catchup=true owes the whole backlog oldest-first
+    val (stC, runC, skipC) = Schedule.poll(stB, 145L)
+    assert(runC == Seq(110L, 120L, 130L) && skipC.isEmpty,
+      s"backlog diverged: $runC")
+    // idempotence: a second poll at the same instant owes nothing
+    assert(Schedule.poll(stC, 145L)._2.isEmpty)
+    // catchup=false collapses the same backlog to the LATEST tick and
+    // reports the abandoned ones (p20's backfill request list)
+    val nc0 = Schedule.init(10L, catchup = false, epochMs = 100L)
+    val (ncSt, ncRun, ncSkip) = Schedule.poll(nc0, 145L)
+    assert(ncRun == Seq(130L) && ncSkip == Seq(100L, 110L, 120L),
+      s"no-catchup collapse diverged: run $ncRun skip $ncSkip")
+    // and the grid continues from the collapsed point, not the epoch
+    val (_, ncRun2, ncSkip2) = Schedule.poll(ncSt, 155L)
+    assert(ncRun2 == Seq(140L) && ncSkip2.isEmpty)
+    // runDue executes oldest-first, threads the logical time into the
+    // stage builder (Airflow's ds templating), and returns real results
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (_, results, skipped) = Schedule.runDue("sched_spec", stB, 145L,
+      stagesFor = t => Seq(
+        Runner.Stage(s"work_$t")(() => { seen += t; () })))
+    assert(seen.toSeq == Seq(110L, 120L, 130L), "execution order")
+    assert(results.map(_._1) == Seq(110L, 120L, 130L) && skipped.isEmpty)
+    assert(results.forall(_._2.forall(_.status == Runner.Succeeded)))
+  }
 }
