@@ -1008,7 +1008,99 @@ object Analytics {
       .orderBy(col("segment"))
   }
 
+  /** `q56_sole_late_supplier`: the TPC-H Q21 shape on this schema —
+    * suppliers who were the SOLE late shipper on a finished
+    * multi-supplier order (the blame list logistics escalates: the
+    * order waited, exactly one supplier's lines were late, and it was
+    * this one). Lateness is q44's rule (`l_shipdate > o_orderdate + 60
+    * days`, restated because this schema carries no commit/receipt
+    * dates); `numwait` counts qualifying ORDERS per supplier (the pair
+    * grain below makes that exact — the textbook's count(*) over l1
+    * lines double-counts multi-line lates, so both forms state COUNT
+    *(DISTINCT order) explicitly). The oracle is deliberately the
+    * TEXTBOOK Q21 form — EXISTS (another supplier on the order) AND
+    * NOT EXISTS (another LATE supplier) correlated on l1 — so the
+    * hash-match proves the de-correlation below.
+    *
+    * Spark-first de-correlation: ONE lineitem shuffle collapses the
+    * fact to (orderkey, suppkey, max_shipdate) grain with map-side
+    * partials (per-pair lateness only needs the LATEST line vs the one
+    * order-level threshold); the F-filtered orders join, the per-order
+    * supplier/late-supplier counts, and the pair-grain join-back all
+    * ride the SAME orderkey hash partitioning — no fact-fact
+    * re-shuffle, no correlated re-scan of lineitem (the textbook form
+    * scans it three times). The supplier/nation lookup broadcasts onto
+    * supplier-grain rows. At 100 TB: one fact-grain shuffle, then
+    * pair/order-grain work only. */
+  def q56SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pair = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          1L).otherwise(0L).as("late"))
+      .localCheckpoint(true) // pair grain; per-order agg + join-back read it
+    val perOrder = pair.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    pair.filter(col("late") === 1L)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  /** `q57_reorder_curve`: the repeat-purchase retention curve every
+    * commerce analytics stack ships — for each order INDEX k (a
+    * customer's 1st, 2nd, ... order by date), how many customers ever
+    * reached a k-th order and the exact integer day-gap stats from
+    * their previous order (floored mean, min, max). The curve's decay
+    * is the reorder-rate read; the gap drift across k is the
+    * cadence read (q55 segments customers; this profiles the
+    * trajectory the segments summarize; q21's cohorts do the analog on
+    * event data — this is the ORDER-sequence form with exact gaps).
+    * Day arithmetic on epoch days, ties broken by orderkey so the
+    * sequence is engine-exact.
+    *
+    * Scale: ONE orders scan, ONE custkey shuffle serving both the
+    * sequence window and the lag (the per-customer frame is bounded by
+    * orders-per-customer — a constant of the schema, not of scale),
+    * then a |max-k|-grain aggregate with map-side partials. No joins,
+    * no fact-fact work, nothing unbounded. */
+  def q57ReorderCurve(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          lit(86400L * 1000000L)).cast("long").as("day"))
+      .withColumn("order_idx", row_number().over(w).cast("long"))
+      .withColumn("gap_days", col("day") - lag(col("day"), 1).over(w))
+      .groupBy(col("order_idx"))
+      .agg(count(lit(1)).as("n_customers"),
+        coalesce(sum(col("gap_days")), lit(0L)).as("sum_gap_days"),
+        coalesce(min(col("gap_days")), lit(-1L)).as("min_gap_days"),
+        coalesce(max(col("gap_days")), lit(-1L)).as("max_gap_days"))
+      .withColumn("avg_gap_days",
+        when(col("order_idx") === 1L, -1L)
+          .otherwise(expr("sum_gap_days div n_customers")))
+      .orderBy(col("order_idx"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_sole_late_supplier" -> q56SoleLateSupplier _,
+    "q57_reorder_curve" -> q57ReorderCurve _,
     "q55_rfm_segments" -> q55RfmSegments _,
     "q50_product_margin" -> q50ProductMargin _,
     "q51_important_parts" -> q51ImportantParts _,
@@ -1039,6 +1131,46 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    // deliberately the TEXTBOOK Q21 form — correlated EXISTS / NOT
+    // EXISTS on l1: hash-matching it proves the one-shuffle pair-grain
+    // de-correlation (numwait = DISTINCT orders in both forms)
+    "q56_sole_late_supplier" ->
+      """SELECT s.s_suppkey, s.s_name, n.n_name,
+        | CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM supplier s
+        | JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        | JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        | AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey
+        |    AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1, 2, 3
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    "q57_reorder_curve" ->
+      s"""WITH seq AS (
+        | SELECT o_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS order_idx,
+        |  epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+        |  lag(epoch_us(o_orderdate) // ${86400L * 1000000L}) OVER w
+        |    AS prev_day
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey))
+        |SELECT order_idx,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(COALESCE(sum(day - prev_day), 0) AS BIGINT) AS sum_gap_days,
+        | CAST(COALESCE(min(day - prev_day), -1) AS BIGINT) AS min_gap_days,
+        | CAST(COALESCE(max(day - prev_day), -1) AS BIGINT) AS max_gap_days,
+        | CAST(CASE WHEN order_idx = 1 THEN -1
+        |  ELSE COALESCE(sum(day - prev_day), 0) // count(*) END AS BIGINT)
+        |  AS avg_gap_days
+        |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_rfm_segments" ->
       """WITH per AS (
         | SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -1233,7 +1233,80 @@ object Multimodal {
        | FROM per
        |) ORDER BY key""".stripMargin
 
+  /** `m14_codec_audit`: container-vs-label integrity — the ingest QC
+    * gate that catches mislabeled or corrupted payloads BEFORE a decode
+    * fleet wastes GPU time on them (a real corpus always contains PNGs
+    * declared as JPEG, MP3s in .wav rows, truncated containers). The
+    * payload's container signature is SNIFFED from its leading bytes
+    * (here the stub convention: first payload byte % 3, standing in for
+    * the magic-number dispatch a real sniffer does — libmagic reads
+    * exactly such a prefix) and cross-tabulated against the DECLARED
+    * media_type per source: the (source, declared, sniffed) confusion
+    * matrix with doc/byte mass, `mismatch_docs` per cell, and a `~TOTAL`
+    * row footing the corpus-wide mismatch mass a triage dashboard
+    * renders as a rate.
+    *
+    * Scale: ONE documents scan; the sniff reads a PREFIX of the payload
+    * (at a real deployment a ranged read of the first KB — never the
+    * full blob), the matrix is a map-side-partial aggregate at
+    * |sources|x9 grain, and no payload byte survives the scan
+    * projection (the m-family invariant PlanSpec pins). No joins. */
+  def m14CodecAudit(spark: SparkSession, dir: String): DataFrame = {
+    val firstByte = conv(substring(md5(col("text")), 1, 2), 16, 10)
+      .cast("long")
+    val types = array(lit("image"), lit("audio"), lit("video"))
+    val per = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        element_at(types, (col("doc_id") % 3 + 1).cast("int")).as("declared"),
+        element_at(types, (firstByte % 3 + 1).cast("int")).as("sniffed"),
+        (length(repeat(md5(col("text")), 4)) / 2).cast("long").as("n_bytes"))
+      .groupBy(col("source"), col("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("n_bytes"))
+      .withColumn("mismatch_docs",
+        when(col("declared") =!= col("sniffed"), col("n_docs")).otherwise(0L))
+      .localCheckpoint(true) // matrix-sized; cells + ~TOTAL read it
+    val tot = per.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("mismatch_docs")).as("mismatch_docs"))
+      .select(lit("~TOTAL").as("source"), lit("~TOTAL").as("declared"),
+        lit("~TOTAL").as("sniffed"), col("n_docs"), col("n_bytes"),
+        col("mismatch_docs"))
+    per.select(col("source"), col("declared"), col("sniffed"), col("n_docs"),
+        col("n_bytes"), col("mismatch_docs"))
+      .unionByName(tot)
+      .orderBy(col("source"), col("declared"), col("sniffed"))
+  }
+
+  private val m14Oracle: String =
+    """WITH m AS (
+      | SELECT source,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |   WHEN 1 THEN 'audio' ELSE 'video' END AS declared,
+      |  CASE CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 3
+      |    AS INTEGER) WHEN 0 THEN 'image'
+      |   WHEN 1 THEN 'audio' ELSE 'video' END AS sniffed,
+      |  CAST(length(repeat(md5(text), 4)) / 2 AS BIGINT) AS n_bytes
+      | FROM documents),
+      |per AS (
+      | SELECT source, declared, sniffed,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+      | FROM m GROUP BY 1, 2, 3),
+      |w AS (
+      | SELECT per.*, CAST(CASE WHEN declared <> sniffed THEN n_docs
+      |  ELSE 0 END AS BIGINT) AS mismatch_docs
+      | FROM per)
+      |SELECT * FROM (
+      | SELECT source, declared, sniffed, n_docs, n_bytes, mismatch_docs
+      | FROM w
+      | UNION ALL
+      | SELECT '~TOTAL', '~TOTAL', '~TOTAL', CAST(sum(n_docs) AS BIGINT),
+      |  CAST(sum(n_bytes) AS BIGINT), CAST(sum(mismatch_docs) AS BIGINT)
+      | FROM w)
+      |ORDER BY source, declared, sniffed""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m14_codec_audit" -> m14Oracle,
     "m13_storage_pyramid" -> m13Oracle,
     "m12_scene_segmentation" -> m12Oracle,
     "m11_aspect_buckets" -> m11Oracle,
@@ -1249,6 +1322,7 @@ object Multimodal {
     "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_codec_audit" -> (m14CodecAudit _),
     "m13_storage_pyramid" -> (m13StoragePyramid _),
     "m12_scene_segmentation" -> (m12SceneSegmentation _),
     "m11_aspect_buckets" -> (m11AspectBuckets _),

@@ -694,6 +694,7 @@ object Similarity {
   private lazy val staticOracle: Map[String, String] = Map(
     "s19_graph_beam" -> s19OracleSql,
     "s26_hnsw_layers" -> s26OracleSql,
+    "s27_hnsw_recall" -> s27OracleSql,
     "s18_sq8_quantize" -> s18OracleSql,
     "s15_hybrid_search" -> s15OracleSql,
     "s16_filtered_ann" -> s16OracleSql,
@@ -2681,6 +2682,55 @@ object Similarity {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** `s27_hnsw_recall`: s26's eval twin — recall@[[BeamTopK]] of the
+    * layered descent against s1's exact truth (TopK = BeamTopK, so the
+    * sets compare 1:1), per probe: n_exact, n_approx, n_hit, recall_e6.
+    * s8 plays this role for the LSH index; a graph index ships with the
+    * same SLO number or it doesn't ship (beam width / round count are
+    * tuned against exactly this curve). Shape: both inputs are the
+    * already-scale-correct s1/s26 plans, checkpointed once each; the
+    * metric is a probe-grained semi-join + three tiny aggregates — the
+    * eval adds nothing fact-sized (at 100 TB the probe panel is the
+    * sampled SLO panel, so eval cost = index cost). */
+  def s27HnswRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1AnnBrute(spark, dir).select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val approx = s26HnswLayers(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("probe_id")).agg(count(lit(1)).as("n_approx")),
+        Seq("probe_id"), "left")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        floor(coalesce(col("n_hit"), lit(0L)) * lit(1000000.0) / col("n_exact"))
+          .cast("long").as("recall_e6"))
+      .orderBy(col("probe_id"))
+  }
+
+  private lazy val s27OracleSql: String =
+    s"""WITH ex AS ($s1OracleSql),
+       |ap AS (SELECT probe_id, neighbor_id FROM ($s26OracleSql)),
+       |hits AS (
+       | SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+       | FROM ex e JOIN ap a ON a.probe_id = e.probe_id
+       |  AND a.neighbor_id = e.neighbor_id
+       | GROUP BY 1),
+       |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+       | FROM ex GROUP BY 1),
+       |na AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_approx
+       | FROM ap GROUP BY 1)
+       |SELECT ne.probe_id AS probe_id, ne.n_exact AS n_exact,
+       | COALESCE(na.n_approx, 0) AS n_approx, COALESCE(h.n_hit, 0) AS n_hit,
+       | CAST(floor(COALESCE(h.n_hit, 0) * 1000000.0 / ne.n_exact) AS BIGINT)
+       |  AS recall_e6
+       |FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN hits h USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+
   val SweepBudgets = Seq(1, 2, 4, 8) // s20: nprobe budgets swept (<= NumCells)
 
   /** `s20_nprobe_sweep`: the IVF recall/cost tuning curve — d13's
@@ -3309,6 +3359,7 @@ object Similarity {
     "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_graph_beam" -> (s19GraphBeam _),
     "s26_hnsw_layers" -> (s26HnswLayers _),
+    "s27_hnsw_recall" -> (s27HnswRecall _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),

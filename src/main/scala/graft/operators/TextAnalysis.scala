@@ -1470,6 +1470,62 @@ object TextAnalysis {
       .orderBy(col("fbin"))
   }
 
+  val HeapsBuckets = 8L // t36: corpus-prefix checkpoints on the growth curve
+
+  /** `t36_heaps_curve`: vocabulary-growth telemetry — Heaps' law is
+    * t23's Zipf sibling (the two exponents together characterize a
+    * corpus's lexical health): distinct word types seen vs tokens seen,
+    * sampled at [[HeapsBuckets]] equal doc-id prefixes of the corpus.
+    * A flattening curve means new data stopped contributing vocabulary
+    * (the dedup/source-mix smoke signal a corpus team reads BEFORE
+    * training); a linear one means heavy noise/IDs. Per checkpoint:
+    * cumulative docs, tokens, types, and the exact e6 type-token ratio.
+    *
+    * Spark-first: a word's contribution to every prefix is determined
+    * by its FIRST bucket alone, so the curve needs no per-prefix rescan
+    * (the naive form scans the corpus [[HeapsBuckets]] times): ONE scan
+    * materializes token arrays (t12's idiom, checkpointed — doc-grain
+    * and word-grain consumers share it), the doc/token histogram is a
+    * map-side-partial 8-row aggregate, the type histogram is min(bucket)
+    * per word (partial mins ride the one word-grain shuffle) re-grouped
+    * to 8 rows, and the cumulative sums ride t23's aggregate-grained
+    * unpartitioned window (the frame IS 8 rows by construction).
+    * Bucketing is integer arithmetic off one max-doc-id scalar broadcast
+    * (the q46 pattern). At 100 TB: one fact scan + one word-grain
+    * shuffle, both with partials; everything after is 8 rows. */
+  def t36HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = Tables.load(spark, dir, "documents")
+      .agg(max(col("doc_id")).as("max_id"))
+    val bucketed = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"doc_id * $HeapsBuckets div (max_id + 1)").as("ckpt"),
+        col("toks"))
+      .localCheckpoint(true) // doc-grain; histogram + type paths read it
+    val perBucket = bucketed.groupBy(col("ckpt"))
+      .agg(count(lit(1)).as("n_docs_b"),
+        sum(size(col("toks")).cast("long")).as("n_tokens_b"))
+    val typesPerBucket = bucketed
+      .select(col("ckpt"), explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("ckpt")).as("ckpt"))
+      .select(col("ckpt"))
+      .groupBy(col("ckpt")).agg(count(lit(1)).as("n_types_b"))
+    val w = Window.orderBy(col("ckpt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.join(typesPerBucket, Seq("ckpt"), "left")
+      .select(col("ckpt"), col("n_docs_b"), col("n_tokens_b"),
+        coalesce(col("n_types_b"), lit(0L)).as("n_types_b"))
+      .withColumn("n_docs", sum(col("n_docs_b")).over(w))
+      .withColumn("n_tokens", sum(col("n_tokens_b")).over(w))
+      .withColumn("n_types", sum(col("n_types_b")).over(w))
+      .select((col("ckpt") + 1).as("checkpoint"), col("n_docs"),
+        col("n_tokens"), col("n_types"),
+        expr("n_types * CAST(1000000 AS DECIMAL(38,0))" +
+          " div greatest(n_tokens, 1)").as("type_token_e6"))
+      .orderBy(col("checkpoint"))
+  }
+
   val ClfBuckets = 1024L // t24: hashed feature space width
   val ClfWeightMod = 2001L // t24: integer weights in [-1000, 1000]
 
@@ -2164,6 +2220,7 @@ object TextAnalysis {
     "t25_langid_eval" -> (t25LangidEval _),
     "t24_classifier_score" -> (t24ClassifierScore _),
     "t23_zipf_curve" -> (t23ZipfCurve _),
+    "t36_heaps_curve" -> (t36HeapsCurve _),
     "t22_bpe_merges" -> (t22BpeMerges _),
     "t27_bpe_train" -> (t27BpeTrain _),
     "t20_dup_profile" -> (t20DupProfile _),
@@ -2438,6 +2495,36 @@ object TextAnalysis {
          | CAST(sum(n_terms) OVER (ORDER BY fbin DESC
          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS max_rank
          |FROM b ORDER BY fbin""".stripMargin,
+    "t36_heaps_curve" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         |d AS (
+         | SELECT doc_id * $HeapsBuckets // (max_id + 1) AS bucket,
+         |  $toksCaseSql AS toks
+         | FROM documents CROSS JOIN mx),
+         |pb AS (
+         | SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs_b,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens_b
+         | FROM d GROUP BY 1),
+         |fw AS (
+         | SELECT term, min(bucket) AS fb FROM (
+         |  SELECT bucket, unnest(toks) AS term FROM d)
+         | GROUP BY 1),
+         |tb AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_types_b
+         | FROM fw GROUP BY 1),
+         |j AS (
+         | SELECT pb.bucket, n_docs_b, n_tokens_b,
+         |  COALESCE(n_types_b, CAST(0 AS BIGINT)) AS n_types_b
+         | FROM pb LEFT JOIN tb USING (bucket)),
+         |c AS (
+         | SELECT bucket,
+         |  CAST(sum(n_docs_b) OVER w AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens_b) OVER w AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_types_b) OVER w AS BIGINT) AS n_types
+         | FROM j WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+         |SELECT bucket + 1 AS checkpoint, n_docs, n_tokens, n_types,
+         | CAST(n_types * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+         |  AS type_token_e6
+         |FROM c ORDER BY checkpoint""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql,
     "t27_bpe_train" -> t27OracleSql,
     "t34_length_histogram" -> t34OracleSql,

@@ -101,12 +101,19 @@ object PipelineQueries {
   /** The z-key assignment p12 audits and [[graft.sources.Sinks.writeZordered]]
     * writes by: orders with lattice coords (xn, yn) and the 32-bit Morton
     * `zkey`. Two-pass broadcast-stats shape, pure integer arithmetic. */
-  def zkeyedOrders(spark: SparkSession, dir: String): DataFrame = {
+  def zkeyedOrders(spark: SparkSession, dir: String): DataFrame =
+    zkeyedOrders(spark, dir, Nil)
+
+  /** `extra` carries additional orders columns through the z-keying
+    * (p40 needs `o_orderstatus`); the default overload keeps every
+    * existing consumer's scan projection unchanged. */
+  def zkeyedOrders(spark: SparkSession, dir: String,
+                   extra: Seq[String]): DataFrame = {
     val o = graft.Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"),
+      .select(col("o_orderkey") +:
         floor(unix_micros(col("o_orderdate").cast("timestamp")) /
-          lit(86400L * 1000000L)).cast("long").as("day"),
-        col("o_custkey").as("cust"))
+          lit(86400L * 1000000L)).cast("long").as("day") +:
+        col("o_custkey").as("cust") +: extra.map(col): _*)
     val stats = o.agg(
       min(col("day")).as("day_min"), max(col("day")).as("day_max"),
       min(col("cust")).as("cust_min"), max(col("cust")).as("cust_max"))
@@ -1898,6 +1905,144 @@ object PipelineQueries {
        |   THEN 1 ELSE 0 END AS BIGINT) AS recommended
        |FROM s ORDER BY layout""".stripMargin
 
+  val PurgeEighths = 2L // p40: retention horizon — the oldest quarter of days
+
+  /** `p40_stale_stats`: the statistics-staleness audit merge-on-read
+    * deletes create — the lakehouse failure mode p32 sets up: after a
+    * retention purge (delete CLOSED orders — status F or P — older than
+    * the [[PurgeEighths]]/8 day cutoff) runs as a delete-mask instead of
+    * a rewrite, every file's manifest still carries its PRE-delete
+    * min/max day stats. A compliance scan for pre-cutoff data plans off
+    * those stale stats: files whose stored span claims old data but
+    * whose LIVE rows are all post-cutoff get read for nothing. Per
+    * z-layout file: physical/purged/live rows, stored vs live day
+    * spans (live = -1 when the file is fully dead), the verdict
+    * (`tight` — stats never claimed old data; `honest_old` — live
+    * pre-cutoff rows remain (open orders survive the purge, so
+    * straddling files usually stay honest); `stale_wasted` — the stats
+    * claim old data no live row backs, the rows a planner reads for
+    * nothing; `dead`), and `wasted_rows` (physical rows of
+    * stale_wasted files — the recurring scan tax until stats are
+    * refreshed). `~TOTAL` foots the audit; its wasted_rows is the
+    * number an OPTIMIZE/rewrite decision weighs against p16's
+    * compaction cost.
+    *
+    * Scale: ONE grouped scan (the p32 shape — z-keying is map-side
+    * expression work off one broadcast stats scalar, the purge
+    * predicate is per-row arithmetic, min/max/conditional-min partials
+    * ride the single zcell shuffle); everything after the first
+    * aggregate is manifest-grained. No victim list is even needed —
+    * the retention predicate is pure arithmetic, the cheapest possible
+    * delete-mask. */
+  def p40StaleStats(spark: SparkSession, dir: String): DataFrame = {
+    val per = zkeyedOrders(spark, dir, Seq("o_orderstatus"))
+      .withColumn("zcell",
+        shiftrightunsigned(col("zkey"), 2 * ZGridBits - ZFileBits))
+      .withColumn("cutoff",
+        expr(s"day_min + (day_max - day_min + 1) * $PurgeEighths div 8"))
+      .withColumn("purged",
+        (col("day") < col("cutoff") &&
+          col("o_orderstatus").isin("F", "P")).cast("long"))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("purged")).as("n_purged"),
+        sum(lit(1L) - col("purged")).as("n_live"),
+        min(col("day")).as("stored_min_day"),
+        max(col("day")).as("stored_max_day"),
+        coalesce(min(when(col("purged") === 0L, col("day"))), lit(-1L))
+          .as("live_min_day"),
+        coalesce(max(when(col("purged") === 0L, col("day"))), lit(-1L))
+          .as("live_max_day"),
+        max(col("cutoff")).as("cutoff"))
+      .withColumn("verdict",
+        when(col("n_live") === 0L, "dead")
+          .when(col("stored_min_day") >= col("cutoff"), "tight")
+          .when(col("live_min_day") < col("cutoff"), "honest_old")
+          .otherwise("stale_wasted"))
+      .withColumn("wasted_rows",
+        when(col("verdict") === "stale_wasted", col("n_rows")).otherwise(0L))
+      .localCheckpoint(true) // manifest-sized; per-file rows + ~TOTAL read it
+    val rows = per.select(col("zcell").cast("string").as("zcell"),
+      col("verdict"), col("n_rows"), col("n_purged"), col("n_live"),
+      col("stored_min_day"), col("stored_max_day"),
+      col("live_min_day"), col("live_max_day"), col("wasted_rows"))
+    val tot = per.agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_purged")).as("n_purged"),
+        sum(col("n_live")).as("n_live"),
+        sum(col("wasted_rows")).as("wasted_rows"))
+      .select(lit("~TOTAL").as("zcell"), lit("~TOTAL").as("verdict"),
+        col("n_rows"), col("n_purged"), col("n_live"),
+        lit(-1L).as("stored_min_day"), lit(-1L).as("stored_max_day"),
+        lit(-1L).as("live_min_day"), lit(-1L).as("live_max_day"),
+        col("wasted_rows"))
+    rows.unionByName(tot).orderBy(col("zcell"))
+  }
+
+  private val p40Oracle: String = {
+    val grid = 1L << ZGridBits
+    val shift = 2 * ZGridBits - ZFileBits
+    s"""WITH o AS (
+       | SELECT epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  o_custkey AS cust, o_orderstatus AS status
+       | FROM orders),
+       |s AS (SELECT min(day) AS day_min, max(day) AS day_max,
+       |  min(cust) AS cust_min, max(cust) AS cust_max FROM o),
+       |g AS (
+       | SELECT day, status,
+       |  ((day - day_min) * $grid) // (day_max - day_min + 1) AS xn,
+       |  ((cust - cust_min) * $grid) // (cust_max - cust_min + 1) AS yn,
+       |  day_min + (day_max - day_min + 1) * $PurgeEighths // 8 AS cutoff
+       | FROM o CROSS JOIN s),
+       |z AS (
+       | SELECT day, status, cutoff,
+       |  CAST(list_sum(list_transform(range(0, 16), i ->
+       |    (((xn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER)))
+       |    + (((yn >> CAST(i AS INTEGER)) & 1) << (2 * CAST(i AS INTEGER) + 1))))
+       |   AS BIGINT) >> $shift AS zcell
+       | FROM g),
+       |p AS (
+       | SELECT zcell, day, cutoff,
+       |  CASE WHEN day < cutoff AND status IN ('F', 'P')
+       |   THEN 1 ELSE 0 END AS purged
+       | FROM z),
+       |per AS (
+       | SELECT zcell, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(purged) AS BIGINT) AS n_purged,
+       |  CAST(count(*) - sum(purged) AS BIGINT) AS n_live,
+       |  CAST(min(day) AS BIGINT) AS stored_min_day,
+       |  CAST(max(day) AS BIGINT) AS stored_max_day,
+       |  CAST(COALESCE(min(CASE WHEN purged = 0 THEN day END), -1) AS BIGINT)
+       |   AS live_min_day,
+       |  CAST(COALESCE(max(CASE WHEN purged = 0 THEN day END), -1) AS BIGINT)
+       |   AS live_max_day,
+       |  max(cutoff) AS cutoff
+       | FROM p GROUP BY 1),
+       |v AS (
+       | SELECT per.*,
+       |  CASE WHEN n_live = 0 THEN 'dead'
+       |   WHEN stored_min_day >= cutoff THEN 'tight'
+       |   WHEN live_min_day < cutoff THEN 'honest_old'
+       |   ELSE 'stale_wasted' END AS verdict
+       | FROM per),
+       |w AS (
+       | SELECT v.*, CAST(CASE WHEN verdict = 'stale_wasted' THEN n_rows
+       |  ELSE 0 END AS BIGINT) AS wasted_rows
+       | FROM v)
+       |SELECT zcell, verdict, n_rows, n_purged, n_live, stored_min_day,
+       | stored_max_day, live_min_day, live_max_day, wasted_rows FROM (
+       | SELECT CAST(zcell AS VARCHAR) AS zcell, verdict, n_rows, n_purged,
+       |  n_live, stored_min_day, stored_max_day, live_min_day, live_max_day,
+       |  wasted_rows
+       | FROM w
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(n_purged) AS BIGINT), CAST(sum(n_live) AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(sum(wasted_rows) AS BIGINT)
+       | FROM w)
+       |ORDER BY zcell""".stripMargin
+  }
+
   /** `p32_deletion_read`: the merge-on-read half of p21's erasure story
     * — the Iceberg v2 / Delta deletion-vector READ path. p21 PLANS the
     * rewrite; until the rewrite runs, every query must read the fact
@@ -2110,6 +2255,7 @@ object PipelineQueries {
     "p32_deletion_read" -> (p32DeletionRead _),
     "p33_cdc_changelog" -> (p33CdcChangelog _),
     "p39_layout_advisor" -> (p39LayoutAdvisor _),
+    "p40_stale_stats" -> (p40StaleStats _),
     "p34_bucketed_priority" -> (p34BucketedPriority _),
     "p35_bucketed_semi" -> (p35BucketedSemi _),
     "p36_bucketed_trade" -> (p36BucketedTrade _),
@@ -2155,6 +2301,7 @@ object PipelineQueries {
     // the bucketed twins reuse their q-twin's oracle VERBATIM: the
     // layout changes the plan, never the answer (the p29 rule)
     "p39_layout_advisor" -> p39Oracle,
+    "p40_stale_stats" -> p40Oracle,
     "p34_bucketed_priority" ->
       graft.operators.Analytics.oracle("q3_shipping_priority"),
     "p35_bucketed_semi" ->

@@ -656,4 +656,78 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(boom.getMessage.toUpperCase.contains("OVERFLOW"),
       s"plain-Long form no longer overflows — this guard test is stale: $boom")
   }
+
+  test("q56: sole-late suppliers replay brute-force — pair-grain lateness, " +
+    "per-order supplier/late counts, and both exclusion arms occur") {
+    import java.time.LocalDateTime
+    val ordF = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderstatus").collect()
+      .filter(_.getAs[String]("o_orderstatus") == "F")
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[LocalDateTime]("o_orderdate")).toMap
+    val pairs = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .filter(r => ordF.contains(r.getAs[Long]("l_orderkey")))
+      .map(r => ((r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey")),
+        r.getAs[LocalDateTime]("l_shipdate")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      .map { case ((ok, sk), maxShip) =>
+        (ok, sk, maxShip.isAfter(ordF(ok).plusDays(60))) }
+    val perOrder = pairs.groupBy(_._1).view.mapValues(g =>
+      (g.size, g.count(_._3))).toMap
+    val expect = pairs.toSeq
+      .filter { case (ok, _, late) =>
+        late && perOrder(ok)._1 >= 2 && perOrder(ok)._2 == 1 }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = operators.Analytics.q56SoleLateSupplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait")).toMap
+    assert(got == expect, "sole-late blame diverged from the replay")
+    assert(got.nonEmpty, "the corpus must contain sole-late orders")
+    // the NOT-EXISTS arm must bite: some multi-supplier order with >=2
+    // late suppliers exists (its suppliers are blamed on no one)
+    assert(perOrder.values.exists { case (n, nl) => n >= 2 && nl >= 2 },
+      "degenerate corpus: the shared-blame exclusion never fires")
+    // and the multi-supplier arm: some single-supplier late order exists
+    assert(pairs.exists { case (ok, _, late) => late && perOrder(ok)._1 == 1 },
+      "degenerate corpus: the single-supplier exclusion never fires")
+  }
+
+  test("q57: the reorder curve replays brute-force — per-customer order " +
+    "sequences, exact gap stats per index, and the curve decays") {
+    import java.time.LocalDateTime
+    val perCust = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[LocalDateTime]("o_orderdate").toLocalDate.toEpochDay))
+      .groupBy(_._1).values.toSeq
+    val indexed = perCust.flatMap { g =>
+      val sorted = g.sortBy { case (_, ok, day) => (day, ok) }
+      sorted.zipWithIndex.map { case ((_, _, day), i) =>
+        val gap = if (i == 0) None else Some(day - sorted(i - 1)._3)
+        (i + 1L, gap)
+      }
+    }
+    val expect = indexed.groupBy(_._1).map { case (k, g) =>
+      val gaps = g.flatMap(_._2)
+      val sum = gaps.sum
+      k -> ((g.size.toLong, sum,
+        if (gaps.isEmpty) -1L else gaps.min,
+        if (gaps.isEmpty) -1L else gaps.max,
+        if (k == 1L) -1L else sum / g.size))
+    }
+    val got = operators.Analytics.q57ReorderCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("order_idx") ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Long]("sum_gap_days"),
+          r.getAs[Long]("min_gap_days"), r.getAs[Long]("max_gap_days"),
+          r.getAs[Long]("avg_gap_days")))).toMap
+    assert(got == expect.toMap, "reorder curve diverged from the replay")
+    // the curve must be non-increasing in k (a k-th order implies a
+    // (k-1)-th) and must actually decay somewhere on this corpus
+    val ks = got.keys.toSeq.sorted
+    ks.sliding(2).foreach { case Seq(a, b) =>
+      assert(got(b)._1 <= got(a)._1, s"curve rose from k=$a to k=$b")
+    case _ => () }
+    assert(got(ks.last)._1 < got(ks.head)._1, "the curve never decayed")
+    assert(ks.head == 1L && got.size >= 3, "need a real multi-order corpus")
+  }
 }

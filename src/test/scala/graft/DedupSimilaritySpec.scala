@@ -2097,4 +2097,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       got.values.groupBy(_._6).view.mapValues(_.size).toMap.toSeq
         .sortBy(_._1).mkString(" "))
   }
+
+  test("s27: HNSW recall replays — exact top-k truth brute-forced in " +
+    "Scala, hits counted against the engine's own descent, recall " +
+    "bounded and non-vacuous") {
+    import operators.Similarity.{BeamTopK, NumProbes, TopK}
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = vecs.keys.filter(_ < NumProbes).toSeq.sorted
+    val exact = probes.map { p =>
+      p -> vecs.keys.filter(_ != p).toSeq
+        .map(id => (id, cos(vecs(p), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(TopK).map(_._1).toSet
+    }.toMap
+    val approx = operators.Similarity.s26HnswLayers(spark, sf).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = probes.map { p =>
+      val ap = approx.getOrElse(p, Set.empty)
+      val hit = (exact(p) & ap).size.toLong
+      p -> ((exact(p).size.toLong, ap.size.toLong, hit,
+        math.floor(hit * 1000000.0 / exact(p).size).toLong))
+    }.toMap
+    val got = operators.Similarity.s27HnswRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx"),
+          r.getAs[Long]("n_hit"), r.getAs[Long]("recall_e6")))).toMap
+    assert(got == expect, "recall rows diverged from the replay")
+    assert(got.keySet == probes.toSet, "every probe must be evaluated")
+    got.values.foreach { case (ne, na, nh, r) =>
+      assert(nh <= math.min(ne, na) && r >= 0L && r <= 1000000L)
+      assert(na == BeamTopK.toLong, "the descent must report a full beam")
+    }
+    assert(got.values.map(_._4).sum > 0L,
+      "zero recall everywhere — the descent finds nothing")
+    info(s"mean recall_e6 ${got.values.map(_._4).sum / got.size}")
+  }
 }

@@ -589,4 +589,45 @@ class MultimodalSpec extends AnyFunSuite {
       .view.mapValues(_.size).toMap.toSeq.sortBy(_._1).mkString(" ") +
       s"; corpus overhead ${t.getAs[Long]("overhead_e6")}e6")
   }
+
+  test("m14: the codec confusion matrix replays literally — md5-prefix " +
+    "sniff vs declared type per source, conservation, and both the " +
+    "match diagonal and mismatch cells occur") {
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val types = Array("image", "audio", "video")
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val hex = md5Hex(r.getAs[String]("text"))
+        val declared = types((r.getAs[Long]("doc_id") % 3).toInt)
+        val sniffed = types((Integer.parseInt(hex.substring(0, 2), 16) % 3))
+        (r.getAs[String]("source"), declared, sniffed, hex.length * 4L / 2L)
+      }
+    val expect = docs.groupBy(t => (t._1, t._2, t._3)).map { case (k, g) =>
+      val n = g.length.toLong
+      k -> ((n, g.map(_._4).sum, if (k._2 != k._3) n else 0L))
+    }
+    val out = operators.Multimodal.m14CodecAudit(spark, sf).collect()
+    val (tot, per) = out.partition(_.getAs[String]("source") == "~TOTAL")
+    assert(tot.length == 1 && per.nonEmpty)
+    val got = per.map(r =>
+      (r.getAs[String]("source"), r.getAs[String]("declared"),
+        r.getAs[String]("sniffed")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("mismatch_docs")))).toMap
+    assert(got == expect, "confusion matrix diverged from the replay")
+    assert(tot.head.getAs[Long]("n_docs") == docs.length.toLong,
+      "~TOTAL does not conserve doc count")
+    assert(tot.head.getAs[Long]("mismatch_docs") ==
+      per.map(_.getAs[Long]("mismatch_docs")).sum)
+    // both regimes must occur, and every type must appear on the diagonal
+    assert(got.keys.exists(k => k._2 == k._3), "no matching payloads")
+    assert(got.keys.exists(k => k._2 != k._3), "no mislabeled payloads")
+    types.foreach(t => assert(got.keys.exists(k => k._2 == t && k._3 == t),
+      s"type $t never matches — the sniffer convention is broken"))
+    info(s"${per.length} cells; mismatch " +
+      s"${tot.head.getAs[Long]("mismatch_docs")}/${docs.length}")
+  }
 }

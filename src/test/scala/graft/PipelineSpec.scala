@@ -1577,6 +1577,132 @@ class PipelineSpec extends AnyFunSuite {
       got.view.mapValues(_._6).toMap.toString)
   }
 
+  test("p40: the stale-stats audit replays literally — z-cells, purge " +
+    "mask, stored vs live spans, verdicts, wasted tail — and foots") {
+    import java.time.LocalDateTime
+    val rows = Tables.load(spark, sf, "orders")
+      .select("o_orderdate", "o_custkey", "o_orderstatus").collect()
+      .map(r => (r.getAs[LocalDateTime]("o_orderdate").toLocalDate.toEpochDay,
+        r.getAs[Long]("o_custkey"), r.getAs[String]("o_orderstatus")))
+    val grid = 1L << PipelineQueries.ZGridBits
+    val shift = 2 * PipelineQueries.ZGridBits - PipelineQueries.ZFileBits
+    val dayMin = rows.map(_._1).min; val dayMax = rows.map(_._1).max
+    val custMin = rows.map(_._2).min; val custMax = rows.map(_._2).max
+    val cutoff =
+      dayMin + (dayMax - dayMin + 1) * PipelineQueries.PurgeEighths / 8
+    def interleave(xn: Long, yn: Long): Long =
+      (0 until 16).map(i =>
+        (((xn >>> i) & 1L) << (2 * i)) | (((yn >>> i) & 1L) << (2 * i + 1))).sum
+    val cells = rows.map { case (day, cust, status) =>
+      val xn = (day - dayMin) * grid / (dayMax - dayMin + 1)
+      val yn = (cust - custMin) * grid / (custMax - custMin + 1)
+      val purged = day < cutoff && (status == "F" || status == "P")
+      (interleave(xn, yn) >>> shift, day, purged)
+    }
+    val expect = cells.groupBy(_._1).map { case (z, g) =>
+      val live = g.filter(!_._3)
+      val (smin, smax) = (g.map(_._2).min, g.map(_._2).max)
+      val (lmin, lmax) =
+        if (live.isEmpty) (-1L, -1L)
+        else (live.map(_._2).min, live.map(_._2).max)
+      val verdict =
+        if (live.isEmpty) "dead"
+        else if (smin >= cutoff) "tight"
+        else if (lmin < cutoff) "honest_old"
+        else "stale_wasted"
+      val wasted = if (verdict == "stale_wasted") g.length.toLong else 0L
+      z.toString -> ((verdict, g.length.toLong, g.count(_._3).toLong,
+        live.length.toLong, smin, smax, lmin, lmax, wasted))
+    }
+    val out = PipelineQueries.p40StaleStats(spark, sf).collect()
+    val (tot, per) = out.partition(_.getAs[String]("zcell") == "~TOTAL")
+    assert(tot.length == 1 && per.nonEmpty)
+    val got = per.map(r => r.getAs[String]("zcell") ->
+      ((r.getAs[String]("verdict"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_purged"), r.getAs[Long]("n_live"),
+        r.getAs[Long]("stored_min_day"), r.getAs[Long]("stored_max_day"),
+        r.getAs[Long]("live_min_day"), r.getAs[Long]("live_max_day"),
+        r.getAs[Long]("wasted_rows")))).toMap
+    assert(got == expect, "per-file audit diverged from the literal replay")
+    // ~TOTAL foots against the per-file rows
+    assert(tot.head.getAs[Long]("n_rows") == per.map(_.getAs[Long]("n_rows")).sum)
+    assert(tot.head.getAs[Long]("n_purged") ==
+      per.map(_.getAs[Long]("n_purged")).sum)
+    assert(tot.head.getAs[Long]("wasted_rows") ==
+      per.map(_.getAs[Long]("wasted_rows")).sum)
+    // the audit only earns its keep if the interesting arms occur: files
+    // that never claimed old data, files honestly still old (open orders
+    // survive the purge), and the purge actually removed rows
+    val verdicts = got.values.map(_._1).toSet
+    assert(verdicts.contains("tight"), "no post-cutoff file")
+    assert(verdicts.contains("honest_old"), "no honest straddler")
+    assert(tot.head.getAs[Long]("n_purged") > 0L, "the purge removed nothing")
+    info(s"verdicts: ${got.values.groupBy(_._1).view.mapValues(_.size).toMap}; " +
+      s"wasted ${tot.head.getAs[Long]("wasted_rows")} rows")
+  }
+
+  test("notify: the outbox transport delivers once per exhausted stage " +
+    "— retries don't multiply alerts, skipped stages stay silent, " +
+    "messages flatten, drain preserves order") {
+    import graft.pipeline.{Notify, Runner}
+    val outbox = java.nio.file.Files.createTempFile("graft_outbox", ".tsv")
+    java.nio.file.Files.delete(outbox) // transport must create it
+    val hook = Notify.fileOutbox("alerts_spec", outbox)
+    var attempts = 0
+    val results = Runner.run("alerts_spec", Runner.QueueRun, Seq(
+      Runner.Stage("ok")(() => ()),
+      Runner.Stage("flaky", retries = 2)(() => {
+        attempts += 1
+        sys.error("boom\nwith a second line\tand a tab")
+      }),
+      Runner.Stage("downstream", deps = Seq("flaky"))(() => ())),
+      onFailure = hook)
+    assert(attempts == 3, "retry budget must run out before notifying")
+    val alerts = Notify.drain(outbox)
+    assert(alerts.length == 1,
+      s"exactly ONE alert per exhausted stage, got ${alerts.length}")
+    val a = alerts.head
+    assert(a.pipeline == "alerts_spec" && a.stage == "flaky")
+    assert(a.errorClass == "RuntimeException")
+    assert(a.message == "boom with a second line and a tab",
+      s"message not flattened: '${a.message}'")
+    assert(results.exists(r => r.name == "downstream" &&
+      r.status.isInstanceOf[Runner.Skipped]),
+      "downstream must be skipped, and skips must NOT alert")
+    // a second failing stage appends in failure order
+    Runner.run("alerts_spec", Runner.QueueRun, Seq(
+      Runner.Stage("also_bad")(() => throw new IllegalStateException("x"))),
+      onFailure = hook)
+    val two = Notify.drain(outbox)
+    assert(two.map(_.stage) == Seq("flaky", "also_bad"), "drain order")
+    assert(two.last.errorClass == "IllegalStateException")
+    java.nio.file.Files.delete(outbox)
+  }
+
+  test("lineage: the plan-derived manifest names exactly the tables " +
+    "each query scans, across every table family") {
+    import graft.plans.Lineage
+    val expect = Map(
+      "q1_pricing_summary" -> Set("lineitem"),
+      "q3_shipping_priority" -> Set("customer", "orders", "lineitem"),
+      "q44_late_ship_priority" -> Set("lineitem", "orders"),
+      "q53_supplier_diversity" -> Set("lineitem", "part", "supplier"),
+      "q57_reorder_curve" -> Set("orders"),
+      "t1_text_stats" -> Set("documents"),
+      "m2_frame_sample" -> Set("documents"),
+      "s1_ann_brute" -> Set("embeddings"),
+      "q12_sessionize" -> Set("events"))
+    expect.foreach { case (q, tables) =>
+      val got = Lineage.inputTables(SparkEntry.queries(q)(spark, sf))
+      assert(got == tables, s"$q lineage diverged: got $got want $tables")
+    }
+    val m = Lineage.manifest(spark, sf, expect.keys.toSeq.sorted).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(m.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap ==
+      expect, "manifest rows diverged from per-query lineage")
+    assert(m.length == expect.values.map(_.size).sum)
+  }
+
   test("schedule: Airflow tick semantics — interval-close due rule, " +
     "catchup backlog vs latest-only collapse, idempotent polls, and " +
     "runDue threading logical times through the Runner") {

@@ -614,12 +614,16 @@ class PlanSpec extends AnyFunSuite {
     // fbin: t23's power-of-two frequency band — cardinality <= 63 by
     // construction (binary digit count of a positive BIGINT), the
     // data-independent bound the allowlist exists for
+    // ckpt: t36's corpus-prefix checkpoint — `doc_id * 8 div (max+1)`
+    // lands in [0, HeapsBuckets) for ANY doc_id, so cardinality <= 8 by
+    // arithmetic, not by data (the name is t36-specific on purpose: a
+    // generic "bucket" would silently bless LSH/hash grains)
     // mo/yr: p25's calendar-month/-year manifest grain — cardinality is
     // the data's TIME SPAN (<= 1.2k months per century), never its
     // volume; the snapshot-log chain is read sequentially off metadata
     // in any real lakehouse, which is exactly this shape
     val slotKeys = Set("rid", "media_type", "fail_idx", "rule_idx",
-      "r_name", "n_name", "fbin", "mo", "yr")
+      "r_name", "n_name", "fbin", "mo", "yr", "ckpt")
     def boundedGrain(p: LogicalPlan): Boolean = p match {
       // a global aggregate collapses to ONE row; a grouped aggregate is
       // bounded only when every key is a known slot-grained attribute

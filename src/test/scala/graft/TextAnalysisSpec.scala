@@ -1131,4 +1131,50 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(tot.head.getAs[Long](c) == per.map(_.getAs[Long](c)).sum,
         s"~TOTAL does not conserve $c")
   }
+
+  test("t36: the Heaps curve replays literally — first-bucket type " +
+    "attribution equals per-prefix distinct counts, cumulative sums and " +
+    "the e6 ratio are exact, and the curve is monotone") {
+    def toks(s: String): Array[String] = {
+      val t = s.replaceAll("^\\s+|\\s+$", "")
+      if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> toks(r.getAs[String]("text")))
+    val b = operators.TextAnalysis.HeapsBuckets
+    val maxId = docs.map(_._1).max
+    def bucket(id: Long): Long = id * b / (maxId + 1)
+    // ground truth per checkpoint: distinct types over the PREFIX itself
+    // (not via first-bucket attribution — proving the rewrite)
+    val expect = (0L until b).map { c =>
+      val prefix = docs.filter { case (id, _) => bucket(id) <= c }
+      val nTokens = prefix.map(_._2.length.toLong).sum
+      val nTypes = prefix.iterator.flatMap(_._2).toSet.size.toLong
+      (c + 1) -> (prefix.length.toLong, nTokens, nTypes,
+        nTypes * 1000000L / math.max(nTokens, 1L))
+    }.toMap
+    val got = operators.TextAnalysis.t36HeapsCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("checkpoint") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_types"), r.getAs[Long]("type_token_e6"))).toMap
+    assert(got == expect, "Heaps curve diverged from the per-prefix replay")
+    assert(got.size == b, s"expected $b checkpoints")
+    // tokens strictly accumulate, types never shrink, and the
+    // type-token ratio must FALL — on this synthetic corpus (a fixed
+    // ~31-word generator vocabulary) the curve saturates at checkpoint
+    // 1, which is precisely the "new data adds no vocabulary" flat
+    // regime the operator exists to surface; the falling ratio is the
+    // signal that survives even that degenerate shape
+    val byC = got.toSeq.sortBy(_._1).map(_._2)
+    byC.sliding(2).foreach { case Seq(a, c) =>
+      assert(c._2 > a._2, "tokens did not accumulate")
+      assert(c._3 >= a._3, "type count shrank")
+    case _ => () }
+    assert(byC.head._3 > 0L, "no vocabulary at all")
+    assert(byC.last._4 < byC.head._4,
+      "type-token ratio never fell — even a saturated curve must dilute")
+    info(s"types ${byC.head._3} -> ${byC.last._3}; " +
+      s"ratio e6 ${byC.head._4} -> ${byC.last._4}")
+  }
 }
