@@ -1905,6 +1905,155 @@ object PipelineQueries {
        |   THEN 1 ELSE 0 END AS BIGINT) AS recommended
        |FROM s ORDER BY layout""".stripMargin
 
+  val RollbackDepth = 18L // p41: versions rolled back — deeper than
+  // ReplicaLag (10) so the restore arm is non-vacuous, shallow enough
+  // that the restored files are still retained. Feasibility is
+  // ALL-OR-NOTHING per rollback, structurally: restores come from
+  // exactly one compaction event (born <= target < removed forces one
+  // event's [removed-12, removed) born-window), so one rollback's
+  // restores share one removed_v and one retention verdict — the spec
+  // pins the blocked arm at depth 24, where that event is vacuumed
+
+  /** `p41_rollback_plan`: the write-side twin of p30's as-of READ — the
+    * Delta RESTORE / Iceberg rollback plan: to make version
+    * `head - [[RollbackDepth]]` the table's head again, which files must
+    * be REMOVED from the manifest (born after the target: the months
+    * landed since, plus any year compaction that happened since) and
+    * which must be RESTORED (month files the later compactions removed
+    * — they must re-enter the manifest). A restore is only FEASIBLE if
+    * the file still physically exists, which is exactly p27's retention
+    * verdict: a removed file is kept while `removed_v - 1 >=
+    * min_retained` and vacuumed after — so `n_available` composes the
+    * rollback plan with the expire policy, and the `~TOTAL_restore` row
+    * (n_files vs n_available) IS the go/no-go a restore command prints
+    * before touching anything. Columns per file: key, kind, action,
+    * born_v/removed_v, rows, availability; per-action and overall
+    * `~TOTAL` rows foot the plan.
+    *
+    * Scale: the whole plan runs on the calendar-grained snapshot chain
+    * (p25's month manifest + p27's born/removed events); the head/
+    * target/retention scalars are ONE global aggregate broadcast back
+    * (q46 pattern); no fact re-scan beyond the manifest build, no
+    * windows past the version stamp. Rollback of a 100 TB table is a
+    * metadata operation — this plan is why. */
+  def p41RollbackPlan(spark: SparkSession, dir: String): DataFrame =
+    p41RollbackPlan(spark, dir, RollbackDepth)
+
+  /** `depth`-parameterized form — the verified entry uses
+    * [[RollbackDepth]]; the spec additionally drives depth 24 to pin
+    * the vacuumed-restore (infeasible) arm. */
+  def p41RollbackPlan(spark: SparkSession, dir: String,
+                      depth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ver = monthManifest(spark, dir)
+      .withColumn("version",
+        row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      .localCheckpoint(true) // calendar-grained; 3 consumers below
+    val yrFirst = ver.groupBy(col("yr"))
+      .agg(min(col("version")).as("y_first"), sum(col("n_rows")).as("y_rows"))
+    val monthFiles = ver
+      .join(broadcast(yrFirst.select((col("yr") - 1).as("yr"),
+        col("y_first").as("removed_v"))), Seq("yr"), "left")
+      .select(concat(lit("month_"), col("mo").cast("string")).as("key"),
+        lit("month").as("kind"), col("version").as("born_v"),
+        coalesce(col("removed_v"), lit(-1L)).as("removed_v"), col("n_rows"))
+    val yearFiles = yrFirst.as("a")
+      .join(broadcast(yrFirst.select(col("yr"), col("y_first")).as("b")),
+        col("b.yr") === col("a.yr") + 1)
+      .select(concat(lit("year_"), col("a.yr").cast("string")).as("key"),
+        lit("year").as("kind"), col("b.y_first").as("born_v"),
+        lit(-1L).as("removed_v"), col("a.y_rows").as("n_rows"))
+    val scal = ver.agg(max(col("version")).as("head"))
+      .select(col("head"),
+        greatest(col("head") - depth, lit(1L)).as("target"),
+        greatest(col("head") - RetainVersions + 1, lit(1L)).as("min_retained"))
+    val files = monthFiles.unionByName(yearFiles)
+      .crossJoin(broadcast(scal))
+      .withColumn("live_head", col("removed_v") === -1L ||
+        col("removed_v") > col("head"))
+      .withColumn("live_tgt", col("born_v") <= col("target") &&
+        (col("removed_v") === -1L || col("removed_v") > col("target")))
+      .filter(col("live_head") =!= col("live_tgt"))
+      .withColumn("action",
+        when(col("live_head"), "remove").otherwise("restore"))
+      .withColumn("n_available",
+        when(col("action") === "remove" ||
+          col("removed_v") - 1 >= col("min_retained"), 1L).otherwise(0L))
+      .localCheckpoint(true) // manifest-sized; per-file + totals read it
+    val perFile = files.select(col("key"), col("kind"), col("action"),
+      lit(1L).as("n_files"), col("born_v"), col("removed_v"), col("n_rows"),
+      col("n_available"))
+    val perAction = files.groupBy(col("action"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_available")).as("n_available"))
+      .select(concat(lit("~TOTAL_"), col("action")).as("key"),
+        lit("~TOTAL").as("kind"), col("action"), col("n_files"),
+        lit(-1L).as("born_v"), lit(-1L).as("removed_v"), col("n_rows"),
+        col("n_available"))
+    val tot = files
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_available")).as("n_available"))
+      .select(lit("~TOTAL").as("key"), lit("~TOTAL").as("kind"),
+        lit("~TOTAL").as("action"), col("n_files"), lit(-1L).as("born_v"),
+        lit(-1L).as("removed_v"), col("n_rows"), col("n_available"))
+    perFile.unionByName(perAction).unionByName(tot).orderBy(col("key"))
+  }
+
+  private val p41Oracle: String =
+    s"""WITH mf AS (
+       | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+       |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       | FROM orders GROUP BY 1, 2),
+       |ver AS (
+       | SELECT mf.*, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version
+       | FROM mf),
+       |yf AS (
+       | SELECT yr, min(version) AS y_first, CAST(sum(n_rows) AS BIGINT) AS y_rows
+       | FROM ver GROUP BY 1),
+       |scal AS (
+       | SELECT max(version) AS head,
+       |  greatest(max(version) - $RollbackDepth, 1) AS target,
+       |  greatest(max(version) - $RetainVersions + 1, 1) AS min_retained
+       | FROM ver),
+       |files AS (
+       | SELECT 'month_' || CAST(mo AS VARCHAR) AS key, 'month' AS kind,
+       |  version AS born_v, COALESCE(n.y_first, -1) AS removed_v, v.n_rows
+       | FROM ver v LEFT JOIN yf n ON n.yr = v.yr + 1
+       | UNION ALL
+       | SELECT 'year_' || CAST(a.yr AS VARCHAR), 'year', b.y_first, -1, a.y_rows
+       | FROM yf a JOIN yf b ON b.yr = a.yr + 1),
+       |fl AS (
+       | SELECT files.*,
+       |  (removed_v = -1 OR removed_v > head) AS live_head,
+       |  (born_v <= target AND (removed_v = -1 OR removed_v > target))
+       |   AS live_tgt,
+       |  min_retained
+       | FROM files CROSS JOIN scal),
+       |act AS (
+       | SELECT key, kind,
+       |  CASE WHEN live_head THEN 'remove' ELSE 'restore' END AS action,
+       |  born_v, removed_v, n_rows,
+       |  CAST(CASE WHEN live_head OR removed_v - 1 >= min_retained
+       |   THEN 1 ELSE 0 END AS BIGINT) AS n_available
+       | FROM fl WHERE live_head <> live_tgt)
+       |SELECT key, kind, action, n_files, born_v, removed_v, n_rows,
+       | n_available FROM (
+       | SELECT key, kind, action, CAST(1 AS BIGINT) AS n_files, born_v,
+       |  removed_v, n_rows, n_available
+       | FROM act
+       | UNION ALL
+       | SELECT '~TOTAL_' || action, '~TOTAL', action,
+       |  CAST(count(*) AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(sum(n_rows) AS BIGINT), CAST(sum(n_available) AS BIGINT)
+       | FROM act GROUP BY action
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', '~TOTAL', CAST(count(*) AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(n_available) AS BIGINT)
+       | FROM act)
+       |ORDER BY key""".stripMargin
+
   val PurgeEighths = 2L // p40: retention horizon — the oldest quarter of days
 
   /** `p40_stale_stats`: the statistics-staleness audit merge-on-read
@@ -2256,6 +2405,7 @@ object PipelineQueries {
     "p33_cdc_changelog" -> (p33CdcChangelog _),
     "p39_layout_advisor" -> (p39LayoutAdvisor _),
     "p40_stale_stats" -> (p40StaleStats _),
+    "p41_rollback_plan" -> (p41RollbackPlan _),
     "p34_bucketed_priority" -> (p34BucketedPriority _),
     "p35_bucketed_semi" -> (p35BucketedSemi _),
     "p36_bucketed_trade" -> (p36BucketedTrade _),
@@ -2302,6 +2452,7 @@ object PipelineQueries {
     // layout changes the plan, never the answer (the p29 rule)
     "p39_layout_advisor" -> p39Oracle,
     "p40_stale_stats" -> p40Oracle,
+    "p41_rollback_plan" -> p41Oracle,
     "p34_bucketed_priority" ->
       graft.operators.Analytics.oracle("q3_shipping_priority"),
     "p35_bucketed_semi" ->

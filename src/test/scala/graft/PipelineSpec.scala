@@ -1641,6 +1641,86 @@ class PipelineSpec extends AnyFunSuite {
       s"wasted ${tot.head.getAs[Long]("wasted_rows")} rows")
   }
 
+  test("p41: the rollback plan replays literally from the raw chain — " +
+    "remove/restore sets, retention feasibility, footing — and both " +
+    "actions AND both feasibility arms occur") {
+    import java.time.LocalDateTime
+    val months = Tables.load(spark, sf, "orders")
+      .select("o_orderdate").collect()
+      .map { r =>
+        val d = r.getAs[LocalDateTime]("o_orderdate").toLocalDate
+        (d.getYear.toLong * 12 + d.getMonthValue - 1, d.getYear.toLong)
+      }
+      .groupBy(identity).map { case ((mo, yr), g) => (mo, yr, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val ver = months.zipWithIndex.map { case ((mo, yr, n), i) =>
+      (mo, yr, n, i + 1L) }
+    val yFirst = ver.groupBy(_._2).map { case (yr, g) =>
+      yr -> (g.map(_._4).min, g.map(_._3).sum) }
+    val head = ver.map(_._4).max
+    val minRet = math.max(head - PipelineQueries.RetainVersions + 1, 1L)
+    // files: month files (removed by next year's compaction) + year files
+    val files =
+      ver.map { case (mo, yr, n, v) =>
+        (s"month_$mo", "month", v, yFirst.get(yr + 1).map(_._1).getOrElse(-1L), n)
+      } ++ yFirst.toSeq.collect { case (yr, (_, rows))
+          if yFirst.contains(yr + 1) =>
+        (s"year_$yr", "year", yFirst(yr + 1)._1, -1L, rows)
+      }
+    def replay(depth: Long): Map[String, (String, String, Long, Long, Long, Long)] = {
+      val target = math.max(head - depth, 1L)
+      files.flatMap { case (key, kind, born, removed, n) =>
+        val liveHead = removed == -1L || removed > head
+        val liveTgt = born <= target && (removed == -1L || removed > target)
+        if (liveHead == liveTgt) None
+        else {
+          val action = if (liveHead) "remove" else "restore"
+          val avail = if (liveHead || removed - 1 >= minRet) 1L else 0L
+          Some(key -> ((kind, action, born, removed, n, avail)))
+        }
+      }.toMap
+    }
+    def run(depth: Long) = {
+      val out = PipelineQueries.p41RollbackPlan(spark, sf, depth).collect()
+      val (tot, per) = out.partition(_.getAs[String]("kind") == "~TOTAL")
+      val got = per.map(r => r.getAs[String]("key") ->
+        ((r.getAs[String]("kind"), r.getAs[String]("action"),
+          r.getAs[Long]("born_v"), r.getAs[Long]("removed_v"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("n_available")))).toMap
+      assert(got == replay(depth),
+        s"rollback plan at depth $depth diverged from the literal replay")
+      // totals foot per action and overall
+      val byAction = per.groupBy(_.getAs[String]("action"))
+      tot.filter(_.getAs[String]("action") != "~TOTAL").foreach { t =>
+        val a = t.getAs[String]("action")
+        assert(t.getAs[Long]("n_files") == byAction(a).size.toLong)
+        assert(t.getAs[Long]("n_available") ==
+          byAction(a).map(_.getAs[Long]("n_available")).sum)
+      }
+      val overall = tot.filter(_.getAs[String]("action") == "~TOTAL")
+      assert(overall.length == 1 &&
+        overall.head.getAs[Long]("n_files") == per.length.toLong)
+      got
+    }
+    // default depth: both actions occur and the rollback is FEASIBLE
+    // (every restore still retained — the go path)
+    val atDefault = run(PipelineQueries.RollbackDepth)
+    val restores = atDefault.values.filter(_._2 == "restore").map(_._6)
+    assert(atDefault.values.map(_._2).toSet == Set("remove", "restore"))
+    assert(restores.nonEmpty && restores.forall(_ == 1L),
+      "default-depth restores must all be retained (feasibility is " +
+        "all-or-nothing per rollback: one compaction event per plan)")
+    // depth 24 reaches past the retention floor: the restore set's one
+    // compaction event is vacuumed — every restore BLOCKED, the no-go
+    // path a restore command must refuse
+    val deep = run(24L)
+    val deepRestores = deep.values.filter(_._2 == "restore").map(_._6)
+    assert(deepRestores.nonEmpty && deepRestores.forall(_ == 0L),
+      "deep rollback must be blocked by the expire policy")
+    info(s"default: ${atDefault.size} rows, ${restores.size} restorable; " +
+      s"deep(24): ${deepRestores.size} restores all blocked; head $head")
+  }
+
   test("notify: the outbox transport delivers once per exhausted stage " +
     "— retries don't multiply alerts, skipped stages stay silent, " +
     "messages flatten, drain preserves order") {
