@@ -1265,6 +1265,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d25_dedup_epochs" -> d25OracleSql,
     "d24_df_profile" -> d24OracleSql,
     "d23_banding_sweep" -> d23OracleSql,
     "d22_keeper_policy" -> d22OracleSql,
@@ -2340,7 +2341,116 @@ object Dedup {
        | FROM per
        |) ORDER BY key""".stripMargin
 
+  /** `d25_dedup_epochs`: what dedup does to the MIXTURE — per source,
+    * the token mass a min-id dedup keeps vs drops, and the effective
+    * epoch multiplier (tokens-with-dups ÷ tokens-kept, e6): training on
+    * the raw corpus implicitly shows each kept document `cluster_size`
+    * times, so a source's raw t9 share overstates its post-dedup share
+    * by exactly this factor — the correction a mixing plan (t9/t30/t28)
+    * must apply AFTER dedup. Cross-source keeper movement is part of
+    * the audit: a mirror source whose clusters' min-id keepers live in
+    * the original source keeps NOTHING (`tokens_kept` 0, `epochs_e6`
+    * −1 flags it) — its entire mass was someone else's copy. Per
+    * source: docs, raw tokens, keepers landing in this source, tokens
+    * kept/dropped, drop share (e6), epoch multiplier (e6); `~TOTAL`
+    * foots (the corpus epoch multiplier is the d6-family headline).
+    *
+    * Scale: the cluster table is d6's pair-bounded components; ALL docs
+    * enter via a LEFT join on the doc key (a singleton is its own
+    * cluster — coalesce, no extra pass); the keeper election is a
+    * cluster-grain min; everything collapses to |sources| rows with
+    * map-side partials. Shares ride Decimal(38,0) → BIGINT (the
+    * t30/s25 envelope). One token-count scan, two doc-grain equi
+    * shuffles, nothing pairwise beyond what d6 already bounded. */
+  def d25DedupEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(wsTokens(col("text"))).cast("long").as("n_toks"))
+    val member = docs
+      .join(d6DedupClusters(spark, dir).select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val keepers = member.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val per = member.join(keepers, Seq("cluster_id"))
+      .withColumn("kept", (col("doc_id") === col("keeper")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("kept")).as("n_keepers"),
+        sum(col("kept") * col("n_toks")).as("tokens_kept"),
+        sum((lit(1L) - col("kept")) * col("n_toks")).as("tokens_dropped"))
+      .localCheckpoint(true) // |sources| rows; per-source + ~TOTAL read it
+    def shaped(df: DataFrame, key: Column): DataFrame =
+      df.select(key.as("source"), col("n_docs"), col("n_tokens"),
+        col("n_keepers"), col("tokens_kept"), col("tokens_dropped"),
+        expr("tokens_dropped * CAST(1000000 AS DECIMAL(38,0))" +
+          " div greatest(n_tokens, 1)").as("drop_share_e6"),
+        when(col("tokens_kept") > 0L,
+          expr("n_tokens * CAST(1000000 AS DECIMAL(38,0)) div tokens_kept"))
+          .otherwise(-1L).as("epochs_e6"))
+    shaped(per, col("source"))
+      .unionByName(shaped(
+        per.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_keepers")).as("n_keepers"),
+          sum(col("tokens_kept")).as("tokens_kept"),
+          sum(col("tokens_dropped")).as("tokens_dropped")), lit("~TOTAL")))
+      .orderBy(col("source"))
+  }
+
+  private lazy val d25OracleSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |p AS (${jaccardSelectSql("")}),
+       |edges AS (
+       | SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+       | UNION ALL SELECT doc_id_2, doc_id_1 FROM p),
+       |reach(v, l) AS (
+       | SELECT DISTINCT a, a FROM edges
+       | UNION
+       | SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v),
+       |cc AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+       |docs AS (
+       | SELECT doc_id, source,
+       |  CAST(len(${graft.operators.TextAnalysis.toksCaseSql}) AS BIGINT)
+       |   AS n_toks
+       | FROM documents),
+       |member AS (
+       | SELECT d.doc_id, d.source, d.n_toks,
+       |  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+       | FROM docs d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |kp AS (SELECT cluster_id, min(doc_id) AS keeper FROM member GROUP BY 1),
+       |j AS (
+       | SELECT m.source, m.n_toks,
+       |  CASE WHEN m.doc_id = kp.keeper THEN 1 ELSE 0 END AS kept
+       | FROM member m JOIN kp ON m.cluster_id = kp.cluster_id),
+       |per AS (
+       | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(kept) AS BIGINT) AS n_keepers,
+       |  CAST(sum(kept * n_toks) AS BIGINT) AS tokens_kept,
+       |  CAST(sum((1 - kept) * n_toks) AS BIGINT) AS tokens_dropped
+       | FROM j GROUP BY 1),
+       |u AS (
+       | SELECT source, n_docs, n_tokens, n_keepers, tokens_kept,
+       |  tokens_dropped
+       | FROM per
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(sum(n_docs) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT), CAST(sum(n_keepers) AS BIGINT),
+       |  CAST(sum(tokens_kept) AS BIGINT), CAST(sum(tokens_dropped) AS BIGINT)
+       | FROM per)
+       |SELECT source, n_docs, n_tokens, n_keepers, tokens_kept,
+       | tokens_dropped,
+       | CAST(tokens_dropped * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+       |  AS drop_share_e6,
+       | CASE WHEN tokens_kept > 0
+       |  THEN CAST(n_tokens * 1000000 // tokens_kept AS BIGINT)
+       |  ELSE CAST(-1 AS BIGINT) END AS epochs_e6
+       |FROM u ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_dedup_epochs" -> (d25DedupEpochs _),
     "d24_df_profile" -> (d24DfProfile _),
     "d23_banding_sweep" -> (d23BandingSweep _),
     "d22_keeper_policy" -> (d22KeeperPolicy _),

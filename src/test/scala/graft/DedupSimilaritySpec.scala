@@ -2098,6 +2098,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .sortBy(_._1).mkString(" "))
   }
 
+  test("d25: the dedup-epoch audit replays literally — singleton " +
+    "closure, min-id keepers, per-source mass, e6 shares — and the " +
+    "corpus multiplier exceeds 1e6") {
+    def toks(s: String): Long = {
+      val t = s.replaceAll("^\\s+|\\s+$", "")
+      (if (t.isEmpty) 0 else t.split("\\s+").length).toLong
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        toks(r.getAs[String]("text"))))
+    val cl = operators.Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val member = docs.map { case (id, src, n) =>
+      (id, src, n, cl.getOrElse(id, id)) }
+    val keeper = member.groupBy(_._4).map { case (c, g) =>
+      c -> g.map(_._1).min }
+    val expect = member.groupBy(_._2).map { case (src, g) =>
+      val nTok = g.map(_._3).sum
+      val kept = g.filter(m => keeper(m._4) == m._1)
+      val keptTok = kept.map(_._3).sum
+      val dropTok = nTok - keptTok
+      src -> ((g.size.toLong, nTok, kept.size.toLong, keptTok, dropTok,
+        dropTok * 1000000L / math.max(nTok, 1L),
+        if (keptTok > 0) nTok * 1000000L / keptTok else -1L))
+    }
+    val tot = {
+      val nTok = docs.map(_._3).sum
+      val keptTok = member.filter(m => keeper(m._4) == m._1).map(_._3).sum
+      ((docs.length.toLong, nTok,
+        member.count(m => keeper(m._4) == m._1).toLong, keptTok,
+        nTok - keptTok, (nTok - keptTok) * 1000000L / math.max(nTok, 1L),
+        if (keptTok > 0) nTok * 1000000L / keptTok else -1L))
+    }
+    val got = operators.Dedup.d25DedupEpochs(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_keepers"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("tokens_dropped"), r.getAs[Long]("drop_share_e6"),
+          r.getAs[Long]("epochs_e6")))).toMap
+    assert(got == (expect + ("~TOTAL" -> tot)),
+      "epoch audit diverged from the literal replay")
+    // the audit earns its keep: dedup drops mass somewhere, so the
+    // corpus epoch multiplier strictly exceeds 1e6, and at least one
+    // source keeps everything it has while another loses mass
+    assert(tot._7 > 1000000L, "no duplication at all — d6 found nothing")
+    assert(expect.values.exists(_._5 > 0L), "no source lost mass")
+    assert(expect.values.exists(v => v._5 == 0L && v._2 > 0L) ||
+      expect.values.count(_._5 > 0L) >= 2,
+      "drop mass must differentiate sources")
+    info(s"corpus epochs_e6 ${tot._7}; per-source drops " +
+      expect.view.mapValues(_._5).toMap.toString)
+  }
+
   test("s27: HNSW recall replays — exact top-k truth brute-forced in " +
     "Scala, hits counted against the engine's own descent, recall " +
     "bounded and non-vacuous") {
