@@ -2054,6 +2054,103 @@ object PipelineQueries {
        | FROM act)
        |ORDER BY key""".stripMargin
 
+  /** `p42_write_amp`: the write-amplification ledger of the landing +
+    * compaction chain — the LSM-storage headline metric, read per
+    * snapshot version: rows LANDED by the version (the month's ingest),
+    * rows WRITTEN by it (the ingest plus any year-compaction rewrite
+    * the version triggered — p25's chain compacts a year's 12 month
+    * files into one year file at the NEXT year's first landing), both
+    * cumulative, and the running amplification `wa_e6 = cum_written ·
+    * 1e6 div cum_landed` (1e6 = no rewrite yet; the chain's steady
+    * state here trends toward ~2e6 — every row written once at landing
+    * and once at its year's compaction — exactly the number a
+    * compaction-policy change must justify against p16's read-side
+    * win). `~TOTAL` carries the end-state ledger.
+    *
+    * Scale: entirely calendar-grained (the p25 month manifest + p27's
+    * year events); cumulative sums ride the aggregate-grained
+    * unpartitioned window (mo — the allowlisted manifest grain); no
+    * fact re-scan beyond the manifest build. At 100 TB this ledger is
+    * metadata arithmetic — which is the point: write amplification is
+    * knowable BEFORE the bytes move. */
+  def p42WriteAmp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NOT checkpointed (the p25 rule): the cumulative windows below
+    // must read a visible Aggregate(mo, yr) so the suite's grain pin
+    // can prove they run on the calendar manifest
+    val ver = monthManifest(spark, dir)
+      .withColumn("version",
+        row_number().over(Window.orderBy(col("mo"))).cast("long"))
+    val yrRows = ver.groupBy(col("yr"))
+      .agg(min(col("version")).as("y_first"), sum(col("n_rows")).as("y_rows"))
+    val per = ver
+      .join(broadcast(yrRows.select(col("yr"), col("y_first"))), Seq("yr"))
+      .join(broadcast(yrRows.select((col("yr") + 1).as("yr"),
+        col("y_rows").as("rewrite_rows"))), Seq("yr"), "left")
+      .select(col("version"), col("mo"), col("n_rows").as("rows_landed"),
+        (col("n_rows") + when(col("version") === col("y_first"),
+          coalesce(col("rewrite_rows"), lit(0L))).otherwise(0L))
+          .as("rows_written"))
+    val wCum = Window.orderBy(col("version"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per
+      .withColumn("cum_landed", sum(col("rows_landed")).over(wCum))
+      .withColumn("cum_written", sum(col("rows_written")).over(wCum))
+      .withColumn("wa_e6", expr(
+        "cum_written * CAST(1000000 AS DECIMAL(38,0)) div cum_landed"))
+      .localCheckpoint(true) // calendar-grained; rows + ~TOTAL read it
+    val rows = cum.select(col("version").cast("string").as("key"),
+      col("mo"), col("rows_landed"), col("rows_written"),
+      col("cum_landed"), col("cum_written"), col("wa_e6"))
+    val tot = cum.agg(max(col("cum_landed")).as("cum_landed"),
+        max(col("cum_written")).as("cum_written"),
+        sum(col("rows_landed")).as("rows_landed"),
+        sum(col("rows_written")).as("rows_written"))
+      .select(lit("~TOTAL").as("key"), lit(-1L).as("mo"),
+        col("rows_landed"), col("rows_written"), col("cum_landed"),
+        col("cum_written"),
+        expr("cum_written * CAST(1000000 AS DECIMAL(38,0)) div cum_landed")
+          .as("wa_e6"))
+    rows.unionByName(tot)
+      .orderBy(length(col("key")), col("key"))
+  }
+
+  private val p42Oracle: String =
+    s"""WITH mf AS (
+       | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+       |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       | FROM orders GROUP BY 1, 2),
+       |ver AS (
+       | SELECT mf.*, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS version
+       | FROM mf),
+       |yf AS (
+       | SELECT yr, min(version) AS y_first, CAST(sum(n_rows) AS BIGINT) AS y_rows
+       | FROM ver GROUP BY 1),
+       |per AS (
+       | SELECT v.version, v.mo, v.n_rows AS rows_landed,
+       |  v.n_rows + CASE WHEN v.version = o.y_first
+       |   THEN COALESCE(p.y_rows, 0) ELSE 0 END AS rows_written
+       | FROM ver v JOIN yf o ON o.yr = v.yr
+       |  LEFT JOIN yf p ON p.yr = v.yr - 1),
+       |cum AS (
+       | SELECT version, mo, rows_landed,
+       |  CAST(rows_written AS BIGINT) AS rows_written,
+       |  CAST(sum(rows_landed) OVER w AS BIGINT) AS cum_landed,
+       |  CAST(sum(rows_written) OVER w AS BIGINT) AS cum_written
+       | FROM per WINDOW w AS (ORDER BY version ROWS UNBOUNDED PRECEDING))
+       |SELECT key, mo, rows_landed, rows_written, cum_landed, cum_written,
+       | CAST(cum_written * 1000000 // cum_landed AS BIGINT) AS wa_e6 FROM (
+       | SELECT CAST(version AS VARCHAR) AS key, mo, rows_landed,
+       |  rows_written, cum_landed, cum_written
+       | FROM cum
+       | UNION ALL
+       | SELECT '~TOTAL', CAST(-1 AS BIGINT), CAST(sum(rows_landed) AS BIGINT),
+       |  CAST(sum(rows_written) AS BIGINT), CAST(max(cum_landed) AS BIGINT),
+       |  CAST(max(cum_written) AS BIGINT)
+       | FROM cum)
+       |ORDER BY length(key), key""".stripMargin
+
   val PurgeEighths = 2L // p40: retention horizon — the oldest quarter of days
 
   /** `p40_stale_stats`: the statistics-staleness audit merge-on-read
@@ -2406,6 +2503,7 @@ object PipelineQueries {
     "p39_layout_advisor" -> (p39LayoutAdvisor _),
     "p40_stale_stats" -> (p40StaleStats _),
     "p41_rollback_plan" -> (p41RollbackPlan _),
+    "p42_write_amp" -> (p42WriteAmp _),
     "p34_bucketed_priority" -> (p34BucketedPriority _),
     "p35_bucketed_semi" -> (p35BucketedSemi _),
     "p36_bucketed_trade" -> (p36BucketedTrade _),
@@ -2453,6 +2551,7 @@ object PipelineQueries {
     "p39_layout_advisor" -> p39Oracle,
     "p40_stale_stats" -> p40Oracle,
     "p41_rollback_plan" -> p41Oracle,
+    "p42_write_amp" -> p42Oracle,
     "p34_bucketed_priority" ->
       graft.operators.Analytics.oracle("q3_shipping_priority"),
     "p35_bucketed_semi" ->

@@ -1721,6 +1721,52 @@ class PipelineSpec extends AnyFunSuite {
       s"deep(24): ${deepRestores.size} restores all blocked; head $head")
   }
 
+  test("p42: the write-amplification ledger replays literally — landing " +
+    "vs compaction writes per version, cumulative sums, the e6 ratio — " +
+    "and the chain shows both the no-rewrite and rewrite regimes") {
+    import java.time.LocalDateTime
+    val months = Tables.load(spark, sf, "orders")
+      .select("o_orderdate").collect()
+      .map { r =>
+        val d = r.getAs[LocalDateTime]("o_orderdate").toLocalDate
+        (d.getYear.toLong * 12 + d.getMonthValue - 1, d.getYear.toLong)
+      }
+      .groupBy(identity).map { case ((mo, yr), g) => (mo, yr, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val ver = months.zipWithIndex.map { case ((mo, yr, n), i) => (mo, yr, n, i + 1L) }
+    val yFirst = ver.groupBy(_._2).map { case (yr, g) =>
+      yr -> (g.map(_._4).min, g.map(_._3).sum) }
+    var cumL = 0L; var cumW = 0L
+    val expect = ver.map { case (mo, yr, n, v) =>
+      val rewrite =
+        if (yFirst(yr)._1 == v) yFirst.get(yr - 1).map(_._2).getOrElse(0L)
+        else 0L
+      cumL += n; cumW += n + rewrite
+      v.toString -> ((mo, n, n + rewrite, cumL, cumW, cumW * 1000000L / cumL))
+    }.toMap
+    val out = PipelineQueries.p42WriteAmp(spark, sf).collect()
+    val (tot, per) = out.partition(_.getAs[String]("key") == "~TOTAL")
+    val got = per.map(r => r.getAs[String]("key") ->
+      ((r.getAs[Long]("mo"), r.getAs[Long]("rows_landed"),
+        r.getAs[Long]("rows_written"), r.getAs[Long]("cum_landed"),
+        r.getAs[Long]("cum_written"), r.getAs[Long]("wa_e6")))).toMap
+    assert(got == expect, "write-amp ledger diverged from the replay")
+    assert(tot.length == 1)
+    val t = tot.head
+    assert(t.getAs[Long]("cum_landed") == cumL &&
+      t.getAs[Long]("cum_written") == cumW &&
+      t.getAs[Long]("wa_e6") == cumW * 1000000L / cumL, "~TOTAL ledger")
+    // both regimes: months that only land (written == landed) and
+    // compaction months that rewrite a full prior year; the end-state
+    // amplification must sit strictly between 1e6 and 2e6 (every row
+    // written at most twice on this chain — landing + one compaction)
+    assert(got.values.exists(v => v._3 == v._2), "no pure-landing month")
+    assert(got.values.exists(v => v._3 > v._2), "no compaction rewrite")
+    val wa = t.getAs[Long]("wa_e6")
+    assert(wa > 1000000L && wa < 2000000L, s"end-state wa_e6 $wa out of band")
+    info(s"end-state wa_e6 $wa over ${got.size} versions")
+  }
+
   test("notify: the outbox transport delivers once per exhausted stage " +
     "— retries don't multiply alerts, skipped stages stay silent, " +
     "messages flatten, drain preserves order") {
