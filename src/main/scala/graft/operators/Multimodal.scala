@@ -1305,7 +1305,131 @@ object Multimodal {
       | FROM w)
       |ORDER BY source, declared, sniffed""".stripMargin
 
+  val ShardBytes = 8192L // m15: nominal shard payload budget
+
+  /** `m15_shard_manifest`: the WebDataset-style shard-packing manifest —
+    * training loaders stream TAR SHARDS, not files, so curation's last
+    * step packs (text + media payload) onto a deterministic tape
+    * (md5-of-doc_id order — t12's rerun-stable shuffle) and cuts
+    * ~[[ShardBytes]] shards. The packing rule is start-offset
+    * assignment: a document lands WHOLLY in the shard its first byte
+    * falls in (`offset div ShardBytes`) — shards overflow their nominal
+    * budget by at most one trailing document, and unlike the greedy
+    * close-on-overflow fold (whose every boundary depends on the
+    * previous one — inherently sequential) this rule is a pure function
+    * of the exclusive prefix sum, so a 1000-executor run cuts
+    * byte-identical shards. Per shard: docs, payload bytes, overflow vs
+    * nominal, the modality mix (a loader wants balanced shards), and
+    * the first doc (the shard's index key); `~TOTAL` foots.
+    *
+    * Scale: t12's distributed prefix-sum machinery verbatim —
+    * range-partition by the tape key, per-range totals (one row per
+    * range) to exclusive base offsets broadcast back, running sum
+    * within each sorted range; the manifest is a shard-grained
+    * aggregate of that. Partition-count invariance is spec-pinned (3
+    * vs 7 ranges, byte-identical). */
+  def m15ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    m15ShardManifestRanged(spark, dir, 0)
+
+  /** [[m15ShardManifest]] with an explicit range count (0 = session
+    * default) — the spec's partition-invariance hook. */
+  def m15ShardManifestRanged(spark: SparkSession, dir: String,
+                             ranges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"),
+        (col("n_chars") + length(repeat(md5(col("text")), 4)) / 2)
+          .cast("long").as("n_bytes"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+    val ordered =
+      (if (ranges > 0) base.repartitionByRange(ranges, col("key"), col("doc_id"))
+       else base.repartitionByRange(col("key"), col("doc_id")))
+        .sortWithinPartitions(col("key"), col("doc_id"))
+        .withColumn("rid", spark_partition_id())
+        .localCheckpoint(true)
+    val offsets = ordered.groupBy(col("rid")).agg(sum(col("n_bytes")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(
+        Window.orderBy(col("rid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rid"), col("base"))
+    val wRun = Window.partitionBy(col("rid")).orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = ordered.join(broadcast(offsets), Seq("rid"))
+      .withColumn("offset",
+        col("base") + coalesce(sum(col("n_bytes")).over(wRun), lit(0L)))
+      .select(expr(s"offset div $ShardBytes").as("shard"), col("doc_id"),
+        col("n_bytes"), col("media_type"), col("key"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("n_bytes"),
+        sum(when(col("media_type") === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when(col("media_type") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("media_type") === "video", 1L).otherwise(0L)).as("n_video"),
+        min(struct(col("key"), col("doc_id"))).as("f"))
+      .select(col("shard"), col("n_docs"), col("n_bytes"),
+        (col("n_bytes") - ShardBytes).as("overflow_bytes"),
+        col("n_image"), col("n_audio"), col("n_video"),
+        col("f.doc_id").as("first_doc"))
+      .localCheckpoint(true) // shard-grained; rows + ~TOTAL read it
+    val rows = per.select(col("shard").cast("string").as("shard"),
+      col("n_docs"), col("n_bytes"), col("overflow_bytes"), col("n_image"),
+      col("n_audio"), col("n_video"), col("first_doc"))
+    val tot = per.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("overflow_bytes")).as("overflow_bytes"),
+        sum(col("n_image")).as("n_image"), sum(col("n_audio")).as("n_audio"),
+        sum(col("n_video")).as("n_video"))
+      .select(lit("~TOTAL").as("shard"), col("n_docs"), col("n_bytes"),
+        col("overflow_bytes"), col("n_image"), col("n_audio"),
+        col("n_video"), lit(-1L).as("first_doc"))
+    rows.unionByName(tot).orderBy(length(col("shard")), col("shard"))
+  }
+
+  private val m15Oracle: String =
+    s"""WITH base AS (
+      | SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+      |  CAST(n_chars + length(repeat(md5(text), 4)) / 2 AS BIGINT)
+      |   AS n_bytes,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |   WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+      | FROM documents),
+      |tape AS (
+      | SELECT base.*,
+      |  CAST(COALESCE(sum(n_bytes) OVER (ORDER BY key, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |   AS off
+      | FROM base),
+      |per AS (
+      | SELECT off // $ShardBytes AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+      |  CAST(sum(CASE WHEN media_type = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_image,
+      |  CAST(sum(CASE WHEN media_type = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_audio,
+      |  CAST(sum(CASE WHEN media_type = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_video,
+      |  CAST(min(key || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0'))
+      |   AS VARCHAR) AS fk
+      | FROM tape GROUP BY 1)
+      |SELECT shard, n_docs, n_bytes, overflow_bytes, n_image, n_audio,
+      | n_video, first_doc FROM (
+      | SELECT CAST(shard AS VARCHAR) AS shard, n_docs, n_bytes,
+      |  CAST(n_bytes - $ShardBytes AS BIGINT) AS overflow_bytes,
+      |  n_image, n_audio, n_video,
+      |  CAST(CAST(split_part(fk, ':', 2) AS BIGINT) AS BIGINT) AS first_doc
+      | FROM per
+      | UNION ALL
+      | SELECT '~TOTAL', CAST(sum(n_docs) AS BIGINT),
+      |  CAST(sum(n_bytes) AS BIGINT),
+      |  CAST(sum(n_bytes - $ShardBytes) AS BIGINT),
+      |  CAST(sum(n_image) AS BIGINT), CAST(sum(n_audio) AS BIGINT),
+      |  CAST(sum(n_video) AS BIGINT), CAST(-1 AS BIGINT)
+      | FROM per)
+      |ORDER BY length(shard), shard""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m15_shard_manifest" -> m15Oracle,
     "m14_codec_audit" -> m14Oracle,
     "m13_storage_pyramid" -> m13Oracle,
     "m12_scene_segmentation" -> m12Oracle,
@@ -1322,6 +1446,7 @@ object Multimodal {
     "m8_scrub_audit" -> m8Oracle)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_shard_manifest" -> (m15ShardManifest _),
     "m14_codec_audit" -> (m14CodecAudit _),
     "m13_storage_pyramid" -> (m13StoragePyramid _),
     "m12_scene_segmentation" -> (m12SceneSegmentation _),

@@ -630,4 +630,58 @@ class MultimodalSpec extends AnyFunSuite {
     info(s"${per.length} cells; mismatch " +
       s"${tot.head.getAs[Long]("mismatch_docs")}/${docs.length}")
   }
+
+  test("m15: the shard manifest replays literally — deterministic tape, " +
+    "start-offset shard rule, modality mix, footing — and the cut is " +
+    "partition-count invariant") {
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val types = Array("image", "audio", "video")
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        (md5Hex(id.toString), id,
+          r.getAs[Long]("n_chars") + md5Hex(r.getAs[String]("text")).length * 4L / 2L,
+          types((id % 3).toInt))
+      }.sortBy(t => (t._1, t._2))
+    val sb = operators.Multimodal.ShardBytes
+    var off = 0L
+    val taped = docs.map { case (k, id, n, mt) =>
+      val o = off; off += n; (o / sb, id, n, mt, k)
+    }
+    val expect = taped.groupBy(_._1).map { case (s, g) =>
+      val bytes = g.map(_._3).sum
+      s.toString -> ((g.length.toLong, bytes, bytes - sb,
+        g.count(_._4 == "image").toLong, g.count(_._4 == "audio").toLong,
+        g.count(_._4 == "video").toLong,
+        g.minBy(t => (t._5, t._2))._2))
+    }
+    val out = operators.Multimodal.m15ShardManifest(spark, sf).collect()
+    val (tot, per) = out.partition(_.getAs[String]("shard") == "~TOTAL")
+    val got = per.map(r => r.getAs[String]("shard") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("overflow_bytes"), r.getAs[Long]("n_image"),
+        r.getAs[Long]("n_audio"), r.getAs[Long]("n_video"),
+        r.getAs[Long]("first_doc")))).toMap
+    assert(got == expect, "shard manifest diverged from the tape replay")
+    assert(tot.length == 1 &&
+      tot.head.getAs[Long]("n_docs") == docs.length.toLong &&
+      tot.head.getAs[Long]("n_bytes") == docs.map(_._3).sum)
+    // regimes: a real multi-shard cut, some shard overflowing its
+    // nominal budget (the trailing-document rule), modality mix present
+    assert(got.size >= 3, s"only ${got.size} shards — raise the corpus")
+    assert(got.values.exists(_._3 > 0L), "no shard overflows nominal")
+    assert(got.values.exists(v => v._4 > 0 && v._5 > 0 && v._6 > 0),
+      "no mixed-modality shard")
+    // partition invariance: 3 vs 7 ranges cut byte-identical shards
+    val r3 = operators.Multimodal.m15ShardManifestRanged(spark, sf, 3)
+      .collect().map(_.toString).sorted.toSeq
+    val r7 = operators.Multimodal.m15ShardManifestRanged(spark, sf, 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(r3 == r7, "shard cut depends on the partition count")
+    info(s"${got.size} shards over ${docs.length} docs; max overflow " +
+      got.values.map(_._3).max)
+  }
 }
