@@ -2424,8 +2424,13 @@ object Similarity {
 
   private lazy val s19OracleSql: String = {
     val cos = cosSql("p.pe", "ce.embedding")
+    // AS MATERIALIZED throughout: every beam CTE is referenced twice by the
+    // next round (base + neighbor expansion), so DuckDB's default inlining
+    // re-expands the whole chain 2^rounds times — at sf0.1 that spilled the
+    // host disk (>60 GB). Materialization makes the replay linear in the
+    // round count (sf0.1 replays in seconds inside an 8 GB spill cap).
     def scoreCte(name: String, candCte: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          | SELECT probe_id, cand, cos_e6 FROM (
          |  SELECT c.probe_id, c.cand,
          |   CAST(floor($cos * 1000000.0) AS BIGINT) AS cos_e6,
@@ -2436,7 +2441,7 @@ object Similarity {
          |   JOIN probes p ON p.probe_id = c.probe_id)
          | WHERE r <= $BeamWidth)""".stripMargin
     val rounds = (2 to BeamRounds).map { r =>
-      s"""cand$r AS (
+      s"""cand$r AS MATERIALIZED (
          | SELECT DISTINCT probe_id, cand FROM (
          |  SELECT probe_id, cand FROM beam${r - 1}
          |  UNION ALL
@@ -2445,13 +2450,13 @@ object Similarity {
          | WHERE cand <> probe_id),
          |${scoreCte(s"beam$r", s"cand$r")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH sigs AS (
+    s"""WITH sigs AS MATERIALIZED (
        |$knnBandSql),
-       |kcand AS (
+       |kcand AS MATERIALIZED (
        | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
        | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
        |  AND s1.vec_id < s2.vec_id),
-       |kscored AS (
+       |kscored AS MATERIALIZED (
        | SELECT c.v1, c.v2,
        |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
        | FROM kcand c JOIN embeddings a ON a.vec_id = c.v1
@@ -2459,12 +2464,12 @@ object Similarity {
        |kmirrored AS (
        | SELECT v1 AS vec_id, v2 AS neighbor_id, cos_e6 FROM kscored
        | UNION ALL SELECT v2, v1, cos_e6 FROM kscored),
-       |g AS (
+       |g AS MATERIALIZED (
        | SELECT vec_id, neighbor_id FROM (
        |  SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY cos_e6 DESC, neighbor_id) AS rnk
        |  FROM kmirrored) WHERE rnk <= $KnnK),
-       |probes AS (
+       |probes AS MATERIALIZED (
        | SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
        | WHERE vec_id < $NumProbes),
        |cand1 AS (
@@ -2594,8 +2599,15 @@ object Similarity {
 
   private lazy val s26OracleSql: String = {
     val cos = cosSql("p.pe", "ce.embedding")
+    // AS MATERIALIZED on every multiply-referenced CTE: the 7 unrolled
+    // descent rounds each reference the prior beam twice, so DuckDB's
+    // default inlining re-expands the banded pipeline exponentially —
+    // the r17 sf0.1 replay spilled >60 GB and had to be excluded from the
+    // sweep. Materialized, the same statement replays at sf0.1 in ~9 s
+    // inside an 8 GB spill cap (measured r18), so the full surface is
+    // hash-verifiable at 10x driver scale and no oracle can exhaust disk.
     def scoreCte(name: String, candCte: String, width: Int): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          | SELECT probe_id, cand, cos_e6 FROM (
          |  SELECT c.probe_id, c.cand,
          |   CAST(floor($cos * 1000000.0) AS BIGINT) AS cos_e6,
@@ -2611,7 +2623,7 @@ object Similarity {
         else
           s""" JOIN lvl la ON la.vec_id = s.v1 AND la.lvl >= $minLvl
              | JOIN lvl lb ON lb.vec_id = s.v2 AND lb.lvl >= $minLvl""".stripMargin
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          | SELECT g_src, g_dst FROM (
          |  SELECT g_src, g_dst, row_number() OVER (PARTITION BY g_src
          |    ORDER BY cos_e6 DESC, g_dst) AS r
@@ -2632,9 +2644,9 @@ object Similarity {
         else
           s"""SELECT probe_id, cand FROM beam${r - 1}
              |  UNION ALL SELECT probe_id, cand FROM entryset""".stripMargin
-      s"""base$r AS (
+      s"""base$r AS MATERIALIZED (
          | $base),
-         |cand$r AS (
+         |cand$r AS MATERIALIZED (
          | SELECT DISTINCT probe_id, cand FROM (
          |  SELECT probe_id, cand FROM base$r
          |  UNION ALL
@@ -2644,18 +2656,18 @@ object Similarity {
          |${scoreCte(s"beam$r", s"cand$r", width)}""".stripMargin
     }.mkString(",\n")
     val nRounds = layers.size
-    s"""WITH sigs AS (
+    s"""WITH sigs AS MATERIALIZED (
        |$knnBandSql),
-       |kcand AS (
+       |kcand AS MATERIALIZED (
        | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
        | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
        |  AND s1.vec_id < s2.vec_id),
-       |kscored AS (
+       |kscored AS MATERIALIZED (
        | SELECT c.v1, c.v2,
        |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
        | FROM kcand c JOIN embeddings a ON a.vec_id = c.v1
        |  JOIN embeddings b ON b.vec_id = c.v2),
-       |lvl AS (
+       |lvl AS MATERIALIZED (
        | SELECT vec_id, CASE WHEN h % 16 = 0 THEN 2
        |   WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
        | FROM (SELECT vec_id,
@@ -2668,10 +2680,10 @@ object Similarity {
        | SELECT coalesce(min(CASE WHEN lvl >= 2 THEN vec_id END),
        |   min(CASE WHEN lvl >= 1 THEN vec_id END), min(vec_id)) AS cand
        | FROM lvl),
-       |probes AS (
+       |probes AS MATERIALIZED (
        | SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
        | WHERE vec_id < $NumProbes),
-       |entryset AS (SELECT probe_id, cand FROM probes CROSS JOIN ent),
+       |entryset AS MATERIALIZED (SELECT probe_id, cand FROM probes CROSS JOIN ent),
        |$rounds
        |SELECT probe_id, rank, cand AS neighbor_id, cos_e6 FROM (
        | SELECT probe_id, cand, cos_e6,
@@ -2713,8 +2725,8 @@ object Similarity {
   }
 
   private lazy val s27OracleSql: String =
-    s"""WITH ex AS ($s1OracleSql),
-       |ap AS (SELECT probe_id, neighbor_id FROM ($s26OracleSql)),
+    s"""WITH ex AS MATERIALIZED ($s1OracleSql),
+       |ap AS MATERIALIZED (SELECT probe_id, neighbor_id FROM ($s26OracleSql)),
        |hits AS (
        | SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
        | FROM ex e JOIN ap a ON a.probe_id = e.probe_id
