@@ -695,6 +695,7 @@ object Similarity {
     "s19_graph_beam" -> s19OracleSql,
     "s26_hnsw_layers" -> s26OracleSql,
     "s27_hnsw_recall" -> s27OracleSql,
+    "s28_hnsw_insert" -> s28OracleSql,
     "s18_sq8_quantize" -> s18OracleSql,
     "s15_hybrid_search" -> s15OracleSql,
     "s16_filtered_ann" -> s16OracleSql,
@@ -2743,6 +2744,141 @@ object Similarity {
        |FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN hits h USING (probe_id)
        |ORDER BY probe_id""".stripMargin
 
+  /** `s28_hnsw_insert`: incremental insert into s26's layered graph — the
+    * operation a production vector store runs continuously (s11 plays
+    * this role for the IVF index; the layered graph had no insert path).
+    * The d8/s11 batch convention splits the corpus: bucket >=
+    * [[Dedup.NewBucketMin]] of the md5 split is "today's batch", the rest
+    * is the already-indexed corpus whose per-layer adjacency (top-[[KnnK]]
+    * per node over corpus-only banded pairs among level>=l members) is
+    * the STORED index. The insert draws each batch vector's level by
+    * s26's md5 convention, generates its candidates from the SAME banded
+    * family that built the stored layers (band buckets are the candidate
+    * generator for construction AND insert, so the delta is
+    * batch-proportional: batch signatures probe only their own band
+    * buckets, never rescanning corpus×corpus), and re-links ONLY touched
+    * neighborhoods — a node's new edge list is the re-rank of its stored
+    * top-K merged with its delta edges. One row per edge of the updated
+    * adjacency at the touched nodes: (lvl, vec_id, rank, neighbor_id,
+    * cos_e6, src_is_batch).
+    *
+    * The update is EXACT, not an approximation of a rebuild: top-K over
+    * (corpus ∪ batch) candidates ⊆ top-K(corpus candidates) ∪ delta
+    * candidates — any corpus edge surviving the union's top-K was already
+    * in the stored top-K — so merged-re-rank ≡ from-scratch rebuild,
+    * node for node. The ORACLE computes the rebuild directly (banded
+    * pairs over the union, per-layer top-K, restricted to touched nodes),
+    * so the hash match is itself the insert≡rebuild proof, the s11
+    * discipline applied to the graph index. At 100 TB: the stored
+    * adjacency is a persisted table read (here derived from the shared
+    * banded pass — the same frame the rebuild side would scan), the delta
+    * join is keyed on (band, sig) with bounded buckets, every window is
+    * per-node, and untouched nodes are never rewritten (the left-semi
+    * against touched prunes them before the merge shuffle). */
+  def s28HnswInsert(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.TextFunctions.md5Long60(col("vec_id").cast("string"))
+    val lvl = emb(spark, dir).select(col("vec_id"),
+        when(h % 16 === 0, 2).when(h % 4 === 0, 1).otherwise(0).as("lvl"),
+        isNewVec(col("vec_id")).as("is_batch"))
+      .localCheckpoint(true)
+    // one banded pass over the union, then partitioned by batch
+    // membership: corpus-corpus pairs reconstruct the stored index (at
+    // scale: a read of the persisted adjacency); >=1-batch pairs are the
+    // day's delta. The frame is consumed by all three layers — checkpoint.
+    val pairs = knnScoredPairs(spark, dir)
+      .join(lvl.select(col("vec_id").as("va"), col("lvl").as("la"),
+        col("is_batch").as("ba")), Seq("va"))
+      .join(lvl.select(col("vec_id").as("vb"), col("lvl").as("lb"),
+        col("is_batch").as("bb")), Seq("vb"))
+      .localCheckpoint(true)
+    def mirror(df: DataFrame): DataFrame = df.select(explode(array(
+        struct(col("va").as("g_src"), col("vb").as("g_dst"), col("cos_e6")),
+        struct(col("vb").as("g_src"), col("va").as("g_dst"), col("cos_e6")))).as("p"))
+      .select(col("p.g_src"), col("p.g_dst"), col("p.cos_e6"))
+    def layerRows(l: Int): DataFrame = {
+      val p = pairs.filter(col("la") >= l && col("lb") >= l)
+      val w = Window.partitionBy(col("g_src"))
+        .orderBy(col("cos_e6").desc, col("g_dst"))
+      // the stored per-layer adjacency: corpus-only candidates, top-K
+      val stored = mirror(p.filter(!col("ba") && !col("bb")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= KnnK)
+        .select(col("g_src"), col("g_dst"), col("cos_e6"))
+      val delta = mirror(p.filter(col("ba") || col("bb")))
+      val touched = delta.select(col("g_src")).distinct()
+      stored.join(touched, Seq("g_src"), "left_semi")
+        .union(delta)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= KnnK)
+        .select(lit(l.toLong).as("lvl"), col("g_src").as("vec_id"),
+          col("rank"), col("g_dst").as("neighbor_id"), col("cos_e6"))
+    }
+    layerRows(2).union(layerRows(1)).union(layerRows(0))
+      .join(lvl.select(col("vec_id"), col("is_batch")), Seq("vec_id"))
+      .select(col("lvl"), col("vec_id"), col("rank"), col("neighbor_id"),
+        col("cos_e6"), col("is_batch").cast("long").as("src_is_batch"))
+      .orderBy(col("lvl"), col("vec_id"), col("rank"))
+  }
+
+  /** s28 oracle: the from-scratch REBUILD — per-layer top-K over banded
+    * pairs of the full union, restricted to touched nodes — so the hash
+    * match proves the incremental merge is rebuild-exact. MATERIALIZED on
+    * every multiply-referenced CTE (the s26 lesson: default inlining
+    * re-expands the banded pipeline once per reference). */
+  private lazy val s28OracleSql: String = {
+    def isNewSql(x: String) =
+      s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= ${Dedup.NewBucketMin}"
+    def layerCtes(l: Int): String =
+      s"""m$l AS MATERIALIZED (
+         | SELECT v1 AS g_src, v2 AS g_dst, cos_e6, ba OR bb AS any_batch
+         | FROM lp WHERE la >= $l AND lb >= $l
+         | UNION ALL
+         | SELECT v2, v1, cos_e6, ba OR bb FROM lp WHERE la >= $l AND lb >= $l),
+         |g$l AS MATERIALIZED (
+         | SELECT g_src, g_dst, cos_e6,
+         |  row_number() OVER (PARTITION BY g_src
+         |    ORDER BY cos_e6 DESC, g_dst) AS rank
+         | FROM m$l),
+         |t$l AS MATERIALIZED (SELECT DISTINCT g_src FROM m$l WHERE any_batch)""".stripMargin
+    def layerOut(l: Int): String =
+      s"""SELECT CAST($l AS BIGINT) AS lvl, g.g_src AS vec_id,
+         | CAST(g.rank AS BIGINT) AS rank, g.g_dst AS neighbor_id, g.cos_e6
+         |FROM g$l g JOIN t$l t ON t.g_src = g.g_src WHERE g.rank <= $KnnK""".stripMargin
+    s"""WITH sigs AS MATERIALIZED (
+       |$knnBandSql),
+       |kcand AS MATERIALIZED (
+       | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+       | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
+       |  AND s1.vec_id < s2.vec_id),
+       |kscored AS MATERIALIZED (
+       | SELECT c.v1, c.v2,
+       |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
+       | FROM kcand c JOIN embeddings a ON a.vec_id = c.v1
+       |  JOIN embeddings b ON b.vec_id = c.v2),
+       |lvl AS MATERIALIZED (
+       | SELECT vec_id, CASE WHEN h % 16 = 0 THEN 2
+       |   WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl,
+       |  ${isNewSql("vec_id")} AS is_batch
+       | FROM (SELECT vec_id,
+       |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM embeddings)),
+       |lp AS MATERIALIZED (
+       | SELECT k.v1, k.v2, k.cos_e6, a.lvl AS la, b.lvl AS lb,
+       |  a.is_batch AS ba, b.is_batch AS bb
+       | FROM kscored k JOIN lvl a ON a.vec_id = k.v1
+       |  JOIN lvl b ON b.vec_id = k.v2),
+       |${layerCtes(2)},
+       |${layerCtes(1)},
+       |${layerCtes(0)}
+       |SELECT u.lvl, u.vec_id, u.rank, u.neighbor_id, u.cos_e6,
+       | CAST(CASE WHEN l.is_batch THEN 1 ELSE 0 END AS BIGINT) AS src_is_batch
+       |FROM (${layerOut(2)}
+       | UNION ALL ${layerOut(1)}
+       | UNION ALL ${layerOut(0)}) u
+       | JOIN lvl l ON l.vec_id = u.vec_id
+       |ORDER BY u.lvl, u.vec_id, u.rank""".stripMargin
+  }
+
   val SweepBudgets = Seq(1, 2, 4, 8) // s20: nprobe budgets swept (<= NumCells)
 
   /** `s20_nprobe_sweep`: the IVF recall/cost tuning curve — d13's
@@ -3372,6 +3508,7 @@ object Similarity {
     "s19_graph_beam" -> (s19GraphBeam _),
     "s26_hnsw_layers" -> (s26HnswLayers _),
     "s27_hnsw_recall" -> (s27HnswRecall _),
+    "s28_hnsw_insert" -> (s28HnswInsert _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),

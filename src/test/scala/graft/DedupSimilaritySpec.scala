@@ -2196,4 +2196,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "zero recall everywhere — the descent finds nothing")
     info(s"mean recall_e6 ${got.values.map(_._4).sum / got.size}")
   }
+
+  test("s28: the layered-graph insert replays literally in Scala AND " +
+    "equals the from-scratch rebuild at every touched node — batch edges " +
+    "displace stored edges somewhere, survive nowhere they shouldn't, " +
+    "and untouched nodes never appear") {
+    import operators.Similarity.KnnK
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ids = Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val lvl = ids.map { id =>
+      val h = md5Long60(id.toString)
+      id -> (if (h % 16 == 0) 2 else if (h % 4 == 0) 1 else 0)
+    }.toMap
+    val isBatch = ids.map(id =>
+      id -> (md5Long60(id.toString) % 100 >= operators.Dedup.NewBucketMin)).toMap
+    assert(isBatch.values.exists(identity) && isBatch.values.exists(!_),
+      "the md5 split must yield BOTH a batch and a corpus")
+    val pairs = operators.Similarity.knnScoredPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Long]("cos_e6")))
+    def topK(edges: Seq[(Long, Long, Long)]): Map[Long, Seq[(Long, Long)]] =
+      edges.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+        .groupBy(_._1).view.mapValues(_.toSeq
+          .sortBy { case (_, dst, c) => (-c, dst) }.take(KnnK)
+          .map { case (_, dst, c) => (dst, c) }).toMap
+    val expected = (0 to 2).flatMap { l =>
+      val p = pairs.filter { case (a, b, _) => lvl(a) >= l && lvl(b) >= l }
+      val rebuild = topK(p) // the from-scratch union graph
+      val touched = p.filter { case (a, b, _) => isBatch(a) || isBatch(b) }
+        .flatMap { case (a, b, _) => Seq(a, b) }.toSet
+      touched.toSeq.flatMap { src =>
+        rebuild(src).zipWithIndex.map { case ((dst, c), i) =>
+          (l.toLong, src, i + 1L) -> ((dst, c, if (isBatch(src)) 1L else 0L))
+        }
+      }
+    }.toMap
+    val got = operators.Similarity.s28HnswInsert(spark, sf).collect()
+      .map(r => (r.getAs[Long]("lvl"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank")) -> ((r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cos_e6"), r.getAs[Long]("src_is_batch")))).toMap
+    assert(got == expected,
+      "incremental insert diverged from the from-scratch rebuild")
+    // both merge arms occur at layer 0: a stored edge displaced by a
+    // batch edge somewhere, and a touched corpus node left unchanged
+    // elsewhere (its delta candidates all outranked)
+    val storedL0 = topK(pairs.filter { case (a, b, _) => !isBatch(a) && !isBatch(b) })
+    val corpusTouchedL0 = got.keys.collect {
+      case (0L, src, _) if !isBatch(src) => src }.toSet
+    assert(corpusTouchedL0.nonEmpty, "no corpus node was touched by the batch")
+    def newList(src: Long): Seq[Long] = (1L to KnnK.toLong).flatMap(r =>
+      got.get((0L, src, r)).map(_._1))
+    val changed = corpusTouchedL0.filter(src =>
+      newList(src) != storedL0.getOrElse(src, Seq.empty).map(_._1))
+    assert(changed.nonEmpty,
+      "no batch edge displaced a stored edge — the merge arm is vacuous")
+    assert((corpusTouchedL0 -- changed).nonEmpty,
+      "every touched node changed — the keep arm is vacuous")
+    // the upper layers are populated and batch rows exist there
+    assert(got.keys.exists { case (l, src, _) => l >= 1L && isBatch(src) },
+      "no batch vector drew an upper level — the layer draw is vacuous")
+    info(s"touched corpus nodes L0: ${corpusTouchedL0.size}, " +
+      s"changed: ${changed.size}, rows: ${got.size}")
+  }
 }
