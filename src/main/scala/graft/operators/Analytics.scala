@@ -1098,7 +1098,78 @@ object Analytics {
       .orderBy(col("order_idx"))
   }
 
+  val RefFan = 10 // q58: referral fan-out — parent(c) = c div RefFan
+  val ReachDepthCap = 3 // q58: ancestor hops reported (the recursion cap)
+
+  /** `q58_hierarchy_reach`: recursive hierarchy reachability — the
+    * org-chart/BOM shape (the one classic warehouse recursion with no
+    * analog here until now). The customer referral FOREST is the t5-style
+    * deterministic convention: customer c was referred by `c div
+    * [[RefFan]]` when that key is itself a customer (roots are the
+    * customers with no referrer). The query is the depth-capped
+    * transitive closure: one row per (customer, ancestor) pair within
+    * [[ReachDepthCap]] hops, carrying the hop depth, whether the ancestor
+    * is a forest root, and the descendant's lifetime spend in cents (so
+    * the closure is the spine a hierarchical rollup would aggregate —
+    * "revenue attributable to each referrer's subtree" is one groupBy
+    * away).
+    *
+    * The engine DE-RECURSES: [[ReachDepthCap]] unrolled frontier joins
+    * (q33's fixed-K pattern), each one edge-table-sized equi-join keyed
+    * on the frontier's ancestor — while the ORACLE states DuckDB's native
+    * `WITH RECURSIVE`, so the hash match proves the unrolled form ≡ true
+    * recursion at the cap. Cycle safety is structural (parent < child
+    * strictly, spec-pinned) AND capped (a cyclic edge set cannot loop the
+    * plan: there is no driver-side convergence test to diverge — depth
+    * d > cap rows simply don't exist). The parent edge is functional
+    * (≤ 1 parent per node), so every frontier is already duplicate-free
+    * — no per-round distinct shuffle is needed (the general-DAG form
+    * would add one); at 100 TB the edge table is dimension-sized next to
+    * the fact side (one row per customer), the closure is ≤ cap × |edges|
+    * rows, and the revenue attach is one aggregated-fact equi-join. */
+  def q58HierarchyReach(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    // referrer must itself be a customer (the join makes the convention
+    // data-driven rather than key-arithmetic trusted) AND strictly
+    // precede the referee — custkeys start at 0, so without the strict
+    // filter customer 0 would refer itself (a self-loop, the degenerate
+    // cycle). With it, 0 is the forest's root.
+    val edges = cust
+      .select(col("c_custkey").as("child"),
+        expr(s"c_custkey div $RefFan").as("parent"))
+      .filter(col("parent") < col("child"))
+      .join(cust.select(col("c_custkey").as("parent")), Seq("parent"))
+      .select(col("child"), col("parent"))
+      .localCheckpoint(true) // edge-sized; reused by every frontier + root test
+    val rootFlag = cust
+      .join(edges.select(col("child").as("c_custkey"), lit(1L).as("_has_parent")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey").as("anc_key"),
+        when(col("_has_parent").isNull, 1L).otherwise(0L).as("anc_is_root"))
+    val spend = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
+    val e2 = edges.select(col("child").as("e_child"), col("parent").as("e_parent"))
+    var frontier = edges.select(col("child").as("custkey"),
+      col("parent").as("anc_key"), lit(1L).as("depth"))
+    var closure = frontier
+    for (d <- 2 to ReachDepthCap) {
+      frontier = frontier
+        .join(e2, frontier("anc_key") === e2("e_child"))
+        .select(col("custkey"), col("e_parent").as("anc_key"),
+          lit(d.toLong).as("depth"))
+      closure = closure.union(frontier)
+    }
+    closure
+      .join(rootFlag, Seq("anc_key"))
+      .join(spend, Seq("custkey"), "left")
+      .select(col("custkey"), col("anc_key"), col("depth"), col("anc_is_root"),
+        coalesce(col("spend_cents"), lit(0L)).as("desc_spend_cents"))
+      .orderBy(col("custkey"), col("depth"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_hierarchy_reach" -> q58HierarchyReach _,
     "q56_sole_late_supplier" -> q56SoleLateSupplier _,
     "q57_reorder_curve" -> q57ReorderCurve _,
     "q55_rfm_segments" -> q55RfmSegments _,
@@ -1131,6 +1202,39 @@ object Analytics {
     "q12_sessionize" -> q12Sessionize _)
 
   val oracle: Map[String, String] = Map(
+    // deliberately the NATIVE recursion — WITH RECURSIVE against the
+    // engine's unrolled frontier joins: the hash match proves the
+    // de-recursion is exact at the depth cap
+    "q58_hierarchy_reach" ->
+      s"""WITH RECURSIVE edges AS MATERIALIZED (
+        | SELECT c.c_custkey AS child, c.c_custkey // $RefFan AS parent
+        | FROM customer c
+        |  JOIN customer p ON p.c_custkey = c.c_custkey // $RefFan
+        | WHERE c.c_custkey // $RefFan < c.c_custkey),
+        |anc AS (
+        | SELECT child AS custkey, parent AS anc_key,
+        |  CAST(1 AS BIGINT) AS depth
+        | FROM edges
+        | UNION ALL
+        | SELECT a.custkey, e.parent, a.depth + 1
+        | FROM anc a JOIN edges e ON e.child = a.anc_key
+        | WHERE a.depth < $ReachDepthCap),
+        |roots AS (
+        | SELECT c.c_custkey AS anc_key,
+        |  CAST(CASE WHEN e.child IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |   AS anc_is_root
+        | FROM customer c LEFT JOIN edges e ON e.child = c.c_custkey),
+        |spend AS (
+        | SELECT o_custkey AS custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS spend_cents
+        | FROM orders GROUP BY 1)
+        |SELECT a.custkey, a.anc_key, a.depth, r.anc_is_root,
+        | COALESCE(s.spend_cents, 0) AS desc_spend_cents
+        |FROM anc a
+        | JOIN roots r ON r.anc_key = a.anc_key
+        | LEFT JOIN spend s ON s.custkey = a.custkey
+        |ORDER BY a.custkey, a.depth""".stripMargin,
     // deliberately the TEXTBOOK Q21 form — correlated EXISTS / NOT
     // EXISTS on l1: hash-matching it proves the one-shuffle pair-grain
     // de-correlation (numwait = DISTINCT orders in both forms)

@@ -730,4 +730,56 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(ks.last)._1 < got(ks.head)._1, "the curve never decayed")
     assert(ks.head == 1L && got.size >= 3, "need a real multi-order corpus")
   }
+
+  test("q58: the depth-capped closure replays brute-force — depth d rows " +
+    "are exactly the d-fold parent application, every edge points " +
+    "strictly upward (cycle safety), and the cap truncates a real chain " +
+    "at sf0.01") {
+    import operators.Analytics.{RefFan, ReachDepthCap}
+    val keys = Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val parent = keys.iterator
+      .map(c => c -> c / RefFan)
+      .filter { case (c, p) => keys(p) && p < c }.toMap
+    assert(parent.nonEmpty && (keys -- parent.keySet).nonEmpty,
+      "need both referred customers and roots")
+    parent.foreach { case (c, p) =>
+      assert(p < c, s"edge $c -> $p does not point strictly upward") }
+    val spend = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100).toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = keys.toSeq.flatMap { c =>
+      Iterator.iterate(Option(c))(o => o.flatMap(parent.get))
+        .drop(1).take(ReachDepthCap).takeWhile(_.isDefined).map(_.get)
+        .zipWithIndex.map { case (a, i) =>
+          (c, a, i + 1L) ->
+            ((if (parent.contains(a)) 0L else 1L), spend.getOrElse(c, 0L))
+        }
+    }.toMap
+    val got = operators.Analytics.q58HierarchyReach(spark, sf).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("anc_key"),
+        r.getAs[Long]("depth")) ->
+        ((r.getAs[Long]("anc_is_root"), r.getAs[Long]("desc_spend_cents"))))
+      .toMap
+    assert(got == expected, "closure diverged from the brute-force replay")
+    assert(got.keys.forall(_._3 <= ReachDepthCap), "a row exceeded the cap")
+    assert(got.keys.exists(_._3 == 2L),
+      "no multi-hop ancestor — the recursion is vacuous")
+    // the truncation arm needs a chain deeper than the cap; the smallest
+    // corpus is too shallow (custkeys 0..149 -> max depth exactly 3), so
+    // pin it at sf0.01 where custkey 1499 has a depth-4 root never
+    // reported: its deepest reported ancestor sits AT the cap and is not
+    // a root
+    val deep = operators.Analytics
+      .q58HierarchyReach(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("depth"),
+        r.getAs[Long]("anc_is_root")))
+    val truncated = deep.groupBy(_._1).values.filter { rows =>
+      val d = rows.maxBy(_._2)
+      d._2 == ReachDepthCap.toLong && d._3 == 0L
+    }
+    assert(truncated.nonEmpty,
+      "the cap never truncated a chain at sf0.1 — the cap arm is vacuous")
+  }
 }
