@@ -247,6 +247,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(dir.lastModified == mtime, "second call rewrote the layout")
   }
 
+  test("fact layout persists ACROSS JVMs: a session with an empty catalog " +
+    "adopts the marker-stamped warehouse dir without rewriting a byte, " +
+    "keeps the zero-exchange contract, and a stale marker forces the " +
+    "rewrite instead") {
+    import graft.sources.Bucketed
+    val (liT, ordT) = Bucketed.ensureFactLayout(spark, sf)
+    val expected = Bucketed.q3OverBuckets(spark, sf, liT, ordT).collect().toSeq
+    val warehouse = new java.io.File(spark.conf
+      .get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val liDir = new java.io.File(warehouse, liT)
+    val dataFiles = liDir.listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty && new java.io.File(liDir, "_GRAFT_LAYOUT").exists,
+      "layout write did not stamp the marker")
+    val mtimes = dataFiles.map(f => f.getName -> f.lastModified).toMap
+    // replay the next JVM: catalog entries gone (external tables — DROP
+    // keeps the files), in-process memo cleared, warehouse dir intact
+    spark.sql(s"DROP TABLE `$liT`"); spark.sql(s"DROP TABLE `$ordT`")
+    Bucketed.forgetLayout(sf)
+    assert(!spark.catalog.tableExists(liT), "DROP must empty the catalog")
+    assert(dataFiles.forall(_.exists), "DROP of an external table took the files")
+    val (liT2, ordT2) = Bucketed.ensureFactLayout(spark, sf)
+    assert((liT2, ordT2) == ((liT, ordT)), "adopted names drifted")
+    assert(spark.catalog.tableExists(liT2), "adopt did not re-register")
+    dataFiles.foreach(f => assert(f.lastModified == mtimes(f.getName),
+      s"adopt rewrote ${f.getName}"))
+    val adopted = Bucketed.q3OverBuckets(spark, sf, liT2, ordT2)
+    val p = adopted.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash exchange over the ADOPTED layout:\n$p")
+    assert(p.contains("Bucketed: true"), s"adopted scan not bucket-aware:\n$p")
+    assert(adopted.collect().toSeq == expected,
+      "adopted layout changed the query result")
+    // staleness arm: a marker that disagrees with the source fingerprint
+    // must NOT be adopted — the next ensure rewrites
+    val marker = new java.io.File(liDir, "_GRAFT_LAYOUT")
+    val txt = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    java.nio.file.Files.write(marker.toPath,
+      txt.replaceFirst("fingerprint=", "fingerprint=STALE").getBytes("UTF-8"))
+    // drop the Hadoop LocalFileSystem checksum sidecar the nio edit broke
+    new java.io.File(liDir, "._GRAFT_LAYOUT.crc").delete()
+    spark.sql(s"DROP TABLE `$liT`"); spark.sql(s"DROP TABLE `$ordT`")
+    Bucketed.forgetLayout(sf)
+    val (liT3, _) = Bucketed.ensureFactLayout(spark, sf)
+    val rewritten = new java.io.File(liDir, "_GRAFT_LAYOUT")
+    val txt3 = new String(java.nio.file.Files.readAllBytes(rewritten.toPath), "UTF-8")
+    assert(!txt3.contains("fingerprint=STALE"),
+      "a stale marker was adopted instead of rewritten")
+    assert(spark.catalog.tableExists(liT3) &&
+      spark.table(liT3).count() == spark.read
+        .parquet(s"$sf/lineitem.parquet").count(),
+      "the rewrite did not restore the layout")
+  }
+
   test("mergeSchema read absorbs schema drift across files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
