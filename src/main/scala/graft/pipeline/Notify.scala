@@ -28,8 +28,12 @@ object Notify {
   final case class Alert(pipeline: String, stage: String,
                          errorClass: String, message: String)
 
-  /** An `onFailure` hook appending one alert line per failed attempt to
-    * `path` (created on first use). Safe to share across stages. */
+  /** An `onFailure` hook appending one alert line per `onFailure`
+    * invocation to `path` (created on first use) — and Runner fires
+    * `onFailure` once per stage whose retry budget exhausts, never per
+    * attempt, so a run yields at most one line per failed stage (the
+    * object-level contract above; wiring this hook per-attempt would
+    * multiply alerts). Safe to share across stages. */
   def fileOutbox(pipeline: String, path: Path): (String, Throwable) => Unit =
     (stage, err) => {
       val msg = Option(err.getMessage).getOrElse("")

@@ -36,8 +36,13 @@ object Lineage {
     }.flatten.toSet
 
   /** One (query, table) row per scanned table for the named queries —
-    * the lineage manifest a docs/catalog job publishes. Plan
-    * introspection only; nothing executes. */
+    * the lineage manifest a docs/catalog job publishes. The manifest
+    * itself reads only the analyzed plan, but CONSTRUCTING a query's
+    * DataFrame is not free of execution: many operators
+    * `localCheckpoint(true)` subtrees (or, for the bucketed twins,
+    * write the fact layout) at construction time, so expect those
+    * queries' eager stages to run while their plans are being
+    * harvested. */
   def manifest(spark: SparkSession, dir: String, names: Seq[String]): DataFrame = {
     val qs = graft.SparkEntry.queries
     val rows = names.flatMap { n =>
