@@ -130,6 +130,86 @@ object Behavior {
       .orderBy(col("day_idx"))
   }
 
+  /** q59 sketch size — deliberately small so BOTH KMV regimes fire on
+    * the smallest test corpus (min daily users 11 < K=12 ≤ window users
+    * 15 at sf0.001): production dials K to 1024+ for ~3% error; the
+    * MECHANICS (mergeability, regime switch, exact verdict) are
+    * K-independent. */
+  val KmvK = 12
+  /** q59 rolling window in days (the corpus spans 30 days). */
+  val KmvDays = 14
+  /** q59 hash width: md5_60 >> 15 = 45-bit hashes, so the KMV estimator
+    * (K-1)·2^45 div kth stays inside exact BIGINT range in both engines
+    * ((K-1)·2^45 ≈ 3.9e14) — no doubles, no HUGEINT, no decimal. */
+  val KmvHashShift = 15
+  val KmvHashSpace = 1L << 45
+
+  /** `q59_rolling_kmv`: mergeable-sketch rolling distinct — the t14
+    * discipline (sketch + exact verdict in one artifact) applied to
+    * q24's windowed-distinct shape. Each day keeps a K-minimum-values
+    * sketch (the [[KmvK]] smallest 45-bit md5 hashes of its distinct
+    * users — one fact-sized (user, day) distinct, then days×K rows);
+    * each day's trailing-[[KmvDays]] window UNIONS the daily sketches
+    * and re-takes the K smallest, which is EXACTLY the window's own KMV
+    * sketch (a window's k-th smallest hash is among its own day's K
+    * smallest — the mergeability that makes sketch columns
+    * partition-parallel at 100 TB where q24's exact explode is the
+    * verification harness, not the shipped path). Estimate: n_held when
+    * the union holds fewer than K hashes (the sketch IS the set —
+    * exact regime), else `(K-1)·2^45 div kth` (the classic KMV
+    * estimator, pure integer arithmetic in both engines). Output per
+    * observed day: window exact distinct (the verdict), held size, the
+    * largest retained hash, the estimate and its floor-e6 relative
+    * error. Scale: the sketch path never touches user grain after the
+    * one distinct — daily sketches are K rows/day, window re-rank is
+    * (K·[[KmvDays]]) rows/day; the exact side is q24's bounded explode,
+    * shipped here as the in-artifact recount that makes the sketch's
+    * error a measured number instead of a formula claim. */
+  def q59RollingKmv(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day_idx"))
+      .distinct()
+      .localCheckpoint(true) // consumed by sketch, exact and day spine
+    val dayHash = active
+      .select(col("day_idx"),
+        shiftrightunsigned(graft.functions.TextFunctions
+          .md5Long60(col("user_id").cast("string")), KmvHashShift).as("h"))
+      .distinct()
+    val wDay = Window.partitionBy(col("day_idx")).orderBy(col("h"))
+    val daySketch = dayHash
+      .withColumn("r", row_number().over(wDay))
+      .filter(col("r") <= KmvK)
+      .select(col("day_idx"), col("h"))
+    val wWin = Window.partitionBy(col("win_day")).orderBy(col("h"))
+    val winSketch = daySketch
+      .select(explode(sequence(col("day_idx"),
+        col("day_idx") + lit(KmvDays - 1).cast("long"))).as("win_day"), col("h"))
+      .distinct() // the same hash may enter from several days' sketches
+      .withColumn("r", row_number().over(wWin))
+      .filter(col("r") <= KmvK)
+      .groupBy(col("win_day"))
+      .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth_h"))
+    val exact = active
+      .select(col("user_id"), explode(sequence(col("day_idx"),
+        col("day_idx") + lit(KmvDays - 1).cast("long"))).as("win_day"))
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val days = active.select(col("day_idx").as("win_day")).distinct()
+    days
+      .join(winSketch, Seq("win_day"))
+      .join(exact, Seq("win_day"))
+      .withColumn("est",
+        when(col("n_held") < KmvK, col("n_held"))
+          .otherwise(expr(s"${(KmvK - 1).toLong * KmvHashSpace}L div kth_h")))
+      .withColumn("err_e6",
+        floor(abs(col("est") - col("n_exact")) * lit(1000000.0) / col("n_exact"))
+          .cast("long"))
+      .select(col("win_day"), col("n_exact"), col("n_held"), col("kth_h"),
+        col("est"), col("err_e6"))
+      .orderBy(col("win_day"))
+  }
+
   /** `q26_lateness_audit`: out-of-order-arrival measurement over a change
     * stream — per key, how many records arrived with an EVENT time
     * earlier than something already seen, and by how much. This is the
@@ -371,6 +451,47 @@ object Behavior {
          | CAST(floor(count(*) * 1000000.0 / any_value(sz.cohort_n)) AS BIGINT) AS retention_e6
          |FROM active a JOIN cohorts c USING (user_id) JOIN sz ON sz.cohort_week = c.cohort_week
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q59_rolling_kmv" ->
+      s"""WITH active AS MATERIALIZED (
+         | SELECT DISTINCT user_id,
+         |  CAST(floor(epoch_us(ts) / $DayUs) AS BIGINT) AS day_idx
+         | FROM events),
+         |dh AS (
+         | SELECT DISTINCT day_idx,
+         |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |   // ${1L << KmvHashShift} AS h
+         | FROM active),
+         |ds AS (
+         | SELECT day_idx, h FROM (
+         |  SELECT day_idx, h,
+         |   row_number() OVER (PARTITION BY day_idx ORDER BY h) AS r
+         |  FROM dh) WHERE r <= $KmvK),
+         |wh AS (
+         | SELECT DISTINCT day_idx + o.off AS win_day, h
+         | FROM ds CROSS JOIN (SELECT unnest(range(0, $KmvDays)) AS off) o),
+         |ws AS (
+         | SELECT win_day, CAST(count(*) AS BIGINT) AS n_held,
+         |  CAST(max(h) AS BIGINT) AS kth_h
+         | FROM (SELECT win_day, h,
+         |   row_number() OVER (PARTITION BY win_day ORDER BY h) AS r
+         |  FROM wh) WHERE r <= $KmvK GROUP BY 1),
+         |ex AS (
+         | SELECT day_idx + o.off AS win_day,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         | FROM active CROSS JOIN (SELECT unnest(range(0, $KmvDays)) AS off) o
+         | GROUP BY 1),
+         |est AS (
+         | SELECT d.day_idx AS win_day, ex.n_exact, ws.n_held, ws.kth_h,
+         |  CAST(CASE WHEN ws.n_held < $KmvK THEN ws.n_held
+         |   ELSE ${(KmvK - 1).toLong * KmvHashSpace} // ws.kth_h END AS BIGINT)
+         |   AS est
+         | FROM (SELECT DISTINCT day_idx FROM active) d
+         |  JOIN ws ON ws.win_day = d.day_idx
+         |  JOIN ex ON ex.win_day = d.day_idx)
+         |SELECT win_day, n_exact, n_held, kth_h, est,
+         | CAST(floor(abs(est - n_exact) * 1000000.0 / n_exact) AS BIGINT)
+         |  AS err_e6
+         |FROM est ORDER BY win_day""".stripMargin,
     "q24_rolling_distinct" ->
       s"""WITH active AS (
          | SELECT DISTINCT user_id,
@@ -540,6 +661,7 @@ object Behavior {
     "q20_funnel_steps" -> (q20FunnelSteps _),
     "q21_retention_cohorts" -> (q21RetentionCohorts _),
     "q24_rolling_distinct" -> (q24RollingDistinct _),
+    "q59_rolling_kmv" -> (q59RollingKmv _),
     "q26_lateness_audit" -> (q26LatenessAudit _),
     "q27_decay_score" -> (q27DecayScore _),
     "q29_gap_fill" -> (q29GapFill _),

@@ -298,4 +298,78 @@ class BehaviorSpec extends AnyFunSuite {
     val zeroRows = rows.filter(_.getAs[Long]("week_offset") == 0L)
     assert(zeroRows.map(_.getAs[Long]("cohort_week")).distinct.length == zeroRows.length)
   }
+
+  test("q59: the merged window sketch replays brute-force (union of daily " +
+    "K-sketches == the window's own KMV sketch), the exact regime is " +
+    "byte-exact, and the estimator regime fires with bounded error") {
+    import org.apache.spark.sql.functions._
+    import operators.Behavior.{KmvK, KmvDays, KmvHashShift, KmvHashSpace}
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val active = Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400L * 1000000L)).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = active.map(_._2).distinct.sorted
+    val dailySketch = days.map { d =>
+      d -> active.filter(_._2 == d).map(a => md5Long60(a._1.toString) >>> KmvHashShift)
+        .distinct.sorted.take(KmvK)
+    }.toMap
+    val expected = days.map { d =>
+      val window = (d - KmvDays + 1) to d
+      val union = window.flatMap(dailySketch.get).flatten.distinct.sorted
+      val held = union.take(KmvK)
+      // mergeability: the union of daily sketches must contain the
+      // window's own K smallest over ALL its hashes
+      val full = active.filter(a => window.contains(a._2))
+        .map(a => md5Long60(a._1.toString) >>> KmvHashShift).distinct.sorted
+      assert(held == full.take(KmvK).toSeq,
+        s"day $d: merged sketch != the window's own KMV sketch")
+      val nExact = active.filter(a => window.contains(a._2))
+        .map(_._1).distinct.length.toLong
+      val est = if (held.length < KmvK) held.length.toLong
+        else (KmvK - 1).toLong * KmvHashSpace / held.last
+      d -> ((nExact, held.length.toLong, held.last, est,
+        math.floor((est - nExact).abs * 1000000.0 / nExact).toLong))
+    }.toMap
+    val got = operators.Behavior.q59RollingKmv(spark, sf).collect()
+      .map(r => r.getAs[Long]("win_day") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_held"),
+          r.getAs[Long]("kth_h"), r.getAs[Long]("est"),
+          r.getAs[Long]("err_e6")))).toMap
+    assert(got == expected, "sketch rows diverged from the replay")
+    assert(got.keySet == days.toSet, "one row per observed day")
+    // estimator regime on the real corpus: EVERY sf0.001 window sees all
+    // 15 users (corpus fact), so every row saturates at K and estimates
+    val estRegime = got.values.filter(_._2 == KmvK.toLong)
+    assert(estRegime.nonEmpty, "the estimator (n_held = K) regime never fired")
+    estRegime.foreach { case (_, _, _, _, err) =>
+      assert(err <= 600000L,
+        s"estimator error $err above the 2-sigma-ish 60% bound for K=$KmvK") }
+    // exact regime (n_held < K ⟹ the union held EVERY window hash ⟹
+    // estimate == recount, error 0) can't fire on the real corpus —
+    // plant a 3-user/2-day corpus and pin it there
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val dayMs = 86400L * 1000L
+    Seq((1L, 1L, 1L, "view", 1.0), (2L, 1L, 2L, "view", 1.0),
+      (3L, 2L, 1L, "click", 1.0), (4L, 2L, 2L, "view", 1.0),
+      (5L, 3L, 2L, "view", 1.0))
+      .map { case (eid, uid, day, ty, v) =>
+        (eid, new java.sql.Timestamp(day * dayMs + eid), uid, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val planted = operators.Behavior.q59RollingKmv(spark, dir).collect()
+      .map(r => r.getAs[Long]("win_day") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_held"),
+          r.getAs[Long]("est"), r.getAs[Long]("err_e6"))))
+    assert(planted.nonEmpty && planted.forall(_._2._2 < KmvK),
+      "the planted corpus must sit entirely in the exact regime")
+    planted.foreach { case (d, (ne, nh, est, err)) =>
+      assert(est == ne && err == 0L && nh == ne,
+        s"planted day $d: exact regime not exact (est $est vs $ne)") }
+  }
 }

@@ -563,4 +563,61 @@ class StreamingSpec extends AnyFunSuite {
       batchB.toDF("doc_id", "text"), lastId)
     assert(keptIds() == streamed, "replay altered the admitted set")
   }
+
+  test("streaming funnel: per-session verdicts on the real corpus sum to " +
+    "batch q20's step counts, and every step is non-vacuously reached") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import StreamPipelines.{FunnelEv, FunnelOut}
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[FunnelEv].collect().toSeq
+    val mem = MemoryStream[FunnelEv]
+    val out = s"mem_funnel_${System.nanoTime()}"
+    val q = StreamPipelines.funnelize(mem.toDS())
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      // one micro-batch holds the whole corpus (watermark starts at 0, so
+      // in-batch disorder can't drop anything), then a far-future sentinel
+      // advances the watermark past every session's close
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val maxTs = evs.map(_.ts.getTime).max
+      mem.addData(FunnelEv(-1L, -1L,
+        new Timestamp(maxTs + 365L * 86400L * 1000L), "view"))
+      q.processAllAvailable()
+      val sessions = spark.table(out).as[FunnelOut].collect()
+        .filter(_.user_id >= 0L)
+      val batch = operators.Behavior.q20FunnelSteps(spark, sfDir).collect()
+        .map(r => r.getAs[String]("step") ->
+          ((r.getAs[Long]("n_reached"), r.getAs[Long]("n_sessions")))).toMap
+      val n0 = batch.head._2._2
+      assert(sessions.length.toLong == n0,
+        s"session count diverged: streamed ${sessions.length} vs batch $n0")
+      assert(sessions.map(_.n_events).sum == evs.length.toLong,
+        "closed sessions do not cover the corpus")
+      val streamedSteps = Seq(
+        sessions.count(_.reached1 == 1L).toLong,
+        sessions.count(_.reached2 == 1L).toLong,
+        sessions.count(_.reached3 == 1L).toLong)
+      val batchSteps = Seq(batch("1_view")._1, batch("2_click")._1,
+        batch("3_purchase")._1)
+      assert(streamedSteps == batchSteps,
+        s"funnel counts diverged: streamed $streamedSteps vs batch $batchSteps")
+      // corpus fact: sf0.001 has ZERO ordered full conversions (s2=2,
+      // s3=0 — 202 purchases, none after a click-after-view), so the
+      // depth arm pins step 2; step 3's semantics are pinned by the
+      // order-constraint witness below instead
+      assert(streamedSteps(1) > 0L && streamedSteps.head < n0,
+        "funnel is vacuous — step 2 empty or top step universal")
+      // the ordered constraint must bind somewhere: a session containing
+      // all three types but NOT converting (click-before-view etc.) is
+      // what separates q20 from a bag-of-types count
+      assert(sessions.exists(s =>
+          s.has1 == 1L && s.has2 == 1L && s.has3 == 1L && s.reached3 == 0L),
+        "no all-types session failed the ORDER — the constraint never bound")
+    } finally q.stop()
+  }
 }
