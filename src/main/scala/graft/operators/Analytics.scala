@@ -1168,8 +1168,28 @@ object Analytics {
       .orderBy(col("custkey"), col("depth"))
   }
 
+  /** `q60_subtree_rollup`: the hierarchical rollup q58's closure is the
+    * spine of — per referrer, the depth-capped subtree's size, deepest
+    * hop, and total descendant lifetime spend (the BOM-cost/org-headcount
+    * aggregation shape, here "revenue attributable to each referrer's
+    * downline within [[ReachDepthCap]] hops", descendant-only: a node's
+    * own spend is its parent's business, not its own row's). One
+    * grouped aggregate over the closure — the closure is <= cap x
+    * |edges| rows, so the rollup costs one dimension-sized shuffle on
+    * top of q58's machinery; the oracle rolls up DuckDB's native
+    * recursion, so the hash match extends the unrolled≡recursive proof
+    * through the aggregation grain. */
+  def q60SubtreeRollup(spark: SparkSession, dir: String): DataFrame =
+    q58HierarchyReach(spark, dir)
+      .groupBy(col("anc_key"), col("anc_is_root"))
+      .agg(count(lit(1)).as("n_desc"),
+        max(col("depth")).as("max_depth"),
+        sum(col("desc_spend_cents")).as("subtree_spend_cents"))
+      .orderBy(col("anc_key"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_hierarchy_reach" -> q58HierarchyReach _,
+    "q60_subtree_rollup" -> q60SubtreeRollup _,
     "q56_sole_late_supplier" -> q56SoleLateSupplier _,
     "q57_reorder_curve" -> q57ReorderCurve _,
     "q55_rfm_segments" -> q55RfmSegments _,
@@ -1201,11 +1221,11 @@ object Analytics {
     "q11_anti_semi" -> q11AntiSemi _,
     "q12_sessionize" -> q12Sessionize _)
 
-  val oracle: Map[String, String] = Map(
-    // deliberately the NATIVE recursion — WITH RECURSIVE against the
-    // engine's unrolled frontier joins: the hash match proves the
-    // de-recursion is exact at the depth cap
-    "q58_hierarchy_reach" ->
+  // deliberately the NATIVE recursion — WITH RECURSIVE against the
+  // engine's unrolled frontier joins: the hash match proves the
+  // de-recursion is exact at the depth cap (q58 reports the closure;
+  // q60 rolls it up, extending the proof through the aggregation grain)
+  private lazy val q58OracleSql: String =
       s"""WITH RECURSIVE edges AS MATERIALIZED (
         | SELECT c.c_custkey AS child, c.c_custkey // $RefFan AS parent
         | FROM customer c
@@ -1234,7 +1254,16 @@ object Analytics {
         |FROM anc a
         | JOIN roots r ON r.anc_key = a.anc_key
         | LEFT JOIN spend s ON s.custkey = a.custkey
-        |ORDER BY a.custkey, a.depth""".stripMargin,
+        |ORDER BY a.custkey, a.depth""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q58_hierarchy_reach" -> q58OracleSql,
+    "q60_subtree_rollup" ->
+      s"""SELECT anc_key, anc_is_root, CAST(count(*) AS BIGINT) AS n_desc,
+         | CAST(max(depth) AS BIGINT) AS max_depth,
+         | CAST(sum(desc_spend_cents) AS BIGINT) AS subtree_spend_cents
+         |FROM ($q58OracleSql)
+         |GROUP BY 1, 2 ORDER BY anc_key""".stripMargin,
     // deliberately the TEXTBOOK Q21 form — correlated EXISTS / NOT
     // EXISTS on l1: hash-matching it proves the one-shuffle pair-grain
     // de-correlation (numwait = DISTINCT orders in both forms)

@@ -696,6 +696,7 @@ object Similarity {
     "s26_hnsw_layers" -> s26OracleSql,
     "s27_hnsw_recall" -> s27OracleSql,
     "s28_hnsw_insert" -> s28OracleSql,
+    "s29_hnsw_delete" -> s29OracleSql,
     "s18_sq8_quantize" -> s18OracleSql,
     "s15_hybrid_search" -> s15OracleSql,
     "s16_filtered_ann" -> s16OracleSql,
@@ -2879,6 +2880,172 @@ object Similarity {
        |ORDER BY u.lvl, u.vec_id, u.rank""".stripMargin
   }
 
+  /** s29 spare budget: the stored adjacency keeps K' = [[KnnK]] +
+    * HnswSpareK edges per node; a delete that leaves >= K of the K'
+    * alive repairs from spares (no scan), else the node re-links. */
+  val HnswSpareK = 3
+
+  /** `s29_hnsw_delete`: tombstone deletion from the layered graph —
+    * completing the index lifecycle s28's insert opened (s17 plays the
+    * tombstone role for the IVF index; the graph index needs its own
+    * because deleting a node breaks its NEIGHBORS' adjacency, not a
+    * cell list). The md5 bucket convention marks today's tombstones;
+    * the stored per-layer adjacency keeps K' = [[KnnK]]+[[HnswSpareK]]
+    * edges per node (the standard spare-edge budget a production graph
+    * store writes precisely so deletes stay local). Per affected
+    * survivor (>= 1 tombstone among its top-K), two repair paths:
+    *
+    *  - SPARE: if >= K of its stored K' survive — or its stored list
+    *    was unsaturated (held every candidate it has) — the new top-K
+    *    is a re-rank of the stored list's survivors: stored-list-sized
+    *    work, no candidate scan;
+    *  - RELINK: otherwise the node re-scans its banded candidates
+    *    (alive only) — bounded to exactly these nodes by a semi-join
+    *    (9 of 186 affected at sf0.001: the budget makes relinks rare).
+    *
+    * BOTH paths are rebuild-exact (spare: every candidate outside the
+    * saturated stored K' ranks below all of it, so >= K surviving
+    * spares dominate everything outside; unsaturated lists hold all
+    * candidates) — and the ORACLE computes the survivor rebuild
+    * directly, so the hash match proves delete ≡ rebuild per node,
+    * with the repair class emitted and oracle-recomputed from the same
+    * stored-list statistics. Untouched nodes never appear (their top-K
+    * provably can't change); tombstoned nodes drop out entirely. At
+    * 100 TB: the stored K' list is a table read, the class split is
+    * one aggregate over it, and the only scan-shaped work is the
+    * relink minority's keyed semi-join against the banded pairs. */
+  def s29HnswDelete(spark: SparkSession, dir: String): DataFrame = {
+    val Kp = KnnK + HnswSpareK
+    val h = graft.functions.TextFunctions.md5Long60(col("vec_id").cast("string"))
+    val lvl = emb(spark, dir).select(col("vec_id"),
+        when(h % 16 === 0, 2).when(h % 4 === 0, 1).otherwise(0).as("lvl"),
+        isNewVec(col("vec_id")).as("dead"))
+      .localCheckpoint(true)
+    val pairs = knnScoredPairs(spark, dir)
+      .join(lvl.select(col("vec_id").as("va"), col("lvl").as("la"),
+        col("dead").as("xa")), Seq("va"))
+      .join(lvl.select(col("vec_id").as("vb"), col("lvl").as("lb"),
+        col("dead").as("xb")), Seq("vb"))
+      .localCheckpoint(true)
+    def layerRows(l: Int): DataFrame = {
+      val mirrored = pairs.filter(col("la") >= l && col("lb") >= l)
+        .select(explode(array(
+          struct(col("va").as("g_src"), col("vb").as("g_dst"), col("cos_e6"),
+            col("xa").as("src_dead"), col("xb").as("dst_dead")),
+          struct(col("vb").as("g_src"), col("va").as("g_dst"), col("cos_e6"),
+            col("xb").as("src_dead"), col("xa").as("dst_dead")))).as("p"))
+        .select(col("p.*"))
+      val w = Window.partitionBy(col("g_src"))
+        .orderBy(col("cos_e6").desc, col("g_dst"))
+      // the stored K' adjacency (at scale: a table read), consumed by the
+      // class split AND the spare repair
+      val stored = mirrored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= Kp).localCheckpoint(true)
+      val stats = stored.groupBy(col("g_src"), col("src_dead"))
+        .agg(
+          sum(when(col("dst_dead") && col("r") <= KnnK, 1L).otherwise(0L))
+            .as("del_in_k"),
+          sum(when(!col("dst_dead"), 1L).otherwise(0L)).as("alive_in_kp"),
+          count(lit(1)).as("n_stored"))
+      val affected = stats
+        .filter(!col("src_dead") && col("del_in_k") >= 1L)
+        .withColumn("repair_class",
+          when(col("alive_in_kp") >= KnnK || col("n_stored") < Kp,
+            lit("spare")).otherwise(lit("relink")))
+        .select(col("g_src"), col("repair_class"))
+        .localCheckpoint(true)
+      val spareAdj = stored
+        .join(affected.filter(col("repair_class") === "spare")
+          .select(col("g_src")), Seq("g_src"), "left_semi")
+        .filter(!col("dst_dead"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= KnnK)
+      val relinkAdj = mirrored
+        .join(affected.filter(col("repair_class") === "relink")
+          .select(col("g_src")), Seq("g_src"), "left_semi")
+        .filter(!col("dst_dead"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= KnnK)
+      spareAdj.select(col("g_src"), col("rank"), col("g_dst"), col("cos_e6"))
+        .union(relinkAdj.select(col("g_src"), col("rank"), col("g_dst"),
+          col("cos_e6")))
+        .join(affected, Seq("g_src"))
+        .select(lit(l.toLong).as("lvl"), col("g_src").as("vec_id"),
+          col("rank"), col("g_dst").as("neighbor_id"), col("cos_e6"),
+          col("repair_class"))
+    }
+    layerRows(2).union(layerRows(1)).union(layerRows(0))
+      .orderBy(col("lvl"), col("vec_id"), col("rank"))
+  }
+
+  /** s29 oracle: the survivor REBUILD per layer, restricted to affected
+    * nodes, with the repair class recomputed from the same stored-K'
+    * statistics — hash-matching it proves both repair paths are
+    * rebuild-exact. */
+  private lazy val s29OracleSql: String = {
+    val Kp = KnnK + HnswSpareK
+    def isNewSql(x: String) =
+      s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= ${Dedup.NewBucketMin}"
+    def layerCtes(l: Int): String =
+      s"""m$l AS MATERIALIZED (
+         | SELECT v1 AS g_src, v2 AS g_dst, cos_e6, ba AS sd, bb AS dd
+         | FROM lp WHERE la >= $l AND lb >= $l
+         | UNION ALL
+         | SELECT v2, v1, cos_e6, bb, ba FROM lp WHERE la >= $l AND lb >= $l),
+         |f$l AS MATERIALIZED (
+         | SELECT g_src, g_dst, cos_e6, sd, dd,
+         |  row_number() OVER (PARTITION BY g_src
+         |    ORDER BY cos_e6 DESC, g_dst) AS r
+         | FROM m$l),
+         |a$l AS MATERIALIZED (
+         | SELECT g_src,
+         |  CASE WHEN sum(CASE WHEN NOT dd THEN 1 ELSE 0 END) >= $KnnK
+         |    OR count(*) < $Kp THEN 'spare' ELSE 'relink' END AS repair_class
+         | FROM f$l WHERE r <= $Kp GROUP BY g_src, sd
+         | HAVING NOT sd
+         |  AND sum(CASE WHEN dd AND r <= $KnnK THEN 1 ELSE 0 END) >= 1),
+         |g$l AS MATERIALIZED (
+         | SELECT g_src, g_dst, cos_e6,
+         |  row_number() OVER (PARTITION BY g_src
+         |    ORDER BY cos_e6 DESC, g_dst) AS rank
+         | FROM m$l WHERE NOT dd)""".stripMargin
+    def layerOut(l: Int): String =
+      s"""SELECT CAST($l AS BIGINT) AS lvl, g.g_src AS vec_id,
+         | CAST(g.rank AS BIGINT) AS rank, g.g_dst AS neighbor_id, g.cos_e6,
+         | a.repair_class
+         |FROM g$l g JOIN a$l a ON a.g_src = g.g_src WHERE g.rank <= $KnnK""".stripMargin
+    s"""WITH sigs AS MATERIALIZED (
+       |$knnBandSql),
+       |kcand AS MATERIALIZED (
+       | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+       | FROM sigs s1 JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
+       |  AND s1.vec_id < s2.vec_id),
+       |kscored AS MATERIALIZED (
+       | SELECT c.v1, c.v2,
+       |  CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_e6
+       | FROM kcand c JOIN embeddings a ON a.vec_id = c.v1
+       |  JOIN embeddings b ON b.vec_id = c.v2),
+       |lvl AS MATERIALIZED (
+       | SELECT vec_id, CASE WHEN h % 16 = 0 THEN 2
+       |   WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl,
+       |  ${isNewSql("vec_id")} AS dead
+       | FROM (SELECT vec_id,
+       |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM embeddings)),
+       |lp AS MATERIALIZED (
+       | SELECT k.v1, k.v2, k.cos_e6, a.lvl AS la, b.lvl AS lb,
+       |  a.dead AS ba, b.dead AS bb
+       | FROM kscored k JOIN lvl a ON a.vec_id = k.v1
+       |  JOIN lvl b ON b.vec_id = k.v2),
+       |${layerCtes(2)},
+       |${layerCtes(1)},
+       |${layerCtes(0)}
+       |SELECT * FROM (${layerOut(2)}
+       | UNION ALL ${layerOut(1)}
+       | UNION ALL ${layerOut(0)})
+       |ORDER BY lvl, vec_id, rank""".stripMargin
+  }
+
   val SweepBudgets = Seq(1, 2, 4, 8) // s20: nprobe budgets swept (<= NumCells)
 
   /** `s20_nprobe_sweep`: the IVF recall/cost tuning curve — d13's
@@ -3509,6 +3676,7 @@ object Similarity {
     "s26_hnsw_layers" -> (s26HnswLayers _),
     "s27_hnsw_recall" -> (s27HnswRecall _),
     "s28_hnsw_insert" -> (s28HnswInsert _),
+    "s29_hnsw_delete" -> (s29HnswDelete _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),

@@ -782,4 +782,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(truncated.nonEmpty,
       "the cap never truncated a chain at sf0.1 — the cap arm is vacuous")
   }
+
+  test("q60: the subtree rollup equals a brute-force rollup of the " +
+    "closure, covers every ancestor exactly once, and sees multi-level " +
+    "subtrees") {
+    import operators.Analytics.{RefFan, ReachDepthCap}
+    val keys = Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val parent = keys.iterator.map(c => c -> c / RefFan)
+      .filter { case (c, p) => keys(p) && p < c }.toMap
+    val spend = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100).toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val closure = keys.toSeq.flatMap { c =>
+      Iterator.iterate(Option(c))(_.flatMap(parent.get))
+        .drop(1).take(ReachDepthCap).takeWhile(_.isDefined).map(_.get)
+        .zipWithIndex.map { case (a, i) => (c, a, i + 1L) }
+    }
+    val expected = closure.groupBy(_._2).map { case (a, rows) =>
+      a -> ((if (parent.contains(a)) 0L else 1L, rows.size.toLong,
+        rows.map(_._3).max, rows.map(r => spend.getOrElse(r._1, 0L)).sum))
+    }
+    val got = operators.Analytics.q60SubtreeRollup(spark, sf).collect()
+      .map(r => r.getAs[Long]("anc_key") ->
+        ((r.getAs[Long]("anc_is_root"), r.getAs[Long]("n_desc"),
+          r.getAs[Long]("max_depth"), r.getAs[Long]("subtree_spend_cents"))))
+      .toMap
+    assert(got == expected, "rollup diverged from the brute-force closure")
+    assert(got.values.map(_._2).sum == closure.size.toLong,
+      "n_desc must partition the closure")
+    assert(got.values.exists(v => v._1 == 1L && v._3 >= 2L),
+      "no root with a multi-level subtree — the rollup depth is vacuous")
+  }
 }

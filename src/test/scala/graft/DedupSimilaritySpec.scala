@@ -2262,4 +2262,65 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"touched corpus nodes L0: ${corpusTouchedL0.size}, " +
       s"changed: ${changed.size}, rows: ${got.size}")
   }
+
+  test("s29: tombstone delete replays literally — affected set, repair " +
+    "class split, and BOTH repair paths equal the survivor rebuild; " +
+    "spares dominate, relinks occur, untouched and dead nodes never " +
+    "appear") {
+    import operators.Similarity.{KnnK, HnswSpareK}
+    val Kp = KnnK + HnswSpareK
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ids = Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val lvl = ids.map { id =>
+      val h = md5Long60(id.toString)
+      id -> (if (h % 16 == 0) 2 else if (h % 4 == 0) 1 else 0)
+    }.toMap
+    val dead = ids.map(id =>
+      id -> (md5Long60(id.toString) % 100 >= operators.Dedup.NewBucketMin)).toMap
+    val pairs = operators.Similarity.knnScoredPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Long]("cos_e6")))
+    val expected = (0 to 2).flatMap { l =>
+      val mirrored = pairs
+        .filter { case (a, b, _) => lvl(a) >= l && lvl(b) >= l }
+        .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+        .groupBy(_._1).view
+        .mapValues(_.toSeq.sortBy { case (_, d, c) => (-c, d) }).toMap
+      mirrored.toSeq.filter { case (src, _) => !dead(src) }.flatMap {
+        case (src, cands) =>
+          val stored = cands.take(Kp)
+          val delInK = stored.take(KnnK).count(e => dead(e._2))
+          if (delInK == 0) Nil
+          else {
+            val aliveInKp = stored.count(e => !dead(e._2))
+            val cls = if (aliveInKp >= KnnK || stored.size < Kp) "spare"
+              else "relink"
+            cands.filter(e => !dead(e._2)).take(KnnK).zipWithIndex.map {
+              case ((_, dst, c), i) =>
+                (l.toLong, src, i + 1L) -> ((dst, c, cls))
+            }
+          }
+      }
+    }.toMap
+    val got = operators.Similarity.s29HnswDelete(spark, sf).collect()
+      .map(r => (r.getAs[Long]("lvl"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank")) -> ((r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cos_e6"), r.getAs[String]("repair_class")))).toMap
+    assert(got == expected, "delete repair diverged from the survivor rebuild")
+    val classes = got.values.map(_._3).toSet
+    assert(classes == Set("spare", "relink"),
+      s"both repair arms must occur, saw $classes")
+    assert(got.values.count(_._3 == "spare") >
+      got.values.count(_._3 == "relink") * 3,
+      "the spare budget should make relinks the rare path")
+    got.keys.foreach { case (_, src, _) =>
+      assert(!dead(src), "a tombstoned node appeared in the repair output") }
+    info(s"rows: ${got.size}, spare nodes: " +
+      s"${got.filter(_._2._3 == "spare").keys.map(_._2).toSet.size}, relink: " +
+      s"${got.filter(_._2._3 == "relink").keys.map(_._2).toSet.size}")
+  }
 }
