@@ -1266,6 +1266,7 @@ object Dedup {
 
   private val staticOracle: Map[String, String] = Map(
     "d25_dedup_epochs" -> d25OracleSql,
+    "d26_embed_decontam" -> d26OracleSql,
     "d24_df_profile" -> d24OracleSql,
     "d23_banding_sweep" -> d23OracleSql,
     "d22_keeper_policy" -> d22OracleSql,
@@ -2449,8 +2450,152 @@ object Dedup {
        |  ELSE CAST(-1 AS BIGINT) END AS epochs_e6
        |FROM u ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d26
+
+  /** `d26_embed_decontam`: SEMANTIC eval-set decontamination — d19's
+    * split-leakage audit re-run in embedding space: a paraphrased or
+    * translated train document shares almost no shingles with its eval
+    * twin (d19 is blind to it) yet sits at high cosine, and it corrupts
+    * the eval just as surely. For EVERY eval vector (val/test under t5's
+    * stable md5 split — the same rule d19/d8 duplicate verbatim): how many
+    * train vectors reach it through d5's banded candidate generation at
+    * cosine ≥ τ, the worst train offender (max floored-e6 cosine, ties →
+    * lowest train id — d19's two-aggregate + equi-join trick, no window),
+    * and the `contaminated`/`clean` verdict. Unlike d19 this frame
+    * includes the CLEAN rows — the output is the keep/drop GATE a
+    * benchmark curator applies to the eval set, not just the offender
+    * list — plus `~TOTAL_val`/`~TOTAL_test`/`~TOTAL` rollups carrying the
+    * contamination counts the split is judged by.
+    *
+    * Scale: the pair table is d5's LSH-banded candidate set (band/sig
+    * equi-join, never all-pairs); split tagging is a projection; the
+    * cross-split subset is checkpointed once for its two grain consumers;
+    * the eval universe is a corpus-sized projection joined once. At 100 TB
+    * the same shape holds: eval sets are small, so the banded train×eval
+    * candidate mass is eval-bounded. */
+  def d26EmbedDecontam(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the CONFIRMED pairs BEFORE split tagging: left in one plan,
+    // the md5 split CASE pushes into the band-join condition and runs 4
+    // md5s per candidate band-row (pre-distinct, up to 16x per pair) —
+    // measured 4x the whole query. On the materialized pair set it is one
+    // cheap projection.
+    val pairs = d5Pairs(spark, dir).localCheckpoint(true)
+      .withColumn("s1", splitOf(col("vec_id_1")))
+      .withColumn("s2", splitOf(col("vec_id_2")))
+      .filter((col("s1") === "train") =!= (col("s2") === "train"))
+    val lk = pairs.select(
+      when(col("s1") === "train", col("vec_id_1"))
+        .otherwise(col("vec_id_2")).as("train_vec"),
+      when(col("s1") === "train", col("vec_id_2"))
+        .otherwise(col("vec_id_1")).as("eval_vec"),
+      col("cos_e6"))
+      .localCheckpoint(true) // cross-split pairs; 2 grain consumers
+    val g = lk.groupBy(col("eval_vec"))
+      .agg(count(lit(1)).as("n_train_near"), max(col("cos_e6")).as("max_cos_e6"))
+    val worst = g
+      .join(lk.select(col("eval_vec"), col("cos_e6").as("max_cos_e6"),
+        col("train_vec")), Seq("eval_vec", "max_cos_e6"))
+      .groupBy(col("eval_vec"), col("n_train_near"), col("max_cos_e6"))
+      .agg(min(col("train_vec")).as("worst_train_doc"))
+    val evals = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("eval_vec"))
+      .withColumn("split", splitOf(col("eval_vec")))
+      .filter(col("split") =!= "train")
+    val per = evals.join(worst, Seq("eval_vec"), "left")
+      .select(col("eval_vec"), col("split"),
+        lit(1L).as("n_docs"),
+        when(col("n_train_near").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("n_contam"),
+        coalesce(col("n_train_near"), lit(0L)).as("n_train_near"),
+        coalesce(col("max_cos_e6"), lit(-1L)).as("max_cos_e6"),
+        coalesce(col("worst_train_doc"), lit(-1L)).as("worst_train_doc"))
+      .localCheckpoint(true) // per-eval verdicts; 3 grain consumers
+    val perRows = per.select(
+      col("eval_vec").cast("string").as("key"), col("split"), col("n_docs"),
+      col("n_contam"), col("n_train_near"), col("max_cos_e6"),
+      col("worst_train_doc"),
+      when(col("n_contam") === 1L, lit("contaminated")).otherwise(lit("clean"))
+        .as("verdict"))
+    val bySplit = per.groupBy(col("split"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_contam")).as("n_contam"),
+        sum(col("n_train_near")).as("n_train_near"),
+        max(col("max_cos_e6")).as("max_cos_e6"))
+      .select(concat(lit("~TOTAL_"), col("split")).as("key"), col("split"),
+        col("n_docs"), col("n_contam"), col("n_train_near"), col("max_cos_e6"),
+        lit(-1L).as("worst_train_doc"), lit("~TOTAL").as("verdict"))
+    val total = per.agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("n_contam")).as("n_contam"),
+      sum(col("n_train_near")).as("n_train_near"),
+      max(col("max_cos_e6")).as("max_cos_e6"))
+      .select(lit("~TOTAL").as("key"), lit("~TOTAL").as("split"),
+        col("n_docs"), col("n_contam"), col("n_train_near"), col("max_cos_e6"),
+        lit(-1L).as("worst_train_doc"), lit("~TOTAL").as("verdict"))
+    perRows.unionAll(bySplit).unionAll(total).orderBy(col("key"))
+  }
+
+  private lazy val d26OracleSql: String = {
+    def splitCase(id: String): String =
+      s"""CASE WHEN CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+         | WHEN CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+         | ELSE 'test' END""".stripMargin
+    s"""WITH ${d5PairSql._1},
+       |p AS (${d5PairSql._2}),
+       |sp AS (
+       | SELECT vec_id_1, vec_id_2, cos_e6,
+       |  ${splitCase("vec_id_1")} AS s1,
+       |  ${splitCase("vec_id_2")} AS s2
+       | FROM p),
+       |lk AS (
+       | SELECT CASE WHEN s1 = 'train' THEN vec_id_1 ELSE vec_id_2 END AS train_vec,
+       |  CASE WHEN s1 = 'train' THEN vec_id_2 ELSE vec_id_1 END AS eval_vec,
+       |  cos_e6
+       | FROM sp WHERE (s1 = 'train') <> (s2 = 'train')),
+       |g AS (
+       | SELECT eval_vec, CAST(count(*) AS BIGINT) AS n_train_near,
+       |  max(cos_e6) AS max_cos_e6
+       | FROM lk GROUP BY 1),
+       |w AS (
+       | SELECT g.eval_vec, g.n_train_near, g.max_cos_e6,
+       |  min(l.train_vec) AS worst_train_doc
+       | FROM g JOIN lk l ON l.eval_vec = g.eval_vec
+       |   AND l.cos_e6 = g.max_cos_e6
+       | GROUP BY 1, 2, 3),
+       |ev AS (
+       | SELECT vec_id AS eval_vec, ${splitCase("vec_id")} AS split
+       | FROM embeddings
+       | WHERE ${splitCase("vec_id")} <> 'train'),
+       |d AS (
+       | SELECT ev.eval_vec, ev.split, CAST(1 AS BIGINT) AS n_docs,
+       |  CAST(CASE WHEN w.n_train_near IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |   AS n_contam,
+       |  COALESCE(w.n_train_near, 0) AS n_train_near,
+       |  COALESCE(w.max_cos_e6, -1) AS max_cos_e6,
+       |  COALESCE(w.worst_train_doc, -1) AS worst_train_doc
+       | FROM ev LEFT JOIN w ON w.eval_vec = ev.eval_vec)
+       |SELECT key, split, n_docs, n_contam, n_train_near, max_cos_e6,
+       | worst_train_doc, verdict
+       |FROM (
+       | SELECT CAST(eval_vec AS VARCHAR) AS key, split, n_docs, n_contam,
+       |  n_train_near, max_cos_e6, worst_train_doc,
+       |  CASE WHEN n_contam = 1 THEN 'contaminated' ELSE 'clean' END AS verdict
+       | FROM d
+       | UNION ALL
+       | SELECT '~TOTAL_' || split, split, CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_contam) AS BIGINT), CAST(sum(n_train_near) AS BIGINT),
+       |  max(max_cos_e6), CAST(-1 AS BIGINT), '~TOTAL'
+       | FROM d GROUP BY split
+       | UNION ALL
+       | SELECT '~TOTAL', '~TOTAL', CAST(count(*) AS BIGINT),
+       |  COALESCE(CAST(sum(n_contam) AS BIGINT), 0),
+       |  COALESCE(CAST(sum(n_train_near) AS BIGINT), 0),
+       |  COALESCE(max(max_cos_e6), -1), CAST(-1 AS BIGINT), '~TOTAL'
+       | FROM d
+       |) ORDER BY key""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d25_dedup_epochs" -> (d25DedupEpochs _),
+    "d26_embed_decontam" -> (d26EmbedDecontam _),
     "d24_df_profile" -> (d24DfProfile _),
     "d23_banding_sweep" -> (d23BandingSweep _),
     "d22_keeper_policy" -> (d22KeeperPolicy _),

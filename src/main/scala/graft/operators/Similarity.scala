@@ -697,6 +697,7 @@ object Similarity {
     "s27_hnsw_recall" -> s27OracleSql,
     "s28_hnsw_insert" -> s28OracleSql,
     "s29_hnsw_delete" -> s29OracleSql,
+    "s30_cascade_rerank" -> s30OracleSql,
     "s18_sq8_quantize" -> s18OracleSql,
     "s15_hybrid_search" -> s15OracleSql,
     "s16_filtered_ann" -> s16OracleSql,
@@ -2353,6 +2354,186 @@ object Similarity {
        |FROM q ORDER BY vec_id""".stripMargin
   }
 
+  val CascadeStage1 = 48 // s30: Hamming survivors per probe (binary prefilter)
+  val CascadeStage2 = 12 // s30: SQ8 survivors per probe (integer re-rank)
+  val CascadeK = 5 // s30: final exact-cosine picks per probe
+
+  /** `s30_cascade_rerank`: the multi-stage retrieval CASCADE a production
+    * vector store actually serves — cheapest index first, floats last:
+    * stage 1 pre-ranks the corpus by Hamming distance on the 64-bit sign
+    * sketches (s7's index — XOR + popcount over 8 B/vector) and keeps
+    * [[CascadeStage1]] per probe; stage 2 re-ranks ONLY those survivors by
+    * symmetric SQ8 distance (s18's per-dim 256-step grid — the integer L2
+    * `Σ(pcode−ccode)²` over 64 B/vector codes, probe quantized on the same
+    * grid) and keeps [[CascadeStage2]]; stage 3 fetches float vectors for
+    * that shortlist alone and reports the exact-cosine top [[CascadeK]].
+    * Each emitted row carries its full funnel provenance — the stage-1
+    * `hamming`, the stage-2 `sq8_l2`, the exact `cos_e6` — plus `in_exact`
+    * (is this pick in s1's true top-k?), so the result IS the
+    * recall-vs-cost telemetry the cascade's dials (stage widths) are tuned
+    * by. Distinct from s7 (one approximate stage, then floats) and s14
+    * (IVF routing + PQ codes): this is the serving-side composition of the
+    * COMPRESSION family, where each stage's budget bounds the next stage's
+    * input.
+    *
+    * Scale: both index tables are one narrow scan each (the sketch is
+    * 1/256 the float table; the code table 1/4 — the SQ8 model itself is
+    * Dim rows, collapsed map-side and broadcast); stage 1 is the only
+    * corpus-sized pass and it ranks per probe with a window top-N (no
+    * global sort); stages 2-3 are shortlist-sized equi-joins (probes ×
+    * stage width), so float vectors never stream through a ranking
+    * shuffle. The truth flag joins s1's probe-grained top-k — verification
+    * work the report is FOR (s8's discipline). Every ranking key is an
+    * integer (hamming, code L2) or a floored e6 cosine with an id
+    * tie-break, so the funnel is bit-deterministic in any engine. */
+  def s30CascadeRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // index 1: the 64-bit sign sketch (same deterministic plane family as s7)
+    val pl = planesFor(BinPlanes)
+    val sigs = e.select(col("vec_id"),
+      hyperplaneBucket(col("embedding"), pl).as("sig"))
+    // index 2: SQ8 codes on the corpus min/max grid (s18's model — the
+    // stats pass collapses to Dim rows map-side; packed is ONE broadcast row)
+    val stats = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("double").as("vd"))
+      .groupBy(col("pos"))
+      .agg(min(col("vd")).as("mn"), max(col("vd")).as("mx"))
+    val packed = stats
+      .agg(expr("array_sort(collect_list(struct(pos, mn, mx)))").as("s"))
+      .select(expr("transform(s, r -> r.mn)").as("mins"),
+        expr("transform(s, r -> r.mx)").as("maxs"))
+    val codeExpr =
+      s"""transform(sequence(0, ${Dim - 1}), i ->
+         | CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)
+         |  THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |   CAST(floor((CAST(element_at(embedding, i + 1) AS DOUBLE)
+         |     - element_at(mins, i + 1)) * 255.0
+         |    / (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+         |    AS BIGINT))) AS BIGINT) END)""".stripMargin
+    // the code table feeds TWO consumers (candidate side + probe side):
+    // checkpoint so the stats+quantize subplan runs once
+    val codes = e.crossJoin(broadcast(packed))
+      .select(col("vec_id"), expr(codeExpr).as("codes"))
+      .localCheckpoint(true)
+    // stage 1: Hamming pre-rank over the sketch table
+    val probes = sigs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("sig").as("psig"))
+    val wHam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val st1 = sigs
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long"))
+      .withColumn("r1", row_number().over(wHam))
+      .filter(col("r1") <= CascadeStage1)
+      .select(col("probe_id"), col("vec_id"), col("hamming"))
+    // stage 2: integer SQ8 L2 on codes, survivors only
+    val pcodes = codes.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("codes").as("pc"))
+    val wSq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sq8_l2"), col("vec_id"))
+    val st2 = st1
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(pcodes), Seq("probe_id"))
+      .withColumn("sq8_l2",
+        expr(s"""aggregate(sequence(0, ${Dim - 1}), CAST(0 AS BIGINT),
+           | (acc, i) -> acc + (element_at(pc, i + 1) - element_at(codes, i + 1))
+           |  * (element_at(pc, i + 1) - element_at(codes, i + 1)))""".stripMargin))
+      .withColumn("r2", row_number().over(wSq))
+      .filter(col("r2") <= CascadeStage2)
+      .select(col("probe_id"), col("vec_id"), col("hamming"), col("sq8_l2"))
+    // stage 3: floats fetched ONLY for the stage-2 shortlist
+    val pvecs = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cos = cosineFast(col("pe"), col("embedding"))
+    val wCos = Window.partitionBy(col("probe_id")).orderBy(cos.desc, col("vec_id"))
+    val finals = st2
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(pvecs), Seq("probe_id"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= CascadeK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("hamming"),
+        col("sq8_l2"), floor(cos * lit(1000000.0)).cast("long").as("cos_e6"),
+        col("rank"))
+    // funnel truth: which final picks are in the exact top-k (s8's discipline)
+    val truth = s1AnnBrute(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+    finals.join(truth, Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("in_exact", coalesce(col("in_exact"), lit(0L)))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  private lazy val s30OracleSql: String = {
+    val codesSql =
+      s"""list_transform(range($Dim), i ->
+         | CASE WHEN maxs[CAST(i AS INTEGER) + 1] = mins[CAST(i AS INTEGER) + 1]
+         |  THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |   CAST(floor((e[CAST(i AS INTEGER) + 1]
+         |     - mins[CAST(i AS INTEGER) + 1]) * 255.0
+         |    / (maxs[CAST(i AS INTEGER) + 1] - mins[CAST(i AS INTEGER) + 1]))
+         |    AS BIGINT))) AS BIGINT) END)""".stripMargin
+    val sqL2 =
+      s"""list_sum(list_transform(range($Dim), i ->
+         | (pq.codes[CAST(i AS INTEGER) + 1] - cq.codes[CAST(i AS INTEGER) + 1])
+         | * (pq.codes[CAST(i AS INTEGER) + 1] - cq.codes[CAST(i AS INTEGER) + 1])))""".stripMargin
+    s"""WITH sigs AS MATERIALIZED (
+       | SELECT vec_id, $binSigSql AS sig FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, sig AS psig FROM sigs
+       | WHERE vec_id < $NumProbes),
+       |st1 AS (SELECT probe_id, vec_id, hamming FROM (
+       |  SELECT p.probe_id, s.vec_id,
+       |   CAST(bit_count(xor(s.sig, p.psig)) AS BIGINT) AS hamming,
+       |   row_number() OVER (PARTITION BY p.probe_id
+       |     ORDER BY bit_count(xor(s.sig, p.psig)), s.vec_id) AS r1
+       |  FROM sigs s CROSS JOIN probes p WHERE s.vec_id <> p.probe_id)
+       | WHERE r1 <= $CascadeStage1),
+       |x AS (
+       | SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+       | FROM embeddings),
+       |st AS (
+       | SELECT i, min(e[CAST(i AS INTEGER) + 1]) AS mn,
+       |  max(e[CAST(i AS INTEGER) + 1]) AS mx
+       | FROM x CROSS JOIN (SELECT unnest(range($Dim)) AS i)
+       | GROUP BY i),
+       |packed AS (
+       | SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+       | FROM st),
+       |q AS MATERIALIZED (
+       | SELECT vec_id, $codesSql AS codes
+       | FROM x CROSS JOIN packed),
+       |st2pre AS (
+       | SELECT t.probe_id, t.vec_id, t.hamming,
+       |  CAST($sqL2 AS BIGINT) AS sq8_l2
+       | FROM st1 t JOIN q cq ON cq.vec_id = t.vec_id
+       |  JOIN q pq ON pq.vec_id = t.probe_id),
+       |st2 AS (SELECT probe_id, vec_id, hamming, sq8_l2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sq8_l2, vec_id) AS r2 FROM st2pre)
+       | WHERE r2 <= $CascadeStage2),
+       |fin AS (
+       | SELECT t.probe_id, t.vec_id, t.hamming, t.sq8_l2,
+       |  CAST(floor(${cosSql("pe.embedding", "ce.embedding")} * 1000000.0)
+       |   AS BIGINT) AS cos_e6,
+       |  CAST(row_number() OVER (PARTITION BY t.probe_id
+       |    ORDER BY ${cosSql("pe.embedding", "ce.embedding")} DESC, t.vec_id)
+       |   AS BIGINT) AS rank
+       | FROM st2 t JOIN embeddings ce ON ce.vec_id = t.vec_id
+       |  JOIN embeddings pe ON pe.vec_id = t.probe_id),
+       |tr AS ($s1OracleSql)
+       |SELECT f.probe_id, f.vec_id AS neighbor_id, f.hamming, f.sq8_l2,
+       | f.cos_e6, f.rank,
+       | CAST(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |  AS in_exact
+       |FROM fin f LEFT JOIN tr
+       | ON tr.probe_id = f.probe_id AND tr.neighbor_id = f.vec_id
+       |WHERE f.rank <= $CascadeK
+       |ORDER BY f.probe_id, f.rank""".stripMargin
+  }
+
   val BeamEntries = 4 // s19: fixed entry points (vec_id 0..3)
   val BeamWidth = 8 // s19: candidates kept per probe per round
   val BeamRounds = 3 // s19: expansion rounds over the kNN graph
@@ -3677,6 +3858,7 @@ object Similarity {
     "s27_hnsw_recall" -> (s27HnswRecall _),
     "s28_hnsw_insert" -> (s28HnswInsert _),
     "s29_hnsw_delete" -> (s29HnswDelete _),
+    "s30_cascade_rerank" -> (s30CascadeRerank _),
     "s18_sq8_quantize" -> (s18Sq8Quantize _),
     "s1_ann_brute" -> (s1AnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),

@@ -2323,4 +2323,123 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${got.filter(_._2._3 == "spare").keys.map(_._2).toSet.size}, relink: " +
       s"${got.filter(_._2._3 == "relink").keys.map(_._2).toSet.size}")
   }
+
+  test("s30: the cascade replays literally — Hamming prefilter, integer " +
+    "SQ8 re-rank, exact-cosine finals — and the funnel truth flags are " +
+    "non-vacuous (the binary stage actually loses some exact neighbors)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    import operators.Similarity.{BinPlanes, CascadeK, CascadeStage1,
+      CascadeStage2, Dim, NumProbes}
+    val e = Tables.load(spark, sf, "embeddings")
+    val pl = operators.Similarity.planesFor(BinPlanes)
+    val sigs = e.select(col("vec_id"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), pl).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // SQ8 grid replayed in Scala doubles — the same (x−mn)·255/(mx−mn)
+    // op order the plan's expression states
+    val mins = Array.tabulate(Dim)(i => vecs.values.map(_(i).toDouble).min)
+    val maxs = Array.tabulate(Dim)(i => vecs.values.map(_(i).toDouble).max)
+    def codesOf(v: Array[Float]): Array[Long] = Array.tabulate(Dim) { i =>
+      if (maxs(i) == mins(i)) 0L
+      else math.min(255L, math.max(0L,
+        math.floor((v(i).toDouble - mins(i)) * 255.0 / (maxs(i) - mins(i))).toLong))
+    }
+    val codes = vecs.map { case (id, v) => id -> codesOf(v) }
+    // raw cosines from the engine's own fused expression, so the replay
+    // shares its accumulation order bit-for-bit
+    val pv = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("p"), col("embedding").as("pe"))
+    val cosMap = e.join(broadcast(pv), col("vec_id") =!= col("p"))
+      .select(col("p"), col("vec_id"),
+        VectorFunctions.cosineFast(col("pe"), col("embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = operators.Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val expected = (0L until NumProbes.toLong).flatMap { p =>
+      val st1 = vecs.keys.filter(_ != p).toSeq
+        .map(v => (v, java.lang.Long.bitCount(sigs(v) ^ sigs(p)).toLong))
+        .sortBy { case (v, h) => (h, v) }.take(CascadeStage1)
+      val st2 = st1.map { case (v, h) =>
+        val (pc, cc) = (codes(p), codes(v))
+        val l2 = (0 until Dim).map(i => (pc(i) - cc(i)) * (pc(i) - cc(i))).sum
+        (v, h, l2)
+      }.sortBy { case (v, _, l2) => (l2, v) }.take(CascadeStage2)
+      st2.map { case (v, h, l2) => (v, h, l2, cosMap((p, v))) }
+        .sortBy { case (v, _, _, c) => (-c, v) }.take(CascadeK)
+        .zipWithIndex.map { case ((v, h, l2, c), i) =>
+          (p, i + 1L) -> ((v, h, l2, math.floor(c * 1000000.0).toLong,
+            if (truth((p, v))) 1L else 0L))
+        }
+    }.toMap
+    val got = operators.Similarity.s30CascadeRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming"),
+          r.getAs[Long]("sq8_l2"), r.getAs[Long]("cos_e6"),
+          r.getAs[Long]("in_exact")))).toMap
+    assert(got == expected, "cascade diverged from the literal replay")
+    assert(got.values.exists(_._5 == 0L),
+      "every pick was exact — the funnel telemetry is vacuous here")
+    assert(got.values.exists(_._5 == 1L), "the cascade recovered no truth")
+    info(s"rows: ${got.size}, exact hits: ${got.values.count(_._5 == 1L)}")
+  }
+
+  test("d26: the semantic decontamination gate replays literally from " +
+    "d5's banded pairs — verdicts, worst offenders, rollups — and both " +
+    "the contaminated and clean arms are non-vacuous") {
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def splitOf(id: Long): String = {
+      val b = md5Long60(id.toString) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val pairs = Dedup.d5DedupEmbed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id_1"), r.getAs[Long]("vec_id_2"),
+        r.getAs[Long]("cos_e6")))
+    val lk = pairs.flatMap { case (a, b, c) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      if ((sa == "train") == (sb == "train")) None
+      else if (sa == "train") Some((a, b, c)) else Some((b, a, c))
+    }
+    val evals = Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+      .filter(splitOf(_) != "train")
+    val perEval = evals.map { ev =>
+      val mine = lk.filter(_._2 == ev)
+      if (mine.isEmpty) ev.toString ->
+        ((splitOf(ev), 1L, 0L, 0L, -1L, -1L, "clean"))
+      else {
+        val mx = mine.map(_._3).max
+        val worst = mine.filter(_._3 == mx).map(_._1).min
+        ev.toString ->
+          ((splitOf(ev), 1L, 1L, mine.length.toLong, mx, worst, "contaminated"))
+      }
+    }.toMap
+    def roll(split: String, rows: Iterable[(String, Long, Long, Long, Long, Long, String)])
+        : (String, Long, Long, Long, Long, Long, String) =
+      (split, rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum,
+        rows.map(_._5).max, -1L, "~TOTAL")
+    val expected = perEval ++
+      perEval.values.groupBy(_._1).map { case (s, rows) =>
+        s"~TOTAL_$s" -> roll(s, rows) } +
+      ("~TOTAL" -> roll("~TOTAL", perEval.values))
+    val got = Dedup.d26EmbedDecontam(spark, sf).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_contam"), r.getAs[Long]("n_train_near"),
+          r.getAs[Long]("max_cos_e6"), r.getAs[Long]("worst_train_doc"),
+          r.getAs[String]("verdict")))).toMap
+    assert(got == expected, "decontamination gate diverged from the replay")
+    assert(got.values.exists(_._7 == "contaminated"),
+      "no contaminated eval doc — the offender arm is vacuous")
+    assert(got.values.exists(_._7 == "clean"),
+      "no clean eval doc — the gate arm is vacuous")
+    info(s"eval rows: ${evals.length}, contaminated: " +
+      s"${got.values.count(_._7 == "contaminated")}")
+  }
 }
