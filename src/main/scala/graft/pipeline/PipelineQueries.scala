@@ -2497,6 +2497,199 @@ object PipelineQueries {
        | FROM delta)
        |ORDER BY key, change""".stripMargin
 
+  // ---------------------------------------------------------------- p43
+
+  /** p43's staged batch = p7's delta convention (orders from 1997-01-01 on);
+    * everything earlier is the published main table. */
+  private val WapCutoffUs: Long =
+    java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond * 1000000L
+
+  /** The WAP expectation suite: (column, metric, lo, hi) — p17's metric
+    * vocabulary. Fixed HERE (not PipelineConfig) because the oracle SQL is
+    * generated from the same literals; bounds are chosen so the audit
+    * exercises three verdict arms on the shipped data (`ok`,
+    * `pre_existing`, and — at sf0.001 — `regressed`). */
+  private val WapExps: Seq[(String, String, Option[Long], Option[Long])] = Seq(
+    ("o_totalprice", "min_cents", Some(140000L), None),
+    ("o_totalprice", "max_cents", None, Some(50000000L)),
+    ("o_orderstatus", "n_distinct", None, Some(3L)),
+    ("o_orderpriority", "n_distinct", None, Some(4L)),
+    ("o_custkey", "null_rate_e6", None, Some(0L)))
+
+  /** `p43_wap_publish`: the write-audit-publish gate — the Iceberg-branch /
+    * Delta-staging pattern where a batch lands on an UNPUBLISHED branch,
+    * the expectation suite runs against the branch state (main ∪ batch),
+    * and the batch publishes only if it did not BREAK anything. Per
+    * expectation: observed value on main vs on the branch, both pass
+    * verdicts, and the blame class — `ok` (pass→pass), `regressed`
+    * (pass→fail: the batch broke it — the only class that blocks),
+    * `pre_existing` (fail→fail: standing debt, not the batch's fault),
+    * `fixed` (fail→pass — reachable only for rate metrics, since a union
+    * can only widen ranges and grow distincts). A `~DECISION` row carries
+    * the gate verdict (`publish` iff zero regressed) with main/branch row
+    * counts and the two all-pass flags. Gating on REGRESSIONS rather than
+    * absolute pass is the production semantics: a strict gate over a table
+    * with standing debt would block every batch forever; WAP isolates
+    * what THIS batch changed.
+    *
+    * Shape: ONE scan of orders computes every main-side aggregate (via
+    * FILTER-style conditional aggregation) and every branch-side aggregate
+    * in a single 1-row agg (all map-side partial, the p17 pattern); the
+    * report explodes from that row, so nothing row-sized survives the
+    * scan. p17's empty-side discipline: a null observation fails its
+    * expectation loudly (and an empty MAIN makes every main verdict fail,
+    * so the first-ever publish is an explicit decision, not a vacuous
+    * pass). All observations are exact integers (cents / counts /
+    * floor-e6 rates) — no verdict can flip on a cross-engine ulp. */
+  def p43WapPublish(spark: SparkSession, dir: String): DataFrame = {
+    val isMain = unix_micros(col("o_orderdate").cast("timestamp")) < WapCutoffUs
+    def mainSide(c: String): Column = when(isMain, col(c))
+    val aggs = WapExps.zipWithIndex.flatMap { case ((c, m, _, _), i) =>
+      val (vm, vb) = m match {
+        case "min_cents" =>
+          (floor(min(mainSide(c)) * 100).cast("long"),
+            floor(min(col(c)) * 100).cast("long"))
+        case "max_cents" =>
+          (floor(max(mainSide(c)) * 100).cast("long"),
+            floor(max(col(c)) * 100).cast("long"))
+        case "n_distinct" =>
+          (countDistinct(mainSide(c)), countDistinct(col(c)))
+        case "null_rate_e6" =>
+          (sum(when(isMain && col(c).isNull, 1L).otherwise(0L)),
+            sum(when(col(c).isNull, 1L).otherwise(0L)))
+      }
+      Seq(vm.as(s"vm$i"), vb.as(s"vb$i"))
+    }
+    val agg = graft.Tables.load(spark, dir, "orders")
+      .agg(sum(when(isMain, 1L).otherwise(0L)).as("n_main"),
+        count(lit(1)).as("n_total") +: aggs: _*)
+    def bound(o: Option[Long]) =
+      o.map(v => lit(v).cast("long")).getOrElse(lit(null).cast("long"))
+    val rows = WapExps.zipWithIndex.map { case ((c, m, lo, hi), i) =>
+      val (obsM, obsB) = m match {
+        case "null_rate_e6" =>
+          (when(col("n_main") > 0,
+            floor(col(s"vm$i") * lit(1000000.0) / col("n_main")).cast("long")),
+            when(col("n_total") > 0,
+              floor(col(s"vb$i") * lit(1000000.0) / col("n_total")).cast("long")))
+        // countDistinct over an empty side is 0, not null — the n>0 guard
+        // keeps p17's fail-loudly-on-empty discipline on every metric
+        case "n_distinct" =>
+          (when(col("n_main") > 0, col(s"vm$i")),
+            when(col("n_total") > 0, col(s"vb$i")))
+        case _ => (col(s"vm$i"), col(s"vb$i"))
+      }
+      def passOf(obs: Column) = {
+        val inB = Seq(lo.map(l => obs >= l), hi.map(h => obs <= h))
+          .flatten.reduce(_ && _)
+        when(obs.isNull, 0L).otherwise(when(inB, 1L).otherwise(0L))
+      }
+      (passOf(obsM), passOf(obsB), obsM, obsB, c, m, lo, hi)
+    }
+    val verdictOf = (pm: Column, pb: Column) =>
+      when(pm === 1L && pb === 1L, "ok")
+        .when(pm === 1L && pb === 0L, "regressed")
+        .when(pm === 0L && pb === 0L, "pre_existing")
+        .otherwise("fixed")
+    val expStructs = rows.map { case (pm, pb, obsM, obsB, c, m, lo, hi) =>
+      struct(lit(c).as("column_name"), lit(m).as("metric"),
+        bound(lo).as("lo"), bound(hi).as("hi"),
+        obsM.as("observed_main"), obsB.as("observed_branch"),
+        pm.as("pass_main"), pb.as("pass_branch"),
+        verdictOf(pm, pb).as("verdict"))
+    }
+    val anyRegressed = rows.map { case (pm, pb, _, _, _, _, _, _) =>
+      pm === 1L && pb === 0L }.reduce(_ || _)
+    val decision = struct(lit("~DECISION").as("column_name"),
+      lit("gate").as("metric"),
+      lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"),
+      col("n_main").cast("long").as("observed_main"),
+      col("n_total").cast("long").as("observed_branch"),
+      rows.map(_._1).map(p => when(p === 1L, 1L).otherwise(0L))
+        .reduce((a, b) => least(a, b)).as("pass_main"),
+      rows.map(_._2).map(p => when(p === 1L, 1L).otherwise(0L))
+        .reduce((a, b) => least(a, b)).as("pass_branch"),
+      when(anyRegressed, "abort").otherwise("publish").as("verdict"))
+    agg.select(explode(array(expStructs :+ decision: _*)).as("x"))
+      .select(col("x.*"))
+      .orderBy(col("column_name"), col("metric"))
+  }
+
+  private lazy val p43Oracle: String = {
+    val cut = "TIMESTAMP '1997-01-01 00:00:00'"
+    val aggSql = WapExps.zipWithIndex.flatMap { case ((c, m, _, _), i) =>
+      val (vm, vb) = m match {
+        case "min_cents" =>
+          (s"CAST(floor(min($c) FILTER (WHERE o_orderdate < $cut) * 100) AS BIGINT)",
+            s"CAST(floor(min($c) * 100) AS BIGINT)")
+        case "max_cents" =>
+          (s"CAST(floor(max($c) FILTER (WHERE o_orderdate < $cut) * 100) AS BIGINT)",
+            s"CAST(floor(max($c) * 100) AS BIGINT)")
+        case "n_distinct" =>
+          (s"CAST(count(DISTINCT $c) FILTER (WHERE o_orderdate < $cut) AS BIGINT)",
+            s"CAST(count(DISTINCT $c) AS BIGINT)")
+        case "null_rate_e6" =>
+          (s"CAST(count(*) FILTER (WHERE o_orderdate < $cut AND $c IS NULL) AS BIGINT)",
+            s"CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT)")
+      }
+      Seq(s"$vm AS vm$i", s"$vb AS vb$i")
+    }.mkString(",\n  ")
+    def obsSql(i: Int, m: String, side: String, n: String) = m match {
+      case "null_rate_e6" =>
+        s"CASE WHEN $n > 0 THEN CAST(floor($side$i * 1000000.0 / $n) AS BIGINT) END"
+      case "n_distinct" => s"CASE WHEN $n > 0 THEN $side$i END"
+      case _ => s"$side$i"
+    }
+    def passSql(obs: String, lo: Option[Long], hi: Option[Long]) = {
+      val b = (lo.map(l => s"($obs) >= $l") ++ hi.map(h => s"($obs) <= $h"))
+        .mkString(" AND ")
+      s"CASE WHEN ($obs) IS NULL THEN 0 WHEN $b THEN 1 ELSE 0 END"
+    }
+    val expSelects = WapExps.zipWithIndex.map { case ((c, m, lo, hi), i) =>
+      val (om, ob) = (obsSql(i, m, "vm", "n_main"), obsSql(i, m, "vb", "n_total"))
+      val (pm, pb) = (passSql(om, lo, hi), passSql(ob, lo, hi))
+      def lit0(o: Option[Long]) =
+        o.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
+      s"""SELECT '$c' AS column_name, '$m' AS metric,
+         | ${lit0(lo)} AS lo, ${lit0(hi)} AS hi,
+         | $om AS observed_main, $ob AS observed_branch,
+         | CAST($pm AS BIGINT) AS pass_main, CAST($pb AS BIGINT) AS pass_branch,
+         | CASE WHEN $pm = 1 AND $pb = 1 THEN 'ok'
+         |  WHEN $pm = 1 AND $pb = 0 THEN 'regressed'
+         |  WHEN $pm = 0 AND $pb = 0 THEN 'pre_existing'
+         |  ELSE 'fixed' END AS verdict
+         |FROM a""".stripMargin
+    }
+    val regressedTerms = WapExps.zipWithIndex.map { case ((_, m, lo, hi), i) =>
+      val (om, ob) = (obsSql(i, m, "vm", "n_main"), obsSql(i, m, "vb", "n_total"))
+      s"(${passSql(om, lo, hi)} = 1 AND ${passSql(ob, lo, hi)} = 0)"
+    }.mkString(" OR ")
+    val allMain = WapExps.zipWithIndex.map { case ((_, m, lo, hi), i) =>
+      s"(${passSql(obsSql(i, m, "vm", "n_main"), lo, hi)})" }.mkString(" + ")
+    val allBranch = WapExps.zipWithIndex.map { case ((_, m, lo, hi), i) =>
+      s"(${passSql(obsSql(i, m, "vb", "n_total"), lo, hi)})" }.mkString(" + ")
+    s"""WITH a AS (
+       | SELECT CAST(count(*) FILTER (WHERE o_orderdate < $cut) AS BIGINT)
+       |   AS n_main,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  $aggSql
+       | FROM orders)
+       |SELECT column_name, metric, lo, hi, observed_main, observed_branch,
+       | pass_main, pass_branch, verdict
+       |FROM (
+       |${expSelects.mkString("\n UNION ALL\n")}
+       | UNION ALL
+       | SELECT '~DECISION', 'gate', CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), n_main, n_total,
+       |  CAST(CASE WHEN ($allMain) = ${WapExps.size} THEN 1 ELSE 0 END
+       |   AS BIGINT),
+       |  CAST(CASE WHEN ($allBranch) = ${WapExps.size} THEN 1 ELSE 0 END
+       |   AS BIGINT),
+       |  CASE WHEN $regressedTerms THEN 'abort' ELSE 'publish' END
+       | FROM a)
+       |ORDER BY column_name, metric""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p32_deletion_read" -> (p32DeletionRead _),
     "p33_cdc_changelog" -> (p33CdcChangelog _),
@@ -2504,6 +2697,7 @@ object PipelineQueries {
     "p40_stale_stats" -> (p40StaleStats _),
     "p41_rollback_plan" -> (p41RollbackPlan _),
     "p42_write_amp" -> (p42WriteAmp _),
+    "p43_wap_publish" -> (p43WapPublish _),
     "p34_bucketed_priority" -> (p34BucketedPriority _),
     "p35_bucketed_semi" -> (p35BucketedSemi _),
     "p36_bucketed_trade" -> (p36BucketedTrade _),
@@ -2552,6 +2746,7 @@ object PipelineQueries {
     "p40_stale_stats" -> p40Oracle,
     "p41_rollback_plan" -> p41Oracle,
     "p42_write_amp" -> p42Oracle,
+    "p43_wap_publish" -> p43Oracle,
     "p34_bucketed_priority" ->
       graft.operators.Analytics.oracle("q3_shipping_priority"),
     "p35_bucketed_semi" ->

@@ -1865,4 +1865,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.map(_._1) == Seq(110L, 120L, 130L) && skipped.isEmpty)
     assert(results.forall(_._2.forall(_.status == Runner.Succeeded)))
   }
+
+  test("p43: the write-audit-publish gate replays literally — per " +
+    "expectation main-vs-branch observations, pass flags, blame class — " +
+    "and three verdict arms plus the abort decision are non-vacuous") {
+    import java.time.LocalDateTime
+    val cut = LocalDateTime.of(1997, 1, 1, 0, 0)
+    val rows = Tables.load(spark, sf, "orders")
+      .select("o_orderdate", "o_totalprice", "o_orderstatus",
+        "o_orderpriority", "o_custkey").collect()
+    val main = rows.filter(_.getAs[LocalDateTime]("o_orderdate").isBefore(cut))
+    def agg(rs: Array[org.apache.spark.sql.Row], n: Long)
+        : Map[(String, String), Option[Long]] = Map(
+      ("o_totalprice", "min_cents") ->
+        (if (rs.isEmpty) None
+         else Some(math.floor(rs.map(_.getAs[Double]("o_totalprice")).min * 100).toLong)),
+      ("o_totalprice", "max_cents") ->
+        (if (rs.isEmpty) None
+         else Some(math.floor(rs.map(_.getAs[Double]("o_totalprice")).max * 100).toLong)),
+      ("o_orderstatus", "n_distinct") ->
+        (if (n == 0) None
+         else Some(rs.map(_.getAs[String]("o_orderstatus")).distinct.length.toLong)),
+      ("o_orderpriority", "n_distinct") ->
+        (if (n == 0) None
+         else Some(rs.map(_.getAs[String]("o_orderpriority")).distinct.length.toLong)),
+      ("o_custkey", "null_rate_e6") ->
+        (if (n == 0) None
+         else Some(math.floor(rs.count(_.isNullAt(4)) * 1000000.0 / n).toLong)))
+    val (am, ab) = (agg(main, main.length.toLong), agg(rows, rows.length.toLong))
+    val exps = Seq(
+      ("o_totalprice", "min_cents", Some(140000L), None),
+      ("o_totalprice", "max_cents", None, Some(50000000L)),
+      ("o_orderstatus", "n_distinct", None, Some(3L)),
+      ("o_orderpriority", "n_distinct", None, Some(4L)),
+      ("o_custkey", "null_rate_e6", None, Some(0L)))
+    def pass(o: Option[Long], lo: Option[Long], hi: Option[Long]): Long =
+      o.map(v => if (lo.forall(v >= _) && hi.forall(v <= _)) 1L else 0L)
+        .getOrElse(0L)
+    val expected = exps.map { case (c, m, lo, hi) =>
+      val (om, ob) = (am((c, m)), ab((c, m)))
+      val (pm, pb) = (pass(om, lo, hi), pass(ob, lo, hi))
+      val verdict =
+        if (pm == 1 && pb == 1) "ok" else if (pm == 1) "regressed"
+        else if (pb == 0) "pre_existing" else "fixed"
+      (c, m) -> ((lo, hi, om, ob, pm, pb, verdict))
+    }.toMap
+    val out = PipelineQueries.p43WapPublish(spark, sf).collect()
+    def optL(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+    val (dec, per) = out.partition(_.getAs[String]("column_name") == "~DECISION")
+    val got = per.map(r =>
+      (r.getAs[String]("column_name"), r.getAs[String]("metric")) ->
+        ((optL(r, "lo"), optL(r, "hi"), optL(r, "observed_main"),
+          optL(r, "observed_branch"), r.getAs[Long]("pass_main"),
+          r.getAs[Long]("pass_branch"), r.getAs[String]("verdict")))).toMap
+    assert(got == expected, "WAP audit diverged from the replay")
+    val verdicts = got.values.map(_._7).toSet
+    assert(Set("ok", "regressed", "pre_existing").subsetOf(verdicts),
+      s"expected three verdict arms, saw $verdicts")
+    assert(dec.length == 1)
+    val d = dec.head
+    assert(d.getAs[String]("verdict") ==
+      (if (expected.values.exists(_._7 == "regressed")) "abort" else "publish"),
+      "gate decision must be driven by the regressed class alone")
+    assert(d.getAs[Long]("observed_main") == main.length.toLong &&
+      d.getAs[Long]("observed_branch") == rows.length.toLong, "row counts")
+    assert(d.getAs[Long]("pass_main") ==
+      (if (expected.values.forall(_._5 == 1L)) 1L else 0L) &&
+      d.getAs[Long]("pass_branch") ==
+      (if (expected.values.forall(_._6 == 1L)) 1L else 0L), "all-pass flags")
+    info(s"verdicts: ${got.values.map(_._7).groupBy(identity)
+      .view.mapValues(_.size).toMap}, decision: ${d.getAs[String]("verdict")}")
+  }
 }
