@@ -210,6 +210,91 @@ object Behavior {
       .orderBy(col("win_day"))
   }
 
+  /** q61 grid: $10 buckets (1000 cents), 64 of them — covers the corpus's
+    * value domain ([0, $561) at sf0.1) with the tail clamped into the last
+    * bucket. Production dials the grid to the metric's SLO band; the
+    * MECHANICS (mergeable counts, rank selection, bounded error) are
+    * grid-independent. */
+  val QBucketCents = 1000L
+  val QBuckets = 64L
+  /** q61 rolling window in days. */
+  val QDays = 7
+  /** q61 quantiles reported (integer percent). */
+  val QPercents = Seq(50L, 95L)
+
+  /** `q61_rolling_quantile`: mergeable-sketch rolling QUANTILES — the q59
+    * discipline (sketch + exact verdict in one artifact) applied to the
+    * quantile family, the one sketch q10's global percentiles left without
+    * a windowed form (a latency dashboard's rolling p95 is this exact
+    * shape). Each day keeps a fixed-grid histogram of its event values
+    * (bucket = cents div [[QBucketCents]], clamped to [[QBuckets]] — counts,
+    * so the daily state is mergeable by ADDITION and partition-parallel at
+    * 100 TB); each day's trailing-[[QDays]] window SUMS the daily
+    * histograms, and the sketch's p50/p95 is the first bucket whose
+    * cumulative count reaches rank `k = ceil(n·q/100)` (reported as the
+    * bucket's inclusive upper edge in cents — integer arithmetic, no
+    * interpolation to drift across engines). The exact disc quantile (the
+    * k-th smallest cents value in the window, computed from the raw rows)
+    * ships IN the artifact, so `err_c = est_c − exact_c` is a measured
+    * number per window per quantile — and the grid guarantee (the k-th
+    * element LIVES in the selected bucket, so 0 ≤ err < bucket width
+    * whenever the clamp did not engage) is pinned by the spec, not
+    * claimed in prose.
+    *
+    * Scale: the sketch path collapses to ≤ [[QBuckets]] rows/day at the
+    * FIRST aggregation (map-side partial), window merge is (buckets ×
+    * [[QDays]]) rows/day, rank selection is a per-window cumulative sum
+    * over ≤ [[QBuckets]] rows. The exact side (window explode + rank) is
+    * the verification harness, q24's bounded shape — not the shipped
+    * path. One events scan feeds both (checkpointed). */
+  def q61RollingQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day_idx"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .localCheckpoint(true) // consumed by the sketch, the exact recount
+                             // and the day spine
+    val hist = ev
+      .withColumn("bucket",
+        least(expr(s"v_c div $QBucketCents"), lit(QBuckets - 1)).cast("long"))
+      .groupBy(col("day_idx"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val winHist = hist
+      .select(explode(sequence(col("day_idx"),
+        col("day_idx") + lit(QDays - 1).cast("long"))).as("win_day"),
+        col("bucket"), col("cnt"))
+      .groupBy(col("win_day"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(col("win_day")).orderBy(col("bucket"))
+    val cum = winHist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_win", sum(col("cnt")).over(Window.partitionBy(col("win_day"))))
+    // the bucket containing rank k: cum >= k and the previous cum < k —
+    // exactly one row per (window, q), no window re-sort per quantile
+    val est = QPercents.map { q =>
+      val k = expr(s"(n_win * $q + 99) div 100")
+      cum.filter(col("cum") >= k && (col("cum") - col("cnt")) < k)
+        .select(col("win_day"), lit(q).as("q"), col("n_win"), col("bucket"),
+          ((col("bucket") + 1) * lit(QBucketCents) - 1).as("est_c"))
+    }.reduce(_ unionByName _)
+    val winEv = ev.select(explode(sequence(col("day_idx"),
+      col("day_idx") + lit(QDays - 1).cast("long"))).as("win_day"), col("v_c"))
+    val wRank = Window.partitionBy(col("win_day")).orderBy(col("v_c"))
+    val ranked = winEv
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("win_day"))))
+    val exact = QPercents.map { q =>
+      ranked.filter(col("rk") === expr(s"(n * $q + 99) div 100"))
+        .select(col("win_day"), lit(q).as("q"), col("v_c").as("exact_c"))
+    }.reduce(_ unionByName _)
+    val days = ev.select(col("day_idx").as("win_day")).distinct()
+    days
+      .join(est, Seq("win_day"))
+      .join(exact, Seq("win_day", "q"))
+      .select(col("win_day"), col("q"), col("n_win"), col("exact_c"),
+        col("bucket"), col("est_c"), (col("est_c") - col("exact_c")).as("err_c"))
+      .orderBy(col("win_day"), col("q"))
+  }
+
   /** `q26_lateness_audit`: out-of-order-arrival measurement over a change
     * stream — per key, how many records arrived with an EVENT time
     * earlier than something already seen, and by how much. This is the
@@ -492,6 +577,50 @@ object Behavior {
          | CAST(floor(abs(est - n_exact) * 1000000.0 / n_exact) AS BIGINT)
          |  AS err_e6
          |FROM est ORDER BY win_day""".stripMargin,
+    "q61_rolling_quantile" ->
+      s"""WITH ev AS MATERIALIZED (
+         | SELECT CAST(floor(epoch_us(ts) / $DayUs) AS BIGINT) AS day_idx,
+         |  CAST(floor(value * 100) AS BIGINT) AS v_c
+         | FROM events),
+         |qs AS (SELECT unnest([CAST(${QPercents.head} AS BIGINT),
+         |  CAST(${QPercents(1)} AS BIGINT)]) AS q),
+         |hist AS (
+         | SELECT day_idx, least(v_c // $QBucketCents, ${QBuckets - 1}) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         | FROM ev GROUP BY 1, 2),
+         |winhist AS (
+         | SELECT day_idx + o.off AS win_day, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+         | FROM hist CROSS JOIN (SELECT unnest(range(0, $QDays)) AS off) o
+         | GROUP BY 1, 2),
+         |cum AS (
+         | SELECT win_day, bucket, cnt,
+         |  CAST(sum(cnt) OVER (PARTITION BY win_day ORDER BY bucket) AS BIGINT)
+         |   AS cum,
+         |  CAST(sum(cnt) OVER (PARTITION BY win_day) AS BIGINT) AS n_win
+         | FROM winhist),
+         |est AS (
+         | SELECT win_day, q, n_win, bucket,
+         |  (bucket + 1) * $QBucketCents - 1 AS est_c
+         | FROM cum CROSS JOIN qs
+         | WHERE cum >= (n_win * q + 99) // 100
+         |  AND cum - cnt < (n_win * q + 99) // 100),
+         |ranked AS (
+         | SELECT day_idx + o.off AS win_day, v_c,
+         |  CAST(row_number() OVER (PARTITION BY day_idx + o.off ORDER BY v_c)
+         |   AS BIGINT) AS rk,
+         |  CAST(count(*) OVER (PARTITION BY day_idx + o.off) AS BIGINT) AS n
+         | FROM ev CROSS JOIN (SELECT unnest(range(0, $QDays)) AS off) o),
+         |exact AS (
+         | SELECT win_day, q, v_c AS exact_c
+         | FROM ranked CROSS JOIN qs
+         | WHERE rk = (n * q + 99) // 100)
+         |SELECT d.win_day AS win_day, e.q AS q, e.n_win AS n_win,
+         | x.exact_c AS exact_c, e.bucket AS bucket, e.est_c AS est_c,
+         | e.est_c - x.exact_c AS err_c
+         |FROM (SELECT DISTINCT day_idx AS win_day FROM ev) d
+         | JOIN est e USING (win_day)
+         | JOIN exact x ON x.win_day = d.win_day AND x.q = e.q
+         |ORDER BY win_day, q""".stripMargin,
     "q24_rolling_distinct" ->
       s"""WITH active AS (
          | SELECT DISTINCT user_id,
@@ -662,6 +791,7 @@ object Behavior {
     "q21_retention_cohorts" -> (q21RetentionCohorts _),
     "q24_rolling_distinct" -> (q24RollingDistinct _),
     "q59_rolling_kmv" -> (q59RollingKmv _),
+    "q61_rolling_quantile" -> (q61RollingQuantile _),
     "q26_lateness_audit" -> (q26LatenessAudit _),
     "q27_decay_score" -> (q27DecayScore _),
     "q29_gap_fill" -> (q29GapFill _),

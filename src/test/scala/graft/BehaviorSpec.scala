@@ -372,4 +372,49 @@ class BehaviorSpec extends AnyFunSuite {
       assert(est == ne && err == 0L && nh == ne,
         s"planted day $d: exact regime not exact (est $est vs $ne)") }
   }
+
+  test("q61: the merged window histogram replays literally — grid buckets, " +
+    "rank selection, exact disc recount — and the grid guarantee " +
+    "(0 <= err < bucket width) holds measured on every row") {
+    import org.apache.spark.sql.functions._
+    import operators.Behavior.{QBucketCents, QBuckets, QDays, QPercents}
+    val ev = Tables.load(spark, sf, "events")
+      .select(floor(unix_micros(col("ts")) / lit(86400L * 1000000L))
+        .cast("long").as("d"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ev.map(_._1).distinct.sorted
+    val expected = (for { d <- days; q <- QPercents } yield {
+      val window = ev.filter(e => e._1 >= d - QDays + 1 && e._1 <= d)
+        .map(_._2).sorted
+      val n = window.length.toLong
+      val k = (n * q + 99) / 100
+      val exact = window((k - 1).toInt)
+      val counts = window.map(v => math.min(v / QBucketCents, QBuckets - 1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var cum = 0L; var sel = -1L
+      for (b <- counts.keys.toSeq.sorted if sel < 0) {
+        cum += counts(b); if (cum >= k) sel = b
+      }
+      val est = (sel + 1) * QBucketCents - 1
+      (d, q) -> ((n, exact, sel, est, est - exact))
+    }).toMap
+    val got = operators.Behavior.q61RollingQuantile(spark, sf).collect()
+      .map(r => (r.getAs[Long]("win_day"), r.getAs[Long]("q")) ->
+        ((r.getAs[Long]("n_win"), r.getAs[Long]("exact_c"),
+          r.getAs[Long]("bucket"), r.getAs[Long]("est_c"),
+          r.getAs[Long]("err_c")))).toMap
+    assert(got == expected, "rolling quantiles diverged from the replay")
+    assert(got.keySet.map(_._1) == days.toSet,
+      "every observed day must report, and only observed days")
+    // the grid guarantee as a measured fact (no clamp engages on this
+    // corpus, so the k-th element lives in the selected bucket)
+    got.values.foreach { case (_, _, _, _, err) =>
+      assert(err >= 0L && err < QBucketCents,
+        s"error $err outside the [0, grid width) guarantee") }
+    // non-vacuous: the two quantiles actually separate somewhere
+    assert(days.exists(d => got((d, 95L))._3 > got((d, 50L))._3),
+      "p95 never left p50's bucket — the grid resolves nothing here")
+    info(s"rows: ${got.size}, max err_c: ${got.values.map(_._5).max}")
+  }
 }
