@@ -61,6 +61,26 @@ object StreamPipelines {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming mergeable histogram — q61's daily sketch state as a
+    * watermarked windowed aggregate: per (day window, value bucket)
+    * counts on the same fixed grid
+    * ([[graft.operators.Behavior.QBucketCents]] × [[graft.operators.Behavior.QBuckets]]).
+    * Mergeability by ADDITION is exactly what makes q61's sketch
+    * streamable — the map-side partials, the state-store increments and
+    * q61's cross-day window merge are all the same `+` on counts — so the
+    * downstream quantile selection (a rank over ≤ QBuckets cumulative
+    * counts per window) reads this stream's sink at batch cost. Late
+    * events beyond `lateness` drop; closed-day state reclaims. */
+  def histogramStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .withColumn("bucket",
+        least(expr(s"CAST(floor(value * 100) AS BIGINT) div " +
+          s"${graft.operators.Behavior.QBucketCents}"),
+          lit(graft.operators.Behavior.QBuckets - 1)).cast("long"))
+      .groupBy(window(col("ts"), "1 day"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("day_start"), col("bucket"), col("cnt"))
+
   /** Declarative session aggregation via the BUILT-IN `session_window`:
     * the engine merges overlapping [ts, ts+gap) intervals per key and
     * finalizes a session when the watermark passes its end — same gap

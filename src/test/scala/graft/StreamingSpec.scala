@@ -620,4 +620,43 @@ class StreamingSpec extends AnyFunSuite {
         "no all-types session failed the ORDER — the constraint never bound")
     } finally q.stop()
   }
+
+  test("streaming mergeable histogram matches the batch daily grid " +
+    "(q61's state shape), including the clamp arm") {
+    import spark.implicits._
+    import graft.operators.Behavior.{QBucketCents, QBuckets}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val out = s"mem_hist_${System.nanoTime()}"
+    val q = StreamPipelines.histogramStream(events)
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      // day 1 (minutes 0-1439): buckets 0, 0, 10; day 2: bucket 1 and a
+      // value past the grid edge that must CLAMP into the last bucket
+      val data = Seq(
+        (1L, ts(10), 5.0), (2L, ts(20), 9.99), (3L, ts(30), 100.0),
+        (4L, ts(1500), 10.0), (5L, ts(1510), 650.0))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData((9L, ts(20000), 0.0)) // sentinel: closes both days
+      q.processAllAvailable()
+      val dayMs = 86400L * 1000L
+      val got = spark.table(out).collect()
+        .map(r => (r.getAs[Timestamp]("day_start").getTime / dayMs,
+          r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+        .filter(_._1 < 10L).toSet // drop the sentinel's day
+      val expected = data
+        .map { case (_, t, v) =>
+          (t.getTime / dayMs,
+            math.min(math.floor(v * 100).toLong / QBucketCents, QBuckets - 1)) }
+        .groupBy(identity).map { case ((d, b), g) => (d, b, g.size.toLong) }
+        .toSet
+      assert(got == expected, "streamed histogram diverged from the batch grid")
+      assert(got.exists(_._2 == QBuckets - 1),
+        "the clamp arm never fired — the grid edge is untested")
+      assert(got.exists(_._3 > 1L), "no bucket merged two events — " +
+        "the additive state never actually added")
+    } finally q.stop()
+  }
 }
