@@ -2690,6 +2690,141 @@ object PipelineQueries {
        |ORDER BY column_name, metric""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p44
+
+  /** p44 sketch size — small enough that BOTH KMV regimes fire at the
+    * smallest test scale (per-month custkey NDV spans 1..29 at sf0.001,
+    * so months straddle K=16 and the table row always estimates);
+    * production dials K to 1024+ for ~3% error. Hash convention is
+    * q59's: md5_60 >> 15 = 45-bit hashes, (K−1)·2^45 stays in exact
+    * BIGINT range. */
+  val P44K = 16
+
+  /** `p44_incremental_stats`: incremental table-statistics maintenance —
+    * the BUILD path whose staleness p40 audits (a CBO needs NDV/min/max
+    * per column; re-ANALYZE-ing 100 TB per landing is the thing nobody
+    * does). Per landing month (p25's partition convention), the stats a
+    * scan of ONLY that month can produce: row count, exact NDV of
+    * o_custkey (partition-sized, affordable per increment), floor-cents
+    * min/max of o_totalprice, and a K-minimum-values NDV sketch (q59's
+    * hash convention). The `~TABLE` row is the MERGE: min-of-mins /
+    * max-of-maxs (exact by algebra), and the union of the monthly KMV
+    * sketches re-taken to the K smallest — which is EXACTLY the table's
+    * own KMV sketch (mergeability, the q59 proof), so table-level NDV
+    * never rescans history. Every row carries the exact NDV beside the
+    * estimate with floor-e6 error: the sketch's quality is a measured
+    * column, and the exact regime (n_held < K ⟹ est ≡ exact) fires on
+    * the small months while the estimator regime fires on `~TABLE`.
+    *
+    * Scale: the fact scan happens ONCE (checkpointed, three grain
+    * consumers); daily sketches are ≤ K rows/month after a keyed
+    * distinct; the table merge re-ranks months×K rows. The per-month
+    * exact NDV is increment-sized by construction — the point of
+    * incremental stats; only the `~TABLE` exact NDV is corpus-sized, and
+    * it is the verification column, not the maintained path. */
+  def p44IncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Behavior.{KmvHashShift, KmvHashSpace}
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+          .as("mo"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .localCheckpoint(true) // sketch, exact and min/max consumers
+    val mh = o.select(col("mo"),
+      shiftrightunsigned(graft.functions.TextFunctions
+        .md5Long60(col("o_custkey").cast("string")), KmvHashShift).as("h"))
+      .distinct()
+    val wM = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("mo")).orderBy(col("h"))
+    val moSketch = mh
+      .withColumn("r", row_number().over(wM)).filter(col("r") <= P44K)
+      .select(col("mo"), col("h"))
+      .localCheckpoint(true) // per-month agg AND the table merge
+    val est = when(col("n_held") < P44K, col("n_held"))
+      .otherwise(expr(s"${(P44K - 1).toLong * KmvHashSpace}L div kth_h"))
+    val errE6 = floor(abs(col("ndv_est") - col("ndv_exact")) * lit(1000000.0)
+      / col("ndv_exact")).cast("long")
+    val perMonth = o.groupBy(col("mo"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("ndv_exact"),
+        min(col("price_c")).as("mn_cents"), max(col("price_c")).as("mx_cents"))
+      .join(moSketch.groupBy(col("mo"))
+        .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth_h")), Seq("mo"))
+      .withColumn("ndv_est", est)
+      .select(col("mo").cast("string").as("key"), col("n_rows"),
+        col("ndv_exact"), col("n_held"), col("kth_h"), col("ndv_est"),
+        errE6.as("err_e6"), col("mn_cents"), col("mx_cents"))
+    val tblSketch = moSketch.select(col("h")).distinct()
+      .orderBy(col("h")).limit(P44K)
+      .agg(count(lit(1)).as("n_held"), max(col("h")).as("kth_h"))
+    val table = o
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("ndv_exact"),
+        min(col("price_c")).as("mn_cents"), max(col("price_c")).as("mx_cents"))
+      .crossJoin(tblSketch) // two 1-row frames
+      .withColumn("ndv_est", est)
+      .select(lit("~TABLE").as("key"), col("n_rows"), col("ndv_exact"),
+        col("n_held"), col("kth_h"), col("ndv_est"), errE6.as("err_e6"),
+        col("mn_cents"), col("mx_cents"))
+    perMonth.unionAll(table).orderBy(col("key"))
+  }
+
+  private lazy val p44Oracle: String = {
+    import graft.operators.Behavior.{KmvHashShift, KmvHashSpace}
+    val estSql = (held: String, kth: String) =>
+      s"""CAST(CASE WHEN $held < $P44K THEN $held
+         | ELSE ${(P44K - 1).toLong * KmvHashSpace} // $kth END AS BIGINT)""".stripMargin
+    s"""WITH o AS MATERIALIZED (
+       | SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+       |   AS mo,
+       |  o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+       | FROM orders),
+       |mh AS (
+       | SELECT DISTINCT mo,
+       |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+       |   // ${1L << KmvHashShift} AS h
+       | FROM o),
+       |ms AS MATERIALIZED (
+       | SELECT mo, h FROM (
+       |  SELECT mo, h, row_number() OVER (PARTITION BY mo ORDER BY h) AS r
+       |  FROM mh) WHERE r <= $P44K),
+       |ma AS (
+       | SELECT mo, CAST(count(*) AS BIGINT) AS n_held,
+       |  CAST(max(h) AS BIGINT) AS kth_h
+       | FROM ms GROUP BY 1),
+       |mx AS (
+       | SELECT mo, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact,
+       |  CAST(min(price_c) AS BIGINT) AS mn_cents,
+       |  CAST(max(price_c) AS BIGINT) AS mx_cents
+       | FROM o GROUP BY 1),
+       |ts AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n_held,
+       |  CAST(max(h) AS BIGINT) AS kth_h
+       | FROM (SELECT DISTINCT h FROM ms ORDER BY h LIMIT $P44K)),
+       |tx AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact,
+       |  CAST(min(price_c) AS BIGINT) AS mn_cents,
+       |  CAST(max(price_c) AS BIGINT) AS mx_cents
+       | FROM o),
+       |u AS (
+       | SELECT CAST(mx.mo AS VARCHAR) AS key, mx.n_rows, mx.ndv_exact,
+       |  ma.n_held, ma.kth_h, ${estSql("ma.n_held", "ma.kth_h")} AS ndv_est,
+       |  mx.mn_cents, mx.mx_cents
+       | FROM mx JOIN ma ON ma.mo = mx.mo
+       | UNION ALL
+       | SELECT '~TABLE', tx.n_rows, tx.ndv_exact, ts.n_held, ts.kth_h,
+       |  ${estSql("ts.n_held", "ts.kth_h")}, tx.mn_cents, tx.mx_cents
+       | FROM tx CROSS JOIN ts)
+       |SELECT key, n_rows, ndv_exact, n_held, kth_h, ndv_est,
+       | CAST(floor(abs(ndv_est - ndv_exact) * 1000000.0 / ndv_exact)
+       |  AS BIGINT) AS err_e6,
+       | mn_cents, mx_cents
+       |FROM u ORDER BY key""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p32_deletion_read" -> (p32DeletionRead _),
     "p33_cdc_changelog" -> (p33CdcChangelog _),
@@ -2698,6 +2833,7 @@ object PipelineQueries {
     "p41_rollback_plan" -> (p41RollbackPlan _),
     "p42_write_amp" -> (p42WriteAmp _),
     "p43_wap_publish" -> (p43WapPublish _),
+    "p44_incremental_stats" -> (p44IncrementalStats _),
     "p34_bucketed_priority" -> (p34BucketedPriority _),
     "p35_bucketed_semi" -> (p35BucketedSemi _),
     "p36_bucketed_trade" -> (p36BucketedTrade _),
@@ -2747,6 +2883,7 @@ object PipelineQueries {
     "p41_rollback_plan" -> p41Oracle,
     "p42_write_amp" -> p42Oracle,
     "p43_wap_publish" -> p43Oracle,
+    "p44_incremental_stats" -> p44Oracle,
     "p34_bucketed_priority" ->
       graft.operators.Analytics.oracle("q3_shipping_priority"),
     "p35_bucketed_semi" ->

@@ -1937,4 +1937,71 @@ class PipelineSpec extends AnyFunSuite {
     info(s"verdicts: ${got.values.map(_._7).groupBy(identity)
       .view.mapValues(_.size).toMap}, decision: ${d.getAs[String]("verdict")}")
   }
+
+  test("p44: incremental stats replay literally — per-month KMV/NDV/min/" +
+    "max, the merged ~TABLE sketch equals the table's own KMV, min/max " +
+    "merge is exact, and both sketch regimes fire") {
+    import java.time.LocalDateTime
+    import PipelineQueries.P44K
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val rows = Tables.load(spark, sf, "orders")
+      .select("o_orderdate", "o_custkey", "o_totalprice").collect()
+      .map { r =>
+        val d = r.getAs[LocalDateTime]("o_orderdate").toLocalDate
+        (d.getYear.toLong * 12 + d.getMonthValue - 1,
+          r.getAs[Long]("o_custkey"),
+          math.floor(r.getAs[Double]("o_totalprice") * 100).toLong)
+      }
+    def h(ck: Long): Long = md5Long60(ck.toString) >>> 15
+    def statsOf(rs: Array[(Long, Long, Long)], sketch: Seq[Long])
+        : (Long, Long, Long, Long, Long, Long, Long, Long) = {
+      val held = sketch.length.toLong
+      val kth = sketch.last
+      val exact = rs.map(_._2).distinct.length.toLong
+      val est = if (held < P44K) held else (P44K - 1).toLong * (1L << 45) / kth
+      (rs.length.toLong, exact, held, kth, est,
+        math.floor((est - exact).abs * 1000000.0 / exact).toLong,
+        rs.map(_._3).min, rs.map(_._3).max)
+    }
+    val months = rows.map(_._1).distinct.sorted
+    val moSketches = months.map { m =>
+      m -> rows.filter(_._1 == m).map(r => h(r._2)).distinct.sorted.take(P44K).toSeq
+    }.toMap
+    val expected: Map[String, (Long, Long, Long, Long, Long, Long, Long, Long)] =
+      months.map(m => m.toString ->
+        statsOf(rows.filter(_._1 == m), moSketches(m))).toMap +
+        ("~TABLE" -> statsOf(rows,
+          moSketches.values.flatten.toSeq.distinct.sorted.take(P44K)))
+    // mergeability: union of monthly sketches re-taken to K == the
+    // table's own KMV over ALL hashes
+    val tableOwn = rows.map(r => h(r._2)).distinct.sorted.take(P44K).toSeq
+    assert(moSketches.values.flatten.toSeq.distinct.sorted.take(P44K) == tableOwn,
+      "merged monthly sketches != the table's own KMV sketch")
+    val got = PipelineQueries.p44IncrementalStats(spark, sf).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("ndv_exact"),
+          r.getAs[Long]("n_held"), r.getAs[Long]("kth_h"),
+          r.getAs[Long]("ndv_est"), r.getAs[Long]("err_e6"),
+          r.getAs[Long]("mn_cents"), r.getAs[Long]("mx_cents")))).toMap
+    assert(got == expected.view.mapValues(t => t).toMap
+      .map { case (k, t) => k -> ((t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)) },
+      "incremental stats diverged from the replay")
+    // min/max merge exactness: the ~TABLE bounds equal the direct scan's
+    val t = got("~TABLE")
+    assert(t._7 == rows.map(_._3).min && t._8 == rows.map(_._3).max)
+    // both regimes: exact months (held < K, est == exact, err 0) and the
+    // estimator on ~TABLE (held == K)
+    val exactMonths = got.filter { case (k, v) => k != "~TABLE" && v._3 < P44K }
+    assert(exactMonths.nonEmpty, "no month in the exact regime")
+    exactMonths.foreach { case (k, v) =>
+      assert(v._5 == v._2 && v._6 == 0L, s"month $k: exact regime not exact") }
+    assert(t._3 == P44K.toLong && t._5 != t._2,
+      "~TABLE must run the estimator (and estimating is not recounting)")
+    info(s"months: ${months.length}, exact-regime: ${exactMonths.size}, " +
+      s"~TABLE est ${t._5} vs exact ${t._2} (err_e6 ${t._6})")
+  }
 }
