@@ -254,8 +254,13 @@ object Behavior {
       .localCheckpoint(true) // consumed by the sketch, the exact recount
                              // and the day spine
     val hist = ev
+      // clamp BOTH grid ends: Spark `div` truncates toward zero while
+      // DuckDB `//` floors, so an (out-of-domain) negative cents value
+      // would bucket differently in the two engines — greatest(0, ...)
+      // pins the grids engine-identical for any future value domain
       .withColumn("bucket",
-        least(expr(s"v_c div $QBucketCents"), lit(QBuckets - 1)).cast("long"))
+        greatest(lit(0L),
+          least(expr(s"v_c div $QBucketCents"), lit(QBuckets - 1))).cast("long"))
       .groupBy(col("day_idx"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val winHist = hist
@@ -582,10 +587,10 @@ object Behavior {
          | SELECT CAST(floor(epoch_us(ts) / $DayUs) AS BIGINT) AS day_idx,
          |  CAST(floor(value * 100) AS BIGINT) AS v_c
          | FROM events),
-         |qs AS (SELECT unnest([CAST(${QPercents.head} AS BIGINT),
-         |  CAST(${QPercents(1)} AS BIGINT)]) AS q),
+         |qs AS (SELECT unnest([${QPercents.map(p => s"CAST($p AS BIGINT)").mkString(",\n         |  ")}]) AS q),
          |hist AS (
-         | SELECT day_idx, least(v_c // $QBucketCents, ${QBuckets - 1}) AS bucket,
+         | SELECT day_idx,
+         |  greatest(0, least(v_c // $QBucketCents, ${QBuckets - 1})) AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
          | FROM ev GROUP BY 1, 2),
          |winhist AS (

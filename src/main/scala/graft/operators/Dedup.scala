@@ -2523,10 +2523,15 @@ object Dedup {
       .select(concat(lit("~TOTAL_"), col("split")).as("key"), col("split"),
         col("n_docs"), col("n_contam"), col("n_train_near"), col("max_cos_e6"),
         lit(-1L).as("worst_train_doc"), lit("~TOTAL").as("verdict"))
+    // the ~TOTAL row mirrors the oracle's empty-eval-set handling: a global
+    // aggregate over zero rows emits NULL sums/max in Spark while the oracle
+    // wraps them in COALESCE(...,0/-1) — coalesce here (and count for
+    // n_docs) so the edge the oracle authors handled is engine-identical
     val total = per.agg(
-      sum(col("n_docs")).as("n_docs"), sum(col("n_contam")).as("n_contam"),
-      sum(col("n_train_near")).as("n_train_near"),
-      max(col("max_cos_e6")).as("max_cos_e6"))
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_contam")), lit(0L)).as("n_contam"),
+      coalesce(sum(col("n_train_near")), lit(0L)).as("n_train_near"),
+      coalesce(max(col("max_cos_e6")), lit(-1L)).as("max_cos_e6"))
       .select(lit("~TOTAL").as("key"), lit("~TOTAL").as("split"),
         col("n_docs"), col("n_contam"), col("n_train_near"), col("max_cos_e6"),
         lit(-1L).as("worst_train_doc"), lit("~TOTAL").as("verdict"))

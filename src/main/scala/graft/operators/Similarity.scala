@@ -2383,9 +2383,13 @@ object Similarity {
     * global sort); stages 2-3 are shortlist-sized equi-joins (probes ×
     * stage width), so float vectors never stream through a ranking
     * shuffle. The truth flag joins s1's probe-grained top-k — verification
-    * work the report is FOR (s8's discipline). Every ranking key is an
-    * integer (hamming, code L2) or a floored e6 cosine with an id
-    * tie-break, so the funnel is bit-deterministic in any engine. */
+    * work the report is FOR (s8's discipline). Stages 1-2 rank by exact
+    * integers (hamming, code L2) with an id tie-break — bit-deterministic
+    * in any engine; stage 3 ranks by the raw double cosine (the s1/s2
+    * convention: the EMITTED cos_e6 is floored, but the window order is
+    * the double), so a cross-engine ulp difference could in principle
+    * reorder exact near-ties — the same accepted latent convention as
+    * s1, on this corpus tie-free. */
   def s30CascadeRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     // index 1: the 64-bit sign sketch (same deterministic plane family as s7)
