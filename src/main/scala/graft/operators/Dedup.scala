@@ -2473,16 +2473,22 @@ object Dedup {
     * the eval universe is a corpus-sized projection joined once. At 100 TB
     * the same shape holds: eval sets are small, so the banded train×eval
     * candidate mass is eval-bounded. */
-  def d26EmbedDecontam(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint the CONFIRMED pairs BEFORE split tagging: left in one plan,
-    // the md5 split CASE pushes into the band-join condition and runs 4
-    // md5s per candidate band-row (pre-distinct, up to 16x per pair) —
-    // measured 4x the whole query. On the materialized pair set it is one
-    // cheap projection.
-    val pairs = d5Pairs(spark, dir).localCheckpoint(true)
+  /** d26's split-tagged candidate pairs: the CONFIRMED pairs are
+    * checkpointed BEFORE split tagging — left in one plan, the md5 split
+    * CASE pushes into the band-join condition and runs 4 md5s per
+    * candidate band-row (pre-distinct, up to 16x per pair) — measured 4x
+    * the whole query. On the materialized pair set it is one cheap
+    * projection. Exposed at object scope so PlanSpec can pin the shape
+    * (tag = projection over the materialized pair table, never a join
+    * condition) on the production code path. */
+  private[graft] def d26TaggedPairs(spark: SparkSession, dir: String): DataFrame =
+    d5Pairs(spark, dir).localCheckpoint(true)
       .withColumn("s1", splitOf(col("vec_id_1")))
       .withColumn("s2", splitOf(col("vec_id_2")))
       .filter((col("s1") === "train") =!= (col("s2") === "train"))
+
+  def d26EmbedDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d26TaggedPairs(spark, dir)
     val lk = pairs.select(
       when(col("s1") === "train", col("vec_id_1"))
         .otherwise(col("vec_id_2")).as("train_vec"),

@@ -819,4 +819,175 @@ class PlanSpec extends AnyFunSuite {
       s"bloom words lack map-side bit_or partials:\n$p23")
     assert(!p23.contains("CartesianProduct"))
   }
+
+  // ---- r18-birth pins: the named shape regressions of the round-18
+  // operators (judge item 1, round 19). Each pin fails on the exact plan
+  // drift that was found-and-fixed (d26) or that the operator's scale
+  // story depends on (semi-join bounding, unrolled frontiers, collapse-
+  // before-fan-out, one-scan aggregates).
+
+  private def inputPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+
+  test("d26: the split tag is a projection over the MATERIALIZED pair " +
+    "table — no join in the tagged-pairs plan, and the md5 CASE can " +
+    "never migrate into the band-join condition (the r18 4x trap)") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val exec = inputPlan(Dedup.d26TaggedPairs(spark, sf))
+    // checkpoint present: the band-join pipeline is materialized, so the
+    // tagging plan is Filter+Project over an RDD scan. Remove the
+    // checkpoint and the banded self-join re-enters this plan with the
+    // md5 split CASE pushed into its condition — both asserts fire.
+    assert(exec.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"split tagging re-entered the pair-building join:\n${exec.treeString}")
+    assert(exec.collect { case r: RDDScanExec => r }.nonEmpty,
+      s"pair table is not checkpoint-materialized:\n${exec.treeString}")
+  }
+
+  test("s28/s29: the HNSW delta/repair paths are semi-join-bounded and " +
+    "the corpus is never rescanned past the checkpointed banded pass") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // s28: per layer, untouched stored-adjacency nodes are pruned by a
+    // LEFT-SEMI against the touched set BEFORE the merge shuffle (3
+    // layers = 3 semi joins); all inputs are the two checkpoints (banded
+    // pairs + level table), so zero parquet scans may appear — a scan
+    // here means the stored adjacency re-derived from the corpus.
+    val s28 = inputPlan(Similarity.s28HnswInsert(spark, sf))
+    assert(s28.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"s28 rescans the corpus past the checkpoint:\n${s28.treeString}")
+    assert(s28.collect {
+      case j: BaseJoinExec if j.joinType.toString == "LeftSemi" => j
+    }.size == 3, s"s28 lost a touched-set semi-join prune:\n${s28.treeString}")
+    // s29: spare + relink arms are BOTH survivor-bounded semi-joins (2
+    // per layer x 3 layers); same zero-corpus-scan contract.
+    val s29 = inputPlan(Similarity.s29HnswDelete(spark, sf))
+    assert(s29.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"s29 rescans the corpus past the checkpoint:\n${s29.treeString}")
+    assert(s29.collect {
+      case j: BaseJoinExec if j.joinType.toString == "LeftSemi" => j
+    }.size == 6, s"s29 lost an affected-node semi-join bound:\n${s29.treeString}")
+  }
+
+  test("s30: the cascade narrows monotonically — the only non-equi joins " +
+    "are the two bounded probe attachments, stages 2-3 join by key only") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    val exec = inputPlan(Similarity.s30CascadeRerank(spark, sf))
+    val bnlj = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+    // stage 1's probe x corpus pre-rank and the s1-truth probe join are
+    // the sanctioned bounded-side NLJs (probes = vec_id < NumProbes); a
+    // third would mean a shortlist join lost its equi-key
+    assert(bnlj.size == 2,
+      s"expected exactly the two probe NLJs, got ${bnlj.size}:\n${exec.treeString}")
+    val joins = exec.collect { case j: BaseJoinExec => j }
+    assert(joins.size == 7,
+      s"cascade join count drifted (shortlist stage split or re-join?):\n${exec.treeString}")
+  }
+
+  test("q58/q60: the reachability closure is EXACTLY the unrolled " +
+    "frontier joins over the checkpointed edge table — no convergence " +
+    "loop, no per-depth corpus rescan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    Seq(Analytics.q58HierarchyReach(spark, sf) -> "q58",
+        Analytics.q60SubtreeRollup(spark, sf) -> "q60").foreach { case (df, n) =>
+      val exec = inputPlan(df)
+      // join budget: the unioned depth-d frontiers carry (d-1) join nodes
+      // each (0+1+2 at cap 3), + root-flag build (1) + closure⋈rootFlag
+      // (1) + closure⋈spend (1) = 6 at ReachDepthCap=3. A convergence
+      // loop or a deeper unroll changes this count; an edge
+      // re-derivation adds parquet scans.
+      val joins = exec.collect { case j: BaseJoinExec => j }
+      assert(joins.size == (2 to Analytics.ReachDepthCap).map(_ - 1).sum + 3,
+        s"$n: frontier unroll drifted (${joins.size} joins):\n${exec.treeString}")
+      val scans = exec.collect { case s: FileSourceScanExec => s }
+      assert(scans.size == 2 && scans.forall(s =>
+        s.relation.location.rootPaths.mkString.contains("customer") ||
+        s.relation.location.rootPaths.mkString.contains("orders")),
+        s"$n: closure re-reads the fact (edges must come from the " +
+          s"checkpoint):\n${exec.treeString}")
+    }
+  }
+
+  test("q59/q61: the mergeable-sketch fan-out rides the COLLAPSED daily " +
+    "state, never raw rows — the window explode's input is sketch-grained") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, LessThanOrEqual, Literal}
+    // q59: the sketch-side day→window explode must sit ABOVE the daily
+    // KMV collapse (row_number window + r <= KmvK filter). The other
+    // Generate is the exact-recount verification side (q24's bounded
+    // shape) — 2 Generates total; a third means a fan-out duplicated.
+    val q59 = graft.operators.Behavior.q59RollingKmv(spark, sf)
+      .queryExecution.optimizedPlan
+    val gens59 = q59.collect { case g: Generate => g }
+    assert(gens59.size == 2, s"q59 fan-out count drifted:\n$q59")
+    def hasKmvCollapse(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect {
+        case f: Filter if f.condition.exists {
+          case LessThanOrEqual(_: Attribute, Literal(v: Int, _)) =>
+            v == graft.operators.Behavior.KmvK
+          case LessThanOrEqual(_: Attribute, Literal(v: Long, _)) =>
+            v == graft.operators.Behavior.KmvK.toLong
+          case _ => false
+        } => f
+      }.nonEmpty && p.collect { case w: LWindow => w }.nonEmpty
+    assert(gens59.count(g => hasKmvCollapse(g.child)) == 1,
+      s"q59 sketch explode no longer rides the daily K-collapse:\n$q59")
+    // q61: the histogram fan-out rides the (day_idx, bucket) aggregate —
+    // ≤ QBuckets rows/day — in BOTH quantile branches; the raw-grain
+    // explodes are the exact-verification side only (2 + 2 = 4 total).
+    val q61 = graft.operators.Behavior.q61RollingQuantile(spark, sf)
+      .queryExecution.optimizedPlan
+    val gens61 = q61.collect { case g: Generate => g }
+    assert(gens61.size == 4, s"q61 fan-out count drifted:\n$q61")
+    def dayBucketGrain(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect {
+        case a: Aggregate if a.groupingExpressions.collect {
+          case att: Attribute => att.name
+        }.toSet == Set("day_idx", "bucket") => a
+      }.nonEmpty
+    assert(gens61.count(g => dayBucketGrain(g.child)) == 2,
+      s"q61 sketch explode no longer rides the day-histogram collapse:\n$q61")
+  }
+
+  test("p43: the write-audit-publish gate is ONE orders scan collapsing " +
+    "to a 1-row aggregate — the report explodes from that row, no join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = graft.pipeline.PipelineQueries.p43WapPublish(spark, sf)
+    val exec = inputPlan(df)
+    assert(exec.collect { case s: FileSourceScanExec => s }.size == 1,
+      s"p43 must scan orders exactly once:\n${exec.treeString}")
+    assert(exec.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"p43 must be join-free:\n${exec.treeString}")
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.size == 1, "expected the explode-from-aggregate report")
+    // the explode's subtree must contain the GLOBAL (grouping-free)
+    // collapse; the gid-grouped aggregate below it is countDistinct's
+    // internal expand, still metric-bounded
+    assert(gens.head.child.collect {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.nonEmpty, s"p43 report no longer rides the 1-row aggregate:\n" +
+      gens.head.child.treeString)
+  }
+
+  test("p44: the stats build pays the fact scan once (checkpoint) and " +
+    "the table-level sketch merge is a bounded top-K re-rank of the " +
+    "months-grain sketches, never a corpus re-scan or global sort") {
+    val df = graft.pipeline.PipelineQueries.p44IncrementalStats(spark, sf)
+    val exec = inputPlan(df)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    assert(exec.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"p44 rescans the fact past its checkpoint:\n${exec.treeString}")
+    // the ~TABLE merge re-takes the K smallest of the unioned monthly
+    // sketches: a TakeOrdered (bounded heap) at P44K, not a global sort
+    val p = exec.treeString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"table sketch merge lost its bounded top-K shape:\n$p")
+  }
 }
