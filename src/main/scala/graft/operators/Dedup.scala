@@ -257,8 +257,13 @@ object Dedup {
     * and d10 (edit-distance confirm): k chunk-min signatures in one pass
     * over the exploded shingle arrays, band signatures, band-bucket
     * equi-join, distinct (d1 < d2) pairs. */
-  private def minhashCandidates(arrays: DataFrame): DataFrame = {
-    val mh = minhashTable(arrays)
+  private def minhashCandidates(arrays: DataFrame): DataFrame =
+    bandedPairs(minhashTable(arrays))
+
+  /** The LSH band/bucket equi-join over a minhash signature frame —
+    * split out of [[minhashCandidates]] so d27 can feed it the row-form
+    * signature table without re-deriving the per-doc arrays. */
+  private def bandedPairs(mh: DataFrame): DataFrame = {
     // band b's signature = md5 of its minhashes in seed order
     val bandCols = (0 until MinhashSeeds / BandsOf).map { b =>
       val parts = (0 until BandsOf).map(r => col(s"h${b * BandsOf + r}"))
@@ -280,8 +285,14 @@ object Dedup {
     * min over shingles of chunk i%5 of md5((i/5) ':' shingle-hash) — the
     * 60-bit shingle hash rendered as decimal digits, identically in both
     * engines. */
-  private def minhashTable(arrays: DataFrame): DataFrame = {
-    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("h"))
+  private def minhashTable(arrays: DataFrame): DataFrame =
+    minhashTableRows(arrays.select(col("doc_id"), explode(col("shingles")).as("h")))
+
+  /** Row-form twin of [[minhashTable]]: signatures straight from
+    * (doc_id, h) shingle rows. min() over duplicates equals min() over
+    * the distinct set, so the signatures are identical whichever form
+    * feeds it. */
+  private def minhashTableRows(sh: DataFrame): DataFrame = {
     val nDigests = (MinhashSeeds + MinhashChunksPerDigest - 1) / MinhashChunksPerDigest
     val withM = (0 until nDigests).foldLeft(sh)((df, k) =>
       df.withColumn(s"m$k", md5(concat(lit(k.toString), lit(":"), col("h").cast("string")))))
@@ -1265,6 +1276,7 @@ object Dedup {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d27_weighted_jaccard" -> d27OracleSql,
     "d25_dedup_epochs" -> d25OracleSql,
     "d26_embed_decontam" -> d26OracleSql,
     "d24_df_profile" -> d24OracleSql,
@@ -2604,7 +2616,117 @@ object Dedup {
        |) ORDER BY key""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d27
+
+  /** `d27_weighted_jaccard`: df-WEIGHTED resemblance — the modality the
+    * unweighted family (d2/d3) lacks on boilerplate-heavy corpora. Plain
+    * Jaccard scores every shingle equally, so two documents sharing a
+    * large license header / navigation template / scraper chrome read as
+    * near-dups even when ALL their real content differs — and,
+    * symmetrically, two true copies wrapped in different templates score
+    * low. The fix is the TF-IDF idea applied to resemblance (Broder's
+    * weighted-resemblance form): a shingle's weight is `1e6 div df` —
+    * the rarer the shingle, the more a match of it means; a template
+    * shingle present in hundreds of documents weighs ~nothing (the df
+    * profile d24 sizes is exactly the weight table this consumes).
+    * Weighted Jaccard of a pair = Σ_{h∈A∩B} w(h) / Σ_{h∈A∪B} w(h), all
+    * integer arithmetic (weights, sums, and the τ test as cross-mult) so
+    * both engines agree bit-for-bit. Candidates come from the SAME
+    * MinHash/LSH banding d3 uses — signatures straight from the distinct
+    * (doc_id, h) rows. Emitted: every candidate pair passing EITHER τ
+    * (=[[TauNum]]/[[TauDen]], d3's operating point), with both scores
+    * and the three-way verdict — `both` (agreed dup), `plain_only` (the
+    * boilerplate over-score d3 would wrongly collapse), `weighted_only`
+    * (the template-diluted true dup d3 would miss) — so the artifact IS
+    * the keep/drop disagreement audit the weighting exists for.
+    *
+    * Scale: the shingle rows are checkpointed once and feed the df
+    * aggregate (map-side partial, broadcast back under the d2
+    * size-adaptive rule), the signature table and both pair-join sides;
+    * the weighted-intersection join is candidate-bounded (band
+    * equi-join first, never all-pairs), pair×shared-shingle grained —
+    * the d3 confirm shape with a weight column. */
+  def d27WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (doc_id, h): exact SET semantics for both the df counts
+    // and the weight sums (a 60-bit within-doc collision would otherwise
+    // double-count its weight)
+    val sh = shingleRows(spark, dir).distinct().localCheckpoint(true)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val dfreqSide = if (dfreq.count() <= DfreqBroadcastLimit) broadcast(dfreq) else dfreq
+    val wp = sh.join(dfreqSide, Seq("h"))
+      .select(col("doc_id"), col("h"), expr("1000000L div df").as("w"))
+      .localCheckpoint(true) // doc totals + both pair-join sides
+    val docW = wp.groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("dw"), count(lit(1)).as("n"))
+    val cand = bandedPairs(minhashTableRows(sh))
+    val inter = cand
+      .join(wp.select(col("doc_id").as("d1"), col("h"), col("w")), Seq("d1"))
+      .join(wp.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("inter_w"))
+    val plainDup = col("n_common") * TauDen >= col("union_n") * TauNum
+    val wDup = col("inter_w") * TauDen >= col("union_w") * TauNum
+    inter
+      .join(docW.select(col("doc_id").as("d1"),
+        col("dw").as("dw1"), col("n").as("n1")), Seq("d1"))
+      .join(docW.select(col("doc_id").as("d2"),
+        col("dw").as("dw2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("union_w", col("dw1") + col("dw2") - col("inter_w"))
+      .withColumn("union_n", col("n1") + col("n2") - col("n_common"))
+      .filter(plainDup || wDup)
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+        col("n_common"),
+        floor(col("n_common") * lit(1000000.0) / col("union_n"))
+          .cast("long").as("jaccard_e6"),
+        col("inter_w"), col("union_w"),
+        floor(col("inter_w") * lit(1000000.0) / col("union_w"))
+          .cast("long").as("wjaccard_e6"),
+        when(plainDup && wDup, "both")
+          .when(plainDup, "plain_only")
+          .otherwise("weighted_only").as("verdict"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  private lazy val d27OracleSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCandCte,
+       |ps AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM docsh),
+       |dfr AS (SELECT h, count(*) AS df FROM ps GROUP BY 1),
+       |wp AS MATERIALIZED (
+       | SELECT p.doc_id, p.h, 1000000 // d.df AS w
+       | FROM ps p JOIN dfr d USING (h)),
+       |dw AS (
+       | SELECT doc_id, CAST(sum(w) AS BIGINT) AS dw,
+       |  CAST(count(*) AS BIGINT) AS n
+       | FROM wp GROUP BY 1),
+       |iw AS (
+       | SELECT c.cd1 AS d1, c.cd2 AS d2,
+       |  CAST(count(*) AS BIGINT) AS n_common,
+       |  CAST(sum(a.w) AS BIGINT) AS inter_w
+       | FROM cand c
+       |  JOIN wp a ON a.doc_id = c.cd1
+       |  JOIN wp b ON b.doc_id = c.cd2 AND b.h = a.h
+       | GROUP BY 1, 2)
+       |SELECT i.d1 AS doc_id_1, i.d2 AS doc_id_2, i.n_common,
+       | CAST(floor(i.n_common * 1000000.0 / (n1.n + n2.n - i.n_common))
+       |  AS BIGINT) AS jaccard_e6,
+       | i.inter_w, n1.dw + n2.dw - i.inter_w AS union_w,
+       | CAST(floor(i.inter_w * 1000000.0 / (n1.dw + n2.dw - i.inter_w))
+       |  AS BIGINT) AS wjaccard_e6,
+       | CASE
+       |  WHEN i.n_common * $TauDen >= (n1.n + n2.n - i.n_common) * $TauNum
+       |   AND i.inter_w * $TauDen >= (n1.dw + n2.dw - i.inter_w) * $TauNum
+       |   THEN 'both'
+       |  WHEN i.n_common * $TauDen >= (n1.n + n2.n - i.n_common) * $TauNum
+       |   THEN 'plain_only'
+       |  ELSE 'weighted_only' END AS verdict
+       |FROM iw i JOIN dw n1 ON n1.doc_id = i.d1 JOIN dw n2 ON n2.doc_id = i.d2
+       |WHERE i.n_common * $TauDen >= (n1.n + n2.n - i.n_common) * $TauNum
+       |  OR i.inter_w * $TauDen >= (n1.dw + n2.dw - i.inter_w) * $TauNum
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_weighted_jaccard" -> (d27WeightedJaccard _),
     "d25_dedup_epochs" -> (d25DedupEpochs _),
     "d26_embed_decontam" -> (d26EmbedDecontam _),
     "d24_df_profile" -> (d24DfProfile _),

@@ -2708,6 +2708,30 @@ object Similarity {
     * so beam membership is engine-exact and the oracle replays the
     * identical unrolled rounds. */
   def s26HnswLayers(spark: SparkSession, dir: String): DataFrame = {
+    val m = hnswBuild(spark, dir)
+    var beam: Option[DataFrame] = None
+    for (_ <- 1 to HnswUpperRounds)
+      beam = Some(hnswRound(m, beam, m.g2, HnswUpperWidth)._1)
+    for (_ <- 1 to HnswUpperRounds)
+      beam = Some(hnswRound(m, beam, m.g1, HnswUpperWidth)._1)
+    for (_ <- 1 to HnswBeamRounds)
+      beam = Some(hnswRound(m, beam, m.g0, BeamWidth)._1)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_e6").desc, col("cand"))
+    beam.get
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BeamTopK)
+      .select(col("probe_id"), col("rank"), col("cand").as("neighbor_id"),
+        col("cos_e6"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** s26's build, shared with s31's dial sweep: level table, per-layer
+    * re-linked graphs, probe panel, entry set, candidate embeddings. */
+  private case class HnswMachinery(probes: DataFrame, entry: DataFrame,
+      cembs: DataFrame, g2: DataFrame, g1: DataFrame, g0: DataFrame)
+
+  private def hnswBuild(spark: SparkSession, dir: String): HnswMachinery = {
     val e = emb(spark, dir)
     val h = graft.functions.TextFunctions.md5Long60(col("vec_id").cast("string"))
     val lvl = e.select(col("vec_id"),
@@ -2746,42 +2770,40 @@ object Similarity {
     val entry = probes.select(col("probe_id"))
       .crossJoin(broadcast(entryRow)).localCheckpoint(true)
     val cembs = e.select(col("vec_id").as("cand"), col("embedding").as("ce"))
-    def score(cands: DataFrame, width: Int): DataFrame = {
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_e6").desc, col("cand"))
-      cands
-        .join(cembs, Seq("cand"))
-        .join(broadcast(probes), Seq("probe_id"))
-        .select(col("probe_id"), col("cand"),
-          floor(cosineFast(col("pe"), col("ce")) * lit(1000000.0))
-            .cast("long").as("cos_e6"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= width)
-        .select(col("probe_id"), col("cand"), col("cos_e6"))
+    HnswMachinery(probes, entry, cembs, g2, g1, g0)
+  }
+
+  /** One descent round: expand the beam (∪ entry) through `graph`, score
+    * the distinct candidate set, keep the top `width` per probe. Returns
+    * (next beam — checkpointed, it feeds the next round twice — and the
+    * scored candidate SET, the per-round cost s31 bills each cell). */
+  private def hnswRound(m: HnswMachinery, beam: Option[DataFrame],
+      graph: DataFrame, width: Int,
+      keepCost: Boolean = false): (DataFrame, DataFrame) = {
+    val base = beam match {
+      case Some(b) => b.select(col("probe_id"), col("cand")).union(m.entry)
+      case None => m.entry
     }
-    def round(beam: Option[DataFrame], graph: DataFrame, width: Int): DataFrame = {
-      val base = beam match {
-        case Some(b) => b.select(col("probe_id"), col("cand")).union(entry)
-        case None => entry
-      }
-      val nb = base.join(graph, col("cand") === col("g_src"))
-        .select(col("probe_id"), col("g_dst").as("cand"))
-      val candSet = base.union(nb)
-        .filter(col("cand") =!= col("probe_id")).distinct()
-      score(candSet, width).localCheckpoint(true)
-    }
-    var beam: Option[DataFrame] = None
-    for (_ <- 1 to HnswUpperRounds) beam = Some(round(beam, g2, HnswUpperWidth))
-    for (_ <- 1 to HnswUpperRounds) beam = Some(round(beam, g1, HnswUpperWidth))
-    for (_ <- 1 to HnswBeamRounds) beam = Some(round(beam, g0, BeamWidth))
+    val nb = base.join(graph, col("cand") === col("g_src"))
+      .select(col("probe_id"), col("g_dst").as("cand"))
+    val candSet0 = base.union(nb)
+      .filter(col("cand") =!= col("probe_id")).distinct()
+    // checkpoint the candidate set only when the caller counts it as the
+    // cost axis (s31) — s26's query path consumes it exactly once
+    val candSet = if (keepCost) candSet0.localCheckpoint(true) else candSet0
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_e6").desc, col("cand"))
-    beam.get
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= BeamTopK)
-      .select(col("probe_id"), col("rank"), col("cand").as("neighbor_id"),
-        col("cos_e6"))
-      .orderBy(col("probe_id"), col("rank"))
+    val scored = candSet
+      .join(m.cembs, Seq("cand"))
+      .join(broadcast(m.probes), Seq("probe_id"))
+      .select(col("probe_id"), col("cand"),
+        floor(cosineFast(col("pe"), col("ce")) * lit(1000000.0))
+          .cast("long").as("cos_e6"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= width)
+      .select(col("probe_id"), col("cand"), col("cos_e6"))
+      .localCheckpoint(true)
+    (scored, candSet)
   }
 
   private lazy val s26OracleSql: String = {

@@ -58,7 +58,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val widestKeys = shorts.sortBy(-_.length).take(Bench.HeadlineCount + 3)
     def sample(worst: String) = {
       val qs = widestKeys.map(n => "\"" + n + "\":" + worst).mkString("{", ",", "}")
-      s"""{"metric":"total","value":99999.9,"unit":"sec","nq":99999,"queries":$qs,"sf":"sf0.1","env_throttled":false}"""
+      s"""{"metric":"total","value":99999.9,"unit":"sec","nq":99999,"queries":$qs,"sf":"sf0.1","pf":9,"env_throttled":false}"""
     }
     // the samples cover each fmt2 arm at its widest
     val worst = Seq("9.99", "999", "-1").map(sample(_).length).max

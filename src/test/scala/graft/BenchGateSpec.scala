@@ -90,4 +90,57 @@ class BenchGateSpec extends AnyFunSuite {
     assert(suspects == Seq("q18_approx_stats"))
     assert(suspects.size < Bench.BurstMinSuspects)
   }
+
+  // ---- preflight (the r19 self-healing arm): the gate DETECTS weather;
+  // the preflight OUTLASTS it, bounded, with a logged trail.
+
+  private val floors = Map("q1_pricing_summary" -> 0.65,
+    "q6_forecast_revenue" -> 0.35, "p1_ingest_raw" -> 0.30)
+
+  test("preflight: a clean host clears on the first probe — no sleep, " +
+    "one trail entry, three canary runs") {
+    var slept = 0L
+    var runs = 0
+    val (attempts, trail) = Bench.preflight(floors,
+      { _ => runs += 1; 0.2 }, ms => slept += ms)
+    assert(attempts == 1 && trail.size == 1 && runs == 3 && slept == 0L)
+    assert(trail.head.contains("\"cleared\":true") && trail.head.contains("\"hot\":0"))
+  }
+
+  test("preflight: a weather window (2+ canaries over 1.5x floors) sleeps " +
+    "and re-probes until the host recovers, recording every attempt") {
+    var slept = 0L
+    var probe = 0
+    val (attempts, trail) = Bench.preflight(floors,
+      { n =>
+        if (n == "q1_pricing_summary") probe += 1
+        // attempts 1-2: everything 3x its floor; attempt 3: clean
+        if (probe <= 2) floors(n) * 3.0 else floors(n) * 0.8
+      }, ms => slept += ms)
+    assert(attempts == 3, s"expected recovery on attempt 3, got $attempts")
+    assert(trail.size == 3 && slept == 2 * Bench.PreflightSleepMs)
+    assert(trail.take(2).forall(_.contains("\"cleared\":false")))
+    assert(trail.last.contains("\"cleared\":true"))
+  }
+
+  test("preflight: ONE hot canary is not weather (majority rule — a slow " +
+    "single query is its own problem, not the host's)") {
+    val (attempts, trail) = Bench.preflight(floors,
+      { n => if (n == "q1_pricing_summary") 99.0 else 0.1 },
+      _ => fail("must not sleep on a single hot canary"))
+    assert(attempts == 1 && trail.head.contains("\"hot\":1"))
+  }
+
+  test("preflight: a permanently throttled host exhausts the attempt " +
+    "budget and proceeds anyway (the artifact must still land, flagged)") {
+    var slept = 0L
+    val (attempts, trail) = Bench.preflight(floors,
+      { n => floors(n) * 10 }, ms => slept += ms)
+    assert(attempts == Bench.PreflightMaxAttempts)
+    assert(trail.size == Bench.PreflightMaxAttempts)
+    // sleeps BETWEEN attempts only — never after the last (it would waste
+    // a minute of the round for nothing)
+    assert(slept == (Bench.PreflightMaxAttempts - 1) * Bench.PreflightSleepMs)
+    assert(trail.forall(_.contains("\"cleared\":false")))
+  }
 }

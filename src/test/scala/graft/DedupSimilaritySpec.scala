@@ -47,6 +47,82 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tiny.count(_._3 == 1000000L) == 120 * 119 / 2 + 1)
   }
 
+  test("d27: df-weighted resemblance rejects the boilerplate pair plain " +
+    "Jaccard over-scores, keeps true dups, and every emitted number " +
+    "replays from the doc texts in Scala") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d27").toString
+    // 20 docs sharing a 20-token template, each with a 2-token unique
+    // tail: any two share 18 of 22 shingles -> plain jaccard 0.818 >= τ
+    // (a dup verdict), but the shared shingles are ALL template (df=20,
+    // weight 50000 each) while the 4 unshared boundary shingles are
+    // unique (weight 1e6) -> weighted jaccard ~0.18, correctly rejected.
+    val tpl = (0 until 20).map(i => s"tpl$i").mkString(" ")
+    val tplDocs = (0L until 20L).map(i => (i, s"$tpl u${i}a u${i}b"))
+    // a true duplicate pair with RARE content: both verdicts must agree
+    val rare = (0 until 20).map(i => s"rare$i").mkString(" ")
+    val dupDocs = Seq((100L, rare), (101L, rare))
+    // a template-wrapped true dup: same 48 rare tokens behind two
+    // DIFFERENT templates (the second template carried by 10 more docs)
+    val alt = (0 until 20).map(i => s"alt$i").mkString(" ")
+    val altDocs = (50L until 60L).map(i => (i, s"$alt v${i}a v${i}b"))
+    val r48 = (0 until 48).map(i => s"r$i").mkString(" ")
+    val wrapped = Seq((200L, s"$tpl $r48"), (201L, s"$alt $r48"))
+    (tplDocs ++ dupDocs ++ altDocs ++ wrapped)
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.d27WeightedJaccard(spark, dir).collect()
+    // ---- Scala replay: shingle sets + df weights straight off the texts
+    val texts = (tplDocs ++ dupDocs ++ altDocs ++ wrapped).toMap
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = texts.map { case (id, t) => id -> shingles(t) }
+    val df = sets.values.toSeq.flatten.groupBy(identity).map {
+      case (s, xs) => s -> xs.size }
+    def w(s: String): Long = 1000000L / df(s)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"))
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = sa.intersect(sb)
+      val union = sa.union(sb)
+      val interW = inter.toSeq.map(w).sum
+      val unionW = union.toSeq.map(w).sum
+      assert(r.getAs[Long]("n_common") == inter.size.toLong, s"($a,$b) n_common")
+      assert(r.getAs[Long]("inter_w") == interW, s"($a,$b) inter_w")
+      assert(r.getAs[Long]("union_w") == unionW, s"($a,$b) union_w")
+      assert(r.getAs[Long]("jaccard_e6") ==
+        math.floor(inter.size * 1000000.0 / union.size).toLong, s"($a,$b) jaccard")
+      assert(r.getAs[Long]("wjaccard_e6") ==
+        math.floor(interW * 1000000.0 / unionW).toLong, s"($a,$b) wjaccard")
+      val plain = inter.size * Dedup.TauDen >= union.size * Dedup.TauNum
+      val wd = interW * Dedup.TauDen >= unionW * Dedup.TauNum
+      val verdict = if (plain && wd) "both"
+        else if (plain) "plain_only" else "weighted_only"
+      assert(r.getAs[String]("verdict") == verdict, s"($a,$b) verdict")
+    }
+    // ---- the three arms, all non-vacuous on the plant
+    val byVerdict = got.groupBy(_.getAs[String]("verdict"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"))).toSet).toMap
+    // boilerplate over-score: template pairs pass plain τ yet carry
+    // almost no weighted resemblance — d3 would collapse them, d27 won't
+    val tplPairs = byVerdict.getOrElse("plain_only", Set.empty)
+      .filter { case (a, b) => a < 20 && b < 20 }
+    assert(tplPairs.nonEmpty,
+      "no template pair rejected by weighting — the boilerplate arm is vacuous")
+    // the identical rare pair agrees under both scores
+    assert(byVerdict.getOrElse("both", Set.empty).contains((100L, 101L)),
+      "true dup pair lost")
+    // the template-wrapped dup is invisible to plain jaccard (0.53) but
+    // caught by weighting — IF banding surfaced it (J=0.53 candidates
+    // are below the LSH design point; presence is a bonus, absence fine)
+    byVerdict.get("weighted_only").foreach { ps =>
+      assert(ps.subsetOf(Set((200L, 201L))), s"unexpected weighted_only: $ps")
+    }
+    info(s"plain_only template pairs: ${tplPairs.size}, weighted_only: " +
+      s"${byVerdict.getOrElse("weighted_only", Set.empty).size}")
+  }
+
   test("d3: minhash+LSH finds the same high-jaccard pairs as d2") {
     val exact = Dedup.d2DedupNgram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
