@@ -695,6 +695,7 @@ object Similarity {
     "s19_graph_beam" -> s19OracleSql,
     "s26_hnsw_layers" -> s26OracleSql,
     "s27_hnsw_recall" -> s27OracleSql,
+    "s31_beam_sweep" -> s31OracleSql,
     "s28_hnsw_insert" -> s28OracleSql,
     "s29_hnsw_delete" -> s29OracleSql,
     "s30_cascade_rerank" -> s30OracleSql,
@@ -2806,26 +2807,62 @@ object Similarity {
     (scored, candSet)
   }
 
-  private lazy val s26OracleSql: String = {
+  // AS MATERIALIZED on every multiply-referenced CTE: the unrolled
+  // descent rounds each reference the prior beam twice, so DuckDB's
+  // default inlining re-expands the banded pipeline exponentially —
+  // the r17 sf0.1 replay spilled >60 GB and had to be excluded from the
+  // sweep. Materialized, the same statement replays at sf0.1 in ~9 s
+  // inside an 8 GB spill cap (measured r18), so the full surface is
+  // hash-verifiable at 10x driver scale and no oracle can exhaust disk.
+  // (Shared by s26 and s31, which replays the same machinery per cell.)
+  private def hnswScoreCteSql(name: String, candCte: String, width: Int): String = {
     val cos = cosSql("p.pe", "ce.embedding")
-    // AS MATERIALIZED on every multiply-referenced CTE: the 7 unrolled
-    // descent rounds each reference the prior beam twice, so DuckDB's
-    // default inlining re-expands the banded pipeline exponentially —
-    // the r17 sf0.1 replay spilled >60 GB and had to be excluded from the
-    // sweep. Materialized, the same statement replays at sf0.1 in ~9 s
-    // inside an 8 GB spill cap (measured r18), so the full surface is
-    // hash-verifiable at 10x driver scale and no oracle can exhaust disk.
-    def scoreCte(name: String, candCte: String, width: Int): String =
-      s"""$name AS MATERIALIZED (
-         | SELECT probe_id, cand, cos_e6 FROM (
-         |  SELECT c.probe_id, c.cand,
-         |   CAST(floor($cos * 1000000.0) AS BIGINT) AS cos_e6,
-         |   row_number() OVER (PARTITION BY c.probe_id
-         |     ORDER BY CAST(floor($cos * 1000000.0) AS BIGINT) DESC, c.cand) AS r
-         |  FROM $candCte c
-         |   JOIN embeddings ce ON ce.vec_id = c.cand
-         |   JOIN probes p ON p.probe_id = c.probe_id)
-         | WHERE r <= $width)""".stripMargin
+    s"""$name AS MATERIALIZED (
+       | SELECT probe_id, cand, cos_e6 FROM (
+       |  SELECT c.probe_id, c.cand,
+       |   CAST(floor($cos * 1000000.0) AS BIGINT) AS cos_e6,
+       |   row_number() OVER (PARTITION BY c.probe_id
+       |     ORDER BY CAST(floor($cos * 1000000.0) AS BIGINT) DESC, c.cand) AS r
+       |  FROM $candCte c
+       |   JOIN embeddings ce ON ce.vec_id = c.cand
+       |   JOIN probes p ON p.probe_id = c.probe_id)
+       | WHERE r <= $width)""".stripMargin
+  }
+
+  /** The descent-round CTE chain: `<prefix>base$r` / `<prefix>cand$r` /
+    * `<prefix>beam$r` for each (graph, width) layer. `startFrom` seeds
+    * round 1's base from a prior beam CTE (s31's layer-0 chains start
+    * from the shared upper descent); None starts from the entry set
+    * alone (s26's round 1). */
+  private def hnswRoundChainSql(prefix: String, layers: Seq[(String, Int)],
+      startFrom: Option[String]): String =
+    layers.zipWithIndex.map { case ((g, width), i) =>
+      val r = i + 1
+      val base =
+        if (r == 1) startFrom match {
+          case Some(from) =>
+            s"""SELECT probe_id, cand FROM $from
+               |  UNION ALL SELECT probe_id, cand FROM entryset""".stripMargin
+          case None => "SELECT probe_id, cand FROM entryset"
+        }
+        else
+          s"""SELECT probe_id, cand FROM ${prefix}beam${r - 1}
+             |  UNION ALL SELECT probe_id, cand FROM entryset""".stripMargin
+      s"""${prefix}base$r AS MATERIALIZED (
+         | $base),
+         |${prefix}cand$r AS MATERIALIZED (
+         | SELECT DISTINCT probe_id, cand FROM (
+         |  SELECT probe_id, cand FROM ${prefix}base$r
+         |  UNION ALL
+         |  SELECT b.probe_id, g.g_dst AS cand
+         |  FROM ${prefix}base$r b JOIN $g g ON b.cand = g.g_src)
+         | WHERE cand <> probe_id),
+         |${hnswScoreCteSql(s"${prefix}beam$r", s"${prefix}cand$r", width)}""".stripMargin
+    }.mkString(",\n")
+
+  /** The shared s26/s31 CTE prefix: banded scored pairs, level table,
+    * the three re-linked layer graphs, entry point, probe panel. */
+  private lazy val hnswPrefixSql: String = {
     def layerGraphCte(name: String, minLvl: Int): String = {
       val flt =
         if (minLvl == 0) ""
@@ -2842,30 +2879,7 @@ object Similarity {
          |   SELECT s.v2, s.v1, s.cos_e6 FROM kscored s$flt))
          | WHERE r <= $KnnK)""".stripMargin
     }
-    // rounds 1..7: (graph, width); round 1 has no prior beam
-    val layers = Seq.fill(HnswUpperRounds)(("g2", HnswUpperWidth)) ++
-      Seq.fill(HnswUpperRounds)(("g1", HnswUpperWidth)) ++
-      Seq.fill(HnswBeamRounds)(("g0", BeamWidth))
-    val rounds = layers.zipWithIndex.map { case ((g, width), i) =>
-      val r = i + 1
-      val base =
-        if (r == 1) "SELECT probe_id, cand FROM entryset"
-        else
-          s"""SELECT probe_id, cand FROM beam${r - 1}
-             |  UNION ALL SELECT probe_id, cand FROM entryset""".stripMargin
-      s"""base$r AS MATERIALIZED (
-         | $base),
-         |cand$r AS MATERIALIZED (
-         | SELECT DISTINCT probe_id, cand FROM (
-         |  SELECT probe_id, cand FROM base$r
-         |  UNION ALL
-         |  SELECT b.probe_id, g.g_dst AS cand
-         |  FROM base$r b JOIN $g g ON b.cand = g.g_src)
-         | WHERE cand <> probe_id),
-         |${scoreCte(s"beam$r", s"cand$r", width)}""".stripMargin
-    }.mkString(",\n")
-    val nRounds = layers.size
-    s"""WITH sigs AS MATERIALIZED (
+    s"""sigs AS MATERIALIZED (
        |$knnBandSql),
        |kcand AS MATERIALIZED (
        | SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
@@ -2892,13 +2906,21 @@ object Similarity {
        |probes AS MATERIALIZED (
        | SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
        | WHERE vec_id < $NumProbes),
-       |entryset AS MATERIALIZED (SELECT probe_id, cand FROM probes CROSS JOIN ent),
-       |$rounds
+       |entryset AS MATERIALIZED (SELECT probe_id, cand FROM probes CROSS JOIN ent)""".stripMargin
+  }
+
+  private lazy val s26OracleSql: String = {
+    // rounds 1..7: (graph, width); round 1 has no prior beam
+    val layers = Seq.fill(HnswUpperRounds)(("g2", HnswUpperWidth)) ++
+      Seq.fill(HnswUpperRounds)(("g1", HnswUpperWidth)) ++
+      Seq.fill(HnswBeamRounds)(("g0", BeamWidth))
+    s"""WITH $hnswPrefixSql,
+       |${hnswRoundChainSql("", layers, None)}
        |SELECT probe_id, rank, cand AS neighbor_id, cos_e6 FROM (
        | SELECT probe_id, cand, cos_e6,
        |  CAST(row_number() OVER (PARTITION BY probe_id
        |    ORDER BY cos_e6 DESC, cand) AS BIGINT) AS rank
-       | FROM beam$nRounds)
+       | FROM beam${layers.size})
        |WHERE rank <= $BeamTopK
        |ORDER BY probe_id, rank""".stripMargin
   }
@@ -2951,6 +2973,121 @@ object Similarity {
        |  AS recall_e6
        |FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN hits h USING (probe_id)
        |ORDER BY probe_id""".stripMargin
+
+  /** s31's grid: layer-0 beam widths × round counts swept. Cell (8, 3)
+    * is EXACTLY s26's shipped dial ([[BeamWidth]], [[HnswBeamRounds]]),
+    * so the sweep's corner reproduces production and the curve shows
+    * what each step of the dial bought. */
+  val S31Widths: Seq[Int] = Seq(1, 2, 4, 8)
+  val S31Rounds = 3
+
+  /** `s31_beam_sweep`: the recall-vs-cost FRONTIER of the layered graph
+    * index — s20's nprobe sweep applied to the graph family (s20 tunes
+    * the IVF dial; s26's beam width and round count were fixed constants
+    * tuned once, and a production store ships the curve, not a point).
+    * One row per (beam_width, n_rounds) cell of [[S31Widths]] ×
+    * [[S31Rounds]]: aggregate recall@[[BeamTopK]] of the descent over
+    * the s27 probe panel against s1's exact truth, and the cell's COST —
+    * `scored_candidates`, the number of (probe, candidate) cosines the
+    * funnel evaluates end-to-end (shared upper-layer descent + that
+    * cell's layer-0 rounds), the number a serving budget is written in.
+    * All integers; recall the floor-e6 convention.
+    *
+    * Scale, and the d13/s20 sweep discipline: the graph build, upper
+    * descent (dial-independent — layer-2/1 walk at fixed width) and the
+    * exact truth are computed ONCE (checkpointed) and shared by all 12
+    * cells; per width the round chain is INCREMENTAL (cell (w, r)
+    * extends cell (w, r-1) — 3 rounds pay for 3 cells), so the sweep
+    * costs 4 round-chains, not 12 descents. Every per-cell aggregate is
+    * probe-grained; the only corpus-sized work is the shared banded
+    * build s26 already pays. */
+  def s31BeamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val m = hnswBuild(spark, dir)
+    // shared upper descent: layer 2 then layer 1 at the fixed width —
+    // identical for every cell, so its cost is a constant term
+    var ub: Option[DataFrame] = None
+    val upperCands = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (g <- Seq.fill(HnswUpperRounds)(m.g2) ++ Seq.fill(HnswUpperRounds)(m.g1)) {
+      val (b, cs) = hnswRound(m, ub, g, HnswUpperWidth, keepCost = true)
+      ub = Some(b); upperCands += cs
+    }
+    val upper = ub.get
+    val upperCost = upperCands.map(_.agg(count(lit(1)).as("n")))
+      .reduce(_ unionAll _).agg(sum(col("n")).as("upper_n"))
+    val truth = s1AnnBrute(spark, dir)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
+    val truthStats = truth.agg(
+      countDistinct(col("probe_id")).as("n_probes"),
+      count(lit(1)).as("n_exact"))
+    val wPr = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_e6").desc, col("cand"))
+    val cells = S31Widths.flatMap { wdt =>
+      var beam = upper
+      var costs = Vector.empty[DataFrame]
+      (1 to S31Rounds).map { r =>
+        val (b, cs) = hnswRound(m, Some(beam), m.g0, wdt, keepCost = true)
+        beam = b
+        costs = costs :+ cs.agg(count(lit(1)).as("n"))
+        val cellCost = costs.reduce(_ unionAll _).agg(sum(col("n")).as("l0_n"))
+        val hits = beam
+          .withColumn("rank", row_number().over(wPr))
+          .filter(col("rank") <= BeamTopK)
+          .select(col("probe_id"), col("cand").as("neighbor_id"))
+          .join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        truthStats.crossJoin(hits).crossJoin(cellCost).crossJoin(upperCost)
+          .select(lit(wdt.toLong).as("beam_width"), lit(r.toLong).as("n_rounds"),
+            col("n_probes"), col("n_exact"), col("n_hit"),
+            floor(col("n_hit") * lit(1000000.0) / col("n_exact"))
+              .cast("long").as("recall_e6"),
+            (col("upper_n") + col("l0_n")).as("scored_candidates"))
+      }
+    }
+    cells.reduce(_ unionAll _).orderBy(col("beam_width"), col("n_rounds"))
+  }
+
+  private lazy val s31OracleSql: String = {
+    val upperLayers = Seq.fill(HnswUpperRounds)(("g2", HnswUpperWidth)) ++
+      Seq.fill(HnswUpperRounds)(("g1", HnswUpperWidth))
+    val nUpper = upperLayers.size
+    val upperChain = hnswRoundChainSql("u", upperLayers, None)
+    val upperCost = (1 to nUpper)
+      .map(r => s"(SELECT count(*) FROM ucand$r)").mkString(" + ")
+    val widthChains = S31Widths.map { w =>
+      hnswRoundChainSql(s"w${w}_",
+        Seq.fill(S31Rounds)(("g0", w)), Some(s"ubeam$nUpper"))
+    }.mkString(",\n")
+    val cellRows = S31Widths.flatMap { w =>
+      (1 to S31Rounds).map { r =>
+        val l0Cost = (1 to r)
+          .map(i => s"(SELECT count(*) FROM w${w}_cand$i)").mkString(" + ")
+        s"""SELECT CAST($w AS BIGINT) AS beam_width,
+           | CAST($r AS BIGINT) AS n_rounds, t.n_probes, t.n_exact, h.n_hit,
+           | CAST(floor(h.n_hit * 1000000.0 / t.n_exact) AS BIGINT)
+           |  AS recall_e6,
+           | CAST(($upperCost) + ($l0Cost) AS BIGINT) AS scored_candidates
+           |FROM tstats t CROSS JOIN (
+           | SELECT CAST(count(*) AS BIGINT) AS n_hit
+           | FROM (SELECT probe_id, cand FROM (
+           |   SELECT probe_id, cand, row_number() OVER (PARTITION BY probe_id
+           |     ORDER BY cos_e6 DESC, cand) AS rank
+           |   FROM w${w}_beam$r) WHERE rank <= $BeamTopK) b
+           |  JOIN ex e ON e.probe_id = b.probe_id
+           |   AND e.neighbor_id = b.cand) h""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $hnswPrefixSql,
+       |$upperChain,
+       |$widthChains,
+       |ex AS MATERIALIZED (SELECT probe_id, neighbor_id FROM ($s1OracleSql)),
+       |tstats AS (
+       | SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+       |  CAST(count(*) AS BIGINT) AS n_exact
+       | FROM ex)
+       |SELECT * FROM (
+       |$cellRows
+       |) ORDER BY beam_width, n_rounds""".stripMargin
+  }
 
   /** `s28_hnsw_insert`: incremental insert into s26's layered graph — the
     * operation a production vector store runs continuously (s11 plays
@@ -3882,6 +4019,7 @@ object Similarity {
     "s19_graph_beam" -> (s19GraphBeam _),
     "s26_hnsw_layers" -> (s26HnswLayers _),
     "s27_hnsw_recall" -> (s27HnswRecall _),
+    "s31_beam_sweep" -> (s31BeamSweep _),
     "s28_hnsw_insert" -> (s28HnswInsert _),
     "s29_hnsw_delete" -> (s29HnswDelete _),
     "s30_cascade_rerank" -> (s30CascadeRerank _),

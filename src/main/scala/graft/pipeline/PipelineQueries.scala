@@ -2825,7 +2825,211 @@ object PipelineQueries {
        |FROM u ORDER BY key""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p45
+
+  /** p45 per-row byte widths — the avg-row-size column a table's stats
+    * manifest records beside rowcount/NDV (declared config, like the
+    * reference's yaml: a CBO multiplies stats, it never re-measures). */
+  val P45Widths: Map[String, Long] = Map(
+    "customer" -> 180L, "orders" -> 120L, "lineitem" -> 112L,
+    "part" -> 156L, "supplier" -> 160L, "nation" -> 128L)
+
+  /** p45 broadcast rule: build side is broadcast-worthy when the probe
+    * side is at least [[P45RatioK]]x its bytes — the scale-invariant
+    * form of the absolute-threshold rule (an absolute threshold is a
+    * cluster config; the RATIO is what stats staleness can flip at any
+    * corpus size, which is the decision this advisor audits). */
+  val P45RatioK = 6L
+
+  /** p45 join graph: (probe table, probe key, build table, build key) —
+    * the TPC-H-ish FK edges every curated-zone consumer joins. */
+  val P45Edges: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** p45 ANALYZE cutoff: stats were last refreshed when 3/5 of the fact's
+    * month span had landed (p44's month convention) — the facts have
+    * since grown ~40% while the ANALYZE-time snapshot still answers the
+    * planner's questions. */
+  val P45StatsFifths = 3L
+
+  /** `p45_join_advisor`: the CONSUMER of p44's stats — the CBO decision
+    * those NDV/rowcount/width columns exist for, applied to join
+    * planning (the p39 advisor pattern). Per FK edge of [[P45Edges]]:
+    * the broadcast-vs-shuffle verdict the planner would take FROM STATS
+    * (rows x declared width, [[P45RatioK]] ratio rule) beside the same
+    * verdict from the TRUE current sizes, with `flip` marking edges
+    * where stale stats change the plan — the orders⋈customer edge flips
+    * at every tested scale: the fact grew 1.6x since the ANALYZE while
+    * the dim grew 1.25x, so stats say "customer is too big to
+    * broadcast" about a dim the live ratio comfortably broadcasts (the
+    * silent 10x-shuffle regression p40's staleness verdicts warn about,
+    * here named per join). The stale universe is the p44/p40 calendar:
+    * facts = months below the [[P45StatsFifths]] cutoff (data-derived
+    * from orders, one calendar for both facts); dims = the d8/t5 md5
+    * bucket (< [[graft.operators.Dedup.NewBucketMin]] = rows already
+    * present at ANALYZE time). Each edge also carries the textbook
+    * output-cardinality estimate |R⋈S| = |R|x|S| / max(V(R,k), V(S,k))
+    * from the stale NDVs beside the TRUE join cardinality, so the
+    * stats' row-estimate quality is a measured column too.
+    *
+    * Scale: one scan per table collapses to a 1-row stats frame (all
+    * NDVs of all its edge keys in one aggregate, map-side partial); the
+    * cutoff attaches as a broadcast 1-row aggregate (p19's pattern);
+    * edges assemble by cross-joining 1-row frames. The TRUE join
+    * cardinality is computed KEY-GRAINED (each side collapses to
+    * (key, count) before the join — p18's collapse-before-join
+    * contract), never a row-level join. */
+  def p45JoinAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    val dayCol = Map("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+    val cut = graft.Tables.load(spark, dir, "orders")
+      .select(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)").as("mo"))
+      .agg(expr(s"CAST(min(mo) + (max(mo) - min(mo) + 1) * $P45StatsFifths div 5 AS BIGINT)").as("cut_mo"))
+    // (table, key) stats: one aggregate per table computing rows + every
+    // edge key's NDV, on both the full and the ANALYZE-time universe
+    val tables = P45Edges.flatMap(e => Seq(e._1, e._3)).distinct
+    val keysOf: Map[String, Seq[String]] = tables.map { t =>
+      t -> P45Edges.collect {
+        case (p, pk, _, _) if p == t => pk
+        case (_, _, b, bk) if b == t => bk
+      }.distinct
+    }.toMap
+    val stats: Map[String, DataFrame] = tables.map { t =>
+      val base0 = graft.Tables.load(spark, dir, t)
+      val est = dayCol.get(t) match {
+        case Some(dc) =>
+          expr(s"CAST(year($dc) * 12 + month($dc) - 1 AS BIGINT)") < col("cut_mo")
+        case None =>
+          val pk = keysOf(t).head // dims: the PK carries the md5 bucket
+          md5Long60(col(pk).cast("string")) % 100 <
+            graft.operators.Dedup.NewBucketMin
+      }
+      val aggs = keysOf(t).flatMap { k =>
+        Seq(countDistinct(col(k)).as(s"ndv_${k}_true"),
+          countDistinct(when(col("_est"), col(k))).as(s"ndv_${k}_est"))
+      }
+      val df = base0.crossJoin(broadcast(cut))
+        .withColumn("_est", est)
+        .agg(count(lit(1)).as("rows_true"),
+          sum(when(col("_est"), 1L).otherwise(0L)).as("rows_est") +: aggs: _*)
+      t -> df.localCheckpoint(true) // 1 row; consumed by every edge it is on
+    }.toMap
+    // TRUE join cardinality, key-grained per edge
+    def outTrue(p: String, pk: String, b: String, bk: String): DataFrame = {
+      val a = graft.Tables.load(spark, dir, p).groupBy(col(pk).as("k"))
+        .agg(count(lit(1)).as("cp"))
+      val c = graft.Tables.load(spark, dir, b).groupBy(col(bk).as("k"))
+        .agg(count(lit(1)).as("cb"))
+      a.join(c, Seq("k"))
+        .agg(coalesce(sum(col("cp") * col("cb")), lit(0L)).as("out_rows_true"))
+    }
+    val edges = P45Edges.map { case (p, pk, b, bk) =>
+      val ps = stats(p).select(
+        col("rows_true").as("rpt"), col("rows_est").as("rpe"),
+        col(s"ndv_${pk}_true").as("npt"), col(s"ndv_${pk}_est").as("npe"))
+      val bs = stats(b).select(
+        col("rows_true").as("rbt"), col("rows_est").as("rbe"),
+        col(s"ndv_${bk}_true").as("nbt"), col(s"ndv_${bk}_est").as("nbe"))
+      val (wp, wb) = (P45Widths(p), P45Widths(b))
+      def decision(rp: Column, rb: Column): Column =
+        when(rp * wp >= rb * wb * P45RatioK, "broadcast").otherwise("shuffle")
+      ps.crossJoin(bs).crossJoin(outTrue(p, pk, b, bk))
+        .select(lit(s"$p*$b").as("edge"),
+          col("rpe").as("rows_probe_est"), col("rpt").as("rows_probe_true"),
+          col("rbe").as("rows_build_est"), col("rbt").as("rows_build_true"),
+          (col("rpe") * wp).as("bytes_probe_est"),
+          (col("rpt") * wp).as("bytes_probe_true"),
+          (col("rbe") * wb).as("bytes_build_est"),
+          (col("rbt") * wb).as("bytes_build_true"),
+          decision(col("rpe"), col("rbe")).as("decision_est"),
+          decision(col("rpt"), col("rbt")).as("decision_true"),
+          when(decision(col("rpe"), col("rbe")) =!=
+            decision(col("rpt"), col("rbt")), "flipped").otherwise("ok")
+            .as("flip"),
+          greatest(col("npe"), col("nbe"), lit(1L)).as("ndv_join_est"),
+          greatest(col("npt"), col("nbt"), lit(1L)).as("ndv_join_true"),
+          expr(s"rpe * rbe div greatest(npe, nbe, 1L)").as("out_rows_est"),
+          col("out_rows_true"))
+    }
+    edges.reduce(_ unionAll _).orderBy(col("edge"))
+  }
+
+  private lazy val p45Oracle: String = {
+    val dayCol = Map("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+    def isOldSql(t: String, pk: String): String = dayCol.get(t) match {
+      case Some(dc) =>
+        s"CAST(year($dc) * 12 + month($dc) - 1 AS BIGINT) < (SELECT cut_mo FROM cut)"
+      case None =>
+        s"CAST(('0x' || substr(md5(CAST($pk AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < ${graft.operators.Dedup.NewBucketMin}"
+    }
+    val tables = P45Edges.flatMap(e => Seq(e._1, e._3)).distinct
+    val keysOf: Map[String, Seq[String]] = tables.map { t =>
+      t -> P45Edges.collect {
+        case (p, pk, _, _) if p == t => pk
+        case (_, _, b, bk) if b == t => bk
+      }.distinct
+    }.toMap
+    val statCtes = tables.map { t =>
+      val est = isOldSql(t, keysOf(t).head)
+      val ndvs = keysOf(t).flatMap { k =>
+        Seq(s"CAST(count(DISTINCT $k) AS BIGINT) AS ndv_${k}_true",
+          s"CAST(count(DISTINCT $k) FILTER (WHERE $est) AS BIGINT) AS ndv_${k}_est")
+      }.mkString(",\n  ")
+      s"""st_$t AS (
+         | SELECT CAST(count(*) AS BIGINT) AS rows_true,
+         |  CAST(count(*) FILTER (WHERE $est) AS BIGINT) AS rows_est,
+         |  $ndvs
+         | FROM $t)""".stripMargin
+    }.mkString(",\n")
+    val outCtes = P45Edges.map { case (p, pk, b, bk) =>
+      s"""ot_${p}_$b AS (
+         | SELECT CAST(COALESCE(sum(a.c * c.c), 0) AS BIGINT) AS out_rows_true
+         | FROM (SELECT $pk AS k, count(*) AS c FROM $p GROUP BY 1) a
+         |  JOIN (SELECT $bk AS k, count(*) AS c FROM $b GROUP BY 1) c
+         |   USING (k))""".stripMargin
+    }.mkString(",\n")
+    val edgeRows = P45Edges.map { case (p, pk, b, bk) =>
+      val (wp, wb) = (P45Widths(p), P45Widths(b))
+      def dec(rp: String, rb: String) =
+        s"CASE WHEN ps.$rp * $wp >= bs.$rb * $wb * $P45RatioK THEN 'broadcast' ELSE 'shuffle' END"
+      s"""SELECT '$p*$b' AS edge,
+         | ps.rows_est AS rows_probe_est, ps.rows_true AS rows_probe_true,
+         | bs.rows_est AS rows_build_est, bs.rows_true AS rows_build_true,
+         | ps.rows_est * $wp AS bytes_probe_est,
+         | ps.rows_true * $wp AS bytes_probe_true,
+         | bs.rows_est * $wb AS bytes_build_est,
+         | bs.rows_true * $wb AS bytes_build_true,
+         | ${dec("rows_est", "rows_est")} AS decision_est,
+         | ${dec("rows_true", "rows_true")} AS decision_true,
+         | CASE WHEN ${dec("rows_est", "rows_est")}
+         |   <> ${dec("rows_true", "rows_true")}
+         |  THEN 'flipped' ELSE 'ok' END AS flip,
+         | greatest(ps.ndv_${pk}_est, bs.ndv_${bk}_est, 1) AS ndv_join_est,
+         | greatest(ps.ndv_${pk}_true, bs.ndv_${bk}_true, 1) AS ndv_join_true,
+         | ps.rows_est * bs.rows_est
+         |  // greatest(ps.ndv_${pk}_est, bs.ndv_${bk}_est, 1) AS out_rows_est,
+         | o.out_rows_true AS out_rows_true
+         |FROM st_$p ps CROSS JOIN st_$b bs CROSS JOIN ot_${p}_$b o""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cut AS (
+       | SELECT CAST(min(mo) + (max(mo) - min(mo) + 1) * $P45StatsFifths // 5
+       |   AS BIGINT) AS cut_mo
+       | FROM (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+       |    AS BIGINT) AS mo FROM orders)),
+       |$statCtes,
+       |$outCtes
+       |SELECT * FROM (
+       |$edgeRows
+       |) ORDER BY edge""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p45_join_advisor" -> (p45JoinAdvisor _),
     "p32_deletion_read" -> (p32DeletionRead _),
     "p33_cdc_changelog" -> (p33CdcChangelog _),
     "p39_layout_advisor" -> (p39LayoutAdvisor _),
@@ -2884,6 +3088,7 @@ object PipelineQueries {
     "p42_write_amp" -> p42Oracle,
     "p43_wap_publish" -> p43Oracle,
     "p44_incremental_stats" -> p44Oracle,
+    "p45_join_advisor" -> p45Oracle,
     "p34_bucketed_priority" ->
       graft.operators.Analytics.oracle("q3_shipping_priority"),
     "p35_bucketed_semi" ->

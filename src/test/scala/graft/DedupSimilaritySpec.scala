@@ -123,6 +123,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${byVerdict.getOrElse("weighted_only", Set.empty).size}")
   }
 
+  test("s31: the beam sweep is a true frontier — recall monotone in beam " +
+    "width, cost strictly increasing in rounds, and the (BeamWidth, " +
+    "HnswBeamRounds) corner reproduces s26's production recall exactly") {
+    val rows = Similarity.s31BeamSweep(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("beam_width"), r.getAs[Long]("n_rounds")),
+        (r.getAs[Long]("n_hit"), r.getAs[Long]("recall_e6"),
+          r.getAs[Long]("scored_candidates"), r.getAs[Long]("n_exact")))).toMap
+    assert(rows.size == Similarity.S31Widths.size * Similarity.S31Rounds)
+    // recall@k monotone (non-strict) in beam width at every round count —
+    // the property that makes the width dial a dial
+    for (r <- 1 to Similarity.S31Rounds;
+         Seq(w1, w2) <- Similarity.S31Widths.map(_.toLong).sliding(2)) {
+      assert(rows((w1, r.toLong))._2 <= rows((w2, r.toLong))._2,
+        s"recall dropped widening $w1 -> $w2 at rounds=$r")
+    }
+    // recall monotone in rounds at fixed width; cost strictly increasing
+    // (every extra round scores at least the base beam again)
+    for (w <- Similarity.S31Widths.map(_.toLong); r <- 1 until Similarity.S31Rounds) {
+      assert(rows((w, r.toLong))._2 <= rows((w, r.toLong + 1))._2,
+        s"recall dropped adding a round at width=$w")
+      assert(rows((w, r.toLong))._3 < rows((w, r.toLong + 1))._3,
+        s"cost not increasing at width=$w round $r")
+    }
+    // the production corner IS s26: its n_hit must equal the sum of
+    // s27's per-probe hits (same descent, same truth)
+    val s27Hits = Similarity.s27HnswRecall(spark, sf).collect()
+      .map(_.getAs[Long]("n_hit")).sum
+    val corner = rows((Similarity.BeamWidth.toLong, Similarity.HnswBeamRounds.toLong))
+    assert(corner._1 == s27Hits,
+      s"sweep corner ${corner._1} != s26/s27 production recall $s27Hits")
+    info(s"frontier at sf0.001: recall ${rows.toSeq.sortBy(_._1).map(_._2._2).mkString(",")}")
+  }
+
   test("d3: minhash+LSH finds the same high-jaccard pairs as d2") {
     val exact = Dedup.d2DedupNgram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

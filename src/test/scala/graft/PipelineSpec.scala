@@ -2004,4 +2004,80 @@ class PipelineSpec extends AnyFunSuite {
     info(s"months: ${months.length}, exact-regime: ${exactMonths.size}, " +
       s"~TABLE est ${t._5} vs exact ${t._2} (err_e6 ${t._6})")
   }
+
+  test("p45: the join advisor replays literally from raw counts — stale " +
+    "universes, byte estimates, both decisions, the NDV output estimate " +
+    "and the key-grained true cardinality — and the stale stats FLIP the " +
+    "orders⋈customer broadcast decision while every other edge holds") {
+    import PipelineQueries.{P45Edges, P45RatioK, P45StatsFifths, P45Widths}
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // raw per-table (key -> value rows) with the month / md5 stale flags
+    def mo(d: java.time.LocalDate): Long = d.getYear.toLong * 12 + d.getMonthValue - 1
+    val orderMos = Tables.load(spark, sf, "orders").select("o_orderdate")
+      .collect().map(r => mo(r.getAs[java.time.LocalDateTime](0).toLocalDate))
+    val cut = orderMos.min + (orderMos.max - orderMos.min + 1) * P45StatsFifths / 5
+    def tableRows(t: String, keys: Seq[String]): Array[(Map[String, Long], Boolean)] = {
+      val dayCol = Map("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+      val cols = keys.map(k =>
+        org.apache.spark.sql.functions.col(k).cast("long").as(k)) ++
+        dayCol.get(t).toSeq.map(org.apache.spark.sql.functions.col)
+      Tables.load(spark, sf, t).select(cols: _*)
+        .collect().map { r =>
+          val kv = keys.map(k => k -> r.getAs[Long](k)).toMap
+          val est = dayCol.get(t) match {
+            case Some(dc) => mo(r.getAs[java.time.LocalDateTime](dc).toLocalDate) < cut
+            case None => md5Long60(kv(keys.head).toString) % 100 <
+              graft.operators.Dedup.NewBucketMin
+          }
+          (kv, est)
+        }
+    }
+    val keysOf = P45Edges.flatMap(e => Seq(e._1 -> e._2, e._3 -> e._4))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val raw = keysOf.map { case (t, ks) => t -> tableRows(t, ks) }
+    val got = PipelineQueries.p45JoinAdvisor(spark, sf).collect()
+      .map(r => r.getAs[String]("edge") -> r).toMap
+    assert(got.size == P45Edges.size)
+    P45Edges.foreach { case (p, pk, b, bk) =>
+      val r = got(s"$p*$b")
+      val (pr, br) = (raw(p), raw(b))
+      def stats(rows: Array[(Map[String, Long], Boolean)], k: String) =
+        (rows.length.toLong, rows.count(_._2).toLong,
+          rows.map(_._1(k)).distinct.length.toLong,
+          rows.filter(_._2).map(_._1(k)).distinct.length.toLong)
+      val (rpt, rpe, npt, npe) = stats(pr, pk)
+      val (rbt, rbe, nbt, nbe) = stats(br, bk)
+      val (wp, wb) = (P45Widths(p), P45Widths(b))
+      def dec(rp: Long, rb: Long) =
+        if (rp * wp >= rb * wb * P45RatioK) "broadcast" else "shuffle"
+      assert(r.getAs[Long]("rows_probe_est") == rpe &&
+        r.getAs[Long]("rows_build_est") == rbe &&
+        r.getAs[Long]("bytes_build_true") == rbt * wb, s"$p*$b sizes")
+      assert(r.getAs[String]("decision_est") == dec(rpe, rbe) &&
+        r.getAs[String]("decision_true") == dec(rpt, rbt), s"$p*$b decision")
+      assert(r.getAs[String]("flip") ==
+        (if (dec(rpe, rbe) != dec(rpt, rbt)) "flipped" else "ok"), s"$p*$b flip")
+      assert(r.getAs[Long]("out_rows_est") ==
+        rpe * rbe / math.max(1L, math.max(npe, nbe)), s"$p*$b out est")
+      // key-grained true cardinality
+      val cp = pr.groupBy(_._1(pk)).view.mapValues(_.size.toLong).toMap
+      val cb = br.groupBy(_._1(bk)).view.mapValues(_.size.toLong).toMap
+      val outTrue = cp.keySet.intersect(cb.keySet).toSeq
+        .map(k => cp(k) * cb(k)).sum
+      assert(r.getAs[Long]("out_rows_true") == outTrue, s"$p*$b out true")
+    }
+    // the staleness story is non-vacuous: the fact outgrew its dim since
+    // the ANALYZE, so stats under-sell the probe/build ratio and shuffle
+    // a dim the live table comfortably broadcasts — on exactly this edge
+    assert(got("orders*customer").getAs[String]("flip") == "flipped" &&
+      got("orders*customer").getAs[String]("decision_est") == "shuffle" &&
+      got("orders*customer").getAs[String]("decision_true") == "broadcast",
+      "the orders*customer stale-stats flip is the operator's reason to exist")
+    assert(got.values.count(_.getAs[String]("flip") == "flipped") == 1,
+      "every other edge must hold its decision")
+  }
 }
