@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.all ++ AnalyticsExt.all ++ Behavior.all ++ PipelineQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++ TopK.all ++
-      SkewJoin.all ++ Map("t14_heavy_hitters" -> (HeavyHitters.t14HeavyHitters _))
+      SkewJoin.all ++ graft.streaming.StreamQueries.all ++
+      Map("t14_heavy_hitters" -> (HeavyHitters.t14HeavyHitters _))
 
   /** What Bench times: [[queries]] with verification-shaped entries swapped
     * for their production twins. Today that is only q18 — the verified form
@@ -33,7 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ AnalyticsExt.oracle ++ Behavior.oracle ++ PipelineQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ TopK.oracle ++
-      Multimodal.oracle ++ SkewJoin.oracle ++
+      Multimodal.oracle ++ SkewJoin.oracle ++ graft.streaming.StreamQueries.oracle ++
       Map("t14_heavy_hitters" -> HeavyHitters.t14Oracle)
 
   /** Called by Verify after a query's result parquet lands. Operators whose

@@ -659,4 +659,42 @@ class StreamingSpec extends AnyFunSuite {
         "the additive state never actually added")
     } finally q.stop()
   }
+
+  test("st1/st2 (the measured streaming rows): st2's cross-batch " +
+    "overwrite arm fires on the real corpus and the drained state " +
+    "replays as the global per-user argmax; st1's drained keepers " +
+    "equal d1's on a dup-free corpus") {
+    val sf = "/root/testdata/sf0.001"
+    // ---- st2: replay the argmax from raw events, and prove batch 1
+    // actually overwrote batch-0 state (a user with events in BOTH time
+    // halves whose final row is from the newer half)
+    val raw = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = (raw.map(_._3).min + raw.map(_._3).max + 1) / 2
+    val expect = raw.groupBy(_._1).view.mapValues(
+      _.maxBy(e => (e._3, e._2))).toMap
+    val got = graft.streaming.StreamQueries.st2StreamUpsert(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[Long]("ts_us"))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (u, e) =>
+      assert(got(u) == ((e._2, e._3)), s"user $u final row diverged") }
+    val overwritten = raw.groupBy(_._1).count { case (_, evs) =>
+      evs.exists(_._3 < cut) && expect(evs.head._1)._3 >= cut }
+    assert(overwritten > 0,
+      "no user's batch-0 state was overwritten — the merge arm is vacuous")
+    info(s"st2: ${got.size} users, $overwritten cross-batch overwrites")
+    // ---- st1: on a corpus with no exact-dup groups the streamed
+    // keepers are exactly d1's keeper set (the cross-batch anti-join
+    // arm is pinned on the planted corpus in the corpusDedupSink test)
+    val st1 = graft.streaming.StreamQueries.st1StreamDedup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val d1 = graft.operators.Dedup.d1DedupExact(spark, sf)
+      .filter(col("is_keeper") === 1L)
+      .select(col("norm_hash"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(st1 == d1, "streamed dedup state != batch d1 keepers")
+  }
 }
