@@ -23,7 +23,8 @@ import org.apache.spark.sql.SparkSession
   */
 object SuiteProbe {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q34_culprit_supplier")
+    val targets = args.headOption.getOrElse("q34_culprit_supplier")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val reps = if (args.length > 1) args(1).toInt else 6
     val prefixSpec = if (args.length > 2) args(2) else "none"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,26 +54,40 @@ object SuiteProbe {
     // warmup (Bench's shape), then the prefix
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Spark's own codegen-compile counters (the janino layer): per-rep
+    // deltas in compilation COUNT and time are direct evidence of the
+    // generated-class cache (100 entries, non-configurable) evicting a
+    // plan's classes between interleaved reps
+    def cgCount: Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    def cgMs: Long = {
+      val s = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getSnapshot
+      (s.getMean * org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount).toLong
+    }
     val names = SparkEntry.benchQueries.keySet.toSeq.sorted
     val prefix: Seq[String] = prefixSpec match {
       case "none" => Nil
-      case "all" => names.filterNot(_ == name)
+      case "all" => names.filterNot(targets.contains)
       case fams =>
         val ps = fams.split(",").map(_.trim).filter(_.nonEmpty)
-        names.filter(n => n != name && ps.exists(p =>
+        names.filter(n => !targets.contains(n) && ps.exists(p =>
           n.startsWith(p) && n.drop(p.length).headOption.exists(_.isDigit)))
     }
     val p0 = System.nanoTime()
     prefix.foreach(runOnce)
     println(f"[probe] prefix=$prefixSpec (${prefix.size} queries, " +
-      f"${(System.nanoTime() - p0) / 1e9}%.1f s); timing $name x$reps")
-    for (i <- 1 to reps) {
-      val (g0, j0, c0, t0) = (gcMs, jitMs, cpuNow(), System.nanoTime())
-      runOnce(name)
-      val wall = (System.nanoTime() - t0) / 1e9
-      val cpu = if (c0 < 0) -1.0 else (cpuNow() - c0) / 1e9
-      println(f"rep $i%2d: wall $wall%7.3f s  cpu $cpu%7.2f s  " +
-        f"gc ${(gcMs - g0) / 1000.0}%6.2f s  jit ${(jitMs - j0) / 1000.0}%6.2f s")
+      f"${(System.nanoTime() - p0) / 1e9}%.1f s); timing ${targets.mkString(",")} x$reps")
+    targets.foreach { name =>
+      for (i <- 1 to reps) {
+        val (g0, j0, n0, t0) = (gcMs, jitMs, cgCount, System.nanoTime())
+        runOnce(name)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"$name rep $i%2d: wall $wall%7.3f s  " +
+          f"gc ${(gcMs - g0) / 1000.0}%6.2f s  jit ${(jitMs - j0) / 1000.0}%6.2f s  " +
+          f"codegen-compiles ${cgCount - n0}%3d")
+      }
     }
     spark.stop()
   }
