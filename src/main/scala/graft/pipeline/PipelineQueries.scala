@@ -2913,11 +2913,18 @@ object PipelineQueries {
         Seq(countDistinct(col(k)).as(s"ndv_${k}_true"),
           countDistinct(when(col("_est"), col(k))).as(s"ndv_${k}_est"))
       }
+      // deliberately NOT checkpointed: a checkpointed 1-row frame reaches
+      // the edge crossJoins as an RDD scan whose grain no plan audit can
+      // prove bounded (PlanSpec's suite-wide NLJ pin fails closed on it),
+      // while the visible global aggregate is provably 1-row — and the
+      // re-run per consuming edge is one pruned scan, cheaper than
+      // materializing (the r19 p45 measurement: checkpointing fact
+      // projections made the query 30% slower)
       val df = base0.crossJoin(broadcast(cut))
         .withColumn("_est", est)
         .agg(count(lit(1)).as("rows_true"),
           sum(when(col("_est"), 1L).otherwise(0L)).as("rows_est") +: aggs: _*)
-      t -> df.localCheckpoint(true) // 1 row; consumed by every edge it is on
+      t -> df
     }.toMap
     // TRUE join cardinality, key-grained per edge
     def outTrue(p: String, pk: String, b: String, bk: String): DataFrame = {
