@@ -54,18 +54,11 @@ object SuiteProbe {
     // warmup (Bench's shape), then the prefix
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Spark's own codegen-compile counters (the janino layer): per-rep
-    // deltas in compilation COUNT and time are direct evidence of the
-    // generated-class cache (100 entries, non-configurable) evicting a
-    // plan's classes between interleaved reps
+    // Spark's own codegen-compile counter (the janino layer): per-rep
+    // deltas in compilation COUNT are direct evidence of the generated-
+    // class cache evicting a plan's classes between interleaved reps
     def cgCount: Long = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME.getCount
-    def cgMs: Long = {
-      val s = org.apache.spark.metrics.source.CodegenMetrics
-        .METRIC_COMPILATION_TIME.getSnapshot
-      (s.getMean * org.apache.spark.metrics.source.CodegenMetrics
-        .METRIC_COMPILATION_TIME.getCount).toLong
-    }
     val names = SparkEntry.benchQueries.keySet.toSeq.sorted
     val prefix: Seq[String] = prefixSpec match {
       case "none" => Nil
@@ -81,10 +74,12 @@ object SuiteProbe {
       f"${(System.nanoTime() - p0) / 1e9}%.1f s); timing ${targets.mkString(",")} x$reps")
     targets.foreach { name =>
       for (i <- 1 to reps) {
-        val (g0, j0, n0, t0) = (gcMs, jitMs, cgCount, System.nanoTime())
+        val (g0, j0, n0, c0, t0) = (gcMs, jitMs, cgCount, cpuNow(), System.nanoTime())
         runOnce(name)
         val wall = (System.nanoTime() - t0) / 1e9
-        println(f"$name rep $i%2d: wall $wall%7.3f s  " +
+        val c1 = cpuNow()
+        val cpu = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
+        println(f"$name rep $i%2d: wall $wall%7.3f s  cpu $cpu%7.2f s  " +
           f"gc ${(gcMs - g0) / 1000.0}%6.2f s  jit ${(jitMs - j0) / 1000.0}%6.2f s  " +
           f"codegen-compiles ${cgCount - n0}%3d")
       }

@@ -35,8 +35,25 @@ object StreamQueries {
     * create one). Everything the stream files is fingerprint-sized —
     * text dies in each micro-batch's scan; the state merge is the
     * hash-keyed anti-join d8 ships at batch scale. */
+  /** Recursively delete a run's scratch dir. The staged arrival files are
+    * a full table copy; Bench times these queries every rep of every
+    * sweep, so leaving them to accumulate in /tmp leaks a corpus copy per
+    * rep. Called in a `finally` AFTER the drained state has been
+    * localCheckpoint'ed (the returned frame must not depend on files
+    * this deletes). Best-effort: cleanup failure must not fail the query. */
+  private def deleteWork(work: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
   def st1StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_st1").toString
+    try st1Run(spark, dir, work) finally deleteWork(work)
+  }
+
+  private def st1Run(spark: SparkSession, dir: String, work: String): DataFrame = {
     val in = new java.io.File(work, "in"); in.mkdirs()
     val state = s"$work/state"
     val docs = graft.Tables.load(spark, dir, "documents")
@@ -67,11 +84,15 @@ object StreamQueries {
       .filter(_.getName.startsWith("b")).sortBy(_.getName.drop(1).toLong)
     require(batchDirs.length == 2,
       s"expected 2 micro-batches, got ${batchDirs.map(_.getName).toSeq}")
+    // localCheckpoint (eager) pins the fingerprint-sized state in block
+    // storage so the scratch dir — staged table copy, checkpoint, state —
+    // can be deleted the moment this returns instead of leaking per rep
     batchDirs.map { d =>
       spark.read.parquet(d.getPath)
         .select(col("norm_hash"), col("doc_id"),
           lit(d.getName.drop(1).toLong).as("src_batch"))
-    }.reduce(_ unionByName _).orderBy(col("norm_hash"), col("doc_id"))
+    }.reduce(_ unionByName _).localCheckpoint(eager = true)
+      .orderBy(col("norm_hash"), col("doc_id"))
   }
 
   /** st1 oracle: the STREAMING semantics as batch SQL — batch 0 keeps
@@ -79,7 +100,11 @@ object StreamQueries {
     * hash for hashes batch 0 did not file (the anti-join against prior
     * state). Stating plain d1 here would hash-mismatch whenever a hash's
     * global min id is odd but an even twin arrived first — the
-    * batch-order dependence is the thing being verified. */
+    * batch-order dependence is the thing being verified. The batch-1 arm
+    * is NOT EXISTS, not NOT IN: a NULL text yields a NULL hash, and NOT
+    * IN against a set containing NULL drops EVERY batch-1 row, while the
+    * engine's left_anti join keeps null-key rows (null never matches) —
+    * NOT EXISTS has exactly the left_anti null semantics. */
   private val st1Oracle: String =
     """WITH n AS (
       | SELECT doc_id,
@@ -92,7 +117,7 @@ object StreamQueries {
       |SELECT h AS norm_hash, doc_id, CAST(0 AS BIGINT) AS src_batch FROM a
       |UNION ALL
       |SELECT b.h, b.doc_id, CAST(1 AS BIGINT)
-      |FROM b WHERE b.h NOT IN (SELECT h FROM a)
+      |FROM b WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.h = b.h)
       |ORDER BY norm_hash, doc_id""".stripMargin
 
   /** `st2_stream_upsert`: the incremental-merge stream
@@ -117,6 +142,10 @@ object StreamQueries {
     * cents). */
   def st2StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_st2").toString
+    try st2Run(spark, dir, work) finally deleteWork(work)
+  }
+
+  private def st2Run(spark: SparkSession, dir: String, work: String): DataFrame = {
     val in = new java.io.File(work, "in"); in.mkdirs()
     val state = s"$work/state"
     val ev = graft.Tables.load(spark, dir, "events")
@@ -160,6 +189,7 @@ object StreamQueries {
     spark.read.parquet(s"$state/v${versions.max}")
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("event_type"), col("value_c"))
+      .localCheckpoint(eager = true)
       .orderBy(col("user_id"))
   }
 
