@@ -30,7 +30,11 @@ import org.apache.spark.sql.SparkSession
   * flagged query was in-band). Since round 19 a canary [[preflight]]
   * additionally runs BEFORE the sweeps and waits out transient host
   * weather (bounded sleep-and-retry, trail logged) so the capture
-  * self-heals instead of only self-flagging. BENCH_SPREAD.json records
+  * self-heals instead of only self-flagging; since round 20 the same
+  * guard runs MID-run too — a preflight between sweeps plus a bounded
+  * re-run of any sweep whose own in-sweep canary timings breached the
+  * gate (see [[MaxSweepRetries]]) — because r19 showed weather arriving
+  * AFTER a clean start still contaminates whole sweeps. BENCH_SPREAD.json records
   * per-rep process-CPU seconds beside wall seconds (`cpu`): wall ≫ cpu on
   * a compute-bound plan is the host-starvation signature, diagnosable
   * from the artifact alone.
@@ -144,6 +148,34 @@ object Bench {
     * canaries still verdict the whole run. */
   val PreflightMaxAttempts = 6
   val PreflightSleepMs = 45000L
+
+  /** MID-RUN weather guard — the r19 lesson: the start-of-run preflight
+    * buys a clean START (`pf:1` that round), but 3 of 5 r19 sweeps still
+    * burst-flagged MID-run; weather that arrives after the preflight
+    * clears contaminates whole sweeps and the run self-flags
+    * `env_throttled` for the 5th round running. Two bounded arms, both
+    * riding the trail in BENCH_SPREAD.json (`sweep_guard`):
+    *
+    *  - BETWEEN sweeps, re-run the [[preflight]] probe loop — a sweep
+    *    never STARTS into weather the canaries can already see;
+    *  - AFTER each sweep, read the sweep's OWN canary timings (the three
+    *    canaries are timed inside every sweep anyway — no extra probe):
+    *    if ≥2 breached [[CanaryFactor]]× their floors, the sweep rode
+    *    weather mid-flight; wait it out (preflight loop) and RE-RUN the
+    *    sweep, keeping the retry. Retries are bounded by
+    *    [[MaxSweepRetries]] across the whole run (a permanently slow
+    *    host must still produce an artifact; the per-sweep canary gate
+    *    still verdicts whatever data ships).
+    */
+  val MaxSweepRetries = 2
+
+  /** How many of a sweep's own in-sweep canary readings breached the
+    * gate — the post-sweep taint verdict. Pure for BenchGateSpec. */
+  private[graft] def sweepHotCount(
+      sweep: Seq[(String, (Double, Double))],
+      floors: Map[String, Double]): Int =
+    floors.count { case (n, f) =>
+      sweep.find(_._1 == n).exists(_._2._1 > CanaryFactor * f) }
 
   /** Run the preflight loop; returns (attemptsUsed, trail) where trail is
     * one JSON object per attempt. `runCanary` executes one named canary
@@ -291,7 +323,7 @@ object Bench {
     def cpuDelta(c0: Long, c1: Long): Double =
       if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
     // Reps interleaved sweeps: sweep r times every query once, in name order
-    val bySweep = (1 to Reps).map { _ =>
+    def runSweep(): Seq[(String, (Double, Double))] =
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val c0 = cpuNow()
@@ -317,6 +349,30 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         timed
       }
+    // mid-run weather guard (see [[MaxSweepRetries]]): preflight between
+    // sweeps, re-run a sweep whose own canary timings read hot
+    val guardTrail = scala.collection.mutable.ArrayBuffer.empty[String]
+    var retriesLeft = MaxSweepRetries
+    val bySweep = (1 to Reps).map { sweepIdx =>
+      if (sweepIdx > 1) {
+        val (a, _) = preflight(canaryFloor, runCanary)
+        if (a > 1) guardTrail +=
+          s"""{"sweep":$sweepIdx,"phase":"pre","attempts":$a}"""
+      }
+      var sweep = runSweep()
+      var hot = sweepHotCount(sweep, canaryFloor)
+      while (hot >= 2 && retriesLeft > 0) {
+        retriesLeft -= 1
+        System.err.println(s"[bench] sweep $sweepIdx rode weather " +
+          s"($hot canaries over gate) — waiting it out and re-running " +
+          s"($retriesLeft retries left)")
+        val (a, _) = preflight(canaryFloor, runCanary)
+        guardTrail +=
+          s"""{"sweep":$sweepIdx,"phase":"retry","hot":$hot,"attempts":$a}"""
+        sweep = runSweep()
+        hot = sweepHotCount(sweep, canaryFloor)
+      }
+      sweep
     }
     def reps(name: String, part: ((Double, Double)) => Double): Seq[Double] =
       bySweep.map(sweep => part(sweep.find(_._1 == name).get._2))
@@ -401,8 +457,9 @@ object Bench {
       "\"" + k + "\":" + fmt(median(v))
     }.mkString("{", ",", "}")
     val pfJson = pfTrail.mkString("[", ",", "]")
+    val guardJson = guardTrail.mkString("[", ",", "]")
     val spreadLine =
-      s"""{"metric":"spread","reps":$Reps,"sf":"$sfDir","clamped":$clampedJson,"burst_suspects":$burstsJson,"preflight":$pfJson,"medians":$mediansJson,"spread":${spreadObj(results)},"cpu":${spreadObj(cpuReps)}}"""
+      s"""{"metric":"spread","reps":$Reps,"sf":"$sfDir","clamped":$clampedJson,"burst_suspects":$burstsJson,"preflight":$pfJson,"sweep_guard":$guardJson,"medians":$mediansJson,"spread":${spreadObj(results)},"cpu":${spreadObj(cpuReps)}}"""
     // the canary gate: a majority of the three trivial canaries over
     // CanaryFactor× their clean floors means the environment, not the
     // code, set this run's numbers. The burst arm ORs in: either way the
@@ -435,8 +492,10 @@ object Bench {
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
     val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
     // `pf` = preflight attempts used (1 = host clean on first probe);
-    // the per-attempt readings live in BENCH_SPREAD.json's `preflight`
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfTag","pf":$pfAttempts,"env_throttled":$envThrottled}""")
+    // `rt` = sweep retries burned by the mid-run weather guard (0 = no
+    // sweep rode weather); trails live in BENCH_SPREAD.json
+    // (`preflight`, `sweep_guard`)
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfTag","pf":$pfAttempts,"rt":${MaxSweepRetries - retriesLeft},"env_throttled":$envThrottled}""")
     spark.stop()
   }
 }

@@ -476,7 +476,9 @@ object Behavior {
   /** The q12 oracle's session CTE with `event_type` carried through; the
     * gap literal comes from [[Analytics.SessionGapUs]] so the Spark
     * helper, this oracle and q12's stay one definition. */
-  private val sessionCteSql =
+  // private[graft]: st5's streaming-funnel oracle (graft.streaming
+  // .StreamQueries) states per-session verdicts over the same gap split
+  private[graft] val sessionCteSql =
     s"""e AS (
       | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
       |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1

@@ -1575,8 +1575,8 @@ object TextAnalysis {
   }
 
   // the t24 weight lambda body (DuckDB, over lambda var `t`) — shared
-  // with t26's corpus-card score column
-  private lazy val clfWeightSql: String = {
+  // with t26's corpus-card score column and st3's streaming-gate oracle
+  private[graft] lazy val clfWeightSql: String = {
     val bucket = "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % " +
       s"$ClfBuckets"
     s"""(CAST(('0x' || substr(md5('w|' || CAST($bucket AS VARCHAR)), 1, 15))
@@ -2284,7 +2284,7 @@ object TextAnalysis {
 
   // empty-text-safe token list: mirrors wsTokens (trim-regex then split).
   // private[operators]: s15's lexical-retrieval oracle tokenizes the same way
-  private[operators] val toksCaseSql =
+  private[graft] val toksCaseSql =
     s"CASE WHEN length($trimSql) = 0 THEN []::VARCHAR[] ELSE $tokSql END"
 
   private val t7OracleSql: String =

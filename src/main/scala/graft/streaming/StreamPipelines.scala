@@ -218,8 +218,13 @@ object StreamPipelines {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
           val old = state.getOption.getOrElse(FunnelState(Nil, 0L))
+          // FULL microseconds (getTime alone is ms-truncated): the corpus
+          // carries sub-ms event times, and the batch q20/st5 oracle
+          // sessionizes and orders on epoch_us — the grain must match or
+          // same-ms ties order differently stream-vs-batch
           val incoming = it.map(e =>
-            (e.ts.getTime * 1000L, e.event_id, e.event_type)).toList
+            (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L, e.event_id, e.event_type)).toList
           val all = (old.buffered ++ incoming).sortBy(t => (t._1, t._2))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           if (all.isEmpty) {

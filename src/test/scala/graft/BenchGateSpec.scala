@@ -143,4 +143,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(slept == (Bench.PreflightMaxAttempts - 1) * Bench.PreflightSleepMs)
     assert(trail.forall(_.contains("\"cleared\":false")))
   }
+
+  // the r20 mid-run guard verdict: a sweep is tainted when >=2 of its
+  // OWN in-sweep canary timings breach the gate — no extra probe, the
+  // canaries are timed inside every sweep anyway
+
+  private def sweep(q1: Double, q6: Double, p1: Double) = Seq(
+    "q1_pricing_summary" -> ((q1, q1)), "q6_forecast_revenue" -> ((q6, q6)),
+    "p1_ingest_raw" -> ((p1, p1)), "d1_dedup_exact" -> ((9.9, 9.9)))
+
+  test("sweep taint: a sweep whose canaries sat under the gate is clean " +
+    "no matter how slow its other queries ran (code, not weather)") {
+    assert(Bench.sweepHotCount(sweep(0.6, 0.3, 0.25), floors) == 0)
+  }
+
+  test("sweep taint: 2+ in-sweep canary breaches mark the sweep as " +
+    "weather-ridden (the r19 mid-run burst signature)") {
+    assert(Bench.sweepHotCount(sweep(1.2, 0.8, 0.25), floors) == 2)
+    assert(Bench.sweepHotCount(sweep(1.2, 0.8, 0.9), floors) == 3)
+  }
+
+  test("sweep taint: one hot canary is the query's problem, not the " +
+    "host's — same majority rule as the preflight") {
+    assert(Bench.sweepHotCount(sweep(9.9, 0.3, 0.25), floors) == 1)
+  }
 }

@@ -2080,4 +2080,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.count(_.getAs[String]("flip") == "flipped") == 1,
       "every other edge must hold its decision")
   }
+
+  test("p46: the ANALYZE-priority list replays from p45's own verdicts — " +
+    "per-table fix credit goes only to a table whose SOLO stats refresh " +
+    "repairs the flipped call, the ROI rank is total and deterministic, " +
+    "and on this corpus ORDERS alone fixes the orders⋈customer flip " +
+    "while CUSTOMER alone does not") {
+    import PipelineQueries.{P45Edges, P45RatioK, P45Widths}
+    val p45 = PipelineQueries.p45JoinAdvisor(spark, sf).collect()
+      .map(r => r.getAs[String]("edge") -> r).toMap
+    // replay the fix semantics from p45's published row/byte columns
+    def dec(bp: Long, bb: Long) =
+      if (bp >= bb * P45RatioK) "broadcast" else "shuffle"
+    case class Credit(tbl: String, flipped: Long, fixes: Long, mass: Long)
+    val credits = P45Edges.flatMap { case (p, _, b, _) =>
+      val r = p45(s"$p*$b")
+      val (bpt, bbt) = (r.getAs[Long]("bytes_probe_true"), r.getAs[Long]("bytes_build_true"))
+      val (bpe, bbe) = (r.getAs[Long]("bytes_probe_est"), r.getAs[Long]("bytes_build_est"))
+      val flipped = if (dec(bpe, bbe) != dec(bpt, bbt)) 1L else 0L
+      val fixP = if (flipped == 1L && dec(bpt, bbe) == dec(bpt, bbt)) 1L else 0L
+      val fixB = if (flipped == 1L && dec(bpe, bbt) == dec(bpt, bbt)) 1L else 0L
+      Seq(Credit(p, flipped, fixP, bpt + bbt), Credit(b, flipped, fixB, bpt + bbt))
+    }
+    val want = credits.groupBy(_.tbl).map { case (t, cs) =>
+      t -> ((cs.size.toLong, cs.map(_.flipped).sum, cs.map(_.fixes).sum,
+        cs.map(c => c.fixes * c.mass).sum))
+    }
+    val got = PipelineQueries.p46AnalyzePriority(spark, sf).collect()
+    assert(got.length == want.size, "one row per join-graph table")
+    got.foreach { r =>
+      val t = r.getAs[String]("tbl")
+      val (ne, nf, nx, mass) = want(t)
+      assert(r.getAs[Long]("n_edges") == ne && r.getAs[Long]("n_flipped") == nf
+        && r.getAs[Long]("n_fixed") == nx
+        && r.getAs[Long]("fix_mass_bytes") == mass, s"$t credit columns")
+      assert(r.getAs[Long]("scan_bytes") ==
+        r.getAs[Long]("rows_true") * P45Widths(t), s"$t scan cost")
+      assert(r.getAs[Long]("roi_e6") ==
+        mass * 1000000L / math.max(1L, r.getAs[Long]("scan_bytes")), s"$t roi")
+    }
+    // rank is the deterministic total order on (roi desc, mass desc, name)
+    val byRank = got.sortBy(_.getAs[Long]("rank"))
+    val keys = byRank.map(r => (-r.getAs[Long]("roi_e6"),
+      -r.getAs[Long]("fix_mass_bytes"), r.getAs[String]("tbl")))
+    assert(keys.toSeq == keys.toSeq.sorted, "rank order replays")
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to got.length).toSeq, "ranks are 1..n")
+    // non-vacuous on the real corpus: the orders⋈customer flip exists and
+    // is credited to the FACT alone (its growth drove the flip; refreshing
+    // the dim's stats leaves the wrong call in place)
+    val o = got.find(_.getAs[String]("tbl") == "orders").get
+    val c = got.find(_.getAs[String]("tbl") == "customer").get
+    assert(o.getAs[Long]("n_fixed") >= 1L, "orders must fix its flip")
+    assert(c.getAs[Long]("n_flipped") >= 1L && c.getAs[Long]("n_fixed") == 0L,
+      "customer touches the flip but cannot fix it alone")
+    assert(o.getAs[Long]("rank") == 1L, "the fixer with the only fix mass ranks first")
+  }
 }
