@@ -91,9 +91,9 @@ object Bench {
     * applies only when the artifact is missing or unparseable — e.g. the
     * bench run from a bare classes dir — and says so on stderr. */
   val FallbackFloor: Map[String, Double] = Map(
-    "q1_pricing_summary" -> 0.65,
-    "q6_forecast_revenue" -> 0.35,
-    "p1_ingest_raw" -> 0.30)
+    "q1_pricing_summary" -> 0.85,
+    "q6_forecast_revenue" -> 0.55,
+    "p1_ingest_raw" -> 0.42)
   val CanaryFactor = 1.5
 
   /** Parse the `## Canary floors` table from BASELINE.md (cwd). Returns

@@ -167,4 +167,12 @@ class BenchGateSpec extends AnyFunSuite {
     "host's — same majority rule as the preflight") {
     assert(Bench.sweepHotCount(sweep(9.9, 0.3, 0.25), floors) == 1)
   }
+
+  test("canary floors parse from the committed BASELINE.md and match the " +
+    "compiled fallback — the r20 recalibration must land in BOTH places " +
+    "or a bare-classpath bench run gets a differently-calibrated gate") {
+    val parsed = Bench.canaryFloors()
+    assert(parsed == Bench.FallbackFloor,
+      s"BASELINE.md floors $parsed != FallbackFloor ${Bench.FallbackFloor}")
+  }
 }
