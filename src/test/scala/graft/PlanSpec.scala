@@ -622,8 +622,12 @@ class PlanSpec extends AnyFunSuite {
     // the data's TIME SPAN (<= 1.2k months per century), never its
     // volume; the snapshot-log chain is read sequentially off metadata
     // in any real lakehouse, which is exactly this shape
+    // tbl: p46's join-graph table name — every value originates from a
+    // lit() constant over P45Edges' compile-time vocabulary, so
+    // cardinality <= 2x|edges| by CONSTRUCTION (the rank window it
+    // feeds orders |tables| rows, never data)
     val slotKeys = Set("rid", "media_type", "fail_idx", "rule_idx",
-      "r_name", "n_name", "fbin", "mo", "yr", "ckpt")
+      "r_name", "n_name", "fbin", "mo", "yr", "ckpt", "tbl")
     def boundedGrain(p: LogicalPlan): Boolean = p match {
       // a global aggregate collapses to ONE row; a grouped aggregate is
       // bounded only when every key is a known slot-grained attribute
