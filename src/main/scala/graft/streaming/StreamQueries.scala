@@ -466,17 +466,385 @@ object StreamQueries {
        | JOIN t3 USING (user_id, session_id)
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Load the events table projected to the streaming-row column set and
+    * return it with the data-derived time cut for the two-batch split —
+    * shared by the r20 promotions st6/st8/st9/st10. The cut is st2's
+    * midpoint NUDGED 29m10s forward: the corpus spans ~exactly 30
+    * midnight-aligned days, so the raw midpoint lands pathologically at a
+    * day/hour boundary and the cross-batch arms (an hour window updated
+    * by both batches, an interval-join match crossing the cut) would be
+    * vacuous; the odd offset sits mid-hour and mid-half-hour, so at the
+    * driver's sf0.01/sf0.1 gate scales both arms measurably fire
+    * (verified against the shipped testdata). The min/max fold is one
+    * 1-row aggregate over the pruned (ts) scan. */
+  private def eventsWithCut(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+    (ev, (minUs + maxUs + 1) / 2 + 1750L * 1000000L, maxUs)
+  }
+
+  /** One far-future sentinel row (st5's flush rule): a synthetic user −1
+    * event `offsetUs` past the corpus max, typed `zz_sentinel` so window
+    * grains that carry event_type can filter it by name and the rest by
+    * its out-of-range event time. Two such batches advance the watermark
+    * past every real window/session end independent of trailing
+    * no-data-batch scheduling. */
+  private def sentinelRow(spark: SparkSession, maxUs: Long, offsetUs: Long): DataFrame =
+    spark.range(1).select(lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxUs + offsetUs)).as("ts"), lit(-1L).as("user_id"),
+      lit("zz_sentinel").as("event_type"), lit(0.0).as("value"))
+
+  private val YearUs = 365L * 86400L * 1000000L
+
+  private val EventsStreamSchema =
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+  /** `st6_stream_window`: the watermarked windowed aggregate
+    * ([[StreamPipelines.windowedTypeCounts]] — hourly per-type counts and
+    * value sums, 30-minute watermark; the reference's micro-batch windowed
+    * rollup shape) AS AN ORACLE ROW (r20 promotion). The two-batch
+    * time-midpoint arrival is globally time-ordered, and the watermark
+    * only advances AFTER a batch, so it never passes an unseen event's
+    * hour — zero late drops by construction; two far-future sentinel
+    * batches then advance the watermark past every real window's end so
+    * append mode emits them all before the drain stops (sentinel groups
+    * carry their own event_type and are filtered from the drained
+    * output). Under exactly those two conditions the streamed result
+    * equals the batch GROUP BY (hour, type) the oracle states, so the
+    * hash match proves watermark bookkeeping, window-close emission and
+    * state reclamation through the real machinery.
+    *
+    * Scale: state is one row per OPEN (hour, type) group — bounded by
+    * the watermark horizon, never by history; the aggregate itself is
+    * partial/merge-shaped like any batch agg. */
+  def st6StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st6").toString
+    try st6Run(spark, dir, work) finally deleteWork(work)
+  }
+
+  private def st6Run(spark: SparkSession, dir: String, work: String): DataFrame = {
+    val in = new java.io.File(work, "in"); in.mkdirs()
+    val out = s"$work/out"
+    val (ev, cutUs, maxUs) = eventsWithCut(spark, dir)
+    stageFile(in, work, "a", ev.filter(unix_micros(col("ts")) < cutUs), 1000000000L)
+    stageFile(in, work, "b", ev.filter(unix_micros(col("ts")) >= cutUs), 2000000000L)
+    stageFile(in, work, "c", sentinelRow(spark, maxUs, YearUs), 3000000000L)
+    stageFile(in, work, "d", sentinelRow(spark, maxUs, 2 * YearUs), 4000000000L)
+    val stream = spark.readStream.schema(EventsStreamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamPipelines.windowedTypeCounts(stream)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(q.exception.isEmpty, s"st6 stream died: ${q.exception}")
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "zz_sentinel")
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .localCheckpoint(eager = true)
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
+
+  /** st6 oracle: zero drops + full flush reduce the stream to the batch
+    * hourly rollup. Spark's `window('1 hour')` aligns to the epoch, which
+    * in the UTC session is `date_trunc('hour', …)`. */
+  private val st6Oracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+      | count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** `st7_stream_enrich`: the stream-static enrichment join
+    * ([[StreamPipelines.enrichStream]] — p6's curated join run
+    * continuously, with p15's late-dimension placeholder row shape) AS AN
+    * ORACLE ROW (r20 promotion). The events stream arrives as the
+    * two-batch time split; the STATIC dimension is p15's "arrived"
+    * customer snapshot (same md5-bucket late filter, same
+    * [[graft.pipeline.Curated.LateBucketMax]] constant), so the inferred
+    * arm is non-vacuous on a corpus where every FK resolves. The join is
+    * STATELESS — each micro-batch joins the dim with batch semantics and
+    * appends — so the drained output equals the batch left join
+    * regardless of batching; what the row verifies is the machinery (a
+    * dim that re-resolves per batch, per-batch broadcast, placeholder
+    * projection) at exact row grain.
+    *
+    * Scale: the dim broadcasts while it fits (p15's own bound); nothing
+    * is stateful, so throughput is scan-bound. */
+  def st7StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st7").toString
+    try st7Run(spark, dir, work) finally deleteWork(work)
+  }
+
+  private def st7Run(spark: SparkSession, dir: String, work: String): DataFrame = {
+    val in = new java.io.File(work, "in"); in.mkdirs()
+    val out = s"$work/out"
+    val (ev, cutUs, _) = eventsWithCut(spark, dir)
+    stageFile(in, work, "a", ev.filter(unix_micros(col("ts")) < cutUs), 1000000000L)
+    stageFile(in, work, "b", ev.filter(unix_micros(col("ts")) >= cutUs), 2000000000L)
+    val arrived = graft.Tables.load(spark, dir, "customer")
+      .filter(expr(s"CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100") >= graft.pipeline.Curated.LateBucketMax)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val stream = spark.readStream.schema(EventsStreamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamPipelines.enrichStream(stream, arrived, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_name"), lit("INFERRED")).as("c_name"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("c_mktsegment"),
+        col("is_inferred"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(q.exception.isEmpty, s"st7 stream died: ${q.exception}")
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"), col("is_inferred"))
+      .localCheckpoint(eager = true)
+      .orderBy(col("event_id"))
+  }
+
+  /** st7 oracle: the batch left join against p15's arrived-snapshot CTE
+    * (stateless enrichment is batching-invariant). */
+  private val st7Oracle: String =
+    s"""WITH arrived AS (
+       | SELECT c_custkey, c_name, c_mktsegment FROM customer
+       | WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= ${graft.pipeline.Curated.LateBucketMax})
+       |SELECT event_id, user_id,
+       | COALESCE(c_name, 'INFERRED') AS c_name,
+       | COALESCE(c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       | CAST(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_inferred
+       |FROM events LEFT JOIN arrived ON user_id = c_custkey
+       |ORDER BY event_id""".stripMargin
+
+  /** `st8_stream_sessions`: the built-in `session_window` aggregation
+    * ([[StreamPipelines.sessionWindowAgg]] — per-user gap sessions with
+    * Spark owning the merge state, the declarative twin of st5's fMGWS
+    * sessionizer) AS AN ORACLE ROW (r20 promotion). st5's arrival shape:
+    * the whole table as batch 0 (watermark starts at 0 — in-batch
+    * disorder drops nothing), then two far-future sentinel batches so the
+    * watermark passes every real session's end and append mode emits them
+    * all; the sentinel user −1's own open session is filtered. Spark
+    * merges sessions while consecutive events are ≤ gap apart (probed:
+    * exactly-gap-apart events DO merge — the same `diff > gap ⇒ new
+    * session` rule as q12's batch CTE), so the oracle restates the gap
+    * split with per-session aggregates. The hash match proves the
+    * engine-owned session-merge state machine, watermark finalization and
+    * append emission at session grain.
+    *
+    * Scale: state is per OPEN session (merged intervals), reclaimed at
+    * finalization; the aggregate partial-merges map-side like any agg. */
+  def st8StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st8").toString
+    try st8Run(spark, dir, work) finally deleteWork(work)
+  }
+
+  private def st8Run(spark: SparkSession, dir: String, work: String): DataFrame = {
+    val in = new java.io.File(work, "in"); in.mkdirs()
+    val out = s"$work/out"
+    val (ev, _, maxUs) = eventsWithCut(spark, dir)
+    stageFile(in, work, "a", ev, 1000000000L)
+    stageFile(in, work, "b", sentinelRow(spark, maxUs, YearUs), 2000000000L)
+    stageFile(in, work, "c", sentinelRow(spark, maxUs, 2 * YearUs), 3000000000L)
+    val stream = spark.readStream.schema(EventsStreamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    // The sentinel filter MUST happen on the read-back, not in the
+    // streaming query: a filter on a grouping key placed after the
+    // aggregation is pushed by Catalyst below the EventTimeWatermark
+    // node, so the sentinel rows would be dropped AT THE SCAN, the
+    // watermark would never advance past the corpus max, and the last
+    // real session would never flush (measured: the corpus-max session
+    // silently vanished from the drained output).
+    val q = StreamPipelines.sessionWindowAgg(stream)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(q.exception.isEmpty, s"st8 stream died: ${q.exception}")
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+        unix_micros(col("end")).as("end_us"), col("n_events"), col("sum_value"))
+      .localCheckpoint(eager = true)
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** st8 oracle: the q12 gap split (non-strict merge — `diff > gap` opens
+    * a session, matching the probed session_window behavior) with
+    * session_window's interval arithmetic: start = first event, end =
+    * last event + gap. The gap literal is
+    * [[graft.operators.Analytics.SessionGapUs]] — one definition with
+    * q12/q20/st5 and the 30-minute default of sessionWindowAgg. */
+  private def st8Oracle: String = {
+    val gap = graft.operators.Analytics.SessionGapUs
+    s"""WITH e AS (
+       | SELECT user_id, epoch_us(ts) AS ts_us, value,
+       |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gap THEN 1
+       |       ELSE 0 END AS new_session
+       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (
+       | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+       |   ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       | FROM e)
+       |SELECT user_id, min(ts_us) AS start_us,
+       | max(ts_us) + $gap AS end_us,
+       | count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
+  }
+
+  /** `st9_stream_interval`: the stream-stream interval join
+    * ([[StreamPipelines.intervalJoin]] — purchases matched to the same
+    * user's clicks in the preceding 12 hours, watermarks bounding both
+    * sides' state; the window is sized so same-user cross-type pairs
+    * exist at the gate scales on this corpus) AS AN ORACLE ROW (r20
+    * promotion). Both sides are event-type filters of ONE staged arrival
+    * (a streaming self-join), split at the nudged time midpoint, so
+    * batch-1 purchases genuinely match batch-0 clicks OUT OF STATE at
+    * sf0.01/sf0.1 — the cross-batch retention arm runs.
+    * Completeness is structural: batches are time-ordered, so a match
+    * with the click in a LATER batch than the purchase would need
+    * click_ts ≥ cut > purchase_ts ≥ click_ts — impossible; and Spark
+    * evicts a buffered click only once the watermark proves no future
+    * purchase can reach it. Inner-join results emit in the batch that
+    * computes them (no flush sentinels needed), so the drained output
+    * equals the batch interval join the oracle states, at exact pair
+    * grain.
+    *
+    * Scale: state per side is the watermark-deep tail only; the join
+    * shuffles on the key like its batch twin (q23's range join). */
+  def st9StreamInterval(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st9").toString
+    try st9Run(spark, dir, work) finally deleteWork(work)
+  }
+
+  private def st9Run(spark: SparkSession, dir: String, work: String): DataFrame = {
+    val in = new java.io.File(work, "in"); in.mkdirs()
+    val out = s"$work/out"
+    val (ev, cutUs, _) = eventsWithCut(spark, dir)
+    stageFile(in, work, "a", ev.filter(unix_micros(col("ts")) < cutUs), 1000000000L)
+    stageFile(in, work, "b", ev.filter(unix_micros(col("ts")) >= cutUs), 2000000000L)
+    val stream = spark.readStream.schema(EventsStreamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamPipelines.intervalJoin(
+        stream.filter(col("event_type") === "click"),
+        stream.filter(col("event_type") === "purchase"),
+        "user_id", windowMinutes = 720)
+      .select(col("l_key").as("user_id"),
+        col("l_event_id").as("click_id"), col("r_event_id").as("purch_id"),
+        unix_micros(col("l_ts")).as("click_ts_us"),
+        unix_micros(col("r_ts")).as("purch_ts_us"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(q.exception.isEmpty, s"st9 stream died: ${q.exception}")
+    spark.read.parquet(out)
+      .localCheckpoint(eager = true)
+      .orderBy(col("click_id"), col("purch_id"))
+  }
+
+  /** st9 oracle: the batch self-join — every (click, purchase) pair per
+    * user with the click in the purchase's preceding 12 hours. */
+  private val st9Oracle: String =
+    """SELECT l.user_id, l.event_id AS click_id, r.event_id AS purch_id,
+      | epoch_us(l.ts) AS click_ts_us, epoch_us(r.ts) AS purch_ts_us
+      |FROM events l JOIN events r
+      | ON l.user_id = r.user_id
+      | AND l.event_type = 'click' AND r.event_type = 'purchase'
+      | AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 720 MINUTE
+      |ORDER BY click_id, purch_id""".stripMargin
+
+  /** `st10_stream_histogram`: the streaming mergeable histogram
+    * ([[StreamPipelines.histogramStream]] — q61's fixed value grid as a
+    * watermarked per-(day, bucket) counting aggregate; mergeability by
+    * addition is exactly what makes the sketch streamable) AS AN ORACLE
+    * ROW (r20 promotion). st6's arrival shape: the time-ordered two-batch
+    * split (watermark never drops) plus two sentinel flush batches;
+    * sentinel rows land a year out and are filtered by day. Counts are
+    * exact integers, so the drained grid equals the batch GROUP BY the
+    * oracle states — the hash match proves additive state-store
+    * increments across micro-batches, window close and reclamation, on
+    * the grid q61's quantile selection reads at batch cost.
+    *
+    * Scale: state is (open days × ≤[[graft.operators.Behavior.QBuckets]])
+    * rows — watermark-bounded, data-volume-free. */
+  def st10StreamHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st10").toString
+    try st10Run(spark, dir, work) finally deleteWork(work)
+  }
+
+  private def st10Run(spark: SparkSession, dir: String, work: String): DataFrame = {
+    val in = new java.io.File(work, "in"); in.mkdirs()
+    val out = s"$work/out"
+    val (ev, cutUs, maxUs) = eventsWithCut(spark, dir)
+    stageFile(in, work, "a", ev.filter(unix_micros(col("ts")) < cutUs), 1000000000L)
+    stageFile(in, work, "b", ev.filter(unix_micros(col("ts")) >= cutUs), 2000000000L)
+    stageFile(in, work, "c", sentinelRow(spark, maxUs, YearUs), 3000000000L)
+    stageFile(in, work, "d", sentinelRow(spark, maxUs, 2 * YearUs), 4000000000L)
+    val stream = spark.readStream.schema(EventsStreamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamPipelines.histogramStream(stream)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(q.exception.isEmpty, s"st10 stream died: ${q.exception}")
+    spark.read.parquet(out)
+      .filter(unix_micros(col("day_start")) <= maxUs)
+      .select(unix_micros(col("day_start")).as("day_start_us"),
+        col("bucket"), col("cnt"))
+      .localCheckpoint(eager = true)
+      .orderBy(col("day_start_us"), col("bucket"))
+  }
+
+  /** st10 oracle: the batch daily grid on q61's bucket formula (values
+    * are non-negative, so truncating and flooring division agree). */
+  private def st10Oracle: String = {
+    val cents = graft.operators.Behavior.QBucketCents
+    val top = graft.operators.Behavior.QBuckets - 1
+    s"""SELECT epoch_us(date_trunc('day', ts)) AS day_start_us,
+       | least(CAST(floor(value * 100) AS BIGINT) // $cents, $top) AS bucket,
+       | count(*) AS cnt
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_dedup" -> (st1StreamDedup _),
     "st2_stream_upsert" -> (st2StreamUpsert _),
     "st3_stream_quality" -> (st3StreamQuality _),
     "st4_stream_scd2" -> (st4StreamScd2 _),
-    "st5_stream_funnel" -> (st5StreamFunnel _))
+    "st5_stream_funnel" -> (st5StreamFunnel _),
+    "st6_stream_window" -> (st6StreamWindow _),
+    "st7_stream_enrich" -> (st7StreamEnrich _),
+    "st8_stream_sessions" -> (st8StreamSessions _),
+    "st9_stream_interval" -> (st9StreamInterval _),
+    "st10_stream_histogram" -> (st10StreamHistogram _))
 
   val oracle: Map[String, String] = Map(
     "st1_stream_dedup" -> st1Oracle,
     "st2_stream_upsert" -> st2Oracle,
     "st3_stream_quality" -> st3Oracle,
     "st4_stream_scd2" -> graft.pipeline.Scd2.oracle,
-    "st5_stream_funnel" -> st5Oracle)
+    "st5_stream_funnel" -> st5Oracle,
+    "st6_stream_window" -> st6Oracle,
+    "st7_stream_enrich" -> st7Oracle,
+    "st8_stream_sessions" -> st8Oracle,
+    "st9_stream_interval" -> st9Oracle,
+    "st10_stream_histogram" -> st10Oracle)
 }

@@ -697,4 +697,105 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(st1 == d1, "streamed dedup state != batch d1 keepers")
   }
+
+  test("st6-st10 (the r20 promoted streaming rows): each drained state " +
+    "equals its batch statement on the real corpus — windowed rollup, " +
+    "stream-static enrich, session_window, interval join, histogram " +
+    "grid (cross-batch/inferred arms fire at the driver's sf0.01 gate " +
+    "scale; this corpus slice pins the equivalence itself)") {
+    import graft.streaming.StreamQueries
+    val sf = "/root/testdata/sf0.001"
+    val gap = graft.operators.Analytics.SessionGapUs
+    val ev = Tables.load(spark, sf, "events").select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"),
+      col("value").cast("double").as("value"))
+
+    // ---- st6: hourly windowed rollup
+    val st6 = StreamQueries.st6StreamWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val b6 = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(unix_micros(col("h")), col("event_type"), col("n"), col("sv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(st6.nonEmpty && st6 == b6,
+      "streamed hourly rollup != batch GROUP BY (hour, type)")
+
+    // ---- st7: stream-static enrichment against p15's arrived snapshot
+    val st7 = StreamQueries.st7StreamEnrich(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val arrived = Tables.load(spark, sf, "customer")
+      .filter(expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+        >= graft.pipeline.Curated.LateBucketMax)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val b7 = ev.join(arrived, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_name"), lit("INFERRED")).as("n"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("m"),
+        col("c_custkey").isNull.cast("long").as("i"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(st7.size == ev.count() && st7 == b7,
+      "streamed enrichment != batch left join (row grain)")
+
+    // ---- st8: built-in session_window vs the q12 gap rule
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy("user_id").orderBy("ts_us")
+    val e8 = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("ns", when(lag(col("ts_us"), 1).over(byU).isNull, 1L)
+        .when(col("ts_us") - lag(col("ts_us"), 1).over(byU) > gap, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val b8 = e8.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("last"),
+        count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("user_id"), col("s"), (col("last") + gap).as("e"),
+        col("n"), col("sv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val st8 = StreamQueries.st8StreamSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(st8 == b8, "streamed session_window state != batch gap split")
+    assert(st8.exists(_._4 > 1L),
+      "no session merged two events — the merge state machine never ran")
+
+    // ---- st9: stream-stream interval join (12h window)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("lu"), col("event_id").as("lid"),
+        unix_micros(col("ts")).as("lts"))
+    val rr = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ru"), col("event_id").as("rid"),
+        unix_micros(col("ts")).as("rts"))
+    val b9 = l.join(rr, col("lu") === col("ru") &&
+        col("lts") <= col("rts") &&
+        col("lts") >= col("rts") - 720L * 60L * 1000000L)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st9 = StreamQueries.st9StreamInterval(spark, sf).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purch_id"))).toSet
+    assert(st9.nonEmpty && st9 == b9,
+      "streamed interval join pairs != batch self-join pairs")
+
+    // ---- st10: daily histogram grid
+    val cents = graft.operators.Behavior.QBucketCents
+    val top = graft.operators.Behavior.QBuckets - 1
+    val b10 = ev.groupBy(date_trunc("day", col("ts")).as("d"),
+        least(expr(s"CAST(floor(value * 100) AS BIGINT) div $cents"),
+          lit(top)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("d")), col("bucket"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val st10 = StreamQueries.st10StreamHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st10.nonEmpty && st10 == b10,
+      "streamed histogram grid != batch daily GROUP BY")
+    assert(st10.exists(_._3 > 1L),
+      "no bucket merged two events — additive state never actually added")
+  }
 }
