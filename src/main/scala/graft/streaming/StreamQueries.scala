@@ -48,6 +48,42 @@ object StreamQueries {
         .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
+  /** Partition count for the drains' stateful operators. A stateful
+    * streaming query instantiates `spark.sql.shuffle.partitions` state
+    * stores PER stateful operator and commits every one of them EVERY
+    * micro-batch, so the engine's batch default (32 here) pays pure
+    * state-machinery overhead on a 2-4-file staged arrival: measured
+    * solo at sf0.1, st9 (four join state stores) runs ~12.3s at 32
+    * partitions vs ~5.5s at 8 with identical results. 8 covers local
+    * parallelism for this arrival volume; a production deployment sizes
+    * this dial per stream — more volume, more partitions — exactly like
+    * any shuffle. Results are partition-count-invariant, which the
+    * hash-checked oracle rows prove at every scale (state-partition
+    * count is fixed into the checkpoint at first batch, and every drain
+    * here starts from a fresh checkpoint). */
+  private val StreamStatePartitions = 8
+
+  /** A child session for a drain's streaming query: shares the
+    * SparkContext, inherits the engine's builder-level tuning from the
+    * SparkConf, overrides ONLY the shuffle/state partition count.
+    * Staging (plain batch writes) and the read-back of the drained sink
+    * stay on the caller's session.
+    *
+    * Scoped to the NATIVE-state-store drains only (st5 fMGWS, st6/st10
+    * windowed aggs, st8 session_window, st9 stream-stream join): their
+    * per-batch work is state-store commits, so fewer instances is pure
+    * win. The foreachBatch drains (st1-st4) run REAL batch operators
+    * inside each micro-batch — windows, joins, state rewrites — whose
+    * parallelism wants the engine default; shrinking their shuffle
+    * measurably HURT (st4's per-batch SCD2 window ran ~2x slower at 8).
+    * st7 is stateless broadcast-join enrichment — partition-count
+    * neutral — and stays on the caller's session. */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    s
+  }
+
   def st1StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_st1").toString
     try st1Run(spark, dir, work) finally deleteWork(work)
@@ -403,13 +439,14 @@ object StreamQueries {
       .toDF("user_id", "event_id", "ts", "event_type")
     stageFile(in, work, "b", sentinel(yearMs), 2000000000L)
     stageFile(in, work, "c", sentinel(2 * yearMs), 3000000000L)
-    val stream = spark.readStream
+    val ss = streamSession(spark)
+    val stream = ss.readStream
       .schema("user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING")
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
       .as[StreamPipelines.FunnelEv]
-    implicit val sp: SparkSession = spark
+    implicit val sp: SparkSession = ss
     val q = StreamPipelines.funnelize(stream)
       .filter(col("user_id") >= 0)
       .writeStream.format("parquet").option("path", out)
@@ -535,7 +572,8 @@ object StreamQueries {
     stageFile(in, work, "b", ev.filter(unix_micros(col("ts")) >= cutUs), 2000000000L)
     stageFile(in, work, "c", sentinelRow(spark, maxUs, YearUs), 3000000000L)
     stageFile(in, work, "d", sentinelRow(spark, maxUs, 2 * YearUs), 4000000000L)
-    val stream = spark.readStream.schema(EventsStreamSchema)
+    val ss = streamSession(spark)
+    val stream = ss.readStream.schema(EventsStreamSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
@@ -654,7 +692,8 @@ object StreamQueries {
     stageFile(in, work, "a", ev, 1000000000L)
     stageFile(in, work, "b", sentinelRow(spark, maxUs, YearUs), 2000000000L)
     stageFile(in, work, "c", sentinelRow(spark, maxUs, 2 * YearUs), 3000000000L)
-    val stream = spark.readStream.schema(EventsStreamSchema)
+    val ss = streamSession(spark)
+    val stream = ss.readStream.schema(EventsStreamSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
@@ -735,7 +774,8 @@ object StreamQueries {
     val (ev, cutUs, _) = eventsWithCut(spark, dir)
     stageFile(in, work, "a", ev.filter(unix_micros(col("ts")) < cutUs), 1000000000L)
     stageFile(in, work, "b", ev.filter(unix_micros(col("ts")) >= cutUs), 2000000000L)
-    val stream = spark.readStream.schema(EventsStreamSchema)
+    val ss = streamSession(spark)
+    val stream = ss.readStream.schema(EventsStreamSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
@@ -795,7 +835,8 @@ object StreamQueries {
     stageFile(in, work, "b", ev.filter(unix_micros(col("ts")) >= cutUs), 2000000000L)
     stageFile(in, work, "c", sentinelRow(spark, maxUs, YearUs), 3000000000L)
     stageFile(in, work, "d", sentinelRow(spark, maxUs, 2 * YearUs), 4000000000L)
-    val stream = spark.readStream.schema(EventsStreamSchema)
+    val ss = streamSession(spark)
+    val stream = ss.readStream.schema(EventsStreamSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
