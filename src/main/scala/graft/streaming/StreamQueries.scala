@@ -54,14 +54,19 @@ object StreamQueries {
     * micro-batch, so the engine's batch default (32 here) pays pure
     * state-machinery overhead on a 2-4-file staged arrival: measured
     * solo at sf0.1, st9 (four join state stores) runs ~12.3s at 32
-    * partitions vs ~5.5s at 8 with identical results. 8 covers local
-    * parallelism for this arrival volume; a production deployment sizes
-    * this dial per stream — more volume, more partitions — exactly like
-    * any shuffle. Results are partition-count-invariant, which the
-    * hash-checked oracle rows prove at every scale (state-partition
-    * count is fixed into the checkpoint at first batch, and every drain
-    * here starts from a fresh checkpoint). */
-  private val StreamStatePartitions = 8
+    * partitions vs ~5.5s at 8 with identical results; the r20
+    * optimization pass re-measured the dial same-hour and found 4
+    * another ~12% cheaper on st9 (warm 4.4-4.8s vs 5.0-6.1s at 8) with
+    * 2 inside noise of 4 — 4 covers local parallelism for this arrival
+    * volume. A production deployment sizes this dial per stream — more
+    * volume, more partitions — exactly like any shuffle, so it is
+    * env-overridable (`SPARK_GRAFT_STREAM_STATE_PARTITIONS`) with the
+    * measured local default. Results are partition-count-invariant,
+    * which the hash-checked oracle rows prove at every scale
+    * (state-partition count is fixed into the checkpoint at first
+    * batch, and every drain here starts from a fresh checkpoint). */
+  private val StreamStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt).getOrElse(4)
 
   /** A child session for a drain's streaming query: shares the
     * SparkContext, inherits the engine's builder-level tuning from the
