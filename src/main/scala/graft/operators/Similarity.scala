@@ -2575,7 +2575,10 @@ object Similarity {
     def score(cands: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_e6").desc, col("cand"))
-      cands
+      // the candidate set is probe-panel-grained (dial-bounded), the
+      // embedding table is the corpus: broadcast the panel so the corpus
+      // side streams exchange-free each round (s26's hnswRound rule)
+      broadcast(cands)
         .join(cembs, Seq("cand"))
         .join(broadcast(probes), Seq("probe_id"))
         .select(col("probe_id"), col("cand"),
@@ -2591,7 +2594,10 @@ object Similarity {
       .filter(col("cand") =!= col("probe_id"))
     var beam = score(entries).localCheckpoint(true)
     for (_ <- 2 to BeamRounds) {
-      val nb = beam
+      // beam is panel-grained, the graph is the corpus-sized index —
+      // broadcast the beam so the expansion streams the graph without
+      // shuffling it each round (s26's hnswRound rule)
+      val nb = broadcast(beam)
         .join(graph, col("cand") === col("g_src"))
         .select(col("probe_id"), col("g_dst").as("cand"))
       val candSet = beam.select(col("probe_id"), col("cand"))
@@ -2785,7 +2791,12 @@ object Similarity {
       case Some(b) => b.select(col("probe_id"), col("cand")).union(m.entry)
       case None => m.entry
     }
-    val nb = base.join(graph, col("cand") === col("g_src"))
+    // broadcast the PANEL-grained beam (≤ NumProbes x (width+1) rows, a
+    // dial-bounded constant) so the corpus-grained layer graph streams
+    // with no exchange and no sort — the structurally right index-probe
+    // plan at any scale (guide §3.1/§2.4); a sort-merge here shuffles the
+    // graph once per round
+    val nb = broadcast(base).join(graph, col("cand") === col("g_src"))
       .select(col("probe_id"), col("g_dst").as("cand"))
     val candSet0 = base.union(nb)
       .filter(col("cand") =!= col("probe_id")).distinct()
@@ -2794,7 +2805,10 @@ object Similarity {
     val candSet = if (keepCost) candSet0.localCheckpoint(true) else candSet0
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_e6").desc, col("cand"))
-    val scored = candSet
+    // same rule for the scoring join: the candidate set is panel-grained,
+    // the embedding table is the corpus — broadcast the panel so the
+    // corpus side is one exchange-free, sort-free scan per round
+    val scored = broadcast(candSet)
       .join(m.cembs, Seq("cand"))
       .join(broadcast(m.probes), Seq("probe_id"))
       .select(col("probe_id"), col("cand"),
@@ -3151,7 +3165,10 @@ object Similarity {
         .select(col("g_src"), col("g_dst"), col("cos_e6"))
       val delta = mirror(p.filter(col("ba") || col("bb")))
       val touched = delta.select(col("g_src")).distinct()
-      stored.join(touched, Seq("g_src"), "left_semi")
+      // touched is batch-proportional, stored is the corpus-scaled index:
+      // broadcast the batch side so the stored adjacency streams
+      // un-shuffled through the prune (guide §3.1)
+      stored.join(broadcast(touched), Seq("g_src"), "left_semi")
         .union(delta)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= KnnK)
@@ -3298,22 +3315,27 @@ object Similarity {
             lit("spare")).otherwise(lit("relink")))
         .select(col("g_src"), col("repair_class"))
         .localCheckpoint(true)
+      // `affected` is batch-proportional (nodes whose top-K lost a dead
+      // neighbor), the stored list / banded pairs are corpus-scaled:
+      // broadcast the small side of all three joins so the corpus side
+      // streams un-shuffled (guide §3.1) — the same d8 batch-side
+      // discipline the scaladoc's scale note states
       val spareAdj = stored
-        .join(affected.filter(col("repair_class") === "spare")
-          .select(col("g_src")), Seq("g_src"), "left_semi")
+        .join(broadcast(affected.filter(col("repair_class") === "spare")
+          .select(col("g_src"))), Seq("g_src"), "left_semi")
         .filter(!col("dst_dead"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= KnnK)
       val relinkAdj = mirrored
-        .join(affected.filter(col("repair_class") === "relink")
-          .select(col("g_src")), Seq("g_src"), "left_semi")
+        .join(broadcast(affected.filter(col("repair_class") === "relink")
+          .select(col("g_src"))), Seq("g_src"), "left_semi")
         .filter(!col("dst_dead"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= KnnK)
       spareAdj.select(col("g_src"), col("rank"), col("g_dst"), col("cos_e6"))
         .union(relinkAdj.select(col("g_src"), col("rank"), col("g_dst"),
           col("cos_e6")))
-        .join(affected, Seq("g_src"))
+        .join(broadcast(affected), Seq("g_src"))
         .select(lit(l.toLong).as("lvl"), col("g_src").as("vec_id"),
           col("rank"), col("g_dst").as("neighbor_id"), col("cos_e6"),
           col("repair_class"))
